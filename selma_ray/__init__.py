@@ -1,0 +1,18 @@
+"""selma_ray — a Ray-Data-native HTML selection/rewriting and main-content
+extraction engine with the capabilities of the reference Selma gem
+(gjtorikian/selma), rebuilt from scratch on ray.data.Dataset pipelines.
+
+Layout:
+  engine/     pure-Python per-document streaming HTML engine
+  stages/     map_batches callables (stateless fns + actor-pool classes)
+  pipelines/  end-to-end Dataset pipelines (extraction, dedup, analysis)
+  sources/    readers / synthetic transcript generation
+  state/      checkpoint manifest + lineage records
+  functions/  vectorized scalar/text functions (Arrow-level)
+"""
+
+from . import config
+from .engine import Rewriter, Sanitizer, Selector
+
+__all__ = ["Rewriter", "Sanitizer", "Selector", "config"]
+__version__ = "0.1.0"
