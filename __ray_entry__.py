@@ -1,44 +1,431 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in selma_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``       — flagship main-content extraction over transcript
+                      turns built from /root/testdata/sf0.001 documents.
+- ``queries()``     — one callable per implemented operator/pipeline
+                      (SURVEY.md §2 + the training-data ops).
+- ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible
+                      query; HTML-engine / sketch-based ops are
+                      rows-only by nature.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs_to_turns(batch: pa.Table) -> pa.Table:
+    """Deterministically shape the documents table into transcript turns
+    (conv_id, turn_idx, role, text, tool, ts) with the doc text embedded
+    in HTML boilerplate — the input_hint schema, keyed off testdata."""
+    from selma_ray.sources.transcripts import EPOCH_US, ROLES, wrap_boilerplate
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    sources = batch.column("source").to_pylist()
+    conv, tidx, role, text, tool, ts = [], [], [], [], [], []
+    for d, t, s in zip(doc_ids, texts, sources):
+        conv.append(s)
+        tidx.append(d)           # unique per doc; ordered within source
+        role.append(ROLES[d % len(ROLES)])
+        # ~2/3 HTML-wrapped, 1/3 plain passthrough
+        text.append(wrap_boilerplate(f"<p>{t}</p>", d, d) if d % 3 else t)
+        tool.append("")
+        ts.append(EPOCH_US + d * 60_000_000)
+    return pa.table({
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(tidx, pa.int32()),
+        "role": pa.array(role, pa.string()),
+        "text": pa.array(text, pa.large_string()),
+        "tool": pa.array(tool, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+def _transcripts_for(sf_dir: str):
+    """Synthetic transcript table scaled to the sf tier (deterministic)."""
+    from selma_ray.sources.transcripts import transcript_dataset
+
+    n_convs = max(24, int(10_000 * _sf_of(sf_dir)))
+    return transcript_dataset(n_convs)
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: read sf0.001 documents, shape them into transcript
+    turns, run the actor-pool extraction pipeline, return the ordered
+    result."""
+    from selma_ray.pipelines.extract import extract_transcripts
+
+    ds = _read(SF0001, "documents").map_batches(
+        _docs_to_turns, batch_format="pyarrow")
+    out = extract_transcripts(ds, batch_size=64, concurrency=(1, 4),
+                              sort=True)
+    return out.select_columns([
+        "conv_id", "turn_idx", "role", "extracted_text", "title",
+        "bytes_in", "bytes_out", "hits_strip", "hits_unwrap"])
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_extract_transcripts(sf_dir: str):
+    from selma_ray.pipelines.extract import extract_transcripts
+
+    ds = _transcripts_for(sf_dir)
+    out = extract_transcripts(ds, batch_size=64, sort=True)
+    return out.select_columns([
+        "conv_id", "turn_idx", "role", "extracted_text", "title",
+        "bytes_in", "bytes_out", "hits_strip", "hits_title", "hits_meta",
+        "hits_unwrap"])
+
+
+def _q_sanitize_transcripts(sf_dir: str):
+    from selma_ray.stages.sanitize import sanitize_stage
+
+    ds = _transcripts_for(sf_dir)
+    out = sanitize_stage(ds)  # DEFAULT config: strip every tag
+    return out.select_columns(["conv_id", "turn_idx", "sanitized"])
+
+
+def _q_doc_stats(sf_dir: str):
+    from selma_ray.functions.text import doc_stats_batch
+
+    ds = _read(sf_dir, "documents")
+    out = ds.map_batches(doc_stats_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_chars_calc", "n_tokens"])
+
+
+def _q_tokens_by_lang(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from selma_ray.functions.text import token_count_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": batch.column("lang"),
+            "tok": pc.cast(token_count_batch(batch.column("text")),
+                           pa.int64()),
+        })
+        g = t.group_by("lang").aggregate([("tok", "sum"), ("tok", "count")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "tok": g.column("tok_sum"),
+            "n": pc.cast(g.column("tok_count"), pa.int64()),
+        })
+
+    agg = _read(sf_dir, "documents").map_batches(
+        partial, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("tok"), Sum("n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_docs": pc.cast(batch.column("sum(n)"), pa.int64()),
+            "total_tokens": pc.cast(batch.column("sum(tok)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from selma_ray.pipelines.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(_read(sf_dir, "documents"))
+
+
+def _q_fingerprint(sf_dir: str):
+    from selma_ray.pipelines.dedup import add_md5
+
+    ds = _read(sf_dir, "documents")
+    out = ds.map_batches(add_md5, fn_kwargs={"out_col": "fp"},
+                         batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fp"])
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from selma_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), ngram=2,
+                               threshold=0.1, max_id=200)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from selma_ray.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents"), ngram=2,
+                             threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from selma_ray.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents"), max_dist=3)
+
+
+def _q_language_id(sf_dir: str):
+    from selma_ray.functions.text import language_id_batch
+
+    out = _read(sf_dir, "documents").map_batches(
+        language_id_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "pred_lang"])
+
+
+def _q_quality(sf_dir: str):
+    from selma_ray.functions.text import quality_score_batch
+
+    out = _read(sf_dir, "documents").map_batches(
+        quality_score_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "quality", "punct_ratio",
+                               "stopword_ratio"])
+
+
+def _q_ann_topk(sf_dir: str):
+    from selma_ray.pipelines.similarity import brute_force_topk, load_queries
+
+    ids, Q = load_queries(sf_dir, n_queries=5)
+    return brute_force_topk(_read(sf_dir, "embeddings"), ids, Q, k=10,
+                            round_to=4)
+
+
+def _q_ann_lsh(sf_dir: str):
+    from selma_ray.pipelines.similarity import load_queries, lsh_topk
+
+    ids, Q = load_queries(sf_dir, n_queries=5)
+    return lsh_topk(_read(sf_dir, "embeddings"), ids, Q, k=10, nbits=4,
+                    round_to=4)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from selma_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_read(sf_dir, "embeddings"),
+                                    threshold=0.4, round_to=4)
+
+
+def _q_events_rollup(sf_dir: str):
+    from selma_ray.pipelines.relational import events_rollup
+
+    return events_rollup(_read(sf_dir, "events"))
+
+
+def _q_top_customers(sf_dir: str):
+    from selma_ray.pipelines.relational import top_customers
+
+    return top_customers(_read(sf_dir, "orders"), k=10)
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from selma_ray.pipelines.relational import revenue_by_nation
+
+    return revenue_by_nation(_read(sf_dir, "orders"),
+                             f"{sf_dir}/customer.parquet",
+                             f"{sf_dir}/nation.parquet")
+
+
+def _q_pricing_summary(sf_dir: str):
+    from selma_ray.pipelines.relational import lineitem_pricing_summary
+
+    return lineitem_pricing_summary(_read(sf_dir, "lineitem"))
+
+
+def _q_multimodal_features(sf_dir: str):
+    from selma_ray.stages.multimodal import DecodeImageFeatures, multimodal_stage
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        payloads = [(t or "").encode() for t in
+                    batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "data": pa.array(payloads, pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents").map_batches(to_binary,
+                                                batch_format="pyarrow")
+    out = multimodal_stage(ds, DecodeImageFeatures, batch_size=64, dim=16,
+                           concurrency=(1, 4))
+    return out.select_columns(["doc_id", "features"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "extract_transcripts": _q_extract_transcripts,
+        "sanitize_transcripts": _q_sanitize_transcripts,
+        "doc_stats": _q_doc_stats,
+        "tokens_by_lang": _q_tokens_by_lang,
+        "exact_dedup": _q_exact_dedup,
+        "fingerprint_md5": _q_fingerprint,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "language_id": _q_language_id,
+        "quality_score": _q_quality,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "events_rollup": _q_events_rollup,
+        "top_customers": _q_top_customers,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "pricing_summary": _q_pricing_summary,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# oracles (DuckDB SQL on the registered views)
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats": r"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars_calc,
+                   len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "tokens_by_lang": r"""
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_extract_all(text, '\S+')))::BIGINT
+                       AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "exact_dedup": r"""
+            SELECT md5(text) AS text_hash,
+                   min(doc_id)::BIGINT AS keep_id,
+                   count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "fingerprint_md5": r"""
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents WHERE doc_id < 200),
+            sh AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(t) >= 2
+                         THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+                         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                         ELSE [] END) AS s
+                FROM toks),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE /
+                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                           AS similarity
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, similarity, 'ngram_jaccard' AS method
+            FROM pairs WHERE similarity >= 0.1
+        """,
+        "ann_topk": r"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id < 5),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]) AS sim
+                FROM q CROSS JOIN embeddings e),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+                FROM s)
+            SELECT query_id, neighbor_id, round(sim, 4) AS sim
+            FROM r WHERE rn <= 10
+        """,
+        "embedding_near_dup": r"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4)
+                       AS similarity,
+                   'embedding_cosine' AS method
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4)
+                  >= 0.4
+        """,
+        # Money aggregates sum exact integer cents (round(value*100)) so
+        # results are order-independent and hash-match bit-for-bit;
+        # float sums rounded to cents can flip on .005 boundaries.
+        "events_rollup": r"""
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
+            FROM events GROUP BY event_type
+        """,
+        "top_customers": r"""
+            SELECT o_custkey,
+                   count(*)::BIGINT AS n_orders,
+                   sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                       AS total_price_cents
+            FROM orders GROUP BY o_custkey
+            ORDER BY total_price_cents DESC, o_custkey
+            LIMIT 10
+        """,
+        "revenue_by_nation": r"""
+            SELECT n_name,
+                   count(*)::BIGINT AS n_orders,
+                   sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                       AS revenue_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "pricing_summary": r"""
+            SELECT l_returnflag, l_linestatus,
+                   sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_e2,
+                   sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+                       AS sum_base_price_cents,
+                   sum(round(l_extendedprice * (1 - l_discount)
+                             * 10000)::BIGINT)::BIGINT AS sum_disc_price_e4,
+                   sum(round(l_quantity * 100)::BIGINT)::DOUBLE
+                       / (count(*) * 100.0) AS avg_qty,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        # extract_transcripts / sanitize_transcripts: the HTML streaming
+        # engine (tokenizer + selector automaton + sanitizer) is not
+        # SQL-expressible; verified instead by the pytest golden matrix
+        # ported from the reference suite (rows-only here).
+        # minhash_lsh_pairs / simhash_pairs / ann_lsh_topk: sketch-based
+        # approximations — verified against their exact counterparts
+        # (ngram_jaccard / ann_topk) in tests; rows-only here.
+        # language_id / quality_score / multimodal_features: heuristic /
+        # stubbed-model ops with no SQL equivalent; rows-only.
+    }

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+   "turns": ..., "turns_per_sec": ...}
+
+--scaling runs the headline extraction twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same materialized input and
+reports both throughputs plus scaling efficiency
+(= (thr_4N / thr_N) / 4).
+
+This script OWNS a Ray session (unlike __ray_entry__, which must not).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False)
+    return ray
+
+
+def _transcript_input(sf_dir: str) -> tuple[str, int]:
+    """Materialize (cached) the deterministic transcript parquet for this
+    sf tier; returns (path, n_rows)."""
+    import pyarrow.parquet as pq
+
+    from selma_ray.sources.transcripts import transcripts_parquet
+
+    n_convs = max(24, int(10_000 * _sf_of(sf_dir)))
+    path = transcripts_parquet(n_convs)
+    n_rows = sum(
+        pq.read_metadata(os.path.join(path, f)).num_rows
+        for f in os.listdir(path) if f.endswith(".parquet"))
+    return path, n_rows
+
+
+def bench_extract(sf_dir: str, num_cpus: int, out_dir: str) -> dict:
+    """Headline: transcript extraction read→actor-pool→write."""
+    import ray.data
+
+    from selma_ray.stages.extract import extract_stage
+
+    path, n_rows = _transcript_input(sf_dir)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(
+        path, columns=["conv_id", "turn_idx", "text"])
+    out = extract_stage(ds, keep_spans=False, batch_size=128,
+                        concurrency=(1, num_cpus))
+    out.write_parquet(out_dir)
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "turns": n_rows, "turns_per_sec": n_rows / dt}
+
+
+def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
+    """Per-pipeline wall seconds over the testdata tables."""
+    import __ray_entry__ as entrymod
+
+    picks = ["exact_dedup", "minhash_lsh_pairs", "ann_topk",
+             "embedding_near_dup", "events_rollup", "pricing_summary",
+             "revenue_by_nation", "doc_stats"]
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # force full execution; results are small aggregates/pair lists
+        res.materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once(sf_dir: str, num_cpus: int, with_queries: bool) -> dict:
+    _init_ray(num_cpus)
+    extract = bench_extract(sf_dir, num_cpus,
+                            out_dir=f"/tmp/selma_bench_out_{num_cpus}")
+    rec = {
+        "metric": "transcript main-content extraction wall-time "
+                  "(read_parquet -> actor-pool extract -> write_parquet)",
+        "value": round(extract["sec"], 3),
+        "unit": "sec",
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "turns": extract["turns"],
+        "turns_per_sec": round(extract["turns_per_sec"], 1),
+        "queries": {"extract": round(extract["sec"], 3)},
+    }
+    if with_queries:
+        rec["queries"].update(bench_queries(sf_dir, num_cpus))
+    return rec
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job at num_cpus=8 and 32 in fresh processes."""
+    # warm the input cache once so neither child pays synthesis cost
+    _transcript_input(sf_dir)
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                   GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["turns_per_sec"]
+    thr32 = results[32]["turns_per_sec"]
+    return {
+        "metric": "scaling efficiency N=8 -> 4N=32 cpus, transcript "
+                  "extraction throughput",
+        "value": round((thr32 / thr8) / 4.0, 3),
+        "unit": "efficiency",
+        "sf": _sf_of(sf_dir),
+        "throughput_n8": round(thr8, 1),
+        "throughput_n32": round(thr32, 1),
+        "sec_n8": results[8]["value"],
+        "sec_n32": results[32]["value"],
+        "turns": results[32]["turns"],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", action="store_true",
+                    help="internal: headline pipeline only, fresh session")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    args = ap.parse_args()
+
+    import ray
+
+    if args.scaling:
+        rec = run_scaling(args.sf_dir)
+    elif args.child:
+        rec = run_once(args.sf_dir, args.cpus, with_queries=False)
+    else:
+        rec = run_once(args.sf_dir, args.cpus, with_queries=True)
+    print(json.dumps(rec))
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

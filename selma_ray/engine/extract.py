@@ -1,0 +1,189 @@
+"""Built-in main-content extraction handlers.
+
+Semantics modeled on the reference's ContentExtractor / TagRemover /
+ContentBreaker handler stacks (/root/reference/test/selma_maliciousness_test.rb:168-276):
+strip boilerplate and dangerous containers, capture <title> text and
+<meta name=...> pairs, unwrap everything else, and collect the remaining
+text as the document's main content.
+
+This module is pure Python (no Ray). The Ray layer wraps ExtractionEngine
+in an actor-pool map_batches stage (selma_ray.stages.extract).
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+from .rewriter import Rewriter, Selector
+from .sanitizer import Sanitizer
+
+# Tags whose entire subtree is dropped during extraction. Superset of the
+# reference ContentExtractor's removal list (pre/code/form/style/noscript/
+# script/svg — selma_maliciousness_test.rb:184-191) plus the boilerplate
+# containers the north-star pipeline targets (nav, footer, header, aside,
+# ads). `pre`/`code` removal follows the reference; callers can override.
+DEFAULT_STRIP_TAGS = frozenset({
+    "pre", "code", "form", "style", "noscript", "script", "svg",
+    "nav", "footer", "header", "aside", "iframe", "button", "select",
+})
+
+# Block-level tags that imply a word break when unwrapped (mirrors the
+# DEFAULT sanitizer config's whitespace_elements, config.py).
+DEFAULT_BREAK_TAGS = frozenset({
+    "address", "article", "aside", "blockquote", "br", "dd", "div", "dl",
+    "dt", "footer", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr",
+    "li", "main", "nav", "ol", "p", "pre", "section", "table", "td",
+    "th", "tr", "ul",
+})
+
+
+class MainContentExtractor:
+    """Selector handler that strips boilerplate and accumulates main text.
+
+    Reference parity: ContentExtractor (selma_maliciousness_test.rb:168-210)
+    — `*` element handler + `title` text handler; removes strip-list
+    subtrees, captures @title and @meta, unwraps the rest. Extended with:
+
+    - ``parts``: ordered main-content text pieces (the reference only
+      captured the title; the north-star pipeline needs the body text).
+    - ``spans``: matched-node spans ``(selector, tag, start, end)`` where
+      start/end are character offsets into the extracted text.
+    - ``hits``: per-rule match counters (extraction metrics).
+
+    One instance per document: call ``reset()`` before each rewrite.
+    """
+
+    __slots__ = ("strip_tags", "break_tags", "title", "meta", "parts",
+                 "spans", "hits", "_within_title", "_open_spans", "_selector")
+
+    def __init__(self, strip_tags=DEFAULT_STRIP_TAGS,
+                 break_tags=DEFAULT_BREAK_TAGS):
+        self.strip_tags = strip_tags
+        self.break_tags = break_tags
+        # text inside ANY stripped subtree is excluded from the extracted
+        # text via the stack-based ignore_text_within check (P10 in
+        # SURVEY.md §2.3 — indirect descendants count), so the ignore
+        # list is exactly the strip list.
+        self._selector = Selector(match_element="*", match_text_within="*",
+                                  ignore_text_within=sorted(strip_tags))
+        self.reset()
+
+    @property
+    def selector(self):
+        return self._selector
+
+    def reset(self):
+        self.title = ""
+        self.meta = {}
+        self.parts = []
+        self.spans = []
+        self.hits = {"strip": 0, "title": 0, "meta": 0, "unwrap": 0}
+        self._within_title = False
+        self._open_spans = []
+
+    # -- element dispatch ---------------------------------------------------
+
+    def handle_element(self, element):
+        tag = element.tag_name
+        if tag in self.strip_tags:
+            self.hits["strip"] += 1
+            element.remove()
+            pos = self._pos()
+            self.spans.append(("strip", tag, pos, pos))
+        elif tag == "title":
+            self.hits["title"] += 1
+            self._within_title = True
+            element.remove()
+        elif tag == "meta":
+            name = element["name"]
+            if name is not None:
+                self.hits["meta"] += 1
+                self.meta[name] = element["content"] or ""
+        else:
+            self.hits["unwrap"] += 1
+            element.remove_and_keep_content()
+            if tag in self.break_tags:
+                self.parts.append(" ")
+
+    def on_end_tag(self, end_tag):
+        if end_tag.tag_name == "title":
+            self._within_title = False
+        elif end_tag.tag_name in self.break_tags:
+            self.parts.append(" ")
+
+    # -- text dispatch --------------------------------------------------------
+
+    def handle_text_chunk(self, chunk):
+        text = chunk.content
+        if not text:
+            return
+        if self._within_title:
+            # first chunk wins, like the reference's @within_title latch
+            if not self.title:
+                self.title = text
+            return
+        pos = self._pos()
+        self.parts.append(text)
+        self.spans.append(("text", "", pos, pos + len(text)))
+
+    def _pos(self):
+        return sum(len(p) for p in self.parts)
+
+
+class ExtractionEngine:
+    """Per-worker extraction engine: compiled ruleset + reusable handler.
+
+    Built once per actor (``selma_ray.stages.extract.ExtractTurns.__init__``)
+    and reused across batches; ``process`` is called per row. The sanitizer
+    config and handler selectors are compiled exactly once.
+    """
+
+    def __init__(self, sanitizer_config=None, strip_tags=DEFAULT_STRIP_TAGS,
+                 break_tags=DEFAULT_BREAK_TAGS, collapse_whitespace=True,
+                 unescape=True):
+        self.extractor = MainContentExtractor(frozenset(strip_tags),
+                                              frozenset(break_tags))
+        sanitizer = (Sanitizer(sanitizer_config)
+                     if sanitizer_config is not None else None)
+        self.rewriter = Rewriter(sanitizer=sanitizer,
+                                 handlers=[self.extractor])
+        self.collapse_whitespace = collapse_whitespace
+        self.unescape = unescape
+
+    def process(self, text: str) -> dict:
+        """Extract main content from one turn/document.
+
+        Plain text (no '<') passes through unchanged — the transcript table
+        mixes HTML payloads and plain turns (FIXTURES.md §1).
+        """
+        if "<" not in text:
+            return {
+                "out_html": text,
+                "extracted_text": text,
+                "title": "",
+                "spans": [],
+                "bytes_in": len(text),
+                "bytes_out": len(text),
+                "selector_hits": dict(self.extractor.hits.fromkeys(
+                    self.extractor.hits, 0)),
+            }
+        ex = self.extractor
+        ex.reset()
+        out_html = self.rewriter.rewrite(text)
+        extracted = "".join(ex.parts)
+        if self.unescape:
+            extracted = _html.unescape(extracted)
+        if self.collapse_whitespace:
+            extracted = " ".join(extracted.split())
+        return {
+            "out_html": out_html,
+            "extracted_text": extracted,
+            "title": _html.unescape(ex.title).strip(),
+            "spans": [
+                {"selector": s, "tag": t, "start": a, "end": b}
+                for (s, t, a, b) in ex.spans
+            ],
+            "bytes_in": len(text),
+            "bytes_out": len(out_html),
+            "selector_hits": dict(ex.hits),
+        }

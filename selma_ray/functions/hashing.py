@@ -1,0 +1,130 @@
+"""Deterministic hashing / sketching primitives for dedup pipelines.
+
+Everything here must be stable across processes and machines (no
+python hash(), no process salts): md5 / crc32-derived only, with numpy
+vectorization for the signature math.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+
+_WS_RE = re.compile(r"\S+")
+
+_MERSENNE = (1 << 61) - 1  # prime for universal hashing
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8", "surrogatepass")).hexdigest()
+
+
+def md5_64(data: bytes) -> int:
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "little")
+
+
+def tokens(text: str) -> list[str]:
+    return _WS_RE.findall(text)
+
+
+def word_shingles(text: str, n: int = 3) -> set[str]:
+    """Distinct word n-gram shingles, joined by single spaces — the exact
+    definition the DuckDB oracle reproduces."""
+    toks = tokens(text)
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """64-bit hashes of word n-gram shingles (uint64, sorted, distinct)."""
+    sh = word_shingles(text, n)
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    out = np.fromiter((md5_64(s.encode()) for s in sh), dtype=np.uint64,
+                      count=len(sh))
+    out.sort()
+    return out
+
+
+def _coeffs(k: int, seed: int = 0x5e1fa) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_COEFF_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signatures(hash_sets: list[np.ndarray], k: int = 128) -> np.ndarray:
+    """MinHash signatures, vectorized: for each doc's shingle-hash array,
+    sig[j] = min((a_j * h + b_j) mod p). Returns (n_docs, k) uint64."""
+    if k not in _COEFF_CACHE:
+        _COEFF_CACHE[k] = _coeffs(k)
+    a, b = _COEFF_CACHE[k]
+    out = np.full((len(hash_sets), k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    p = np.uint64(_MERSENNE)
+    for i, hs in enumerate(hash_sets):
+        if hs.size == 0:
+            continue
+        # (n_shingles, k) — modular universal hash, all numpy
+        v = (hs[:, None] * a[None, :] + b[None, :]) % p
+        out[i] = v.min(axis=0)
+    return out
+
+
+def band_keys(sig: np.ndarray, bands: int) -> list[bytes]:
+    """LSH band bucket keys for one signature: md5 of each band's bytes,
+    prefixed with the band index so buckets never collide across bands."""
+    k = sig.shape[0]
+    rows = k // bands
+    return [
+        bytes([bi]) + hashlib.md5(sig[bi * rows:(bi + 1) * rows].tobytes()).digest()[:8]
+        for bi in range(bands)
+    ]
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted distinct uint64 arrays."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (md5-derived token hashes)."""
+    toks = tokens(text)
+    if not toks:
+        return 0
+    hs = np.fromiter((md5_64(t.encode()) for t in toks), dtype=np.uint64,
+                     count=len(toks))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(text: str, base: int = 257,
+                        mod: int = (1 << 61) - 1) -> int:
+    """Karp–Rabin rolling hash over the whole document (deterministic
+    document fingerprint; cheaper than md5 for incremental use-cases)."""
+    h = 0
+    for b in text.encode("utf-8", "surrogatepass"):
+        h = (h * base + b) % mod
+    return h
+
+
+def crc32_shard(key: str, n_shards: int) -> int:
+    """Stable shard assignment for salting / partition routing."""
+    return zlib.crc32(key.encode()) % n_shards

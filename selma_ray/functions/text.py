@@ -1,0 +1,108 @@
+"""Text-analysis functions over Arrow batches.
+
+All batch-level entry points take/return pyarrow structures and stay
+vectorized (pyarrow.compute / pandas C kernels) — no per-row Python in
+the counting paths. Per-row Python appears only in the language-ID
+heuristic, which is set-membership over already-split tokens.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS_RE = re.compile(r"\S+")
+
+# Tiny stopword lists for the n-gram/stopword language-ID heuristic.
+# Public knowledge (most-frequent function words per language).
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+           "on", "with", "as", "was", "at", "by"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den",
+           "von", "mit", "nicht", "im", "auf"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "los",
+           "las", "por", "con", "para"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "que",
+           "dans", "pour", "sur", "avec"},
+    "zh": set(),  # handled by the CJK codepoint ratio below
+}
+
+
+def token_count_batch(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace-token counts; matches DuckDB
+    ``len(regexp_extract_all(text, '\\S+'))``. Uses pyarrow's regex
+    count kernel (C++, vectorized)."""
+    return pc.count_substring_regex(texts, r"\S+")
+
+
+def doc_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_chars / n_tokens columns (both SQL-checkable)."""
+    texts = batch.column(text_col)
+    n_chars = pc.utf8_length(texts)
+    n_tokens = token_count_batch(texts)
+    out = batch.append_column("n_chars_calc", pc.cast(n_chars, pa.int64()))
+    return out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+
+
+def _cjk_ratio(text: str) -> float:
+    if not text:
+        return 0.0
+    cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+    return cjk / len(text)
+
+
+def language_id(text: str) -> str:
+    """Stopword/codepoint heuristic language ID (rows-only check; the
+    synthetic corpus carries a label column but real pipelines won't)."""
+    if _cjk_ratio(text) > 0.2:
+        return "zh"
+    tokens = [t.lower() for t in _WS_RE.findall(text)[:200]]
+    if not tokens:
+        return "und"
+    best, best_score = "und", 0
+    tset = tokens  # keep duplicates: frequency matters
+    for lang, sw in STOPWORDS.items():
+        if not sw:
+            continue
+        score = sum(1 for t in tset if t in sw)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0 else "und"
+
+
+def language_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    preds = [language_id(t or "")
+             for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("pred_lang", pa.array(preds, pa.string()))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality scoring: length, punctuation ratio, stopword
+    ratio, mean token length → a 0..1 score (rows-only; heuristic)."""
+    import numpy as np
+
+    texts = batch.column(text_col)
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype("float64")
+    n_tokens = pc.cast(token_count_batch(texts), pa.int64()).to_numpy(
+        zero_copy_only=False).astype("float64")
+    n_punct = pc.count_substring_regex(texts, r"[^\w\s]").to_numpy(
+        zero_copy_only=False).astype("float64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_tok = np.where(n_tokens > 0, n_chars / np.maximum(n_tokens, 1), 0.0)
+        punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+    sw_en = STOPWORDS["en"]
+    sw_ratio = np.array([
+        (sum(1 for t in _WS_RE.findall((t or "").lower())[:500] if t in sw_en)
+         / max(1, min(500, int(k)))) if k else 0.0
+        for t, k in zip(batch.column(text_col).to_pylist(), n_tokens)
+    ])
+    length_ok = np.clip(n_tokens / 20.0, 0.0, 1.0)
+    tok_ok = np.exp(-np.abs(mean_tok - 5.5) / 5.5)
+    punct_ok = np.clip(1.0 - punct_ratio * 4.0, 0.0, 1.0)
+    score = 0.4 * length_ok + 0.3 * tok_ok + 0.2 * punct_ok + 0.1 * np.clip(
+        sw_ratio * 5.0, 0.0, 1.0)
+    out = batch.append_column("quality", pa.array(score, pa.float64()))
+    out = out.append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+    return out.append_column("stopword_ratio", pa.array(sw_ratio, pa.float64()))

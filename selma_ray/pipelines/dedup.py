@@ -1,0 +1,391 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All stages stream over Arrow batches; the only wide ops are the
+hash-keyed groupbys, each preceded by per-batch work that shrinks the
+shuffle payload:
+
+- exact:    md5(text) per row -> per-batch partial (min id per hash)
+            -> groupby(hash) global min/count. The shuffle carries one
+            row per distinct hash per batch, not one per input row.
+- minhash:  shingle->signature per row in an actor pool (coefficients
+            built once per actor), exploded to `bands` small rows
+            (band_key, id, sig) -> groupby(band_key) -> within-bucket
+            pairwise signature comparison. Bucket sizes are tiny by
+            construction (hash of a signature band); a size cap guards
+            against degenerate buckets (all-identical corpora).
+- simhash:  64-bit signature -> 4 x 16-bit bands; Hamming<=3 dups are
+            guaranteed to collide in >=1 band (pigeonhole).
+- n-gram Jaccard: exact pairwise over a bounded id range, with the
+  comparison side broadcast once via ray.put (never re-shipped per
+  batch).
+
+Dropping duplicates uses the "keep the smallest id in each duplicate
+pair/cluster" rule, which is deterministic and needs no iterative
+connected components: any doc that is the larger id of some pair is
+dropped. (Transitive chains collapse to the smallest id in practice;
+the pairs table is returned so callers can run full CC offline if they
+need exact clusters.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import (
+    jaccard,
+    minhash_signatures,
+    shingle_hashes,
+    simhash64,
+)
+
+PAIR_SCHEMA = pa.schema([
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("similarity", pa.float64()),
+    ("method", pa.string()),
+])
+
+
+def _empty_pairs() -> pa.Table:
+    return PAIR_SCHEMA.empty_table()
+
+
+# -- exact ---------------------------------------------------------------
+
+
+def add_md5(batch: pa.Table, text_col: str = "text",
+            out_col: str = "text_hash") -> pa.Table:
+    hs = [hashlib.md5((t or "").encode("utf-8", "surrogatepass")).hexdigest()
+          for t in batch.column(text_col).to_pylist()]
+    return batch.append_column(out_col, pa.array(hs, pa.string()))
+
+
+class _PartialExact:
+    """Per-batch combiner: one (hash, min_id, count) row per distinct
+    hash in the batch — shrinks the groupby shuffle to distinct keys."""
+
+    def __init__(self, id_col: str, text_col: str):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = add_md5(batch, self.text_col)
+        t = batch.select([self.id_col, "text_hash"])
+        agg = t.group_by("text_hash").aggregate(
+            [(self.id_col, "min"), (self.id_col, "count")])
+        return pa.table({
+            "text_hash": agg.column("text_hash"),
+            "partial_min": agg.column(f"{self.id_col}_min"),
+            "partial_n": pc.cast(agg.column(f"{self.id_col}_count"), pa.int64()),
+        })
+
+
+def exact_dedup_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset -> (text_hash, keep_id, n_dups): the survivor and group
+    size per distinct text. SQL-oracle-checkable."""
+    from ray.data.aggregate import Min, Sum
+
+    partial = ds.map_batches(_PartialExact(id_col, text_col),
+                             batch_format="pyarrow")
+    agg = partial.groupby("text_hash").aggregate(
+        Min("partial_min"), Sum("partial_n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": batch.column("text_hash"),
+            "keep_id": pc.cast(batch.column("min(partial_min)"), pa.int64()),
+            "n_dups": pc.cast(batch.column("sum(partial_n)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset -> Dataset with exactly one (min-id) row per distinct text.
+
+    The groupby shuffles full rows once — unavoidable when the survivor's
+    full row must be emitted; use exact_dedup_stats when only ids are
+    needed.
+    """
+    def keep_first(group: pa.Table) -> pa.Table:
+        idx = pc.index(pc.equal(group.column(id_col),
+                                pc.min(group.column(id_col))), True).as_py()
+        return group.slice(idx, 1)
+
+    with_hash = ds.map_batches(add_md5, fn_kwargs={"text_col": text_col},
+                               batch_format="pyarrow")
+    return with_hash.groupby("text_hash").map_groups(
+        keep_first, batch_format="pyarrow")
+
+
+# -- MinHash + LSH ---------------------------------------------------------
+
+
+class MinHashBandStage:
+    """Actor: text -> MinHash signature -> `bands` (band_key, id, sig) rows.
+
+    Coefficients are derived once per actor in __init__ (deterministic
+    seed, so every actor agrees). Output rows are small (key + k*8B
+    signature), which is what travels through the band groupby shuffle —
+    the document text never shuffles.
+    """
+
+    def __init__(self, *, id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 128, bands: int = 16, ngram: int = 3):
+        assert k % bands == 0
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.bands = bands
+        self.ngram = ngram
+        # touch the coefficient cache once per actor
+        minhash_signatures([np.empty(0, dtype=np.uint64)], k=k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        hash_sets = [shingle_hashes(t or "", self.ngram) for t in texts]
+        sigs = minhash_signatures(hash_sets, k=self.k)
+        rows = self.k // self.bands
+        out_key, out_id, out_sig = [], [], []
+        for i, doc_id in enumerate(ids):
+            sig_bytes = sigs[i].tobytes()
+            for b in range(self.bands):
+                band = sigs[i, b * rows:(b + 1) * rows].tobytes()
+                key = (bytes([b])
+                       + hashlib.md5(band).digest()[:8]).hex()
+                out_key.append(key)
+                out_id.append(doc_id)
+                out_sig.append(sig_bytes)
+        return pa.table({
+            "band_key": pa.array(out_key, pa.string()),
+            "id": pa.array(out_id, pa.int64()),
+            "sig": pa.array(out_sig, pa.binary()),
+        })
+
+
+def _bucket_pairs_fn(k: int, threshold: float, max_bucket: int):
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return _empty_pairs()
+        order = pc.sort_indices(group.column("id"))
+        ids = pc.take(group.column("id"), order).to_pylist()
+        sig_col = pc.take(group.column("sig"), order).to_pylist()
+        if n > max_bucket:
+            # degenerate bucket (e.g. an all-identical corpus): compare
+            # everything to the smallest id only — still links every
+            # member to the cluster representative, O(n) not O(n^2).
+            sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint64
+                                 ).reshape(n, k)
+            est = (sigs[1:] == sigs[0]).mean(axis=1)
+            mask = est >= threshold
+            return pa.table({
+                "id_a": pa.array([ids[0]] * int(mask.sum()), pa.int64()),
+                "id_b": pa.array([i for i, m in zip(ids[1:], mask) if m],
+                                 pa.int64()),
+                "similarity": pa.array(est[mask], pa.float64()),
+                "method": pa.array(["minhash_lsh"] * int(mask.sum())),
+            })
+        sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint64).reshape(n, k)
+        a_out, b_out, s_out = [], [], []
+        for i in range(n - 1):
+            est = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            for j in np.nonzero(est >= threshold)[0]:
+                a_out.append(ids[i])
+                b_out.append(ids[i + 1 + j])
+                s_out.append(float(est[j]))
+        return pa.table({
+            "id_a": pa.array(a_out, pa.int64()),
+            "id_b": pa.array(b_out, pa.int64()),
+            "similarity": pa.array(s_out, pa.float64()),
+            "method": pa.array(["minhash_lsh"] * len(a_out)),
+        })
+    return bucket_pairs
+
+
+def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 128, bands: int = 16, ngram: int = 3,
+                      threshold: float = 0.7, max_bucket: int = 2000,
+                      concurrency=(1, 16)):
+    """Dataset -> candidate duplicate pairs (id_a < id_b, est-Jaccard >=
+    threshold), deduplicated across bands."""
+    kwargs = dict(fn_constructor_kwargs=dict(
+        id_col=id_col, text_col=text_col, k=k, bands=bands, ngram=ngram),
+        batch_format="pyarrow")
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    banded = ds.map_batches(MinHashBandStage, **kwargs)
+    pairs = banded.groupby("band_key").map_groups(
+        _bucket_pairs_fn(k, threshold, max_bucket), batch_format="pyarrow")
+    # a pair can surface in several bands: keep one copy
+    uniq = pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return uniq
+
+
+def drop_ids_from_pairs(pairs) -> "set[int]":
+    """Survivor rule: drop the larger id of every pair. The pairs table
+    is tiny relative to the corpus (dups only), so collecting ids to the
+    driver/broadcast is fine; at 100 TB the same rule runs as a
+    hash-partitioned anti-join on id."""
+    return {r["id_b"] for r in pairs.select_columns(["id_b"]).take_all()}
+
+
+def minhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  **kw):
+    """Dataset -> Dataset with near-duplicates (larger ids) removed."""
+    import ray
+
+    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, **kw)
+    drop = drop_ids_from_pairs(pairs)
+    drop_ref = ray.put(drop)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if not d:
+            return batch
+        mask = [i not in d for i in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+class SimHashBandStage:
+    """Actor: text -> 64-bit SimHash -> 4 (band_key, id, sim) rows.
+    Hamming distance <= 3 guarantees a collision in >= 1 of the 4
+    16-bit bands."""
+
+    def __init__(self, *, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_key, out_id, out_sim = [], [], []
+        for doc_id, t in zip(ids, texts):
+            h = simhash64(t or "")
+            for b in range(4):
+                band_val = (h >> (16 * b)) & 0xFFFF
+                out_key.append((b << 16) | band_val)
+                out_id.append(doc_id)
+                out_sim.append(h)
+        return pa.table({
+            "band_key": pa.array(out_key, pa.int64()),
+            "id": pa.array(out_id, pa.int64()),
+            "simhash": pa.array(out_sim, pa.uint64()),
+        })
+
+
+def _simhash_bucket_pairs(max_dist: int, max_bucket: int):
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return _empty_pairs()
+        order = pc.sort_indices(group.column("id"))
+        ids = np.asarray(pc.take(group.column("id"), order))
+        sims = np.asarray(pc.take(group.column("simhash"), order))
+        if n > max_bucket:
+            ids, sims = ids[:max_bucket], sims[:max_bucket]
+            n = max_bucket
+        a_out, b_out, d_out = [], [], []
+        for i in range(n - 1):
+            x = sims[i + 1:] ^ sims[i]
+            # vectorized popcount via uint8 view
+            dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                 axis=1).sum(axis=1)
+            for j in np.nonzero(dist <= max_dist)[0]:
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[i + 1 + j]))
+                d_out.append(1.0 - dist[j] / 64.0)
+        return pa.table({
+            "id_a": pa.array(a_out, pa.int64()),
+            "id_b": pa.array(b_out, pa.int64()),
+            "similarity": pa.array(d_out, pa.float64()),
+            "method": pa.array(["simhash"] * len(a_out)),
+        })
+    return bucket_pairs
+
+
+def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  max_dist: int = 3, max_bucket: int = 5000,
+                  concurrency=(1, 16)):
+    kwargs = dict(fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+                  batch_format="pyarrow")
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    banded = ds.map_batches(SimHashBandStage, **kwargs)
+    pairs = banded.groupby("band_key").map_groups(
+        _simhash_bucket_pairs(max_dist, max_bucket), batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# -- exact n-gram Jaccard ----------------------------------------------------
+
+
+def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                        ngram: int = 3, threshold: float = 0.5,
+                        max_id: int | None = None):
+    """Exact word-n-gram Jaccard pairs (id_a < id_b, jaccard >= threshold).
+
+    The comparison side (optionally bounded to id < max_id) is broadcast
+    ONCE via ray.put and read inside every task — O(n^2) similarity work
+    is distributed across batches of the left side while the right side
+    never re-ships per batch. SQL-oracle-checkable (DuckDB list algebra).
+    """
+    import ray
+
+    if max_id is None:
+        sub = ds
+    else:
+        def _below(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.less(batch.column(id_col),
+                                        pa.scalar(max_id)))
+        sub = ds.map_batches(_below, batch_format="pyarrow")
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        hs = [shingle_hashes(t or "", ngram) for t in texts]
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "hashes": pa.array([h.tolist() for h in hs],
+                               pa.list_(pa.uint64())),
+        })
+
+    hashed = sub.map_batches(to_hashes, batch_format="pyarrow")
+    # small side by construction (bounded id range): broadcast once
+    right = hashed.take_all()
+    right_ids = np.array([r["id"] for r in right], dtype=np.int64)
+    right_hs = [np.array(r["hashes"], dtype=np.uint64) for r in right]
+    ref = ray.put((right_ids, right_hs))
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        r_ids, r_hs = ray.get(ref)
+        a_out, b_out, s_out = [], [], []
+        for rid, hs in zip(batch.column("id").to_pylist(),
+                           batch.column("hashes").to_pylist()):
+            ha = np.array(hs, dtype=np.uint64)
+            for j in np.nonzero(r_ids > rid)[0]:
+                sim = jaccard(ha, r_hs[j])
+                if sim >= threshold:
+                    a_out.append(rid)
+                    b_out.append(int(r_ids[j]))
+                    s_out.append(sim)
+        return pa.table({
+            "id_a": pa.array(a_out, pa.int64()),
+            "id_b": pa.array(b_out, pa.int64()),
+            "similarity": pa.array(s_out, pa.float64()),
+            "method": pa.array(["ngram_jaccard"] * len(a_out)),
+        })
+
+    return hashed.map_batches(pairs_fn, batch_format="pyarrow")

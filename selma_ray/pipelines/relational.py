@@ -1,0 +1,225 @@
+"""Relational demo pipelines over the TPC-H-ish test tables.
+
+These exist to exercise the engine's wide-operation patterns the way a
+100 TB pipeline would:
+
+- partial aggregation INSIDE map_batches before the groupby, so the
+  shuffle carries one row per (batch x key), not per input row;
+- broadcast hash join for small dimension sides (ray.put once, read in
+  each task) instead of an all-to-all shuffle join;
+- sort + limit only on already-reduced data.
+
+Money columns aggregate in integer cents (round(value*100) as int64):
+integer sums are order-independent and exact, so results hash-match an
+independent SQL computation bit-for-bit — float sums rounded to cents
+can flip on .005 boundaries depending on summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(col, scale: int = 100) -> pa.Array:
+    """Exact decimal-scaled int64: round(value * scale)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.array(np.rint(v * scale).astype(np.int64), pa.int64())
+
+
+def _partial_sum_by(batch_cols: dict[str, pa.Array],
+                    key_cols: list[str], sum_cols: list[str],
+                    count_name: str | None = None) -> pa.Table:
+    """Arrow group_by inside the task (the per-batch combiner)."""
+    t = pa.table(batch_cols)
+    aggs = [(c, "sum") for c in sum_cols]
+    if count_name:
+        aggs.append((key_cols[0], "count"))
+    g = t.group_by(key_cols).aggregate(aggs)
+    cols = {k: g.column(k) for k in key_cols}
+    for c in sum_cols:
+        cols[c] = g.column(f"{c}_sum")
+    if count_name:
+        cols[count_name] = pc.cast(g.column(f"{key_cols[0]}_count"),
+                                   pa.int64())
+    return pa.table(cols)
+
+
+def events_rollup(ds):
+    """events -> (event_type, n_events, sum_value_cents), partial-agg
+    per batch first so the shuffle carries one row per key per batch."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _partial_sum_by(
+            {"event_type": batch.column("event_type"),
+             "v": _cents(batch.column("value"))},
+            ["event_type"], ["v"], "n_partial")
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("v"), Sum("n_partial"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": pc.cast(batch.column("sum(n_partial)"), pa.int64()),
+            "sum_value_cents": pc.cast(batch.column("sum(v)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+class BroadcastLookup:
+    """map_batches fn: map a key column through a broadcast dict.
+
+    The dict travels to the object store once (ray.put on the driver);
+    each actor fetches it once in __init__, NOT per batch.
+    """
+
+    def __init__(self, mapping_ref, key_col: str, out_col: str,
+                 out_type=pa.string()):
+        import ray
+
+        self.mapping = ray.get(mapping_ref)
+        self.key_col = key_col
+        self.out_col = out_col
+        self.out_type = out_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key_col).to_pylist()
+        vals = [self.mapping.get(k) for k in keys]
+        return batch.append_column(self.out_col,
+                                   pa.array(vals, self.out_type))
+
+
+def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
+    """orders ⋈ customer ⋈ nation -> (n_name, n_orders, revenue_cents).
+
+    Dimension sides (customer: key->nationkey, nation: key->name) are
+    tiny: composed driver-side into ONE custkey->nation-name dict and
+    broadcast; orders partial-aggregate by custkey inside each batch
+    before the lookup, so the final groupby shuffle is per-nation only.
+    """
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(customer_path, columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
+    nation_name = dict(zip(nat.column("n_nationkey").to_pylist(),
+                           nat.column("n_name").to_pylist()))
+    cust_nation = {
+        ck: nation_name[nk]
+        for ck, nk in zip(cust.column("c_custkey").to_pylist(),
+                          cust.column("c_nationkey").to_pylist())
+    }
+    ref = ray.put(cust_nation)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _partial_sum_by(
+            {"o_custkey": batch.column("o_custkey"),
+             "price": _cents(batch.column("o_totalprice"))},
+            ["o_custkey"], ["price"], "n_partial")
+
+    tagged = orders_ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(
+            BroadcastLookup,
+            fn_constructor_kwargs=dict(mapping_ref=ref, key_col="o_custkey",
+                                       out_col="n_name"),
+            batch_format="pyarrow", concurrency=(1, 8))
+    agg = tagged.groupby("n_name").aggregate(Sum("price"), Sum("n_partial"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "n_orders": pc.cast(batch.column("sum(n_partial)"), pa.int64()),
+            "revenue_cents": pc.cast(batch.column("sum(price)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def top_customers(orders_ds, *, k: int = 10):
+    """Top-k customers by total order price (groupby -> sort -> limit).
+
+    The sort runs on the already-aggregated (one row per customer)
+    dataset, never on raw orders. Integer-cents totals make the
+    (-total, custkey) order fully deterministic.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _partial_sum_by(
+            {"o_custkey": batch.column("o_custkey"),
+             "price": _cents(batch.column("o_totalprice"))},
+            ["o_custkey"], ["price"], "n_partial")
+
+    agg = orders_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("price"), Sum("n_partial"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "n_orders": pc.cast(batch.column("sum(n_partial)"), pa.int64()),
+            "total_price_cents": pc.cast(batch.column("sum(price)"),
+                                         pa.int64()),
+        })
+
+    renamed = agg.map_batches(rename, batch_format="pyarrow")
+    return renamed.sort(["total_price_cents", "o_custkey"],
+                        descending=[True, False]).limit(k)
+
+
+def lineitem_pricing_summary(lineitem_ds):
+    """TPC-H Q1-shaped rollup per (returnflag, linestatus).
+
+    qty scales x100, prices x100 (cents), discounted price x10^4 (two
+    2-decimal factors multiply to exactly 4 decimals). avg_qty is the
+    exact-int division sum/count — identical doubles on any platform.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = batch.column("l_extendedprice")
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        ext_np = ext.to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch.column("l_discount")
+        if isinstance(disc, pa.ChunkedArray):
+            disc = disc.combine_chunks()
+        disc_np = disc.to_numpy(zero_copy_only=False).astype(np.float64)
+        disc_e4 = np.rint(ext_np * (1 - disc_np) * 10000).astype(np.int64)
+        return _partial_sum_by(
+            {"l_returnflag": batch.column("l_returnflag"),
+             "l_linestatus": batch.column("l_linestatus"),
+             "qty": _cents(batch.column("l_quantity")),
+             "base": _cents(batch.column("l_extendedprice")),
+             "disc": pa.array(disc_e4, pa.int64())},
+            ["l_returnflag", "l_linestatus"], ["qty", "base", "disc"], "n")
+
+    agg = lineitem_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("qty"), Sum("base"), Sum("disc"), Sum("n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        sum_qty = pc.cast(batch.column("sum(qty)"), pa.int64())
+        n = pc.cast(batch.column("sum(n)"), pa.int64())
+        avg = pc.divide(pc.cast(sum_qty, pa.float64()),
+                        pc.multiply(pc.cast(n, pa.float64()),
+                                    pa.scalar(100.0)))
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty_e2": sum_qty,
+            "sum_base_price_cents": pc.cast(batch.column("sum(base)"),
+                                            pa.int64()),
+            "sum_disc_price_e4": pc.cast(batch.column("sum(disc)"),
+                                         pa.int64()),
+            "avg_qty": avg,
+            "count_order": n,
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")

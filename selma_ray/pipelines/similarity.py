@@ -1,0 +1,273 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is normalized
+once, put in the object store ONCE (ray.put) and read per task; each
+batch computes a (q x batch) matmul and emits only its per-query top-k
+rows, so the reduce shuffle carries O(#batches * q * k) tiny rows, never
+the embeddings. The scale path is LSH bucketing: random-hyperplane sign
+buckets mean each batch only scores rows whose bucket matches a query's
+bucket (recall traded for candidate-set size; verified against brute
+force in tests).
+
+Near-duplicate detection by embedding cosine reuses the same broadcast
+pattern with the corpus itself as the query side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch.column(emb_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # list<float> -> (n, d) without per-row Python: flatten + reshape
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+class PartialTopK:
+    """map_batches actor: emit per-batch top-k (query_id, vec_id, sim)."""
+
+    def __init__(self, queries_ref, *, id_col: str = "vec_id",
+                 emb_col: str = "embedding", k: int = 10):
+        import ray
+
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.k = k
+        # fetched once per actor; zero-copy numpy view from plasma
+        self.query_ids, self.Q = ray.get(queries_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0 or self.Q.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        E = _normalize(_batch_matrix(batch, self.emb_col))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims = self.Q @ E.T                      # (q, n)
+        k = min(self.k, n)
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]   # (q, k)
+        q_idx = np.repeat(np.arange(len(self.query_ids)), k)
+        v_idx = top.ravel()
+        return pa.table({
+            "query_id": pa.array(self.query_ids[q_idx], pa.int64()),
+            "vec_id": pa.array(ids[v_idx].astype(np.int64), pa.int64()),
+            "sim": pa.array(sims[q_idx, v_idx], pa.float64()),
+        })
+
+
+def _final_topk_fn(k: int, round_to: int | None):
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        qid = group.column("query_id")[0].as_py()
+        # sort by (-sim, vec_id) for deterministic ties
+        order = np.lexsort((ids, -sims))[:k]
+        out_sims = sims[order]
+        if round_to is not None:
+            out_sims = np.round(out_sims, round_to)
+        return pa.table({
+            "query_id": pa.array([qid] * len(order), pa.int64()),
+            "neighbor_id": pa.array(ids[order].astype(np.int64), pa.int64()),
+            "sim": pa.array(out_sims, pa.float64()),
+        })
+    return final_topk
+
+
+def load_queries(sf_dir_or_path: str, *, n_queries: int = 5,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Driver-side: read the first n query vectors (tiny, column-pruned
+    single-file read) and return (ids, normalized matrix)."""
+    import pyarrow.parquet as pq
+
+    path = (sf_dir_or_path if sf_dir_or_path.endswith(".parquet")
+            else f"{sf_dir_or_path}/embeddings.parquet")
+    t = pq.read_table(path, columns=[id_col, emb_col])
+    t = t.filter(pa.compute.less(t.column(id_col), n_queries))
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column(emb_col).to_pylist()]))
+    return ids, Q
+
+
+def brute_force_topk(ds, query_ids: np.ndarray, Q: np.ndarray, *,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     k: int = 10, round_to: int | None = 4,
+                     concurrency=(1, 8)):
+    """Exact cosine top-k of every query against the dataset."""
+    import ray
+
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), _normalize(Q)))
+    kwargs = dict(
+        fn_constructor_kwargs=dict(queries_ref=qref, id_col=id_col,
+                                   emb_col=emb_col, k=k),
+        batch_format="pyarrow", batch_size=4096)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    partial = ds.map_batches(PartialTopK, **kwargs)
+    return partial.groupby("query_id").map_groups(
+        _final_topk_fn(k, round_to), batch_format="pyarrow")
+
+
+# -- LSH-bucketed ANN (scale path) ------------------------------------------
+
+
+class LshPartialTopK:
+    """Like PartialTopK but each batch row is scored ONLY against queries
+    sharing a random-hyperplane bucket in at least one of ``n_tables``
+    hash tables — the candidate set shrinks by ~2^nbits per table while
+    the table union keeps recall up (multi-table LSH). Planes are seeded
+    deterministically so every actor agrees."""
+
+    def __init__(self, queries_ref, *, id_col: str = "vec_id",
+                 emb_col: str = "embedding", k: int = 10, nbits: int = 4,
+                 n_tables: int = 4, seed: int = 0xA11CE):
+        import ray
+
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.k = k
+        self.nbits = nbits
+        self.n_tables = n_tables
+        self.seed = seed
+        self.query_ids, self.Q = ray.get(queries_ref)
+        self._planes = None  # built lazily once dim is known
+        self._qbuckets = None
+
+    def _ensure_planes(self, dim: int):
+        if self._planes is None:
+            rng = np.random.default_rng(self.seed)
+            self._planes = rng.standard_normal(
+                (self.n_tables, dim, self.nbits))
+            self._qbuckets = self._bucket(self.Q)
+
+    def _bucket(self, M: np.ndarray) -> np.ndarray:
+        """(n_tables, n) bucket codes."""
+        bits = np.einsum("nd,tdb->tnb", M, self._planes) > 0
+        return (bits * (1 << np.arange(self.nbits))).sum(axis=2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        E = _normalize(_batch_matrix(batch, self.emb_col))
+        self._ensure_planes(E.shape[1])
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        ebuckets = self._bucket(E)                      # (t, n)
+        # candidate[q, e] = buckets match in ANY table
+        cand = np.zeros((self.Q.shape[0], E.shape[0]), dtype=bool)
+        for t in range(self.n_tables):
+            cand |= self._qbuckets[t][:, None] == ebuckets[t][None, :]
+        out = []
+        for qi in range(self.Q.shape[0]):
+            e_sel = np.nonzero(cand[qi])[0]
+            if e_sel.size == 0:
+                continue
+            sims = self.Q[qi] @ E[e_sel].T
+            k = min(self.k, e_sel.size)
+            top = np.argpartition(-sims, k - 1)[:k]
+            out.append(pa.table({
+                "query_id": pa.array(
+                    np.full(k, self.query_ids[qi]), pa.int64()),
+                "vec_id": pa.array(ids[e_sel[top]].astype(np.int64),
+                                   pa.int64()),
+                "sim": pa.array(sims[top], pa.float64()),
+            }))
+        return pa.concat_tables(out) if out else empty
+
+
+def lsh_topk(ds, query_ids, Q, *, id_col: str = "vec_id",
+             emb_col: str = "embedding", k: int = 10, nbits: int = 4,
+             n_tables: int = 4, round_to: int | None = 4,
+             concurrency=(1, 8)):
+    import ray
+
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), _normalize(Q)))
+    kwargs = dict(
+        fn_constructor_kwargs=dict(queries_ref=qref, id_col=id_col,
+                                   emb_col=emb_col, k=k, nbits=nbits,
+                                   n_tables=n_tables),
+        batch_format="pyarrow", batch_size=4096)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    partial = ds.map_batches(LshPartialTopK, **kwargs)
+    return partial.groupby("query_id").map_groups(
+        _final_topk_fn(k, round_to), batch_format="pyarrow")
+
+
+# -- embedding-cosine near-dup ------------------------------------------------
+
+
+def embedding_near_dup_pairs(ds, *, id_col: str = "vec_id",
+                             emb_col: str = "embedding",
+                             threshold: float = 0.95,
+                             round_to: int | None = 4,
+                             max_broadcast_rows: int = 200_000):
+    """All pairs (id_a < id_b) with cosine >= threshold.
+
+    Broadcast-self pattern: the normalized corpus matrix is placed in the
+    object store once; each batch matmuls against it and keeps only
+    pairs where the other id is larger (no double-count, no self-pairs).
+    Valid while the corpus matrix fits a worker heap (~200k x 64 f64 =
+    100 MB); beyond that the LSH-bucketed variant in dedup-style
+    band-groupby form takes over.
+    """
+    import ray
+
+    def to_mat(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": pa.compute.cast(batch.column(id_col), pa.int64()),
+            "emb": batch.column(emb_col),
+        })
+
+    slim = ds.map_batches(to_mat, batch_format="pyarrow")
+    rows = slim.take_all()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"corpus too large to broadcast ({len(rows)} rows); use the "
+            "LSH-bucketed near-dup path")
+    all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    M = _normalize(np.stack([np.asarray(r["emb"], dtype=np.float64)
+                             for r in rows]))
+    ref = ray.put((all_ids, M))
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        ids_all, Mat = ray.get(ref)
+        E = _normalize(_batch_matrix(batch, emb_col))
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = E @ Mat.T                     # (batch, corpus)
+        # threshold on the ROUNDED similarity so inclusion can't flip on
+        # float noise between this and an independent (SQL) computation
+        if round_to is not None:
+            sims = np.round(sims, round_to)
+        a_out, b_out, s_out = [], [], []
+        for i in range(E.shape[0]):
+            mask = (sims[i] >= threshold) & (ids_all > bids[i])
+            js = np.nonzero(mask)[0]
+            a_out.extend([int(bids[i])] * js.size)
+            b_out.extend(ids_all[js].tolist())
+            s_out.extend(sims[i, js].tolist())
+        s = np.array(s_out, dtype=np.float64)
+        return pa.table({
+            "id_a": pa.array(a_out, pa.int64()),
+            "id_b": pa.array(b_out, pa.int64()),
+            "similarity": pa.array(s, pa.float64()),
+            "method": pa.array(["embedding_cosine"] * len(a_out)),
+        })
+
+    return ds.map_batches(pairs_fn, batch_format="pyarrow", batch_size=4096)

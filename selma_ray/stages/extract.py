@@ -1,0 +1,116 @@
+"""Actor-pool extraction stage.
+
+`ExtractTurns` is a callable CLASS for `ds.map_batches(ExtractTurns, ...)`:
+the compiled ruleset (CSS selector automata + sanitizer flag tables) is
+built ONCE per actor in ``__init__``; ``__call__`` processes one Arrow
+batch zero-copy in and columnar out. This is the north-star's stated shape
+(actor pools holding pre-compiled selector rulesets and rewriter state).
+
+Scale notes (100 TB / 256 nodes):
+- batch_format="pyarrow": blocks come out of the object store zero-copy;
+  the only materialized Python objects are the text cells themselves,
+  which the per-document automaton necessarily walks.
+- per-row cost is O(bytes of text), so batching is BYTES-aware: oversized
+  rows (> split_threshold bytes) are processed fine but callers should
+  keep `batch_size` modest (default 64) so one batch × concurrency fits
+  the worker heap even when payloads are MB-scale.
+- output columns use large_string so a single block can exceed 2 GiB of
+  text without offset overflow.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..engine.extract import (
+    DEFAULT_BREAK_TAGS,
+    DEFAULT_STRIP_TAGS,
+    ExtractionEngine,
+)
+
+SPAN_TYPE = pa.list_(pa.struct([
+    ("selector", pa.string()),
+    ("tag", pa.string()),
+    ("start", pa.int64()),
+    ("end", pa.int64()),
+]))
+
+
+class ExtractTurns:
+    """Per-actor compiled extraction engine applied to Arrow batches.
+
+    Output columns appended to the input batch:
+        extracted_text:large_string, title:string,
+        spans:list<struct<selector,tag,start,end>>,
+        bytes_in:int64, bytes_out:int64,
+        hits_strip/hits_title/hits_meta/hits_unwrap:int32
+    plus (optional, ``keep_html=True``) out_html:large_string.
+    """
+
+    def __init__(self, text_col: str = "text", sanitizer_config=None,
+                 strip_tags=None, break_tags=None, keep_html: bool = False,
+                 keep_spans: bool = True, collapse_whitespace: bool = True):
+        self.text_col = text_col
+        self.keep_html = keep_html
+        self.keep_spans = keep_spans
+        # compile once per actor (selector automata + sanitizer tables)
+        self.engine = ExtractionEngine(
+            sanitizer_config=sanitizer_config,
+            strip_tags=strip_tags if strip_tags is not None else DEFAULT_STRIP_TAGS,
+            break_tags=break_tags if break_tags is not None else DEFAULT_BREAK_TAGS,
+            collapse_whitespace=collapse_whitespace,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        process = self.engine.process
+        results = [process(t if t is not None else "")
+                   for t in batch.column(self.text_col).to_pylist()]
+        out = batch
+        out = out.append_column(
+            "extracted_text",
+            pa.array([r["extracted_text"] for r in results], pa.large_string()))
+        out = out.append_column(
+            "title", pa.array([r["title"] for r in results], pa.string()))
+        if self.keep_spans:
+            out = out.append_column(
+                "spans", pa.array([r["spans"] for r in results], SPAN_TYPE))
+        out = out.append_column(
+            "bytes_in", pa.array([r["bytes_in"] for r in results], pa.int64()))
+        out = out.append_column(
+            "bytes_out", pa.array([r["bytes_out"] for r in results], pa.int64()))
+        for key in ("strip", "title", "meta", "unwrap"):
+            out = out.append_column(
+                f"hits_{key}",
+                pa.array([r["selector_hits"].get(key, 0) for r in results],
+                         pa.int32()))
+        if self.keep_html:
+            out = out.append_column(
+                "out_html",
+                pa.array([r["out_html"] for r in results], pa.large_string()))
+        return out
+
+
+def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
+                  strip_tags=None, break_tags=None, keep_html: bool = False,
+                  keep_spans: bool = True, collapse_whitespace: bool = True,
+                  batch_size: int = 64, concurrency=None):
+    """Attach the extraction actor-pool stage to a Dataset.
+
+    ``concurrency=None`` lets Ray autoscale the pool to available CPUs;
+    pass an int (fixed pool) or (min, max) tuple to pin it.
+    """
+    kwargs = dict(
+        fn_constructor_kwargs=dict(
+            text_col=text_col, sanitizer_config=sanitizer_config,
+            strip_tags=strip_tags, break_tags=break_tags,
+            keep_html=keep_html, keep_spans=keep_spans,
+            collapse_whitespace=collapse_whitespace),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+    )
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    else:
+        kwargs["concurrency"] = (1, 64)  # autoscaling actor pool
+    return ds.map_batches(ExtractTurns, **kwargs)

@@ -1,0 +1,91 @@
+"""Multimodal actor-pool stages (image/audio as opaque binary columns).
+
+The container has no image/audio codecs, so the DECODE step is stubbed:
+`decode_impl` raises NotImplementedError unless ``fake=True``, in which
+case a deterministic fake (crc32-seeded feature vector) stands in so the
+Ray-side plumbing — schema, batch size, actor signature, output layout —
+is real and tested end-to-end.
+
+At scale: binary payloads are large, so callers must use small
+``batch_size`` (default 16) and a fixed actor pool sized to the node; the
+output feature column is fixed-width list<float32> which downstream ANN
+stages (selma_ray.pipelines.similarity) consume directly.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class DecodeImageFeatures:
+    """map_batches actor: binary image column -> feature vector column.
+
+    Real decode/resize/feature-extract would load the model ONCE here in
+    __init__ (per actor); __call__ then runs batched inference.
+    """
+
+    def __init__(self, data_col: str = "data", out_col: str = "features",
+                 dim: int = 64, fake: bool = True):
+        self.data_col = data_col
+        self.out_col = out_col
+        self.dim = dim
+        self.fake = fake
+        # model/codec load would go here (once per actor)
+
+    def decode_impl(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image codecs are not available in this environment; "
+                "run with fake=True for the deterministic stand-in")
+        # deterministic fake: crc32-seeded pseudo-features
+        seed = zlib.crc32(payload or b"")
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(self.dim, dtype=np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self.decode_impl(p) for p in
+                 batch.column(self.data_col).to_pylist()]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats), pa.float32()), self.dim)
+        return batch.append_column(self.out_col, arr)
+
+
+class SampleVideoFrames:
+    """map_batches actor: binary video column -> list of frame payloads.
+
+    Deterministic fake: slices the payload into ``n_frames`` chunks. Real
+    frame sampling would seek keyframes via a codec loaded in __init__.
+    """
+
+    def __init__(self, data_col: str = "data", out_col: str = "frames",
+                 n_frames: int = 4, fake: bool = True):
+        self.data_col = data_col
+        self.out_col = out_col
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def sample_impl(self, payload: bytes) -> list[bytes]:
+        if not self.fake:
+            raise NotImplementedError(
+                "video codecs are not available in this environment")
+        payload = payload or b""
+        k = max(1, len(payload) // max(1, self.n_frames))
+        return [payload[i * k:(i + 1) * k] for i in range(self.n_frames)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames = [self.sample_impl(p)
+                  for p in batch.column(self.data_col).to_pylist()]
+        return batch.append_column(
+            self.out_col, pa.array(frames, pa.list_(pa.binary())))
+
+
+def multimodal_stage(ds, cls=DecodeImageFeatures, *, batch_size: int = 16,
+                     concurrency=(1, 16), **ctor_kwargs):
+    """Attach a multimodal actor-pool stage; small batches because binary
+    payloads are large (batch bytes, not rows, is the real budget)."""
+    return ds.map_batches(cls, fn_constructor_kwargs=ctor_kwargs,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)

@@ -1,0 +1,109 @@
+"""Driver-shaped correctness gate: run every __ray_entry__ query at
+sf0.001 and compare row-count + schema + values against its DuckDB
+oracle (order-insensitive), exactly the way the external harness does.
+"""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def _to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+SQL_CHECKED = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name, ray_session):
+    got = _normalize(_to_df(entrymod.queries()[name](SF_DIR)))
+    want = _normalize(_oracle(entrymod.oracle_sql()[name]))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}")
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    for col in got.columns:
+        g, w = got[col].to_numpy(), want[col].to_numpy()
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(
+                w.dtype, np.floating):
+            assert np.allclose(g.astype(float), w.astype(float),
+                               atol=1e-9, rtol=0), f"{name}.{col}"
+        else:
+            assert (g == w).all(), f"{name}.{col}"
+
+
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(SQL_CHECKED))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, ray_session):
+    df = _to_df(entrymod.queries()[name](SF_DIR))
+    assert len(df) >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    df = _to_df(entrymod.entry())
+    assert len(df) > 0
+    assert "extracted_text" in df.columns
+    # HTML-wrapped turns got their boilerplate stripped
+    html_rows = df[df["hits_strip"] > 0]
+    assert len(html_rows) > 0
+    assert not html_rows["extracted_text"].str.contains("BUY NOW").any()
+
+
+def test_ann_lsh_recall_vs_brute(ray_session):
+    """LSH ANN must achieve reasonable recall against the exact result."""
+    brute = _to_df(entrymod.queries()["ann_topk"](SF_DIR))
+    lsh = _to_df(entrymod.queries()["ann_lsh_topk"](SF_DIR))
+    recall_num = recall_den = 0
+    for qid, g in brute.groupby("query_id"):
+        want = set(g["neighbor_id"])
+        have = set(lsh[lsh["query_id"] == qid]["neighbor_id"])
+        recall_num += len(want & have)
+        recall_den += len(want)
+    assert recall_num / recall_den > 0.3  # 4-bit LSH, small corpus
+
+
+def test_minhash_finds_exact_near_dups(ray_session):
+    """Every high-Jaccard pair found exactly must surface via MinHash-LSH."""
+    exact = _to_df(entrymod.queries()["ngram_jaccard"](SF_DIR))
+    strong = exact[exact["similarity"] >= 0.8]
+    mh = _to_df(entrymod.queries()["minhash_lsh_pairs"](SF_DIR))
+    mh_pairs = set(zip(mh["id_a"], mh["id_b"]))
+    for _, r in strong.iterrows():
+        assert (r["id_a"], r["id_b"]) in mh_pairs

@@ -1,0 +1,195 @@
+"""Ray-layer tests: transcript source, extraction stage/pipeline, manifest
+resume, sanitize stage, multimodal plumbing.
+
+All Ray use goes through the session-scoped ``ray_session`` fixture
+(tests/conftest.py) — one ray.init per pytest run.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from selma_ray.engine.extract import ExtractionEngine
+from selma_ray.sources.transcripts import (
+    SCHEMA,
+    synthesize_transcripts,
+    transcript_dataset,
+)
+from selma_ray.state.manifest import Manifest
+
+
+def test_transcripts_deterministic_and_schema():
+    t1 = synthesize_transcripts(8, big_every=0)
+    t2 = synthesize_transcripts(8, big_every=0)
+    assert t1.schema.equals(SCHEMA)
+    assert t1.equals(t2)
+    # per-conv turn_idx contiguous from 0
+    df = t1.to_pandas()
+    for _, g in df.groupby("conv_id"):
+        assert list(g.sort_values("turn_idx")["turn_idx"]) == list(range(len(g)))
+    # mix of plain and HTML turns
+    has_html = df["text"].str.contains("<").sum()
+    assert 0 < has_html < len(df)
+
+
+def test_transcript_dataset_matches_local(ray_session):
+    ds = transcript_dataset(6, big_every=0, parallelism=3)
+    got = pa.Table.from_pandas(
+        ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        schema=SCHEMA, preserve_index=False)
+    want = synthesize_transcripts(6, big_every=0)
+    want = want.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.equals(want)
+
+
+def test_extract_pipeline_parity_with_engine(ray_session):
+    """Per-turn text equality: Ray actor-pool output == single-process
+    engine output under stable (conv_id, turn_idx) ordering."""
+    import ray.data
+
+    from selma_ray.pipelines.extract import extract_transcripts
+
+    table = synthesize_transcripts(10, big_every=0)
+    ds = ray.data.from_arrow(table).repartition(4)
+    out = extract_transcripts(ds, batch_size=32, concurrency=2, sort=True)
+    got = out.to_pandas()
+    assert list(got.columns[:6]) == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    engine = ExtractionEngine()
+    df = table.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    expect = [engine.process(t) for t in df["text"]]
+    assert got["extracted_text"].tolist() == [e["extracted_text"] for e in expect]
+    assert got["title"].tolist() == [e["title"] for e in expect]
+    assert got["bytes_out"].tolist() == [e["bytes_out"] for e in expect]
+
+
+def test_extract_plain_text_passthrough(ray_session):
+    import ray.data
+
+    from selma_ray.stages.extract import extract_stage
+
+    plain = pa.table({
+        "conv_id": pa.array(["c"] * 3),
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "text": pa.array(["no markup here", "just words", "plain 123"],
+                         pa.large_string()),
+    })
+    out = extract_stage(ray.data.from_arrow(plain), concurrency=1).to_pandas()
+    out = out.sort_values("turn_idx")
+    assert out["extracted_text"].tolist() == plain.column("text").to_pylist()
+    assert (out["bytes_in"] == out["bytes_out"]).all()
+
+
+def test_extract_strips_boilerplate(ray_session):
+    import ray.data
+
+    from selma_ray.stages.extract import extract_stage
+
+    html = ('<html><head><title>T</title><style>x{}</style></head><body>'
+            '<nav><a href="/">Home</a></nav><main><p>Real content here.</p>'
+            '</main><footer>c 2026</footer><script>junk()</script></body></html>')
+    t = pa.table({"text": pa.array([html], pa.large_string())})
+    out = extract_stage(ray.data.from_arrow(t), concurrency=1).to_pandas()
+    text = out["extracted_text"][0]
+    assert "Real content here." in text
+    assert "Home" not in text
+    assert "junk" not in text
+    assert out["title"][0] == "T"
+    assert out["hits_strip"][0] >= 3  # style, nav, footer, script
+
+
+def test_run_extraction_resume(tmp_path, ray_session):
+    from selma_ray.pipelines.extract import run_extraction
+
+    # 3 input files = 3 shards
+    table = synthesize_transcripts(6, big_every=0)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    n = table.num_rows // 3
+    for i in range(3):
+        pq.write_table(table.slice(i * n, n if i < 2 else table.num_rows - 2 * n),
+                       in_dir / f"part-{i}.parquet")
+    out_dir = str(tmp_path / "out")
+
+    s1 = run_extraction(str(in_dir), out_dir, batch_size=32, concurrency=1,
+                        keep_spans=False)
+    assert s1["shards_total"] == 3
+    assert s1["shards_done"] == 3
+    assert s1["rows"] == table.num_rows
+    assert s1["metrics"]["turns_processed"] == table.num_rows
+    assert s1["metrics"]["bytes_stripped"] > 0
+
+    # full resume: nothing recomputed
+    s2 = run_extraction(str(in_dir), out_dir, batch_size=32, concurrency=1,
+                        keep_spans=False)
+    assert s2["shards_skipped"] == 3 and s2["shards_done"] == 0
+    assert s2["metrics"]["turns_processed"] == table.num_rows
+
+    # partial resume: forget one shard -> only it is recomputed
+    man = Manifest(os.path.join(out_dir, "_manifest"))
+    victim = sorted(man.completed())[0]
+    os.remove(os.path.join(man.shards_dir, f"{victim}.json"))
+    s3 = run_extraction(str(in_dir), out_dir, batch_size=32, concurrency=1,
+                        keep_spans=False)
+    assert s3["shards_skipped"] == 2 and s3["shards_done"] == 1
+    assert s3["metrics"]["turns_processed"] == table.num_rows
+
+
+def test_manifest_atomic_and_summary(tmp_path):
+    man = Manifest(str(tmp_path / "m"))
+    man.mark_done("s1", metrics={"rows": 10, "bytes": 100})
+    man.mark_done("s2", metrics={"rows": 5, "bytes": 50},
+                  lineage={"input_file": "f2"})
+    assert man.completed() == {"s1", "s2"}
+    summ = man.summary()
+    assert summ["shards_done"] == 2
+    assert summ["metrics"] == {"rows": 15, "bytes": 150}
+    recs = {r["shard_id"]: r for r in man.records()}
+    assert recs["s2"]["lineage"]["input_file"] == "f2"
+
+
+def test_sanitize_stage(ray_session):
+    import ray.data
+
+    from selma_ray.stages.sanitize import sanitize_stage
+
+    t = pa.table({"text": pa.array(
+        ['<b>keep</b> <script>alert(1)</script> done', None],
+        pa.large_string())})
+    out = sanitize_stage(ray.data.from_arrow(t)).to_pandas()
+    got = sorted(out["sanitized"].tolist(), key=lambda x: x is None)
+    assert got[0] == "keep  done"
+    assert got[1] is None
+
+
+def test_multimodal_fake_decode(ray_session):
+    import ray.data
+
+    from selma_ray.stages.multimodal import (
+        DecodeImageFeatures,
+        SampleVideoFrames,
+        multimodal_stage,
+    )
+
+    t = pa.table({"id": pa.array([0, 1]),
+                  "data": pa.array([b"imagebytes0", b"imagebytes1"], pa.binary())})
+    ds = ray.data.from_arrow(t)
+    out = multimodal_stage(ds, DecodeImageFeatures, batch_size=2, dim=8,
+                           concurrency=1).to_pandas().sort_values("id")
+    feats = out["features"].tolist()
+    assert len(feats[0]) == 8
+    # deterministic across runs
+    out2 = multimodal_stage(ray.data.from_arrow(t), DecodeImageFeatures,
+                            batch_size=2, dim=8, concurrency=1) \
+        .to_pandas().sort_values("id")
+    assert [list(f) for f in feats] == [list(f) for f in out2["features"]]
+
+    frames = multimodal_stage(ds, SampleVideoFrames, batch_size=2, n_frames=2,
+                              concurrency=1).to_pandas().sort_values("id")
+    assert all(len(f) == 2 for f in frames["frames"])
+
+    with pytest.raises(NotImplementedError):
+        DecodeImageFeatures(fake=False).decode_impl(b"x")
