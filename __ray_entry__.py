@@ -146,8 +146,10 @@ def _q_tokens_by_lang(sf_dir: str):
             "n": pc.cast(g.column("tok_count"), pa.int64()),
         })
 
-    agg = _read(sf_dir, "documents").map_batches(
-        partial, batch_format="pyarrow").groupby("lang").aggregate(
+    from selma_ray.stages.util import coalesce_small
+
+    agg = coalesce_small(_read(sf_dir, "documents").map_batches(
+        partial, batch_format="pyarrow")).groupby("lang").aggregate(
         Sum("tok"), Sum("n"))
 
     def rename(batch: pa.Table) -> pa.Table:

@@ -53,7 +53,10 @@ def _transcript_input(sf_dir: str) -> tuple[str, int]:
 
     from selma_ray.sources.transcripts import transcripts_parquet
 
-    n_convs = max(24, int(10_000 * _sf_of(sf_dir)))
+    # 16x the correctness-tier conv count: the extraction benchmark needs
+    # minutes of aggregate engine work for scaling efficiency to be
+    # startup-overhead-free (sf0.1 -> 16k convs, ~340k turns, ~350 MB).
+    n_convs = max(24, int(160_000 * _sf_of(sf_dir)))
     path = transcripts_parquet(n_convs)
     n_rows = sum(
         pq.read_metadata(os.path.join(path, f)).num_rows
@@ -74,7 +77,7 @@ def bench_extract(sf_dir: str, num_cpus: int, out_dir: str) -> dict:
     ds = ray.data.read_parquet(
         path, columns=["conv_id", "turn_idx", "text"])
     out = extract_stage(ds, keep_spans=False, batch_size=128,
-                        concurrency=(1, num_cpus))
+                        concurrency=max(2, int(num_cpus * 0.75)))
     out.write_parquet(out_dir)
     dt = time.perf_counter() - t0
     return {"sec": dt, "turns": n_rows, "turns_per_sec": n_rows / dt}

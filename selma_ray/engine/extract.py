@@ -54,7 +54,8 @@ class MainContentExtractor:
     """
 
     __slots__ = ("strip_tags", "break_tags", "title", "meta", "parts",
-                 "spans", "hits", "_within_title", "_open_spans", "_selector")
+                 "spans", "hits", "_within_title", "_open_spans", "_selector",
+                 "_len")
 
     def __init__(self, strip_tags=DEFAULT_STRIP_TAGS,
                  break_tags=DEFAULT_BREAK_TAGS):
@@ -80,6 +81,7 @@ class MainContentExtractor:
         self.hits = {"strip": 0, "title": 0, "meta": 0, "unwrap": 0}
         self._within_title = False
         self._open_spans = []
+        self._len = 0  # running sum(len(p) for p in parts): O(1) _pos
 
     # -- element dispatch ---------------------------------------------------
 
@@ -88,7 +90,7 @@ class MainContentExtractor:
         if tag in self.strip_tags:
             self.hits["strip"] += 1
             element.remove()
-            pos = self._pos()
+            pos = self._len
             self.spans.append(("strip", tag, pos, pos))
         elif tag == "title":
             self.hits["title"] += 1
@@ -103,13 +105,13 @@ class MainContentExtractor:
             self.hits["unwrap"] += 1
             element.remove_and_keep_content()
             if tag in self.break_tags:
-                self.parts.append(" ")
+                self._append(" ")
 
     def on_end_tag(self, end_tag):
         if end_tag.tag_name == "title":
             self._within_title = False
         elif end_tag.tag_name in self.break_tags:
-            self.parts.append(" ")
+            self._append(" ")
 
     # -- text dispatch --------------------------------------------------------
 
@@ -122,12 +124,13 @@ class MainContentExtractor:
             if not self.title:
                 self.title = text
             return
-        pos = self._pos()
-        self.parts.append(text)
+        pos = self._len
+        self._append(text)
         self.spans.append(("text", "", pos, pos + len(text)))
 
-    def _pos(self):
-        return sum(len(p) for p in self.parts)
+    def _append(self, piece: str):
+        self.parts.append(piece)
+        self._len += len(piece)
 
 
 class ExtractionEngine:

@@ -41,6 +41,7 @@ from ..functions.hashing import (
     shingle_hashes,
     simhash64,
 )
+from ..stages.util import coalesce_small, default_pool_size
 
 PAIR_SCHEMA = pa.schema([
     ("id_a", pa.int64()),
@@ -91,7 +92,7 @@ def exact_dedup_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 
     partial = ds.map_batches(_PartialExact(id_col, text_col),
                              batch_format="pyarrow")
-    agg = partial.groupby("text_hash").aggregate(
+    agg = coalesce_small(partial).groupby("text_hash").aggregate(
         Min("partial_min"), Sum("partial_n"))
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -211,21 +212,40 @@ def _bucket_pairs_fn(k: int, threshold: float, max_bucket: int):
 def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 128, bands: int = 16, ngram: int = 3,
                       threshold: float = 0.7, max_bucket: int = 2000,
-                      concurrency=(1, 16)):
+                      concurrency=None):
     """Dataset -> candidate duplicate pairs (id_a < id_b, est-Jaccard >=
     threshold), deduplicated across bands."""
     kwargs = dict(fn_constructor_kwargs=dict(
         id_col=id_col, text_col=text_col, k=k, bands=bands, ngram=ngram),
-        batch_format="pyarrow")
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+        batch_format="pyarrow",
+        concurrency=(concurrency if concurrency is not None
+                     else default_pool_size()))
     banded = ds.map_batches(MinHashBandStage, **kwargs)
-    pairs = banded.groupby("band_key").map_groups(
-        _bucket_pairs_fn(k, threshold, max_bucket), batch_format="pyarrow")
-    # a pair can surface in several bands: keep one copy
-    uniq = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
-    return uniq
+    pairs = coalesce_small(banded, target_rows=16384) \
+        .groupby("band_key").map_groups(
+            _bucket_pairs_fn(k, threshold, max_bucket),
+            batch_format="pyarrow")
+    # a pair can surface in several bands: keep one copy (aggregate, not
+    # per-group map_groups — pairs are tiny but numerous)
+    return _dedup_pairs(pairs, "minhash_lsh")
+
+
+def _dedup_pairs(pairs, method: str):
+    """Keep one copy per (id_a, id_b): groupby + max(similarity)."""
+    from ray.data.aggregate import Max
+
+    agg = coalesce_small(pairs).groupby(["id_a", "id_b"]).aggregate(
+        Max("similarity"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "similarity": batch.column("max(similarity)"),
+            "method": pa.array([method] * batch.num_rows, pa.string()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def drop_ids_from_pairs(pairs) -> "set[int]":
@@ -317,16 +337,15 @@ def _simhash_bucket_pairs(max_dist: int, max_bucket: int):
 
 def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                   max_dist: int = 3, max_bucket: int = 5000,
-                  concurrency=(1, 16)):
+                  concurrency=None):
     kwargs = dict(fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
-                  batch_format="pyarrow")
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+                  batch_format="pyarrow",
+                  concurrency=(concurrency if concurrency is not None
+                               else default_pool_size()))
     banded = ds.map_batches(SimHashBandStage, **kwargs)
-    pairs = banded.groupby("band_key").map_groups(
+    pairs = coalesce_small(banded).groupby("band_key").map_groups(
         _simhash_bucket_pairs(max_dist, max_bucket), batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _dedup_pairs(pairs, "simhash")
 
 
 # -- exact n-gram Jaccard ----------------------------------------------------

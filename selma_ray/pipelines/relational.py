@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.util import coalesce_small
+
 
 def _cents(col, scale: int = 100) -> pa.Array:
     """Exact decimal-scaled int64: round(value * scale)."""
@@ -59,7 +61,7 @@ def events_rollup(ds):
              "v": _cents(batch.column("value"))},
             ["event_type"], ["v"], "n_partial")
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
         .groupby("event_type").aggregate(Sum("v"), Sum("n_partial"))
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -130,7 +132,8 @@ def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
             fn_constructor_kwargs=dict(mapping_ref=ref, key_col="o_custkey",
                                        out_col="n_name"),
             batch_format="pyarrow", concurrency=(1, 8))
-    agg = tagged.groupby("n_name").aggregate(Sum("price"), Sum("n_partial"))
+    agg = coalesce_small(tagged).groupby("n_name").aggregate(
+        Sum("price"), Sum("n_partial"))
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -157,7 +160,8 @@ def top_customers(orders_ds, *, k: int = 10):
              "price": _cents(batch.column("o_totalprice"))},
             ["o_custkey"], ["price"], "n_partial")
 
-    agg = orders_ds.map_batches(partial, batch_format="pyarrow") \
+    agg = coalesce_small(
+        orders_ds.map_batches(partial, batch_format="pyarrow")) \
         .groupby("o_custkey").aggregate(Sum("price"), Sum("n_partial"))
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -200,7 +204,8 @@ def lineitem_pricing_summary(lineitem_ds):
              "disc": pa.array(disc_e4, pa.int64())},
             ["l_returnflag", "l_linestatus"], ["qty", "base", "disc"], "n")
 
-    agg = lineitem_ds.map_batches(partial, batch_format="pyarrow") \
+    agg = coalesce_small(
+        lineitem_ds.map_batches(partial, batch_format="pyarrow")) \
         .groupby(["l_returnflag", "l_linestatus"]).aggregate(
             Sum("qty"), Sum("base"), Sum("disc"), Sum("n"))
 

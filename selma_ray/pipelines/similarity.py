@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..stages.util import coalesce_small, default_pool_size
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     m = np.asarray(m, dtype=np.float64)
@@ -106,7 +108,7 @@ def load_queries(sf_dir_or_path: str, *, n_queries: int = 5,
 def brute_force_topk(ds, query_ids: np.ndarray, Q: np.ndarray, *,
                      id_col: str = "vec_id", emb_col: str = "embedding",
                      k: int = 10, round_to: int | None = 4,
-                     concurrency=(1, 8)):
+                     concurrency=None):
     """Exact cosine top-k of every query against the dataset."""
     import ray
 
@@ -114,11 +116,11 @@ def brute_force_topk(ds, query_ids: np.ndarray, Q: np.ndarray, *,
     kwargs = dict(
         fn_constructor_kwargs=dict(queries_ref=qref, id_col=id_col,
                                    emb_col=emb_col, k=k),
-        batch_format="pyarrow", batch_size=4096)
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(concurrency if concurrency is not None
+                     else default_pool_size(0.25)))
     partial = ds.map_batches(PartialTopK, **kwargs)
-    return partial.groupby("query_id").map_groups(
+    return coalesce_small(partial).groupby("query_id").map_groups(
         _final_topk_fn(k, round_to), batch_format="pyarrow")
 
 
@@ -194,7 +196,7 @@ class LshPartialTopK:
 def lsh_topk(ds, query_ids, Q, *, id_col: str = "vec_id",
              emb_col: str = "embedding", k: int = 10, nbits: int = 4,
              n_tables: int = 4, round_to: int | None = 4,
-             concurrency=(1, 8)):
+             concurrency=None):
     import ray
 
     qref = ray.put((np.asarray(query_ids, dtype=np.int64), _normalize(Q)))
@@ -202,11 +204,11 @@ def lsh_topk(ds, query_ids, Q, *, id_col: str = "vec_id",
         fn_constructor_kwargs=dict(queries_ref=qref, id_col=id_col,
                                    emb_col=emb_col, k=k, nbits=nbits,
                                    n_tables=n_tables),
-        batch_format="pyarrow", batch_size=4096)
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(concurrency if concurrency is not None
+                     else default_pool_size(0.25)))
     partial = ds.map_batches(LshPartialTopK, **kwargs)
-    return partial.groupby("query_id").map_groups(
+    return coalesce_small(partial).groupby("query_id").map_groups(
         _final_topk_fn(k, round_to), batch_format="pyarrow")
 
 

@@ -96,9 +96,12 @@ def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
                   batch_size: int = 64, concurrency=None):
     """Attach the extraction actor-pool stage to a Dataset.
 
-    ``concurrency=None`` lets Ray autoscale the pool to available CPUs;
-    pass an int (fixed pool) or (min, max) tuple to pin it.
+    ``concurrency=None`` sizes a FIXED pool to ~75% of cluster CPUs —
+    fixed pools outperform (1, N) autoscaling here (the autoscaler ramps
+    slowly against a steady backlog) while the 25% headroom keeps
+    read/write tasks schedulable (a pool == all CPUs starves them).
     """
+    from .util import default_pool_size
     kwargs = dict(
         fn_constructor_kwargs=dict(
             text_col=text_col, sanitizer_config=sanitizer_config,
@@ -109,8 +112,6 @@ def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
         batch_size=batch_size,
         num_cpus=1,
     )
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    else:
-        kwargs["concurrency"] = (1, 64)  # autoscaling actor pool
+    kwargs["concurrency"] = (concurrency if concurrency is not None
+                             else default_pool_size())
     return ds.map_batches(ExtractTurns, **kwargs)
