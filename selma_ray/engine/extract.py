@@ -16,6 +16,8 @@ import html as _html
 
 from .rewriter import Rewriter, Selector
 from .sanitizer import Sanitizer
+from .tags import VOID_TAGS
+from .tokenizer import tokenize
 
 # Tags whose entire subtree is dropped during extraction. Superset of the
 # reference ContentExtractor's removal list (pre/code/form/style/noscript/
@@ -139,11 +141,20 @@ class ExtractionEngine:
     Built once per actor (``selma_ray.stages.extract.ExtractTurns.__init__``)
     and reused across batches; ``process`` is called per row. The sanitizer
     config and handler selectors are compiled exactly once.
+
+    When no sanitizer is configured (the flagship extraction shape), a
+    specialized token-loop fast path replaces the generic rewriter dispatch
+    — output-identical by construction (tests/test_fast_extract.py asserts
+    field-for-field equality against the generic path over the synthetic
+    corpus and edge fixtures), ~2.5x faster because it skips Element views,
+    selector matching, and _Open bookkeeping the ``*``-selector extractor
+    never needs. ``fast=None`` auto-selects; pass False to force the
+    generic path (used by the equality tests).
     """
 
     def __init__(self, sanitizer_config=None, strip_tags=DEFAULT_STRIP_TAGS,
                  break_tags=DEFAULT_BREAK_TAGS, collapse_whitespace=True,
-                 unescape=True):
+                 unescape=True, need_spans=True, need_html=True, fast=None):
         self.extractor = MainContentExtractor(frozenset(strip_tags),
                                               frozenset(break_tags))
         sanitizer = (Sanitizer(sanitizer_config)
@@ -152,6 +163,11 @@ class ExtractionEngine:
                                  handlers=[self.extractor])
         self.collapse_whitespace = collapse_whitespace
         self.unescape = unescape
+        self.need_spans = need_spans
+        self.need_html = need_html
+        self._fast = (sanitizer is None) if fast is None else fast
+        if self._fast and sanitizer is not None:
+            raise ValueError("fast path requires sanitizer_config=None")
 
     def process(self, text: str) -> dict:
         """Extract main content from one turn/document.
@@ -167,9 +183,11 @@ class ExtractionEngine:
                 "spans": [],
                 "bytes_in": len(text),
                 "bytes_out": len(text),
-                "selector_hits": dict(self.extractor.hits.fromkeys(
-                    self.extractor.hits, 0)),
+                "selector_hits": {"strip": 0, "title": 0, "meta": 0,
+                                  "unwrap": 0},
             }
+        if self._fast:
+            return self._process_fast(text)
         ex = self.extractor
         ex.reset()
         out_html = self.rewriter.rewrite(text)
@@ -185,8 +203,168 @@ class ExtractionEngine:
             "spans": [
                 {"selector": s, "tag": t, "start": a, "end": b}
                 for (s, t, a, b) in ex.spans
-            ],
+            ] if self.need_spans else [],
             "bytes_in": len(text),
             "bytes_out": len(out_html),
             "selector_hits": dict(ex.hits),
+        }
+
+    def _process_fast(self, text: str) -> dict:
+        """Token-loop twin of ``rewrite() + MainContentExtractor`` for the
+        sanitizer-less ruleset. Reproduces the generic dispatch semantics
+        exactly (see rewriter._run, rewriter.py:423):
+
+        - handle_element fires for EVERY start tag, even inside removed
+          subtrees (dispatch is never suppressed — rewriter.rs:356-440);
+        - text dispatch requires >=1 open element (match_text_within="*")
+          and no open ancestor in the strip/ignore set (P10);
+        - only explicitly-closed elements get on_end_tag (implicit closes
+          are silent); stray end tags pass through to the output;
+        - emission is suppressed inside remove()d subtrees; unwrapped
+          (remove_and_keep_content) elements drop their tags only.
+        """
+        ex = self.extractor
+        strip_tags = ex.strip_tags
+        break_tags = ex.break_tags
+        need_html = self.need_html
+        need_spans = self.need_spans
+
+        parts: list[str] = []
+        append_part = parts.append
+        out: list[str] = [] if need_html else None
+        out_len = 0
+        pos = 0                       # running len of "".join(parts)
+        spans: list = []
+        title = ""
+        meta: dict = {}
+        hits_strip = hits_title = hits_meta = hits_unwrap = 0
+        within_title = False
+        stack: list[str] = []         # open tag names (name_lc)
+        stack_flags: list[int] = []   # 1=removed_full(suppress) | 2=ignored
+        suppress = 0                  # open remove()d elements
+        ignore_depth = 0              # open strip-set elements (text ignore)
+
+        for tok in tokenize(text):
+            kind = tok[0]
+
+            if kind == "text":
+                content = tok[1]
+                if stack and ignore_depth == 0 and content:
+                    if within_title:
+                        if not title:
+                            title = content
+                    else:
+                        append_part(content)
+                        if need_spans:
+                            spans.append(("text", "", pos,
+                                          pos + len(content)))
+                        pos += len(content)
+                if suppress == 0:
+                    out_len += len(content)
+                    if need_html:
+                        out.append(content)
+                continue
+
+            if kind == "start":
+                tag = tok[1]
+                name = tag.name_lc
+                removed_full = False
+                emitted_raw = False
+                if name in strip_tags:
+                    hits_strip += 1
+                    if need_spans:
+                        spans.append(("strip", name, pos, pos))
+                    removed_full = True
+                elif name == "title":
+                    hits_title += 1
+                    within_title = True
+                    removed_full = True
+                elif name == "meta":
+                    mname = None
+                    mcontent = None
+                    for a in tag.attrs:
+                        if a.name_lc == "name" and mname is None:
+                            mname = a.value if a.value is not None else ""
+                        elif a.name_lc == "content" and mcontent is None:
+                            mcontent = a.value if a.value is not None else ""
+                    if mname is not None:
+                        hits_meta += 1
+                        meta[mname] = mcontent or ""
+                    emitted_raw = True  # meta is kept (not removed)
+                else:
+                    hits_unwrap += 1
+                    if name in break_tags:
+                        append_part(" ")
+                        pos += 1
+                if emitted_raw and suppress == 0:
+                    out_len += len(tag.raw)
+                    if need_html:
+                        out.append(tag.raw)
+                if name in VOID_TAGS:
+                    continue
+                stack.append(name)
+                flag = 0
+                if removed_full:
+                    flag = 1
+                    suppress += 1
+                if name in strip_tags:
+                    flag |= 2
+                    ignore_depth += 1
+                stack_flags.append(flag)
+                continue
+
+            if kind == "end":
+                name = tok[1]
+                if name not in stack:
+                    # stray end tag: passes through (no on_end_tag)
+                    if suppress == 0:
+                        out_len += len(tok[2])
+                        if need_html:
+                            out.append(tok[2])
+                    continue
+                # pop implicitly-closed elements silently, then the match
+                while True:
+                    top = stack.pop()
+                    flag = stack_flags.pop()
+                    if flag & 1:
+                        suppress -= 1
+                    if flag & 2:
+                        ignore_depth -= 1
+                    if top == name:
+                        break
+                # on_end_tag (explicit close only)
+                if name == "title":
+                    within_title = False
+                elif name in break_tags:
+                    append_part(" ")
+                    pos += 1
+                # end tag itself always suppressed (every element is
+                # either remove()d or unwrapped); nothing emitted
+                continue
+
+            # comment / doctype: kept verbatim (no sanitizer)
+            if suppress == 0:
+                out_len += len(tok[1])
+                if need_html:
+                    out.append(tok[1])
+
+        extracted = "".join(parts)
+        if self.unescape:
+            extracted = _html.unescape(extracted)
+        if self.collapse_whitespace:
+            extracted = " ".join(extracted.split())
+        ex.title = title      # expose like the generic path does
+        ex.meta = meta
+        return {
+            "out_html": "".join(out) if need_html else "",
+            "extracted_text": extracted,
+            "title": _html.unescape(title).strip(),
+            "spans": [
+                {"selector": s, "tag": t, "start": a, "end": b}
+                for (s, t, a, b) in spans
+            ] if need_spans else [],
+            "bytes_in": len(text),
+            "bytes_out": out_len,
+            "selector_hits": {"strip": hits_strip, "title": hits_title,
+                              "meta": hits_meta, "unwrap": hits_unwrap},
         }

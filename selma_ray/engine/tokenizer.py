@@ -66,15 +66,74 @@ class Attr:
         self.raw = raw              # source slice name[=value]; None => rebuilt
 
 
-class StartTag:
-    __slots__ = ("name_raw", "name_lc", "attrs", "raw", "self_closing")
+_LC_CACHE: dict[str, str] = {}
 
-    def __init__(self, name_raw, attrs, raw, self_closing):
+
+def _lc(name: str) -> str:
+    """Cached str.lower for tag names (small, heavily repeated vocab)."""
+    v = _LC_CACHE.get(name)
+    if v is None:
+        if len(_LC_CACHE) > 4096:  # malformed-input safety valve
+            _LC_CACHE.clear()
+        v = _LC_CACHE.setdefault(name, name.lower())
+    return v
+
+
+class StartTag:
+    """Parsed start tag. Attribute parsing is LAZY on the regex fast path:
+    most consumers (extraction, tag-name-only selectors) never look at
+    attributes, so ``attrs`` materializes on first access from the source
+    slice (absolute spans are preserved — the full doc string is referenced,
+    not copied)."""
+
+    __slots__ = ("name_raw", "name_lc", "raw", "self_closing",
+                 "_attrs", "_src", "_aspan")
+
+    def __init__(self, name_raw, attrs, raw, self_closing,
+                 src=None, aspan=None):
         self.name_raw = name_raw
-        self.name_lc = name_raw.lower()
-        self.attrs = attrs
+        self.name_lc = _lc(name_raw)
         self.raw = raw
         self.self_closing = self_closing  # explicit "/>" only
+        self._attrs = attrs               # None => parse lazily from _src
+        self._src = src
+        self._aspan = aspan
+
+    @property
+    def attrs(self):
+        a = self._attrs
+        if a is None:
+            a = self._attrs = _parse_attrs(self._src, *self._aspan)
+        return a
+
+    @attrs.setter
+    def attrs(self, value):
+        self._attrs = value
+
+
+def _parse_attrs(s: str, start: int, end: int) -> list[Attr]:
+    attrs: list[Attr] = []
+    seen: set[str] = set()
+    for am in _ATTR_RE.finditer(s, start, end):
+        aname = am.group(1)
+        lc = aname.lower()
+        if lc in seen:
+            continue
+        seen.add(lc)
+        ns, ne = am.start(1), am.end(1)
+        if am.group(2) is None:
+            attrs.append(Attr(aname, lc, None, False, (ns, ne), None,
+                              s[ns:ne]))
+        else:
+            v = am.group(3)
+            vs, ve = am.start(3), am.end(3)
+            if v and v[0] in "\"'":
+                v = v[1:-1]
+                vs += 1
+                ve -= 1
+            attrs.append(Attr(aname, lc, v, True, (ns, ne), (vs, ve),
+                              s[ns:am.end(3)]))
+    return attrs
 
 
 def _rawtext_end_pattern(name_lc: str) -> re.Pattern:
@@ -159,41 +218,34 @@ def _parse_start_tag_slow(s: str, lt: int, n: int):
                               name_span, value_span, s[ns:raw_end]))
 
 
+_NO_ATTRS: list[Attr] = []
+
+
 def _parse_start_tag(s: str, lt: int, n: int):
     m = _TAG_RE.match(s, lt)
     if m is None:
         return _parse_start_tag_slow(s, lt, n)
-    name = m.group(1)
-    attrs: list[Attr] = []
-    seen: set[str] = set()
-    if m.group(2):
-        for am in _ATTR_RE.finditer(m.group(2)):
-            aname = am.group(1)
-            lc = aname.lower()
-            if lc in seen:
-                continue
-            seen.add(lc)
-            base = m.start(2)
-            ns, ne = base + am.start(1), base + am.end(1)
-            if am.group(2) is None:
-                attrs.append(Attr(aname, lc, None, False, (ns, ne), None,
-                                  s[ns:ne]))
-            else:
-                v = am.group(3)
-                vs, ve = base + am.start(3), base + am.end(3)
-                if v and v[0] in "\"'":
-                    v = v[1:-1]
-                    vs += 1
-                    ve -= 1
-                attrs.append(Attr(aname, lc, v, True, (ns, ne), (vs, ve),
-                                  s[ns:base + am.end(3)]))
-    return StartTag(name, attrs, m.group(0), m.group(3) == "/"), m.end()
+    name, attrs_src, solidus = m.group(1, 2, 3)
+    end = m.end()
+    if attrs_src:
+        tag = StartTag(name, None, s[lt:end], solidus == "/",
+                       src=s, aspan=(m.start(2), m.end(2)))
+    else:
+        tag = StartTag(name, _NO_ATTRS, s[lt:end], solidus == "/")
+    return tag, end
 
 
-def tokenize(s: str):
-    """Yield tokens for one document string."""
+def tokenize(s: str) -> list:
+    """Tokenize one document string; returns the full token list.
+
+    List-building (not a generator): per-token generator suspend/resume
+    costs ~20% of tokenizer time on tag-dense input, and per-document
+    token lists are small (bounded by document size, which batching
+    already caps)."""
     n = len(s)
     pos = 0
+    out: list = []
+    emit = out.append
     text_pieces: list[str] = []
     append_text = text_pieces.append
 
@@ -201,8 +253,7 @@ def tokenize(s: str):
         if text_pieces:
             t = "".join(text_pieces) if len(text_pieces) > 1 else text_pieces[0]
             text_pieces.clear()
-            return ("text", t, "data")
-        return None
+            emit(("text", t, "data"))
 
     while pos < n:
         lt = s.find("<", pos)
@@ -213,17 +264,16 @@ def tokenize(s: str):
             append_text(s[pos:lt])
         if lt + 1 >= n:
             # lone '<' at EOF: pending tag start, dropped (never flushed)
-            break
+            return out
         c = s[lt + 1]
         if c in _ALPHA:
             parsed = _parse_start_tag(s, lt, n)
             if parsed is None:
-                break  # incomplete tag swallows the rest of the input
+                return out  # incomplete tag swallows the rest of the input
             tag, pos = parsed
-            t = flush()
-            if t:
-                yield t
-            yield ("start", tag)
+            if text_pieces:
+                flush()
+            emit(("start", tag))
             name_lc = tag.name_lc
             if not tag.self_closing and (
                 name_lc == "script" or name_lc == "plaintext"
@@ -231,29 +281,27 @@ def tokenize(s: str):
             ) and name_lc not in VOID_TAGS:
                 if name_lc == "plaintext":
                     if pos < n:
-                        yield ("text", s[pos:], "plain_text")
-                    pos = n
-                    break
+                        emit(("text", s[pos:], "plain_text"))
+                    return out
                 ttype = ("script" if name_lc == "script"
                          else "rc_data" if name_lc in RCDATA_TAGS
                          else "raw_text")
                 m = _rawtext_end_pattern(name_lc).search(s, pos)
                 if m is None:
                     if pos < n:
-                        yield ("text", s[pos:], ttype)
-                    pos = n
-                    break
+                        emit(("text", s[pos:], ttype))
+                    return out
                 if m.start() > pos:
-                    yield ("text", s[pos:m.start()], ttype)
+                    emit(("text", s[pos:m.start()], ttype))
                 gt = s.find(">", m.start())
                 if gt == -1:
-                    break  # incomplete end tag at EOF: dropped
-                yield ("end", name_lc, s[m.start():gt + 1])
+                    return out  # incomplete end tag at EOF: dropped
+                emit(("end", name_lc, s[m.start():gt + 1]))
                 pos = gt + 1
             continue
         if c == "/":
             if lt + 2 >= n:
-                break  # '</' at EOF: dropped
+                return out  # '</' at EOF: dropped
             c2 = s[lt + 2]
             if c2 in _ALPHA:
                 j = lt + 2
@@ -262,11 +310,10 @@ def tokenize(s: str):
                 name = s[lt + 2:j]
                 gt = s.find(">", j)
                 if gt == -1:
-                    break  # incomplete end tag: dropped
-                t = flush()
-                if t:
-                    yield t
-                yield ("end", name.lower(), s[lt:gt + 1])
+                    return out  # incomplete end tag: dropped
+                if text_pieces:
+                    flush()
+                emit(("end", _lc(name), s[lt:gt + 1]))
                 pos = gt + 1
                 continue
             if c2 == ">":
@@ -274,69 +321,53 @@ def tokenize(s: str):
                 continue
             # bogus comment: '</' + junk, up to '>'
             gt = s.find(">", lt + 2)
-            t = flush()
-            if t:
-                yield t
+            flush()
             if gt == -1:
-                yield ("comment", s[lt:])
-                pos = n
-                break
-            yield ("comment", s[lt:gt + 1])
+                emit(("comment", s[lt:]))
+                return out
+            emit(("comment", s[lt:gt + 1]))
             pos = gt + 1
             continue
         if c == "!":
             if s.startswith("--", lt + 2):
                 end = s.find("-->", lt + 2)
-                t = flush()
-                if t:
-                    yield t
+                flush()
                 if end == -1:
-                    yield ("comment", s[lt:])
-                    pos = n
-                    break
-                yield ("comment", s[lt:end + 3])
+                    emit(("comment", s[lt:]))
+                    return out
+                emit(("comment", s[lt:end + 3]))
                 pos = end + 3
                 continue
             if s[lt + 2:lt + 9].lower() == "doctype":
                 gt = s.find(">", lt + 2)
-                t = flush()
-                if t:
-                    yield t
+                flush()
                 if gt == -1:
-                    yield ("doctype", s[lt:])
-                    pos = n
-                    break
-                yield ("doctype", s[lt:gt + 1])
+                    emit(("doctype", s[lt:]))
+                    return out
+                emit(("doctype", s[lt:gt + 1]))
                 pos = gt + 1
                 continue
             # bogus comment '<!...'
             gt = s.find(">", lt + 2)
-            t = flush()
-            if t:
-                yield t
+            flush()
             if gt == -1:
-                yield ("comment", s[lt:])
-                pos = n
-                break
-            yield ("comment", s[lt:gt + 1])
+                emit(("comment", s[lt:]))
+                return out
+            emit(("comment", s[lt:gt + 1]))
             pos = gt + 1
             continue
         if c == "?":
             gt = s.find(">", lt + 2)
-            t = flush()
-            if t:
-                yield t
+            flush()
             if gt == -1:
-                yield ("comment", s[lt:])
-                pos = n
-                break
-            yield ("comment", s[lt:gt + 1])
+                emit(("comment", s[lt:]))
+                return out
+            emit(("comment", s[lt:gt + 1]))
             pos = gt + 1
             continue
         # '<' followed by anything else: literal text
         append_text("<")
         pos = lt + 1
 
-    t = flush()
-    if t:
-        yield t
+    flush()
+    return out

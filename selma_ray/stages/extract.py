@@ -59,6 +59,7 @@ class ExtractTurns:
             strip_tags=strip_tags if strip_tags is not None else DEFAULT_STRIP_TAGS,
             break_tags=break_tags if break_tags is not None else DEFAULT_BREAK_TAGS,
             collapse_whitespace=collapse_whitespace,
+            need_spans=keep_spans, need_html=keep_html,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
