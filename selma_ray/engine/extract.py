@@ -241,6 +241,7 @@ class ExtractionEngine:
         within_title = False
         stack: list[str] = []         # open tag names (name_lc)
         stack_flags: list[int] = []   # 1=removed_full(suppress) | 2=ignored
+        open_counts: dict = {}        # name -> #open: O(1) stray-end check
         suppress = 0                  # open remove()d elements
         ignore_depth = 0              # open strip-set elements (text ignore)
 
@@ -303,6 +304,7 @@ class ExtractionEngine:
                 if name in VOID_TAGS:
                     continue
                 stack.append(name)
+                open_counts[name] = open_counts.get(name, 0) + 1
                 flag = 0
                 if removed_full:
                     flag = 1
@@ -315,7 +317,7 @@ class ExtractionEngine:
 
             if kind == "end":
                 name = tok[1]
-                if name not in stack:
+                if not open_counts.get(name):
                     # stray end tag: passes through (no on_end_tag)
                     if suppress == 0:
                         out_len += len(tok[2])
@@ -323,9 +325,11 @@ class ExtractionEngine:
                             out.append(tok[2])
                     continue
                 # pop implicitly-closed elements silently, then the match
+                # (amortized O(1): each entry is pushed and popped once)
                 while True:
                     top = stack.pop()
                     flag = stack_flags.pop()
+                    open_counts[top] -= 1
                     if flag & 1:
                         suppress -= 1
                     if flag & 2:

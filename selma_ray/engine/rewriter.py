@@ -428,6 +428,7 @@ class Rewriter:
 
         stack_nodes: list[_Node] = []   # selector-matching context
         stack_open: list[_Open] = []    # emission bookkeeping
+        open_counts: dict = {}          # name -> #open: O(1) stray-end check
         suppress = 0                    # >0: inside removed/inner-set content
 
         for h in handlers:
@@ -550,38 +551,34 @@ class Rewriter:
                     entry.text_opened = text_opened  # type: ignore[attr-defined]
                 stack_open.append(entry)
                 stack_nodes.append(node)
+                open_counts[tag.name_lc] = open_counts.get(tag.name_lc, 0) + 1
                 if entry.suppresses_content:
                     suppress += 1
                 continue
 
             if kind == "end":
                 name_lc, raw = tok[1], tok[2]
-                # find matching open element (innermost); unwind above it
-                idx = None
-                for i in range(len(stack_open) - 1, -1, -1):
-                    if stack_open[i].node.name_lc == name_lc:
-                        idx = i
-                        break
-                if idx is None:
+                if not open_counts.get(name_lc):
                     # stray end tag: passes through (golden:
                     # selma_sanitizer_elements_test.rb:16-19 keeps </script>)
+                    # O(1) check — a full-stack scan per stray end tag goes
+                    # quadratic on malformed tag soup
                     if suppress == 0:
                         check_mem(len(raw))
                         emit(raw)
                     continue
-                # implicitly-closed elements above idx: their pending
-                # append/after content is dropped (no end tag ever arrives)
-                while len(stack_open) - 1 > idx:
-                    dropped = stack_open.pop()
+                # implicitly-closed elements above the match: their pending
+                # append/after content is dropped (no end tag ever arrives);
+                # amortized O(1) — each entry is pushed and popped once
+                while True:
+                    entry = stack_open.pop()
                     stack_nodes.pop()
-                    if dropped.suppresses_content:
+                    open_counts[entry.node.name_lc] -= 1
+                    if entry.suppresses_content:
                         suppress -= 1
-                    self._close_text_scopes(dropped)
-                entry = stack_open.pop()
-                stack_nodes.pop()
-                if entry.suppresses_content:
-                    suppress -= 1
-                self._close_text_scopes(entry)
+                    self._close_text_scopes(entry)
+                    if entry.node.name_lc == name_lc:
+                        break
 
                 end_view = None
                 if entry.end_tag_handlers:
