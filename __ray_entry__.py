@@ -421,6 +421,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
+        # quality_score uses only IEEE basic ops (+ - * / abs min max) in
+        # the same evaluation order as the numpy code, so values match
+        # bit-for-bit (see selma_ray.functions.text.quality_score_batch).
+        "quality_score": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       length(text)::DOUBLE AS n_chars,
+                       len(regexp_extract_all(text, '\S+'))::DOUBLE
+                           AS n_tokens,
+                       len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE
+                           AS n_punct,
+                       len(list_filter(
+                           regexp_extract_all(lower(text), '\S+')[1:500],
+                           t -> list_contains(
+                               ['the','and','of','to','a','in','is','it',
+                                'that','for','on','with','as','was','at',
+                                'by'], t)))::DOUBLE AS sw_hits
+                FROM documents),
+            ratios AS (
+                SELECT doc_id, n_tokens,
+                       CASE WHEN n_tokens > 0
+                            THEN n_chars / greatest(n_tokens, 1.0)
+                            ELSE 0.0 END AS mean_tok,
+                       CASE WHEN n_chars > 0
+                            THEN n_punct / greatest(n_chars, 1.0)
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN n_tokens > 0
+                            THEN sw_hits / greatest(1.0, least(500.0,
+                                                               n_tokens))
+                            ELSE 0.0 END AS stopword_ratio
+                FROM base)
+            SELECT doc_id,
+                   0.4 * least(greatest(n_tokens / 20.0, 0.0), 1.0)
+                   + 0.3 * (1.0 / (1.0 + abs(mean_tok - 5.5) / 5.5))
+                   + 0.2 * least(greatest(1.0 - punct_ratio * 4.0, 0.0), 1.0)
+                   + 0.1 * least(greatest(stopword_ratio * 5.0, 0.0), 1.0)
+                       AS quality,
+                   punct_ratio, stopword_ratio
+            FROM ratios
+        """,
         # extract_transcripts / sanitize_transcripts: the HTML streaming
         # engine (tokenizer + selector automaton + sanitizer) is not
         # SQL-expressible; verified instead by the pytest golden matrix
@@ -428,6 +468,6 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh_pairs / simhash_pairs / ann_lsh_topk: sketch-based
         # approximations — verified against their exact counterparts
         # (ngram_jaccard / ann_topk) in tests; rows-only here.
-        # language_id / quality_score / multimodal_features: heuristic /
-        # stubbed-model ops with no SQL equivalent; rows-only.
+        # language_id / multimodal_features: heuristic / stubbed-model
+        # ops with no SQL equivalent; rows-only.
     }

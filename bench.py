@@ -53,11 +53,11 @@ def _transcript_input(sf_dir: str) -> tuple[str, int]:
 
     from selma_ray.sources.transcripts import transcripts_parquet
 
-    # 64x the correctness-tier conv count: scaling efficiency is only
-    # meaningful when aggregate engine work dominates the ~5s of fixed
-    # per-job overhead (actor-pool spinup, plan, drain) — sf0.1 -> 64k
-    # convs, ~1.6M turns, ~1.4 GB, ~450 CPU-seconds of extraction.
-    n_convs = max(24, int(640_000 * _sf_of(sf_dir)))
+    # 256x the correctness-tier conv count: scaling efficiency is only
+    # meaningful when aggregate engine work dominates the ~10s of fixed
+    # per-job overhead (ray.init, actor-pool spinup, plan, drain) —
+    # sf0.1 -> 256k convs, ~6.4M turns, ~2200 CPU-seconds of extraction.
+    n_convs = max(24, int(2_560_000 * _sf_of(sf_dir)))
     path = transcripts_parquet(n_convs)
     n_rows = sum(
         pq.read_metadata(os.path.join(path, f)).num_rows
@@ -74,17 +74,20 @@ def bench_extract(sf_dir: str, num_cpus: int, out_dir: str) -> dict:
     path, n_rows = _transcript_input(sf_dir)
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     t0 = time.perf_counter()
-    # ~8k rows (~2s of engine work) per block: chunky enough that task
-    # scheduling is noise, fine enough that the pool drains evenly. The
-    # target is per-BLOCK work, not per-CPU count, so N- and 4N-CPU runs
-    # see identical task shapes (fair scaling comparison).
-    nblocks = max(num_cpus * 2, n_rows // 8000)
+    # one block per input file (~16k rows, ~4s of engine work): chunky
+    # enough that scheduling is noise, fine enough that the pool drains
+    # evenly. override_num_blocks pins 1:1 — without it Ray merges to
+    # its 128MB block target, and the resulting 32k-row tasks measurably
+    # hurt (per-task heap churn + a long straggler drain tail).
     ds = ray.data.read_parquet(
         path, columns=["conv_id", "turn_idx", "text"],
-        override_num_blocks=nblocks)
+        override_num_blocks=n_files)
+    # pool = cpus minus a small absolute reserve for read/write tasks
+    conc = max(2, num_cpus - max(2, num_cpus // 8))
     out = extract_stage(ds, keep_spans=False, batch_size=128,
-                        concurrency=max(2, int(num_cpus * 0.75)))
+                        concurrency=conc)
     out.write_parquet(out_dir)
     dt = time.perf_counter() - t0
     return {"sec": dt, "turns": n_rows, "turns_per_sec": n_rows / dt}

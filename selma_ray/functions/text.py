@@ -80,7 +80,15 @@ def language_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality scoring: length, punctuation ratio, stopword
-    ratio, mean token length → a 0..1 score (rows-only; heuristic)."""
+    ratio, mean token length → a 0..1 score.
+
+    Every term uses only IEEE-754 basic operations (+ - * / abs min max),
+    which are correctly rounded and therefore BIT-IDENTICAL between numpy
+    and any other IEEE engine evaluating the same expression in the same
+    order — this is what makes the DuckDB oracle (__ray_entry__) an exact
+    value match, not an allclose. (No exp/log: transcendentals are not
+    reproducible across libm implementations.)
+    """
     import numpy as np
 
     texts = batch.column(text_col)
@@ -99,7 +107,7 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         for t, k in zip(batch.column(text_col).to_pylist(), n_tokens)
     ])
     length_ok = np.clip(n_tokens / 20.0, 0.0, 1.0)
-    tok_ok = np.exp(-np.abs(mean_tok - 5.5) / 5.5)
+    tok_ok = 1.0 / (1.0 + np.abs(mean_tok - 5.5) / 5.5)
     punct_ok = np.clip(1.0 - punct_ratio * 4.0, 0.0, 1.0)
     score = 0.4 * length_ok + 0.3 * tok_ok + 0.2 * punct_ok + 0.1 * np.clip(
         sw_ratio * 5.0, 0.0, 1.0)

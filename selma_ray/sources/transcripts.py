@@ -169,19 +169,25 @@ def transcript_dataset(n_convs: int, big_every: int = 4096,
 
 
 def transcripts_parquet(n_convs: int, cache_dir: str = "/tmp/selma_ray_transcripts",
-                        big_every: int = 4096) -> str:
+                        big_every: int = 4096, files: int | None = None) -> str:
     """Materialize (once) a deterministic transcript parquet dir; returns path.
 
     Used by bench.py / entry() so repeated runs read the same files. The
     dataset is written as multiple files so downstream sharding/resume has
-    real file-level partitions to work with.
+    real file-level partitions to work with. ``files`` controls the file
+    count: parquet planning fetches metadata per file (~5ms each), so a
+    corpus should be hundreds of chunky files, not thousands of tiny ones
+    — at real scale, 100 MB-class files.
     """
-    path = os.path.join(cache_dir, f"convs_{n_convs}_big{big_every}")
+    if files is None:
+        # ~16k rows (~25 rows/conv) per file
+        files = min(512, max(8, (n_convs * 25) // 16_000))
+    path = os.path.join(cache_dir, f"convs_{n_convs}_big{big_every}_f{files}")
     marker = os.path.join(path, "_DONE")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
-    ds = transcript_dataset(n_convs, big_every)
+    ds = transcript_dataset(n_convs, big_every, parallelism=files)
     ds.write_parquet(path)
     with open(marker, "w") as f:
         f.write("ok")

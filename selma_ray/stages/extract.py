@@ -97,10 +97,12 @@ def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
                   batch_size: int = 64, concurrency=None):
     """Attach the extraction actor-pool stage to a Dataset.
 
-    ``concurrency=None`` sizes a FIXED pool to ~75% of cluster CPUs —
-    fixed pools outperform (1, N) autoscaling here (the autoscaler ramps
-    slowly against a steady backlog) while the 25% headroom keeps
-    read/write tasks schedulable (a pool == all CPUs starves them).
+    ``concurrency=None`` sizes a FIXED pool to cluster CPUs minus a small
+    absolute reserve (max(2, cpus//8)) — fixed pools outperform (1, N)
+    autoscaling here (the autoscaler ramps slowly against a steady
+    backlog) and the reserve keeps read/write tasks schedulable (a pool
+    == all CPUs starves them; a 25% proportional reserve over-starves
+    the pool on big machines).
     """
     from .util import default_pool_size
     kwargs = dict(
