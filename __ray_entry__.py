@@ -263,6 +263,31 @@ def _q_pricing_summary(sf_dir: str):
     return lineitem_pricing_summary(_read(sf_dir, "lineitem"))
 
 
+def _docs_as_conv_turns(sf_dir: str):
+    """Shape documents into (conv_id, turn_idx, text) turns: conv=source,
+    turn=doc_id — deterministic and SQL-mirrorable."""
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch.column("source"),
+            "turn_idx": pc.cast(batch.column("doc_id"), pa.int32()),
+            "text": batch.column("text"),
+        })
+    return _read(sf_dir, "documents").map_batches(
+        shape, batch_format="pyarrow")
+
+
+def _q_conversation_assembly(sf_dir: str):
+    from selma_ray.pipelines.conversations import assemble_conversations
+
+    return assemble_conversations(_docs_as_conv_turns(sf_dir), sep="\n")
+
+
+def _q_conversation_stats(sf_dir: str):
+    from selma_ray.pipelines.conversations import conversation_stats
+
+    return conversation_stats(_docs_as_conv_turns(sf_dir))
+
+
 def _q_multimodal_features(sf_dir: str):
     from selma_ray.stages.multimodal import DecodeImageFeatures, multimodal_stage
 
@@ -297,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
+        "conversation_assembly": _q_conversation_assembly,
+        "conversation_stats": _q_conversation_stats,
         "events_rollup": _q_events_rollup,
         "top_customers": _q_top_customers,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -420,6 +447,21 @@ def oracle_sql() -> dict[str, str]:
                        / (count(*) * 100.0) AS avg_qty,
                    count(*)::BIGINT AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "conversation_assembly": r"""
+            SELECT source AS conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   sum(length(text))::BIGINT AS n_chars,
+                   string_agg(text, chr(10) ORDER BY doc_id) AS text
+            FROM documents GROUP BY source
+        """,
+        "conversation_stats": r"""
+            SELECT source AS conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   min(doc_id)::BIGINT AS first_turn,
+                   max(doc_id)::BIGINT AS last_turn,
+                   sum(length(text))::BIGINT AS total_chars
+            FROM documents GROUP BY source
         """,
         # quality_score uses only IEEE basic ops (+ - * / abs min max) in
         # the same evaluation order as the numpy code, so values match

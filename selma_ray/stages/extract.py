@@ -104,7 +104,16 @@ def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
     == all CPUs starves them; a 25% proportional reserve over-starves
     the pool on big machines).
     """
+    import ray
+
     from .util import default_pool_size
+
+    if isinstance(concurrency, int) and ray.is_initialized():
+        # a pool that owns every CPU starves the read/write tasks and
+        # deadlocks the streaming executor — clamp, never exceed cpus-1
+        total = int(ray.cluster_resources().get("CPU", 0))
+        if total:
+            concurrency = max(1, min(concurrency, total - 1))
     kwargs = dict(
         fn_constructor_kwargs=dict(
             text_col=text_col, sanitizer_config=sanitizer_config,

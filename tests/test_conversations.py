@@ -1,0 +1,106 @@
+"""Per-conversation assembly/stats (two-phase groupby) and the job CLI."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+
+def _turns_ds(n_convs=12):
+    import ray.data
+
+    from selma_ray.sources.transcripts import transcript_dataset
+    return transcript_dataset(n_convs)
+
+
+def test_assemble_matches_pandas(ray_session):
+    from selma_ray.pipelines.conversations import assemble_conversations
+
+    ds = _turns_ds()
+    got = assemble_conversations(ds, sep="\n").to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+
+    df = ds.to_pandas().sort_values(["conv_id", "turn_idx"])
+    want = df.groupby("conv_id").agg(
+        n_turns=("turn_idx", "size"),
+        n_chars=("text", lambda s: sum(len(x) for x in s)),
+        text=("text", "\n".join),
+    ).reset_index().sort_values("conv_id").reset_index(drop=True)
+
+    assert list(got["conv_id"]) == list(want["conv_id"])
+    assert list(got["n_turns"]) == list(want["n_turns"])
+    assert list(got["n_chars"]) == list(want["n_chars"])
+    assert list(got["text"]) == list(want["text"])
+
+
+def test_assemble_skewed_conversation(ray_session):
+    # conv ordinal 0 has 20x turns (the % 97 skew rule); assembly must
+    # still produce exactly one ordered row for it
+    from selma_ray.pipelines.conversations import assemble_conversations
+    from selma_ray.sources.transcripts import n_turns_for
+
+    got = assemble_conversations(_turns_ds(4), sep="|").to_pandas()
+    row = got[got.conv_id == "conv-000000"].iloc[0]
+    assert row.n_turns == n_turns_for(0) and row.n_turns >= 40
+    # first piece is turn 0, last piece is the last turn
+    pieces = row.text.split("|")
+    assert len(pieces) >= row.n_turns  # separators inside turns possible
+
+
+def test_conversation_stats(ray_session):
+    from selma_ray.pipelines.conversations import conversation_stats
+
+    ds = _turns_ds()
+    got = conversation_stats(ds).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    df = ds.to_pandas()
+    want = df.groupby("conv_id").agg(
+        n_turns=("turn_idx", "size"), first_turn=("turn_idx", "min"),
+        last_turn=("turn_idx", "max"),
+        total_chars=("text", lambda s: sum(len(x) for x in s)),
+    ).reset_index().sort_values("conv_id").reset_index(drop=True)
+    assert list(got["n_turns"]) == list(want["n_turns"])
+    assert list(got["first_turn"]) == list(want["first_turn"])
+    assert list(got["last_turn"]) == list(want["last_turn"])
+    assert list(got["total_chars"]) == list(want["total_chars"])
+
+
+def test_job_cli_extract_and_resume(tmp_path):
+    """Drive the ray-job entrypoint end-to-end in a subprocess (it owns
+    its own ray session), then resume: second run must skip all shards."""
+    from selma_ray.sources.transcripts import synthesize_transcripts
+    import pyarrow.parquet as pq
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    t = synthesize_transcripts(6)
+    pq.write_table(t.slice(0, t.num_rows // 2), inp / "part-0.parquet")
+    pq.write_table(t.slice(t.num_rows // 2), inp / "part-1.parquet")
+    out = tmp_path / "out"
+
+    env = dict(os.environ, RAY_ADDRESS="local")
+    # pool strictly below num-cpus: an actor pool that owns every CPU
+    # starves the read/write tasks and deadlocks the streaming executor
+    cmd = [sys.executable, "-m", "selma_ray.job", "--num-cpus", "4",
+           "extract", "--input", str(inp), "--output", str(out),
+           "--no-spans", "--concurrency", "2"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                        cwd="/root/repo", env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["shards_total"] == 2 and s1["shards_done"] == 2
+    assert s1["rows"] == t.num_rows
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                        cwd="/root/repo", env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["shards_skipped"] == 2 and s2["shards_done"] == 0
+    # metrics carried over from the manifest, not recomputed
+    assert s2["metrics"]["turns_processed"] == t.num_rows
