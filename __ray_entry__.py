@@ -125,7 +125,8 @@ def _q_doc_stats(sf_dir: str):
 
     ds = _read(sf_dir, "documents")
     out = ds.map_batches(doc_stats_batch, batch_format="pyarrow")
-    return out.select_columns(["doc_id", "n_chars_calc", "n_tokens"])
+    return out.select_columns(["doc_id", "n_chars_calc", "n_tokens",
+                               "n_bpe_tokens"])
 
 
 def _q_tokens_by_lang(sf_dir: str):
@@ -341,7 +342,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": r"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars_calc,
-                   len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                   len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+                   ))::BIGINT AS n_bpe_tokens
             FROM documents
         """,
         "tokens_by_lang": r"""

@@ -37,13 +37,27 @@ def token_count_batch(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.count_substring_regex(texts, r"\S+")
 
 
+# GPT-2-shaped pretokenizer, lookahead-free so it is valid RE2: both
+# pyarrow.compute and DuckDB regex on RE2, so counts agree exactly.
+# (The real GPT-2 pattern's trailing (?!\S) lookahead only changes how
+# whitespace runs split — immaterial for a token-count estimate.)
+BPE_ISH_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """BPE-ish (GPT-2 pretokenizer) token-count estimate, vectorized."""
+    return pc.count_substring_regex(texts, BPE_ISH_RE)
+
+
 def doc_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Append n_chars / n_tokens columns (both SQL-checkable)."""
+    """Append n_chars / n_tokens / n_bpe_tokens columns (SQL-checkable)."""
     texts = batch.column(text_col)
     n_chars = pc.utf8_length(texts)
     n_tokens = token_count_batch(texts)
+    n_bpe = bpe_token_count_batch(texts)
     out = batch.append_column("n_chars_calc", pc.cast(n_chars, pa.int64()))
-    return out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    out = out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    return out.append_column("n_bpe_tokens", pc.cast(n_bpe, pa.int64()))
 
 
 def _cjk_ratio(text: str) -> float:

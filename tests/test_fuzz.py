@@ -1,0 +1,78 @@
+"""Property-based robustness: the engine must never crash, loop, or
+diverge between paths on ARBITRARY input — transcript turns at 10^12
+scale will contain every malformed byte sequence that exists.
+
+Three invariants:
+  1. fast extraction path ≡ generic rewriter path, for any string;
+  2. no unallowed ESCAPEWORTHY tag (script/style/iframe/title/...)
+     survives sanitization — the escape-tagfilter second pass's whole
+     purpose (rewriter.rs:307-354). NOTE: full idempotence is NOT a
+     property of this engine family (nor of the reference): RCDATA
+     content like `<title><nav>` re-parses as live markup on the next
+     pass; pass 2 only guards the escapeworthy set.
+  3. nothing raises on any input (malformed tags, stray brackets,
+     unterminated everything).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from selma_ray import Rewriter, Sanitizer, config
+from selma_ray.engine.extract import ExtractionEngine
+
+# HTML-shaped fragments: heavy on structural tokens so generated strings
+# actually exercise the tokenizer's tag/comment/rawtext branches
+_html_soup = st.lists(
+    st.sampled_from(
+        list("<>/=\"' !&;#-abPqZ\t\n")
+        + ["<b>", "</b>", "<p ", "<!--", "-->", "<script>", "</script>",
+           "<title>", "</title>", "<nav>", "</nav>", "<br/>", "&amp;",
+           "<meta name=", "content=", "<div class='x'>", "</div>",
+           "<iframe>", "<svg>", "<foo", "]]>", "<![CDATA[", "<?php",
+           "</", "<!", "x=y", "<a href=javascript:alert(1)>"]),
+    max_size=80,
+).map("".join)
+
+_slow = ExtractionEngine(fast=False)
+_fast = ExtractionEngine(fast=True)
+_sanitizer = Rewriter(sanitizer=Sanitizer(config.DEFAULT))
+_relaxed = Rewriter(sanitizer=Sanitizer(config.RELAXED))
+
+
+@given(_html_soup)
+@settings(max_examples=400, deadline=None)
+def test_fast_path_equals_generic_on_soup(s):
+    assert _fast.process(s) == _slow.process(s)
+
+
+def _assert_no_live_escapeworthy(out: str, sanitizer: Sanitizer):
+    from selma_ray.engine.tags import ESCAPE_PASS_TAGS
+    from selma_ray.engine.tokenizer import tokenize
+
+    for tok in tokenize(out):
+        if tok[0] == "start":
+            name = tok[1].name_lc
+            assert not (name in ESCAPE_PASS_TAGS
+                        and sanitizer.element_not_allowed(name)), (name, out)
+
+
+@given(_html_soup)
+@settings(max_examples=300, deadline=None)
+def test_no_unallowed_escapeworthy_survives_default(s):
+    _assert_no_live_escapeworthy(
+        _sanitizer.rewrite(s), _sanitizer.sanitizer)
+
+
+@given(_html_soup)
+@settings(max_examples=200, deadline=None)
+def test_no_unallowed_escapeworthy_survives_relaxed(s):
+    _assert_no_live_escapeworthy(_relaxed.rewrite(s), _relaxed.sanitizer)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_arbitrary_unicode_never_raises(s):
+    _sanitizer.rewrite(s)
+    _fast.process(s)
+    assert _fast.process(s) == _slow.process(s)
