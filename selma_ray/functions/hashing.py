@@ -39,15 +39,47 @@ def word_shingles(text: str, n: int = 3) -> set[str]:
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
+# word -> md5_64 cache: Zipf vocabularies make this hit-heavy, and the
+# per-actor cache is what keeps shingle hashing off the md5 hot path
+_WORD_HASH_CACHE: dict[str, int] = {}
+_POLY_A = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier (golden-ratio)
+
+
+def _word_hash(w: str) -> int:
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        if len(_WORD_HASH_CACHE) > 1_000_000:
+            _WORD_HASH_CACHE.clear()
+        h = _WORD_HASH_CACHE.setdefault(
+            w, md5_64(w.encode("utf-8", "surrogatepass")))
+    return h
+
+
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """64-bit hashes of word n-gram shingles (uint64, sorted, distinct)."""
-    sh = word_shingles(text, n)
-    if not sh:
+    """64-bit hashes of word n-gram shingles (uint64, sorted, distinct).
+
+    Vectorized: each word is md5-hashed once (cached across documents —
+    per-shingle md5 was the minhash stage's hot path), then n-gram hashes
+    are a numpy polynomial combine over the word-hash array with natural
+    uint64 wraparound. Deterministic across processes/actors (no process
+    salt anywhere)."""
+    ws = tokens(text)
+    if not ws:
         return np.empty(0, dtype=np.uint64)
-    out = np.fromiter((md5_64(s.encode()) for s in sh), dtype=np.uint64,
-                      count=len(sh))
-    out.sort()
-    return out
+    hs = np.fromiter((_word_hash(w) for w in ws), dtype=np.uint64,
+                     count=len(ws))
+    if len(ws) <= n:
+        a = int(_POLY_A)
+        acc = int(hs[0])
+        for j in range(1, len(ws)):
+            acc = (acc * a + int(hs[j])) & 0xFFFFFFFFFFFFFFFF
+        return np.array([acc], dtype=np.uint64)
+    m = len(ws) - n + 1
+    acc = hs[0:m].copy()
+    for j in range(1, n):
+        acc *= _POLY_A
+        acc += hs[j:j + m]
+    return np.unique(acc)
 
 
 def _coeffs(k: int, seed: int = 0x5e1fa) -> tuple[np.ndarray, np.ndarray]:

@@ -41,7 +41,7 @@ from ..functions.hashing import (
     shingle_hashes,
     simhash64,
 )
-from ..stages.util import coalesce_small, default_pool_size
+from ..stages.util import coalesce_small
 
 PAIR_SCHEMA = pa.schema([
     ("id_a", pa.int64()),
@@ -169,6 +169,28 @@ class MinHashBandStage:
         })
 
 
+# per-worker stage cache: stateless map_batches tasks reuse Ray's warm
+# worker processes, so a parameter-keyed module cache gives the same
+# build-once behavior an actor pool would — without pool spin-up
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(cls, **kw):
+    key = (cls.__name__,) + tuple(sorted(kw.items()))
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        st = _STAGE_CACHE.setdefault(key, cls(**kw))
+    return st
+
+
+def _minhash_band_fn(batch: pa.Table, **kw) -> pa.Table:
+    return _cached_stage(MinHashBandStage, **kw)(batch)
+
+
+def _simhash_band_fn(batch: pa.Table, **kw) -> pa.Table:
+    return _cached_stage(SimHashBandStage, **kw)(batch)
+
+
 def _bucket_pairs_fn(k: int, threshold: float, max_bucket: int):
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -214,13 +236,22 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.7, max_bucket: int = 2000,
                       concurrency=None):
     """Dataset -> candidate duplicate pairs (id_a < id_b, est-Jaccard >=
-    threshold), deduplicated across bands."""
-    kwargs = dict(fn_constructor_kwargs=dict(
+    threshold), deduplicated across bands.
+
+    Runs as STATELESS tasks, not an actor pool: the per-worker state
+    (minhash coefficients, word-hash cache) is microseconds to build and
+    lives in module-level caches that warm Ray's reused worker processes
+    — an actor pool would pay its spin-up (~2s for a wide pool) on every
+    small/interactive input for no setup amortization. Pass
+    ``concurrency`` to cap in-flight tasks if the stage must share a
+    cluster with heavier neighbors.
+    """
+    kwargs = dict(fn_kwargs=dict(
         id_col=id_col, text_col=text_col, k=k, bands=bands, ngram=ngram),
-        batch_format="pyarrow",
-        concurrency=(concurrency if concurrency is not None
-                     else default_pool_size()))
-    banded = ds.map_batches(MinHashBandStage, **kwargs)
+        batch_format="pyarrow")
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    banded = ds.map_batches(_minhash_band_fn, **kwargs)
     pairs = coalesce_small(banded, target_rows=16384) \
         .groupby("band_key").map_groups(
             _bucket_pairs_fn(k, threshold, max_bucket),
@@ -338,11 +369,12 @@ def _simhash_bucket_pairs(max_dist: int, max_bucket: int):
 def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                   max_dist: int = 3, max_bucket: int = 5000,
                   concurrency=None):
-    kwargs = dict(fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
-                  batch_format="pyarrow",
-                  concurrency=(concurrency if concurrency is not None
-                               else default_pool_size()))
-    banded = ds.map_batches(SimHashBandStage, **kwargs)
+    """Stateless-task banding for the same reason as minhash_lsh_pairs."""
+    kwargs = dict(fn_kwargs=dict(id_col=id_col, text_col=text_col),
+                  batch_format="pyarrow")
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    banded = ds.map_batches(_simhash_band_fn, **kwargs)
     pairs = coalesce_small(banded).groupby("band_key").map_groups(
         _simhash_bucket_pairs(max_dist, max_bucket), batch_format="pyarrow")
     return _dedup_pairs(pairs, "simhash")

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..stages.util import coalesce_small, default_pool_size
+from ..stages.util import coalesce_small
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -105,6 +105,29 @@ def load_queries(sf_dir_or_path: str, *, n_queries: int = 5,
     return ids, Q
 
 
+# per-worker stage cache (see pipelines/dedup.py): stateless tasks reuse
+# warm worker processes; the ray.put broadcast is fetched once per worker
+# (keyed by the ObjectRef) — same amortization an actor pool gives,
+# without paying pool spin-up on small/interactive inputs
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(cls, **kw):
+    key = (cls.__name__,) + tuple(sorted(kw.items(), key=lambda x: x[0]))
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        st = _STAGE_CACHE.setdefault(key, cls(**kw))
+    return st
+
+
+def _partial_topk_fn(batch: pa.Table, **kw) -> pa.Table:
+    return _cached_stage(PartialTopK, **kw)(batch)
+
+
+def _lsh_partial_topk_fn(batch: pa.Table, **kw) -> pa.Table:
+    return _cached_stage(LshPartialTopK, **kw)(batch)
+
+
 def brute_force_topk(ds, query_ids: np.ndarray, Q: np.ndarray, *,
                      id_col: str = "vec_id", emb_col: str = "embedding",
                      k: int = 10, round_to: int | None = 4,
@@ -114,12 +137,12 @@ def brute_force_topk(ds, query_ids: np.ndarray, Q: np.ndarray, *,
 
     qref = ray.put((np.asarray(query_ids, dtype=np.int64), _normalize(Q)))
     kwargs = dict(
-        fn_constructor_kwargs=dict(queries_ref=qref, id_col=id_col,
-                                   emb_col=emb_col, k=k),
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=(concurrency if concurrency is not None
-                     else default_pool_size(0.25)))
-    partial = ds.map_batches(PartialTopK, **kwargs)
+        fn_kwargs=dict(queries_ref=qref, id_col=id_col,
+                       emb_col=emb_col, k=k),
+        batch_format="pyarrow", batch_size=4096)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    partial = ds.map_batches(_partial_topk_fn, **kwargs)
     return coalesce_small(partial).groupby("query_id").map_groups(
         _final_topk_fn(k, round_to), batch_format="pyarrow")
 
@@ -201,13 +224,13 @@ def lsh_topk(ds, query_ids, Q, *, id_col: str = "vec_id",
 
     qref = ray.put((np.asarray(query_ids, dtype=np.int64), _normalize(Q)))
     kwargs = dict(
-        fn_constructor_kwargs=dict(queries_ref=qref, id_col=id_col,
-                                   emb_col=emb_col, k=k, nbits=nbits,
-                                   n_tables=n_tables),
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=(concurrency if concurrency is not None
-                     else default_pool_size(0.25)))
-    partial = ds.map_batches(LshPartialTopK, **kwargs)
+        fn_kwargs=dict(queries_ref=qref, id_col=id_col,
+                       emb_col=emb_col, k=k, nbits=nbits,
+                       n_tables=n_tables),
+        batch_format="pyarrow", batch_size=4096)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    partial = ds.map_batches(_lsh_partial_topk_fn, **kwargs)
     return coalesce_small(partial).groupby("query_id").map_groups(
         _final_topk_fn(k, round_to), batch_format="pyarrow")
 
@@ -238,38 +261,49 @@ def embedding_near_dup_pairs(ds, *, id_col: str = "vec_id",
         })
 
     slim = ds.map_batches(to_mat, batch_format="pyarrow")
-    rows = slim.take_all()
-    if len(rows) > max_broadcast_rows:
-        raise ValueError(
-            f"corpus too large to broadcast ({len(rows)} rows); use the "
-            "LSH-bucketed near-dup path")
-    all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    M = _normalize(np.stack([np.asarray(r["emb"], dtype=np.float64)
-                             for r in rows]))
+    id_parts, mat_parts, n_rows = [], [], 0
+    for b in slim.iter_batches(batch_format="pyarrow", batch_size=8192):
+        n_rows += b.num_rows
+        if n_rows > max_broadcast_rows:
+            raise ValueError(
+                f"corpus too large to broadcast (>{max_broadcast_rows} "
+                "rows); use the LSH-bucketed near-dup path")
+        id_parts.append(b.column("id").to_numpy(zero_copy_only=False))
+        mat_parts.append(_batch_matrix(b, "emb"))
+    all_ids = np.concatenate(id_parts).astype(np.int64)
+    M = _normalize(np.vstack(mat_parts))
     ref = ray.put((all_ids, M))
 
+    empty = pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "similarity": pa.array([], pa.float64()),
+        "method": pa.array([], pa.string()),
+    })
+
     def pairs_fn(batch: pa.Table) -> pa.Table:
-        ids_all, Mat = ray.get(ref)
+        ids_all, Mat = ray.get(ref)          # ids_all sorted ascending
         E = _normalize(_batch_matrix(batch, emb_col))
         bids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        sims = E @ Mat.T                     # (batch, corpus)
+        # upper triangle only: pairs need the corpus id STRICTLY greater,
+        # and ids_all is sorted, so the candidate columns are a suffix —
+        # halves the total matmul flops across batches
+        start = int(np.searchsorted(ids_all, bids.min(), side="right"))
+        if start >= ids_all.size:
+            return empty
+        sub_ids = ids_all[start:]
+        sims = E @ Mat[start:].T             # (batch, suffix)
         # threshold on the ROUNDED similarity so inclusion can't flip on
         # float noise between this and an independent (SQL) computation
         if round_to is not None:
             sims = np.round(sims, round_to)
-        a_out, b_out, s_out = [], [], []
-        for i in range(E.shape[0]):
-            mask = (sims[i] >= threshold) & (ids_all > bids[i])
-            js = np.nonzero(mask)[0]
-            a_out.extend([int(bids[i])] * js.size)
-            b_out.extend(ids_all[js].tolist())
-            s_out.extend(sims[i, js].tolist())
-        s = np.array(s_out, dtype=np.float64)
+        mask = (sims >= threshold) & (sub_ids[None, :] > bids[:, None])
+        ii, jj = np.nonzero(mask)            # fully vectorized pair pick
         return pa.table({
-            "id_a": pa.array(a_out, pa.int64()),
-            "id_b": pa.array(b_out, pa.int64()),
-            "similarity": pa.array(s, pa.float64()),
-            "method": pa.array(["embedding_cosine"] * len(a_out)),
+            "id_a": pa.array(bids[ii].astype(np.int64), pa.int64()),
+            "id_b": pa.array(sub_ids[jj], pa.int64()),
+            "similarity": pa.array(sims[ii, jj], pa.float64()),
+            "method": pa.array(["embedding_cosine"] * ii.size),
         })
 
     return ds.map_batches(pairs_fn, batch_format="pyarrow", batch_size=4096)
