@@ -78,7 +78,7 @@ class BroadcastLookup:
     """map_batches fn: map a key column through a broadcast dict.
 
     The dict travels to the object store once (ray.put on the driver);
-    each actor fetches it once in __init__, NOT per batch.
+    each worker fetches it once (module cache below), NOT per batch.
     """
 
     def __init__(self, mapping_ref, key_col: str, out_col: str,
@@ -95,6 +95,19 @@ class BroadcastLookup:
         vals = [self.mapping.get(k) for k in keys]
         return batch.append_column(self.out_col,
                                    pa.array(vals, self.out_type))
+
+
+# stateless-task wrapper (see pipelines/dedup.py): ray.get amortizes via
+# the per-worker cache without paying actor-pool spin-up
+_STAGE_CACHE: dict = {}
+
+
+def _broadcast_lookup_fn(batch: pa.Table, **kw) -> pa.Table:
+    key = tuple(sorted(kw.items(), key=lambda x: x[0]))
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        st = _STAGE_CACHE.setdefault(key, BroadcastLookup(**kw))
+    return st(batch)
 
 
 def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
@@ -128,10 +141,10 @@ def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
 
     tagged = orders_ds.map_batches(partial, batch_format="pyarrow") \
         .map_batches(
-            BroadcastLookup,
-            fn_constructor_kwargs=dict(mapping_ref=ref, key_col="o_custkey",
-                                       out_col="n_name"),
-            batch_format="pyarrow", concurrency=(1, 8))
+            _broadcast_lookup_fn,
+            fn_kwargs=dict(mapping_ref=ref, key_col="o_custkey",
+                           out_col="n_name"),
+            batch_format="pyarrow")
     agg = coalesce_small(tagged).groupby("n_name").aggregate(
         Sum("price"), Sum("n_partial"))
 
