@@ -245,32 +245,115 @@ class ExtractionEngine:
         suppress = 0                  # open remove()d elements
         ignore_depth = 0              # open strip-set elements (text ignore)
 
-        for tok in tokenize(text):
-            kind = tok[0]
+        # ---- fused tokenizer (mirrors engine.tokenizer.tokenize token
+        # for token — the equality/fuzz suites in tests/test_fast_extract
+        # and tests/test_fuzz enforce it) with extraction actions inlined.
+        # Fusing skips StartTag construction for every non-meta tag and
+        # the token-tuple round trip, the fast path's residual overhead.
+        from .tokenizer import (
+            _ALPHA,
+            _TAG_RE,
+            _lc,
+            _parse_attrs,
+            _parse_start_tag_slow,
+            _rawtext_end_pattern,
+        )
+        from .tags import RAWTEXT_TAGS, RCDATA_TAGS
 
-            if kind == "text":
-                content = tok[1]
-                if stack and ignore_depth == 0 and content:
-                    if within_title:
-                        if not title:
-                            title = content
-                    else:
-                        append_part(content)
-                        if need_spans:
-                            spans.append(("text", "", pos,
-                                          pos + len(content)))
-                        pos += len(content)
+        s = text
+        n = len(s)
+        scan = 0
+        text_pieces: list[str] = []
+        append_text = text_pieces.append
+
+        def do_text(content):
+            nonlocal title, pos, out_len
+            if stack and ignore_depth == 0 and content:
+                if within_title:
+                    if not title:
+                        title = content
+                else:
+                    append_part(content)
+                    if need_spans:
+                        spans.append(("text", "", pos, pos + len(content)))
+                    pos += len(content)
+            if suppress == 0:
+                out_len += len(content)
+                if need_html:
+                    out.append(content)
+
+        def flush():
+            if text_pieces:
+                t = ("".join(text_pieces) if len(text_pieces) > 1
+                     else text_pieces[0])
+                text_pieces.clear()
+                do_text(t)
+
+        def do_end(name, raw):
+            nonlocal suppress, ignore_depth, within_title, pos, out_len
+            if not open_counts.get(name):
+                # stray end tag: passes through (no on_end_tag)
                 if suppress == 0:
-                    out_len += len(content)
+                    out_len += len(raw)
                     if need_html:
-                        out.append(content)
-                continue
+                        out.append(raw)
+                return
+            # pop implicitly-closed elements silently, then the match
+            # (amortized O(1): each entry is pushed and popped once)
+            while True:
+                top = stack.pop()
+                flag = stack_flags.pop()
+                open_counts[top] -= 1
+                if flag & 1:
+                    suppress -= 1
+                if flag & 2:
+                    ignore_depth -= 1
+                if top == name:
+                    break
+            # on_end_tag (explicit close only); end tag itself always
+            # suppressed (every element is remove()d or unwrapped)
+            if name == "title":
+                within_title = False
+            elif name in break_tags:
+                append_part(" ")
+                pos += 1
 
-            if kind == "start":
-                tag = tok[1]
-                name = tag.name_lc
+        eof = False                   # incomplete markup at EOF: input ends
+        while scan < n and not eof:
+            lt = s.find("<", scan)
+            if lt == -1:
+                append_text(s[scan:])
+                break
+            if lt > scan:
+                append_text(s[scan:lt])
+            if lt + 1 >= n:
+                eof = True            # lone '<' at EOF: dropped, no flush
+                break
+            c = s[lt + 1]
+            if c in _ALPHA:
+                # ---------------- start tag ----------------
+                m = _TAG_RE.match(s, lt)
+                if m is not None:
+                    name = _lc(m.group(1))
+                    self_closing = m.group(3) == "/"
+                    tag_len = m.end() - lt
+                    attr_span = (m.start(2), m.end(2))
+                    has_attrs = attr_span[0] != attr_span[1]
+                    scan = m.end()
+                else:
+                    parsed = _parse_start_tag_slow(s, lt, n)
+                    if parsed is None:
+                        eof = True    # incomplete tag swallows the rest
+                        break
+                    tag, scan = parsed
+                    name = tag.name_lc
+                    self_closing = tag.self_closing
+                    tag_len = len(tag.raw)
+                    attr_span = None
+                    has_attrs = bool(tag.attrs)
+                if text_pieces:
+                    flush()
                 removed_full = False
-                emitted_raw = False
                 if name in strip_tags:
                     hits_strip += 1
                     if need_spans:
@@ -283,74 +366,126 @@ class ExtractionEngine:
                 elif name == "meta":
                     mname = None
                     mcontent = None
-                    for a in tag.attrs:
-                        if a.name_lc == "name" and mname is None:
-                            mname = a.value if a.value is not None else ""
-                        elif a.name_lc == "content" and mcontent is None:
-                            mcontent = a.value if a.value is not None else ""
+                    if has_attrs:
+                        attrs = (_parse_attrs(s, *attr_span)
+                                 if attr_span is not None else tag.attrs)
+                        for a in attrs:
+                            if a.name_lc == "name" and mname is None:
+                                mname = (a.value if a.value is not None
+                                         else "")
+                            elif (a.name_lc == "content"
+                                  and mcontent is None):
+                                mcontent = (a.value if a.value is not None
+                                            else "")
                     if mname is not None:
                         hits_meta += 1
                         meta[mname] = mcontent or ""
-                    emitted_raw = True  # meta is kept (not removed)
+                    if suppress == 0:   # meta is kept (not removed)
+                        out_len += tag_len
+                        if need_html:
+                            out.append(s[lt:lt + tag_len])
                 else:
                     hits_unwrap += 1
                     if name in break_tags:
                         append_part(" ")
                         pos += 1
-                if emitted_raw and suppress == 0:
-                    out_len += len(tag.raw)
-                    if need_html:
-                        out.append(tag.raw)
-                if name in VOID_TAGS:
-                    continue
-                stack.append(name)
-                open_counts[name] = open_counts.get(name, 0) + 1
-                flag = 0
-                if removed_full:
-                    flag = 1
-                    suppress += 1
-                if name in strip_tags:
-                    flag |= 2
-                    ignore_depth += 1
-                stack_flags.append(flag)
+                if name not in VOID_TAGS:
+                    stack.append(name)
+                    open_counts[name] = open_counts.get(name, 0) + 1
+                    flag = 0
+                    if removed_full:
+                        flag = 1
+                        suppress += 1
+                    if name in strip_tags:
+                        flag |= 2
+                        ignore_depth += 1
+                    stack_flags.append(flag)
+                    # rawtext / RCDATA / script / plaintext content modes
+                    if not self_closing and (
+                        name == "script" or name == "plaintext"
+                        or name in RAWTEXT_TAGS or name in RCDATA_TAGS
+                    ):
+                        if name == "plaintext":
+                            if scan < n:
+                                do_text(s[scan:])
+                            eof = True
+                            break
+                        m2 = _rawtext_end_pattern(name).search(s, scan)
+                        if m2 is None:
+                            if scan < n:
+                                do_text(s[scan:])
+                            eof = True
+                            break
+                        if m2.start() > scan:
+                            do_text(s[scan:m2.start()])
+                        gt = s.find(">", m2.start())
+                        if gt == -1:
+                            eof = True   # incomplete end tag: dropped
+                            break
+                        do_end(name, s[m2.start():gt + 1])
+                        scan = gt + 1
                 continue
-
-            if kind == "end":
-                name = tok[1]
-                if not open_counts.get(name):
-                    # stray end tag: passes through (no on_end_tag)
-                    if suppress == 0:
-                        out_len += len(tok[2])
-                        if need_html:
-                            out.append(tok[2])
-                    continue
-                # pop implicitly-closed elements silently, then the match
-                # (amortized O(1): each entry is pushed and popped once)
-                while True:
-                    top = stack.pop()
-                    flag = stack_flags.pop()
-                    open_counts[top] -= 1
-                    if flag & 1:
-                        suppress -= 1
-                    if flag & 2:
-                        ignore_depth -= 1
-                    if top == name:
+            if c == "/":
+                if lt + 2 >= n:
+                    eof = True        # '</' at EOF: dropped
+                    break
+                c2 = s[lt + 2]
+                if c2 in _ALPHA:
+                    j = lt + 2
+                    while j < n and s[j] not in " \t\n\f\r/>":
+                        j += 1
+                    gt = s.find(">", j)
+                    if gt == -1:
+                        eof = True    # incomplete end tag: dropped
                         break
-                # on_end_tag (explicit close only)
-                if name == "title":
-                    within_title = False
-                elif name in break_tags:
-                    append_part(" ")
-                    pos += 1
-                # end tag itself always suppressed (every element is
-                # either remove()d or unwrapped); nothing emitted
+                    if text_pieces:
+                        flush()
+                    do_end(_lc(s[lt + 2:j]), s[lt:gt + 1])
+                    scan = gt + 1
+                    continue
+                if c2 == ">":
+                    scan = lt + 3     # '</>' vanishes per spec
+                    continue
+                # bogus comment: '</' + junk, up to '>'
+                gt = s.find(">", lt + 2)
+                flush()
+                raw = s[lt:] if gt == -1 else s[lt:gt + 1]
+                if suppress == 0:
+                    out_len += len(raw)
+                    if need_html:
+                        out.append(raw)
+                if gt == -1:
+                    break
+                scan = gt + 1
                 continue
+            if c == "!" or c == "?":
+                if c == "!" and s.startswith("--", lt + 2):
+                    end2 = s.find("-->", lt + 2)
+                    raw = s[lt:] if end2 == -1 else s[lt:end2 + 3]
+                    nxt = n if end2 == -1 else end2 + 3
+                elif c == "!" and s[lt + 2:lt + 9].lower() == "doctype":
+                    gt = s.find(">", lt + 2)
+                    raw = s[lt:] if gt == -1 else s[lt:gt + 1]
+                    nxt = n if gt == -1 else gt + 1
+                else:
+                    # bogus comment '<!...' / processing instruction '<?'
+                    gt = s.find(">", lt + 2)
+                    raw = s[lt:] if gt == -1 else s[lt:gt + 1]
+                    nxt = n if gt == -1 else gt + 1
+                flush()
+                # comment / doctype: kept verbatim (no sanitizer)
+                if suppress == 0:
+                    out_len += len(raw)
+                    if need_html:
+                        out.append(raw)
+                scan = nxt
+                continue
+            # '<' followed by anything else: literal text
+            append_text("<")
+            scan = lt + 1
 
-            # comment / doctype: kept verbatim (no sanitizer)
-            if suppress == 0:
-                out_len += len(tok[1])
-                if need_html:
-                    out.append(tok[1])
+        if not eof:
+            flush()
 
         extracted = "".join(parts)
         if self.unescape:
