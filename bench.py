@@ -87,7 +87,7 @@ def bench_extract(sf_dir: str, num_cpus: int, out_dir: str) -> dict:
     # pool = cpus minus a small absolute reserve for read/write tasks
     conc = max(2, num_cpus - max(2, num_cpus // 8))
     out = extract_stage(ds, keep_spans=False, batch_size=128,
-                        concurrency=conc)
+                        concurrency=conc, drop_input_text=True)
     out.write_parquet(out_dir)
     dt = time.perf_counter() - t0
     return {"sec": dt, "turns": n_rows, "turns_per_sec": n_rows / dt}

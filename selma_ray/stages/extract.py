@@ -49,10 +49,16 @@ class ExtractTurns:
 
     def __init__(self, text_col: str = "text", sanitizer_config=None,
                  strip_tags=None, break_tags=None, keep_html: bool = False,
-                 keep_spans: bool = True, collapse_whitespace: bool = True):
+                 keep_spans: bool = True, collapse_whitespace: bool = True,
+                 drop_input_text: bool = False):
         self.text_col = text_col
         self.keep_html = keep_html
         self.keep_spans = keep_spans
+        # dropping the original HTML column inside the stage halves the
+        # output block bytes through the object store and the parquet
+        # write — at 100 TB the raw text should never ride along unless
+        # the caller explicitly wants it
+        self.drop_input_text = drop_input_text
         # compile once per actor (selector automata + sanitizer tables)
         self.engine = ExtractionEngine(
             sanitizer_config=sanitizer_config,
@@ -66,7 +72,8 @@ class ExtractTurns:
         process = self.engine.process
         results = [process(t if t is not None else "")
                    for t in batch.column(self.text_col).to_pylist()]
-        out = batch
+        out = (batch.drop_columns([self.text_col])
+               if self.drop_input_text else batch)
         out = out.append_column(
             "extracted_text",
             pa.array([r["extracted_text"] for r in results], pa.large_string()))
@@ -94,6 +101,7 @@ class ExtractTurns:
 def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
                   strip_tags=None, break_tags=None, keep_html: bool = False,
                   keep_spans: bool = True, collapse_whitespace: bool = True,
+                  drop_input_text: bool = False,
                   batch_size: int = 64, concurrency=None):
     """Attach the extraction actor-pool stage to a Dataset.
 
@@ -119,7 +127,8 @@ def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
             text_col=text_col, sanitizer_config=sanitizer_config,
             strip_tags=strip_tags, break_tags=break_tags,
             keep_html=keep_html, keep_spans=keep_spans,
-            collapse_whitespace=collapse_whitespace),
+            collapse_whitespace=collapse_whitespace,
+            drop_input_text=drop_input_text),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
