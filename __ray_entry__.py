@@ -244,6 +244,19 @@ def _q_events_rollup(sf_dir: str):
     return events_rollup(_read(sf_dir, "events"))
 
 
+def _q_events_windowed(sf_dir: str):
+    from selma_ray.pipelines.relational import events_windowed
+
+    return events_windowed(_read(sf_dir, "events"), window="hour")
+
+
+def _q_events_asof_orders(sf_dir: str):
+    from selma_ray.pipelines.relational import events_asof_orders
+
+    return events_asof_orders(_read(sf_dir, "events"),
+                              f"{sf_dir}/orders.parquet")
+
+
 def _q_top_customers(sf_dir: str):
     from selma_ray.pipelines.relational import top_customers
 
@@ -326,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_assembly": _q_conversation_assembly,
         "conversation_stats": _q_conversation_stats,
         "events_rollup": _q_events_rollup,
+        "events_windowed": _q_events_windowed,
+        "events_asof_orders": _q_events_asof_orders,
         "top_customers": _q_top_customers,
         "revenue_by_nation": _q_revenue_by_nation,
         "pricing_summary": _q_pricing_summary,
@@ -420,6 +435,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "events_windowed": r"""
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_asof_orders": r"""
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderdate AS last_order_date
+            FROM events e
+            ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "top_customers": r"""
             SELECT o_custkey,
