@@ -98,8 +98,9 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     picks = ["exact_dedup", "minhash_lsh_pairs", "ann_topk",
-             "embedding_near_dup", "events_rollup", "pricing_summary",
-             "revenue_by_nation", "doc_stats"]
+             "embedding_near_dup", "events_rollup", "events_windowed",
+             "events_asof_orders", "pricing_summary",
+             "revenue_by_nation", "doc_stats", "conversation_assembly"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in picks:
