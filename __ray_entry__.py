@@ -257,6 +257,19 @@ def _q_events_asof_orders(sf_dir: str):
                               f"{sf_dir}/orders.parquet")
 
 
+def _q_events_range_join(sf_dir: str):
+    from selma_ray.pipelines.relational import events_range_self_join
+
+    return events_range_self_join(_read(sf_dir, "events"),
+                                  f"{sf_dir}/events.parquet", window_s=300)
+
+
+def _q_sessionize(sf_dir: str):
+    from selma_ray.pipelines.relational import sessionize_events
+
+    return sessionize_events(_read(sf_dir, "events"), gap_s=1800)
+
+
 def _q_top_customers(sf_dir: str):
     from selma_ray.pipelines.relational import top_customers
 
@@ -341,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "events_windowed": _q_events_windowed,
         "events_asof_orders": _q_events_asof_orders,
+        "events_range_join": _q_events_range_join,
+        "sessionize_events": _q_sessionize,
         "top_customers": _q_top_customers,
         "revenue_by_nation": _q_revenue_by_nation,
         "pricing_summary": _q_pricing_summary,
@@ -449,6 +464,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_range_join": r"""
+            SELECT e1.user_id,
+                   e1.event_id AS event_a,
+                   e2.event_id AS event_b,
+                   (epoch_us(e2.ts) - epoch_us(e1.ts))::BIGINT AS gap_us
+            FROM events e1 JOIN events e2
+              ON e1.user_id = e2.user_id
+             AND e2.ts >= e1.ts
+             AND e2.ts < e1.ts + INTERVAL 300 SECOND
+             AND e1.event_id != e2.event_id
+        """,
+        "sessionize_events": r"""
+            WITH g AS (
+                SELECT event_id, user_id, ts,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events)
+            SELECT event_id, user_id, ts,
+                   sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT
+                       AS session_idx
+            FROM g
         """,
         "top_customers": r"""
             SELECT o_custkey,

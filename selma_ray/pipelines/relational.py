@@ -199,6 +199,95 @@ def events_asof_orders(events_ds, orders_path: str):
     return events_ds.map_batches(asof, batch_format="pyarrow")
 
 
+def events_range_self_join(events_ds, events_path: str, *,
+                           window_s: int = 300):
+    """Range join: pairs of events by the same user within ``window_s``
+    seconds (a.ts <= b.ts < a.ts + window, a.event_id != b.event_id,
+    emitted once with a.ts <= b.ts).
+
+    Broadcast-small-side composition of a range join (Ray Data has no
+    native one): the right side packs into a sorted (user<<52 | ts)
+    composite array; each left batch finds its window with TWO
+    vectorized searchsorted calls and expands matches with repeat/
+    arange arithmetic — no shuffle, no per-row Python. Same documented
+    scale fallback as the as-of join: hash-partition both sides by user
+    and run the identical merge per partition.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    SHIFT = 52
+    win_us = np.int64(window_s * 1_000_000)
+
+    t = pq.read_table(events_path, columns=["user_id", "ts", "event_id"])
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    comp = (uid << SHIFT) | ts
+    order = np.argsort(comp, kind="stable")
+    ref = ray.put((comp[order], eid[order], ts[order]))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        comp_r, eid_r, ts_r = ray.get(ref)
+        uid_l = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts_l = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid_l = batch.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        q = (uid_l << SHIFT) | ts_l
+        lo = np.searchsorted(comp_r, q, side="left")
+        hi = np.searchsorted(comp_r, q + win_us, side="left")
+        counts = hi - lo
+        li = np.repeat(np.arange(len(q)), counts)
+        # within-window offsets: flat arange minus each row's start
+        flat = np.arange(counts.sum()) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        rj = lo[li] + flat
+        keep = eid_r[rj] != eid_l[li]          # drop self-pairs
+        li, rj = li[keep], rj[keep]
+        return pa.table({
+            "user_id": pa.array(uid_l[li], pa.int64()),
+            "event_a": pa.array(eid_l[li], pa.int64()),
+            "event_b": pa.array(eid_r[rj], pa.int64()),
+            "gap_us": pa.array(ts_r[rj] - ts_l[li], pa.int64()),
+        })
+
+    return events_ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def sessionize_events(events_ds, *, gap_s: int = 1800):
+    """Per-user sessionization: a new session starts when the gap since
+    the user's previous event exceeds ``gap_s`` seconds. Emits
+    (event_id, user_id, ts, session_idx) with session_idx dense from 0
+    per user.
+
+    The stateful-ordering op: groupby(user_id).map_groups sorts each
+    user's events by time and takes a cumulative sum over gap breaks —
+    per-group state never crosses users, so hash partitioning by user is
+    the only shuffle. Matches the SQL window-function formulation
+    (sum(gap > g) OVER (PARTITION BY user ORDER BY ts)).
+    """
+    gap_us = np.int64(gap_s * 1_000_000)
+
+    def assign(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        breaks = np.empty(len(ts), dtype=np.int64)
+        breaks[0] = 0
+        breaks[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "ts": g.column("ts"),
+            "session_idx": pa.array(np.cumsum(breaks), pa.int64()),
+        })
+
+    return events_ds.groupby("user_id").map_groups(
+        assign, batch_format="pyarrow")
+
+
 def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
     """orders ⋈ customer ⋈ nation -> (n_name, n_orders, revenue_cents).
 
