@@ -252,6 +252,7 @@ class ExtractionEngine:
         # the token-tuple round trip, the fast path's residual overhead.
         from .tokenizer import (
             _ALPHA,
+            _LC_CACHE,
             _TAG_RE,
             _lc,
             _parse_attrs,
@@ -259,6 +260,8 @@ class ExtractionEngine:
             _rawtext_end_pattern,
         )
         from .tags import RAWTEXT_TAGS, RCDATA_TAGS
+
+        lc_cache_get = _LC_CACHE.get
 
         s = text
         n = len(s)
@@ -334,12 +337,13 @@ class ExtractionEngine:
                 # ---------------- start tag ----------------
                 m = _TAG_RE.match(s, lt)
                 if m is not None:
-                    name = _lc(m.group(1))
-                    self_closing = m.group(3) == "/"
-                    tag_len = m.end() - lt
-                    attr_span = (m.start(2), m.end(2))
-                    has_attrs = attr_span[0] != attr_span[1]
+                    raw_name, attrs_src, solidus = m.group(1, 2, 3)
+                    name = lc_cache_get(raw_name) or _lc(raw_name)
+                    self_closing = solidus == "/"
                     scan = m.end()
+                    tag_len = scan - lt
+                    attr_span = m                 # spans fetched on demand
+                    has_attrs = bool(attrs_src)
                 else:
                     parsed = _parse_start_tag_slow(s, lt, n)
                     if parsed is None:
@@ -367,7 +371,8 @@ class ExtractionEngine:
                     mname = None
                     mcontent = None
                     if has_attrs:
-                        attrs = (_parse_attrs(s, *attr_span)
+                        attrs = (_parse_attrs(s, attr_span.start(2),
+                                              attr_span.end(2))
                                  if attr_span is not None else tag.attrs)
                         for a in attrs:
                             if a.name_lc == "name" and mname is None:
@@ -440,7 +445,8 @@ class ExtractionEngine:
                         break
                     if text_pieces:
                         flush()
-                    do_end(_lc(s[lt + 2:j]), s[lt:gt + 1])
+                    en = s[lt + 2:j]
+                    do_end(lc_cache_get(en) or _lc(en), s[lt:gt + 1])
                     scan = gt + 1
                     continue
                 if c2 == ">":
