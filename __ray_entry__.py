@@ -231,6 +231,14 @@ def _q_ann_lsh(sf_dir: str):
                     round_to=4)
 
 
+def _q_ann_ivf(sf_dir: str):
+    from selma_ray.pipelines.similarity import ivf_topk, load_queries
+
+    ids, Q = load_queries(sf_dir, n_queries=5)
+    return ivf_topk(_read(sf_dir, "embeddings"), ids, Q, k=10, n_cells=16,
+                    nprobe=4, round_to=4)
+
+
 def _q_embedding_near_dup(sf_dir: str):
     from selma_ray.pipelines.similarity import embedding_near_dup_pairs
 
@@ -348,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "conversation_assembly": _q_conversation_assembly,
         "conversation_stats": _q_conversation_stats,

@@ -235,6 +235,104 @@ def lsh_topk(ds, query_ids, Q, *, id_col: str = "vec_id",
         _final_topk_fn(k, round_to), batch_format="pyarrow")
 
 
+# -- IVF-bucketed ANN (the other scale path) ---------------------------------
+
+
+def train_ivf_centroids(ds, *, emb_col: str = "embedding", n_cells: int = 16,
+                        n_iter: int = 5, sample_rows: int = 4096):
+    """Deterministic driver-side k-means-lite: centroids from a bounded
+    sample (first ``sample_rows`` in dataset order, seeded init = first
+    n_cells vectors), a few Lloyd iterations on normalized vectors.
+    Returns a normalized (n_cells, dim) matrix. At 100 TB the sample read
+    stays a single limit() scan; training is O(sample * cells * iter) on
+    the driver."""
+    sample = ds.limit(sample_rows)
+    mats = [_batch_matrix(b, emb_col)
+            for b in sample.iter_batches(batch_format="pyarrow",
+                                         batch_size=2048)]
+    X = _normalize(np.vstack(mats))
+    C = X[:n_cells].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+class IvfPartialTopK:
+    """Like PartialTopK, but each batch row is scored only against the
+    queries probing its IVF cell: rows are assigned to their nearest
+    centroid; each query probes its ``nprobe`` nearest cells. Candidate
+    work shrinks ~n_cells/nprobe-fold at matched recall on clustered
+    data (the inverted-file trade)."""
+
+    def __init__(self, state_ref, *, id_col: str = "vec_id",
+                 emb_col: str = "embedding", k: int = 10, nprobe: int = 4):
+        import ray
+
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.k = k
+        self.query_ids, self.Q, self.C = ray.get(state_ref)
+        # (n_queries, nprobe) probed cell ids
+        sims = self.Q @ self.C.T
+        nprobe = min(nprobe, self.C.shape[0])
+        self.qcells = np.argpartition(-sims, nprobe - 1,
+                                      axis=1)[:, :nprobe]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        E = _normalize(_batch_matrix(batch, self.emb_col))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        ecell = np.argmax(E @ self.C.T, axis=1)      # (n,)
+        out = []
+        for qi in range(self.Q.shape[0]):
+            cand = np.nonzero(np.isin(ecell, self.qcells[qi]))[0]
+            if cand.size == 0:
+                continue
+            sims = self.Q[qi] @ E[cand].T
+            k = min(self.k, cand.size)
+            top = np.argpartition(-sims, k - 1)[:k]
+            out.append(pa.table({
+                "query_id": pa.array(
+                    np.full(k, self.query_ids[qi]), pa.int64()),
+                "vec_id": pa.array(ids[cand[top]].astype(np.int64),
+                                   pa.int64()),
+                "sim": pa.array(sims[top], pa.float64()),
+            }))
+        return pa.concat_tables(out) if out else empty
+
+
+def _ivf_partial_topk_fn(batch: pa.Table, **kw) -> pa.Table:
+    return _cached_stage(IvfPartialTopK, **kw)(batch)
+
+
+def ivf_topk(ds, query_ids, Q, *, id_col: str = "vec_id",
+             emb_col: str = "embedding", k: int = 10, n_cells: int = 16,
+             nprobe: int = 4, round_to: int | None = 4, concurrency=None):
+    import ray
+
+    C = train_ivf_centroids(ds, emb_col=emb_col, n_cells=n_cells)
+    state_ref = ray.put((np.asarray(query_ids, dtype=np.int64),
+                         _normalize(Q), C))
+    kwargs = dict(
+        fn_kwargs=dict(state_ref=state_ref, id_col=id_col, emb_col=emb_col,
+                       k=k, nprobe=nprobe),
+        batch_format="pyarrow", batch_size=4096)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    partial = ds.map_batches(_ivf_partial_topk_fn, **kwargs)
+    return coalesce_small(partial).groupby("query_id").map_groups(
+        _final_topk_fn(k, round_to), batch_format="pyarrow")
+
+
 # -- embedding-cosine near-dup ------------------------------------------------
 
 

@@ -99,6 +99,19 @@ def test_ann_lsh_recall_vs_brute(ray_session):
     assert recall_num / recall_den > 0.3  # 4-bit LSH, small corpus
 
 
+def test_ann_ivf_recall_vs_brute(ray_session):
+    """IVF ANN must achieve reasonable recall against the exact result."""
+    brute = _to_df(entrymod.queries()["ann_topk"](SF_DIR))
+    ivf = _to_df(entrymod.queries()["ann_ivf_topk"](SF_DIR))
+    recall_num = recall_den = 0
+    for qid, g in brute.groupby("query_id"):
+        want = set(g["neighbor_id"])
+        have = set(ivf[ivf["query_id"] == qid]["neighbor_id"])
+        recall_num += len(want & have)
+        recall_den += len(want)
+    assert recall_num / recall_den > 0.5  # nprobe=4 of 16 cells
+
+
 def test_minhash_finds_exact_near_dups(ray_session):
     """Every high-Jaccard pair found exactly must surface via MinHash-LSH."""
     exact = _to_df(entrymod.queries()["ngram_jaccard"](SF_DIR))
