@@ -17,7 +17,6 @@ import html as _html
 from .rewriter import Rewriter, Selector
 from .sanitizer import Sanitizer
 from .tags import VOID_TAGS
-from .tokenizer import tokenize
 
 # Tags whose entire subtree is dropped during extraction. Superset of the
 # reference ContentExtractor's removal list (pre/code/form/style/noscript/

@@ -27,7 +27,6 @@ import os
 import posixpath
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..stages.extract import extract_stage
 from ..state.manifest import Manifest
