@@ -148,7 +148,16 @@ class Element:
         self.prepend_parts = []
         self.append_parts = []
         self.inner_content = None
-        self._attrs = list(tag.attrs)
+        self._attrs = None           # lazy copy of tag.attrs on first use:
+        # removed elements and tag-only selectors never touch attributes,
+        # so the sanitize-everything path skips the parse + copy entirely
+
+    @property
+    def _attr_list(self):
+        a = self._attrs
+        if a is None:
+            a = self._attrs = list(self.tag.attrs)
+        return a
 
     # -- identity ----------------------------------------------------------
 
@@ -188,11 +197,11 @@ class Element:
 
     @property
     def attrs(self):
-        return self._attrs
+        return self._attr_list
 
     def attr_map(self):
         out = {}
-        for a in self._attrs:
+        for a in self._attr_list:
             if a.name_lc not in out:
                 out[a.name_lc] = a.value if a.value is not None else ""
         return out
@@ -203,7 +212,7 @@ class Element:
 
     def __getitem__(self, name):
         name = name.lower()
-        for a in self._attrs:
+        for a in self._attr_list:
             if a.name_lc == name:
                 return a.value if a.value is not None else ""
         return None
@@ -213,25 +222,25 @@ class Element:
 
     def has_attribute(self, name):
         name = name.lower()
-        return any(a.name_lc == name for a in self._attrs)
+        return any(a.name_lc == name for a in self._attr_list)
 
     def set_attribute(self, name, value):
         if not isinstance(value, str):
             raise TypeError("attribute value must be a string")
         lc = name.lower()
-        for a in self._attrs:
+        for a in self._attr_list:
             if a.name_lc == lc:
                 a.value = value
                 a.has_value = True
                 a.raw = None  # force re-serialization of this attr
                 self._dirty = True
                 return
-        self._attrs.append(Attr(name, lc, value, True, None, None, None))
+        self._attr_list.append(Attr(name, lc, value, True, None, None, None))
         self._dirty = True
 
     def remove_attribute(self, name):
         lc = name.lower()
-        for i, a in enumerate(self._attrs):
+        for i, a in enumerate(self._attr_list):
             if a.name_lc == lc:
                 del self._attrs[i]
                 self._dirty = True
@@ -241,7 +250,7 @@ class Element:
         """Byte ranges into the original input; None for missing,
         handler-added, or pure-boolean attrs (element.rs:117-156)."""
         lc = name.lower()
-        for a in self._attrs:
+        for a in self._attr_list:
             if a.name_lc == lc:
                 if a.name_span is None or not a.has_value or a.value_span is None:
                     return None
@@ -287,7 +296,7 @@ class Element:
         if not self._dirty:
             return tag.raw
         parts = ["<", self._new_name or tag.name_raw]
-        for a in self._attrs:
+        for a in self._attr_list:
             parts.append(" ")
             if a.raw is not None:
                 parts.append(a.raw)
@@ -299,6 +308,9 @@ class Element:
             parts.append("/")
         parts.append(">")
         return "".join(parts)
+
+
+_EMPTY_AMAP: dict = {}
 
 
 class _Node:
@@ -434,6 +446,12 @@ class Rewriter:
         for h in handlers:
             h.text_active = 0
         any_text_handlers = any(h.text_sel is not None for h in handlers)
+        # tag-only rulesets (and sanitize-only runs) never read attribute
+        # maps during matching: skip building one per tag
+        needs_amap = any(
+            (h.element_sel is not None and h.element_sel.needs_attrs)
+            or (h.text_sel is not None and h.text_sel.needs_attrs)
+            for h in handlers)
 
         filter_doctype = sanitizer is not None and not sanitizer.allow_doctype
         filter_comments = sanitizer is not None and not sanitizer.allow_comments
@@ -483,8 +501,10 @@ class Rewriter:
                 tag = tok[1]
                 el = Element(tag, stack_nodes)
                 # selector matching happens against ORIGINAL attrs, before
-                # any hook mutates the element (lol_html VM semantics)
-                node = _Node(tag.name_lc, el.attr_map())
+                # any hook mutates the element (lol_html VM semantics) —
+                # snapshot eagerly (a lazy map would see handler mutations)
+                node = _Node(tag.name_lc,
+                             el.attr_map() if needs_amap else _EMPTY_AMAP)
                 matched = None
                 text_opened = None
                 if handlers:

@@ -269,11 +269,18 @@ class _Parser:
         return v
 
 
+def _simple_needs_attrs(sp: "_Simple") -> bool:
+    if sp.classes or sp.ids or sp.attrs:
+        return True
+    return any(_simple_needs_attrs(p)
+               for nl in sp.nots for cx in nl for (p, _) in cx)
+
+
 class CompiledSelector:
     """A parsed selector list; ``matches(el, stack)`` tests one element in
     the context of its open-element ancestor stack (root..parent)."""
 
-    __slots__ = ("css", "sel_list", "_is_star")
+    __slots__ = ("css", "sel_list", "_is_star", "needs_attrs")
 
     def __init__(self, css: str):
         if not isinstance(css, str):
@@ -295,6 +302,10 @@ class CompiledSelector:
             and not self.sel_list[0][0][0].attrs
             and not self.sel_list[0][0][0].nots
         )
+        # whether matching can ever read an attribute map — lets the
+        # rewriter skip per-tag attr-map construction for tag-only rulesets
+        self.needs_attrs = any(_simple_needs_attrs(p)
+                               for cx in self.sel_list for (p, _) in cx)
 
     def matches(self, el, stack) -> bool:
         if self._is_star:
