@@ -134,6 +134,41 @@ class MainContentExtractor:
         self._len += len(piece)
 
 
+# Per-tag-name action flags for the fused fast path: one dict lookup
+# replaces the 5-6 set-membership tests the loop would otherwise do per
+# start/end tag. Built once per engine from the configured strip/break
+# sets (names absent from the table are plain unwrapped containers).
+_F_STRIP = 1      # subtree removed + text ignored (strip_tags)
+_F_TITLE = 2      # name == "title" (latch text into .title)
+_F_META = 4       # name == "meta" (harvest name/content attrs)
+_F_BREAK = 8      # word break when unwrapped / explicitly closed
+_F_VOID = 16      # never pushed on the open stack
+_F_TEXTMODE = 32  # rawtext/RCDATA/script content follows
+_F_PLAINTEXT = 64  # PLAINTEXT: rest of input is text
+
+
+def _build_taginfo(strip_tags, break_tags) -> dict:
+    from .tags import RAWTEXT_TAGS, RCDATA_TAGS
+
+    info: dict[str, int] = {}
+
+    def add(name, bit):
+        info[name] = info.get(name, 0) | bit
+
+    for t in strip_tags:
+        add(t, _F_STRIP)
+    for t in break_tags:
+        add(t, _F_BREAK)
+    add("title", _F_TITLE)
+    add("meta", _F_META)
+    for t in VOID_TAGS:
+        add(t, _F_VOID)
+    for t in RAWTEXT_TAGS | RCDATA_TAGS | {"script"}:
+        add(t, _F_TEXTMODE)
+    add("plaintext", _F_TEXTMODE | _F_PLAINTEXT)
+    return info
+
+
 class ExtractionEngine:
     """Per-worker extraction engine: compiled ruleset + reusable handler.
 
@@ -167,6 +202,8 @@ class ExtractionEngine:
         self._fast = (sanitizer is None) if fast is None else fast
         if self._fast and sanitizer is not None:
             raise ValueError("fast path requires sanitizer_config=None")
+        self._taginfo = _build_taginfo(self.extractor.strip_tags,
+                                       self.extractor.break_tags)
 
     def process(self, text: str) -> dict:
         """Extract main content from one turn/document.
@@ -223,10 +260,9 @@ class ExtractionEngine:
           (remove_and_keep_content) elements drop their tags only.
         """
         ex = self.extractor
-        strip_tags = ex.strip_tags
-        break_tags = ex.break_tags
         need_html = self.need_html
         need_spans = self.need_spans
+        taginfo_get = self._taginfo.get
 
         parts: list[str] = []
         append_part = parts.append
@@ -258,9 +294,9 @@ class ExtractionEngine:
             _parse_start_tag_slow,
             _rawtext_end_pattern,
         )
-        from .tags import RAWTEXT_TAGS, RCDATA_TAGS
 
         lc_cache_get = _LC_CACHE.get
+        tag_match = _TAG_RE.match
 
         s = text
         n = len(s)
@@ -291,17 +327,14 @@ class ExtractionEngine:
                 text_pieces.clear()
                 do_text(t)
 
-        def do_end(name, raw):
-            nonlocal suppress, ignore_depth, within_title, pos, out_len
-            if not open_counts.get(name):
-                # stray end tag: passes through (no on_end_tag)
-                if suppress == 0:
-                    out_len += len(raw)
-                    if need_html:
-                        out.append(raw)
-                return
-            # pop implicitly-closed elements silently, then the match
-            # (amortized O(1): each entry is pushed and popped once)
+        def do_end_nested(name):
+            # explicit close of a non-top open element (caller verified
+            # open_counts[name] > 0): pop implicitly-closed elements
+            # silently, then the match (amortized O(1): each entry is
+            # pushed and popped once), then on_end_tag semantics — the
+            # end tag itself is always suppressed (every element is
+            # remove()d or unwrapped).
+            nonlocal suppress, ignore_depth, within_title, pos
             while True:
                 top = stack.pop()
                 flag = stack_flags.pop()
@@ -312,11 +345,10 @@ class ExtractionEngine:
                     ignore_depth -= 1
                 if top == name:
                     break
-            # on_end_tag (explicit close only); end tag itself always
-            # suppressed (every element is remove()d or unwrapped)
-            if name == "title":
+            info = taginfo_get(name, 0)
+            if info & 2:        # title
                 within_title = False
-            elif name in break_tags:
+            elif info & 8:      # break_tags
                 append_part(" ")
                 pos += 1
 
@@ -334,82 +366,89 @@ class ExtractionEngine:
             c = s[lt + 1]
             if c in _ALPHA:
                 # ---------------- start tag ----------------
-                m = _TAG_RE.match(s, lt)
+                m = tag_match(s, lt)
                 if m is not None:
-                    raw_name, attrs_src, solidus = m.group(1, 2, 3)
+                    raw_name = m.group(1)
                     name = lc_cache_get(raw_name) or _lc(raw_name)
-                    self_closing = solidus == "/"
                     scan = m.end()
-                    tag_len = scan - lt
-                    attr_span = m                 # spans fetched on demand
-                    has_attrs = bool(attrs_src)
+                    slow_tag = None
                 else:
                     parsed = _parse_start_tag_slow(s, lt, n)
                     if parsed is None:
                         eof = True    # incomplete tag swallows the rest
                         break
-                    tag, scan = parsed
-                    name = tag.name_lc
-                    self_closing = tag.self_closing
-                    tag_len = len(tag.raw)
-                    attr_span = None
-                    has_attrs = bool(tag.attrs)
+                    slow_tag, scan = parsed
+                    name = slow_tag.name_lc
                 if text_pieces:
                     flush()
+                info = taginfo_get(name, 0)
+                if info == 0:
+                    # plain unwrapped non-void container (the common case)
+                    hits_unwrap += 1
+                    stack.append(name)
+                    stack_flags.append(0)
+                    open_counts[name] = open_counts.get(name, 0) + 1
+                    continue
                 removed_full = False
-                if name in strip_tags:
+                if info & 1:          # strip_tags
                     hits_strip += 1
                     if need_spans:
                         spans.append(("strip", name, pos, pos))
                     removed_full = True
-                elif name == "title":
+                elif info & 2:        # title
                     hits_title += 1
                     within_title = True
                     removed_full = True
-                elif name == "meta":
+                elif info & 4:        # meta (void: kept, not removed)
                     mname = None
                     mcontent = None
-                    if has_attrs:
-                        attrs = (_parse_attrs(s, attr_span.start(2),
-                                              attr_span.end(2))
-                                 if attr_span is not None else tag.attrs)
-                        for a in attrs:
-                            if a.name_lc == "name" and mname is None:
-                                mname = (a.value if a.value is not None
-                                         else "")
-                            elif (a.name_lc == "content"
-                                  and mcontent is None):
-                                mcontent = (a.value if a.value is not None
-                                            else "")
+                    if slow_tag is not None:
+                        attrs = slow_tag.attrs
+                    elif m.group(2):
+                        attrs = _parse_attrs(s, m.start(2), m.end(2))
+                    else:
+                        attrs = ()
+                    for a in attrs:
+                        if a.name_lc == "name" and mname is None:
+                            mname = (a.value if a.value is not None
+                                     else "")
+                        elif (a.name_lc == "content"
+                              and mcontent is None):
+                            mcontent = (a.value if a.value is not None
+                                        else "")
                     if mname is not None:
                         hits_meta += 1
                         meta[mname] = mcontent or ""
-                    if suppress == 0:   # meta is kept (not removed)
-                        out_len += tag_len
+                    if suppress == 0:
+                        out_len += scan - lt
                         if need_html:
-                            out.append(s[lt:lt + tag_len])
+                            out.append(s[lt:scan])
                 else:
                     hits_unwrap += 1
-                    if name in break_tags:
+                    if info & 8:      # break_tags
                         append_part(" ")
                         pos += 1
-                if name not in VOID_TAGS:
+                if not info & 16:     # non-void: push on the open stack
                     stack.append(name)
                     open_counts[name] = open_counts.get(name, 0) + 1
-                    flag = 0
                     if removed_full:
-                        flag = 1
-                        suppress += 1
-                    if name in strip_tags:
-                        flag |= 2
-                        ignore_depth += 1
-                    stack_flags.append(flag)
+                        if info & 1:
+                            stack_flags.append(3)
+                            suppress += 1
+                            ignore_depth += 1
+                        else:
+                            stack_flags.append(1)
+                            suppress += 1
+                    else:
+                        stack_flags.append(0)
                     # rawtext / RCDATA / script / plaintext content modes
-                    if not self_closing and (
-                        name == "script" or name == "plaintext"
-                        or name in RAWTEXT_TAGS or name in RCDATA_TAGS
-                    ):
-                        if name == "plaintext":
+                    if info & 32:
+                        self_closing = (m.group(3) == "/"
+                                        if slow_tag is None
+                                        else slow_tag.self_closing)
+                        if self_closing:
+                            continue
+                        if info & 64:   # plaintext: rest of input is text
                             if scan < n:
                                 do_text(s[scan:])
                             eof = True
@@ -426,7 +465,19 @@ class ExtractionEngine:
                         if gt == -1:
                             eof = True   # incomplete end tag: dropped
                             break
-                        do_end(name, s[m2.start():gt + 1])
+                        # the just-pushed element is the stack top
+                        stack.pop()
+                        flag = stack_flags.pop()
+                        open_counts[name] -= 1
+                        if flag & 1:
+                            suppress -= 1
+                        if flag & 2:
+                            ignore_depth -= 1
+                        if info & 2:
+                            within_title = False
+                        elif info & 8:
+                            append_part(" ")
+                            pos += 1
                         scan = gt + 1
                 continue
             if c == "/":
@@ -445,7 +496,31 @@ class ExtractionEngine:
                     if text_pieces:
                         flush()
                     en = s[lt + 2:j]
-                    do_end(lc_cache_get(en) or _lc(en), s[lt:gt + 1])
+                    name = lc_cache_get(en) or _lc(en)
+                    cnt = open_counts.get(name)
+                    if not cnt:
+                        # stray end tag: passes through (no on_end_tag)
+                        if suppress == 0:
+                            out_len += gt + 1 - lt
+                            if need_html:
+                                out.append(s[lt:gt + 1])
+                    elif stack[-1] == name:
+                        # explicit close of the innermost element
+                        stack.pop()
+                        flag = stack_flags.pop()
+                        open_counts[name] = cnt - 1
+                        if flag & 1:
+                            suppress -= 1
+                        if flag & 2:
+                            ignore_depth -= 1
+                        info = taginfo_get(name, 0)
+                        if info & 2:        # title
+                            within_title = False
+                        elif info & 8:      # break_tags
+                            append_part(" ")
+                            pos += 1
+                    else:
+                        do_end_nested(name)
                     scan = gt + 1
                     continue
                 if c2 == ">":
