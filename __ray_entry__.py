@@ -323,6 +323,64 @@ def _q_conversation_stats(sf_dir: str):
     return conversation_stats(_docs_as_conv_turns(sf_dir))
 
 
+def _docs_with_links(sf_dir: str):
+    """Embed deterministic anchors in the documents text: one absolute
+    link per doc, plus a relative link when doc_id % 3 == 0 — SQL can
+    reconstruct the expected link table exactly."""
+    def shape(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        html = []
+        for d, s, t in zip(ids, srcs, texts):
+            h = (f'<div><p>{t}</p>'
+                 f'<a href="https://{s}.example.com/{d}">ref {d}</a>')
+            if d % 3 == 0:
+                h += f'<a href="/rel/{d}">r</a>'
+            html.append(h + "</div>")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(html, pa.large_string()),
+        })
+    return _read(sf_dir, "documents").map_batches(
+        shape, batch_format="pyarrow")
+
+
+def _q_extract_links(sf_dir: str):
+    from selma_ray.pipelines.links import extract_links
+
+    return extract_links(_docs_with_links(sf_dir))
+
+
+def _q_link_domains(sf_dir: str):
+    from selma_ray.pipelines.links import link_domains
+
+    return link_domains(_docs_with_links(sf_dir))
+
+
+def _q_redact_pii(sf_dir: str):
+    from selma_ray.pipelines.sampling import redact_pii
+
+    out = redact_pii(_read(sf_dir, "events"), text_col="props",
+                     patterns=["number"], replacement="<NUM>")
+    return out.select_columns(["event_id", "props_redacted", "n_redactions"])
+
+
+def _q_hash_sample(sf_dir: str):
+    from selma_ray.pipelines.sampling import stratified_hash_sample
+
+    out = stratified_hash_sample(_read(sf_dir, "documents"),
+                                 key_col="text", strat_col="lang",
+                                 rates={"en": 0.1}, default_rate=0.5)
+    return out.select_columns(["doc_id", "lang", "fp"])
+
+
+def _q_pack_windows(sf_dir: str):
+    from selma_ray.pipelines.conversations import pack_context_windows
+
+    return pack_context_windows(_docs_as_conv_turns(sf_dir), budget=128)
+
+
 def _q_multimodal_features(sf_dir: str):
     from selma_ray.stages.multimodal import DecodeImageFeatures, multimodal_stage
 
@@ -369,6 +427,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
+        "extract_links": _q_extract_links,
+        "link_domains": _q_link_domains,
+        "redact_pii": _q_redact_pii,
+        "hash_sample": _q_hash_sample,
+        "pack_windows": _q_pack_windows,
     }
 
 
@@ -584,6 +647,52 @@ def oracle_sql() -> dict[str, str]:
                        AS quality,
                    punct_ratio, stopword_ratio
             FROM ratios
+        """,
+        "extract_links": r"""
+            SELECT doc_id,
+                   'https://' || source || '.example.com/' || doc_id AS href,
+                   source || '.example.com' AS domain
+            FROM documents
+            UNION ALL
+            SELECT doc_id, '/rel/' || doc_id AS href, '' AS domain
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "link_domains": r"""
+            SELECT source || '.example.com' AS domain,
+                   count(*)::BIGINT AS n_links
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT '' AS domain, count(*)::BIGINT AS n_links
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "redact_pii": r"""
+            SELECT event_id,
+                   regexp_replace(props, '(?:\d+)', '<NUM>', 'g')
+                       AS props_redacted,
+                   len(regexp_extract_all(props, '(?:\d+)'))::BIGINT
+                       AS n_redactions
+            FROM events
+        """,
+        # thresholds are rate_to_hex_threshold(0.1) / (0.5): keep iff the
+        # first 8 hex digits of md5(text) sort below the stratum's cut
+        "hash_sample": r"""
+            SELECT doc_id, lang, md5(text) AS fp
+            FROM documents
+            WHERE substr(md5(text), 1, 8) <
+                  CASE WHEN lang = 'en' THEN '19999999' ELSE '80000000' END
+        """,
+        "pack_windows": r"""
+            WITH t AS (
+                SELECT source AS conv_id, doc_id AS turn_idx,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT
+                           AS n_tokens
+                FROM documents)
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx, n_tokens,
+                   ((sum(n_tokens) OVER (
+                         PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    // 128)::BIGINT AS window_idx
+            FROM t
         """,
         # extract_transcripts / sanitize_transcripts: the HTML streaming
         # engine (tokenizer + selector automaton + sanitizer) is not

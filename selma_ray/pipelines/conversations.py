@@ -104,6 +104,39 @@ def assemble_conversations(ds, *, text_col: str = "text", sep: str = "\n"):
         _merge_segments(sep), batch_format="pyarrow")
 
 
+def pack_context_windows(ds, *, budget: int = 128, text_col: str = "text"):
+    """Assign each turn a per-conversation context-window id under a
+    token budget: window_idx = (preceding cumulative token count) //
+    budget, with turns taken in (turn_idx) order. Sequential fixed-budget
+    packing — the deterministic, shuffle-friendly variant of greedy
+    packing used to cut transcripts into training windows.
+
+    Shuffle shape: one groupby(conv_id) of (conv_id, turn_idx, n_tokens)
+    triples — the text itself never rides through the shuffle; token
+    counts are computed map-side (vectorized RE2) before the wide step.
+    """
+    import numpy as np
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": pc.cast(batch.column("turn_idx"), pa.int64()),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                batch.column(text_col), pattern=r"\S+"), pa.int64()),
+        })
+
+    def pack(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("turn_idx", "ascending")])
+        tok = g.column("n_tokens").to_numpy()
+        before = np.cumsum(tok) - tok
+        return g.append_column(
+            "window_idx", pa.array(before // budget, pa.int64()))
+
+    slim = ds.map_batches(tokens, batch_format="pyarrow")
+    return coalesce_small(slim).groupby("conv_id").map_groups(
+        pack, batch_format="pyarrow")
+
+
 def conversation_stats(ds):
     """Per-conversation turn counts / byte totals without shipping text:
     partial-aggregate inside blocks (combiner), tiny groupby after."""

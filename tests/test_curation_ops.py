@@ -1,0 +1,109 @@
+"""Unit tests for the curation ops: link harvesting, redaction,
+deterministic sampling, context-window packing."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from selma_ray.engine.rewriter import Rewriter
+from selma_ray.pipelines.links import LinkHarvester, domain_of
+from selma_ray.pipelines.sampling import (
+    rate_to_hex_threshold,
+    redact_batch,
+)
+
+
+def _harvest(html: str) -> list[str]:
+    h = LinkHarvester()
+    rw = Rewriter(sanitizer=None, handlers=[h])
+    rw.rewrite(html)
+    return h.links
+
+
+class TestLinkHarvester:
+    def test_basic_and_relative(self):
+        assert _harvest('<a href="https://x.com/a">1</a>'
+                        '<a href="/rel">2</a>') == ["https://x.com/a", "/rel"]
+
+    def test_case_insensitive_attr_and_quotes(self):
+        # attribute names match case-insensitively; single quotes fine
+        assert _harvest("<A HREF='http://y.io'>z</A>") == ["http://y.io"]
+
+    def test_anchor_without_href_not_matched(self):
+        assert _harvest('<a name="top">x</a><a href="ok">y</a>') == ["ok"]
+
+    def test_nested_content_single_match(self):
+        assert _harvest('<a href="u"><b>deep</b></a>') == ["u"]
+
+    def test_domain_of(self):
+        assert domain_of("https://a.b.c/path?q#f") == "a.b.c"
+        assert domain_of("http://host") == "host"
+        assert domain_of("/relative/x") == ""
+        assert domain_of("mailto:x@y.z") == ""
+
+
+class TestRedact:
+    def test_email_and_phone(self):
+        col = pa.array(["mail me: bob@x.co or +1 (555) 123-4567 now",
+                        "clean"])
+        pat = (r"(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})"
+               r"|(?:\+?\d[\d\s().-]{7,}\d)")
+        red, counts = redact_batch(col, pat, "<PII>")
+        assert red.to_pylist() == ["mail me: <PII> or <PII> now", "clean"]
+        assert counts.to_pylist() == [2, 0]
+
+
+class TestHashSample:
+    def test_threshold_encoding(self):
+        assert rate_to_hex_threshold(0.0) == "00000000"
+        assert rate_to_hex_threshold(0.5) == "80000000"
+        assert rate_to_hex_threshold(0.1) == "19999999"
+        # rate 1.0 must keep EVERY row, including md5 prefix "ffffffff"
+        assert "ffffffff" < rate_to_hex_threshold(1.0)
+
+    def test_deterministic_and_stratified(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.sampling import stratified_hash_sample
+
+        rows = pa.table({
+            "doc_id": pa.array(range(2000), pa.int64()),
+            "text": pa.array([f"doc number {i}" for i in range(2000)]),
+            "lang": pa.array(["en" if i % 2 else "de" for i in range(2000)]),
+        })
+        ds = ray.data.from_arrow(rows)
+        got1 = stratified_hash_sample(
+            ds, key_col="text", strat_col="lang",
+            rates={"en": 0.1}, default_rate=0.5).to_pandas()
+        got2 = stratified_hash_sample(
+            ray.data.from_arrow(rows), key_col="text", strat_col="lang",
+            rates={"en": 0.1}, default_rate=0.5).to_pandas()
+        assert sorted(got1.doc_id) == sorted(got2.doc_id)
+        en = got1[got1.lang == "en"]
+        de = got1[got1.lang == "de"]
+        assert 0.04 < len(en) / 1000 < 0.2      # ~10%
+        assert 0.4 < len(de) / 1000 < 0.6       # ~50%
+        # fp is the md5 of the key and the keep rule is reproducible
+        row = got1.iloc[0]
+        src = f"doc number {row.doc_id}"
+        assert row.fp == hashlib.md5(src.encode()).hexdigest()
+
+
+class TestPackWindows:
+    def test_small_case(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.conversations import pack_context_windows
+
+        t = pa.table({
+            "conv_id": pa.array(["c"] * 4 + ["d"]),
+            "turn_idx": pa.array([0, 1, 2, 3, 0], pa.int32()),
+            "text": pa.array(["a b c", "d e", "f g h i", "j", "x y z"]),
+        })
+        out = pack_context_windows(ray.data.from_arrow(t),
+                                   budget=5).to_pandas()
+        out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        # conv c token counts: 3,2,4,1 -> cum-before 0,3,5,9 -> //5: 0,0,1,1
+        assert list(out.window_idx) == [0, 0, 1, 1, 0]
+        assert list(out.n_tokens) == [3, 2, 4, 1, 3]
