@@ -56,12 +56,17 @@ class MainContentExtractor:
 
     __slots__ = ("strip_tags", "break_tags", "title", "meta", "parts",
                  "spans", "hits", "_within_title", "_open_spans", "_selector",
-                 "_len")
+                 "_len", "span_text_runs")
 
     def __init__(self, strip_tags=DEFAULT_STRIP_TAGS,
-                 break_tags=DEFAULT_BREAK_TAGS):
+                 break_tags=DEFAULT_BREAK_TAGS, span_text_runs=True):
         self.strip_tags = strip_tags
         self.break_tags = break_tags
+        # span_text_runs=False records only matched-node ("strip") spans,
+        # not one span per text run — the north-rule deliverable is
+        # matched-node spans; per-run spans are an opt-in extension whose
+        # volume dominates span output on text-heavy documents
+        self.span_text_runs = span_text_runs
         # text inside ANY stripped subtree is excluded from the extracted
         # text via the stack-based ignore_text_within check (P10 in
         # SURVEY.md §2.3 — indirect descendants count), so the ignore
@@ -127,7 +132,8 @@ class MainContentExtractor:
             return
         pos = self._len
         self._append(text)
-        self.spans.append(("text", "", pos, pos + len(text)))
+        if self.span_text_runs:
+            self.spans.append(("text", "", pos, pos + len(text)))
 
     def _append(self, piece: str):
         self.parts.append(piece)
@@ -188,9 +194,11 @@ class ExtractionEngine:
 
     def __init__(self, sanitizer_config=None, strip_tags=DEFAULT_STRIP_TAGS,
                  break_tags=DEFAULT_BREAK_TAGS, collapse_whitespace=True,
-                 unescape=True, need_spans=True, need_html=True, fast=None):
+                 unescape=True, need_spans=True, need_html=True, fast=None,
+                 raw_spans=False, span_text_runs=True):
         self.extractor = MainContentExtractor(frozenset(strip_tags),
-                                              frozenset(break_tags))
+                                              frozenset(break_tags),
+                                              span_text_runs=span_text_runs)
         sanitizer = (Sanitizer(sanitizer_config)
                      if sanitizer_config is not None else None)
         self.rewriter = Rewriter(sanitizer=sanitizer,
@@ -204,6 +212,11 @@ class ExtractionEngine:
             raise ValueError("fast path requires sanitizer_config=None")
         self._taginfo = _build_taginfo(self.extractor.strip_tags,
                                        self.extractor.break_tags)
+        # raw_spans=True returns spans as (selector, tag, start, end)
+        # tuples instead of per-span dicts — the batch stage builds the
+        # Arrow list<struct> column from flat arrays, which is ~4x
+        # cheaper than pa.array over list-of-dicts
+        self.raw_spans = raw_spans
 
     def process(self, text: str) -> dict:
         """Extract main content from one turn/document.
@@ -236,10 +249,10 @@ class ExtractionEngine:
             "out_html": out_html,
             "extracted_text": extracted,
             "title": _html.unescape(ex.title).strip(),
-            "spans": [
+            "spans": (ex.spans if self.raw_spans else [
                 {"selector": s, "tag": t, "start": a, "end": b}
                 for (s, t, a, b) in ex.spans
-            ] if self.need_spans else [],
+            ]) if self.need_spans else [],
             "bytes_in": len(text),
             "bytes_out": len(out_html),
             "selector_hits": dict(ex.hits),
@@ -262,6 +275,7 @@ class ExtractionEngine:
         ex = self.extractor
         need_html = self.need_html
         need_spans = self.need_spans
+        span_text = need_spans and ex.span_text_runs
         taginfo_get = self._taginfo.get
 
         parts: list[str] = []
@@ -312,7 +326,7 @@ class ExtractionEngine:
                         title = content
                 else:
                     append_part(content)
-                    if need_spans:
+                    if span_text:
                         spans.append(("text", "", pos, pos + len(content)))
                     pos += len(content)
             if suppress == 0:
@@ -578,10 +592,10 @@ class ExtractionEngine:
             "out_html": "".join(out) if need_html else "",
             "extracted_text": extracted,
             "title": _html.unescape(title).strip(),
-            "spans": [
+            "spans": (spans if self.raw_spans else [
                 {"selector": s, "tag": t, "start": a, "end": b}
                 for (s, t, a, b) in spans
-            ] if need_spans else [],
+            ]) if need_spans else [],
             "bytes_in": len(text),
             "bytes_out": out_len,
             "selector_hits": {"strip": hits_strip, "title": hits_title,

@@ -50,7 +50,8 @@ class ExtractTurns:
     def __init__(self, text_col: str = "text", sanitizer_config=None,
                  strip_tags=None, break_tags=None, keep_html: bool = False,
                  keep_spans: bool = True, collapse_whitespace: bool = True,
-                 drop_input_text: bool = False):
+                 drop_input_text: bool = False,
+                 span_text_runs: bool = False):
         self.text_col = text_col
         self.keep_html = keep_html
         self.keep_spans = keep_spans
@@ -66,42 +67,82 @@ class ExtractTurns:
             break_tags=break_tags if break_tags is not None else DEFAULT_BREAK_TAGS,
             collapse_whitespace=collapse_whitespace,
             need_spans=keep_spans, need_html=keep_html,
+            raw_spans=True,
+            # default False: record matched-node (strip) spans only — one
+            # span per text run inflates span volume ~10x on text-heavy
+            # turns for little signal (the extracted text IS the content)
+            span_text_runs=span_text_runs,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         process = self.engine.process
-        results = [process(t if t is not None else "")
-                   for t in batch.column(self.text_col).to_pylist()]
+        keep_spans = self.keep_spans
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        ext = [None] * n
+        titles = [None] * n
+        bytes_in = [0] * n
+        bytes_out = [0] * n
+        hits = {k: [0] * n for k in ("strip", "title", "meta", "unwrap")}
+        htmls = [None] * n if self.keep_html else None
+        # spans flattened: per-row offsets into parallel field arrays —
+        # StructArray/ListArray.from_arrays is ~4x cheaper than pa.array
+        # over list-of-dicts at this volume
+        offsets = [0] * (n + 1) if keep_spans else None
+        sp_sel: list = []
+        sp_tag: list = []
+        sp_start: list = []
+        sp_end: list = []
+        for i, t in enumerate(texts):
+            r = process(t if t is not None else "")
+            ext[i] = r["extracted_text"]
+            titles[i] = r["title"]
+            bytes_in[i] = r["bytes_in"]
+            bytes_out[i] = r["bytes_out"]
+            h = r["selector_hits"]
+            hits["strip"][i] = h["strip"]
+            hits["title"][i] = h["title"]
+            hits["meta"][i] = h["meta"]
+            hits["unwrap"][i] = h["unwrap"]
+            if keep_spans:
+                for (sel, tag, a, b) in r["spans"]:
+                    sp_sel.append(sel)
+                    sp_tag.append(tag)
+                    sp_start.append(a)
+                    sp_end.append(b)
+                offsets[i + 1] = len(sp_sel)
+            if htmls is not None:
+                htmls[i] = r["out_html"]
         out = (batch.drop_columns([self.text_col])
                if self.drop_input_text else batch)
         out = out.append_column(
-            "extracted_text",
-            pa.array([r["extracted_text"] for r in results], pa.large_string()))
-        out = out.append_column(
-            "title", pa.array([r["title"] for r in results], pa.string()))
-        if self.keep_spans:
-            out = out.append_column(
-                "spans", pa.array([r["spans"] for r in results], SPAN_TYPE))
-        out = out.append_column(
-            "bytes_in", pa.array([r["bytes_in"] for r in results], pa.int64()))
-        out = out.append_column(
-            "bytes_out", pa.array([r["bytes_out"] for r in results], pa.int64()))
+            "extracted_text", pa.array(ext, pa.large_string()))
+        out = out.append_column("title", pa.array(titles, pa.string()))
+        if keep_spans:
+            struct = pa.StructArray.from_arrays(
+                [pa.array(sp_sel, pa.string()),
+                 pa.array(sp_tag, pa.string()),
+                 pa.array(sp_start, pa.int64()),
+                 pa.array(sp_end, pa.int64())],
+                names=["selector", "tag", "start", "end"])
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), struct)
+            out = out.append_column("spans", spans_arr)
+        out = out.append_column("bytes_in", pa.array(bytes_in, pa.int64()))
+        out = out.append_column("bytes_out", pa.array(bytes_out, pa.int64()))
         for key in ("strip", "title", "meta", "unwrap"):
             out = out.append_column(
-                f"hits_{key}",
-                pa.array([r["selector_hits"].get(key, 0) for r in results],
-                         pa.int32()))
-        if self.keep_html:
+                f"hits_{key}", pa.array(hits[key], pa.int32()))
+        if htmls is not None:
             out = out.append_column(
-                "out_html",
-                pa.array([r["out_html"] for r in results], pa.large_string()))
+                "out_html", pa.array(htmls, pa.large_string()))
         return out
 
 
 def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
                   strip_tags=None, break_tags=None, keep_html: bool = False,
                   keep_spans: bool = True, collapse_whitespace: bool = True,
-                  drop_input_text: bool = False,
+                  drop_input_text: bool = False, span_text_runs: bool = False,
                   batch_size: int = 64, concurrency=None):
     """Attach the extraction actor-pool stage to a Dataset.
 
@@ -128,7 +169,8 @@ def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
             strip_tags=strip_tags, break_tags=break_tags,
             keep_html=keep_html, keep_spans=keep_spans,
             collapse_whitespace=collapse_whitespace,
-            drop_input_text=drop_input_text),
+            drop_input_text=drop_input_text,
+            span_text_runs=span_text_runs),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,

@@ -108,6 +108,16 @@ def test_custom_tag_sets():
         _assert_equal(slow, fast, doc)
 
 
+def test_matched_node_spans_only():
+    # span_text_runs=False records strip spans but no per-text-run spans
+    slow, fast = _engines(span_text_runs=False)
+    for doc in EDGE_DOCS:
+        _assert_equal(slow, fast, doc)
+    r = fast.process('<nav>menu</nav><p>kept text</p>')
+    assert [s["selector"] for s in r["spans"]] == ["strip"]
+    assert r["extracted_text"] == "kept text"
+
+
 def test_need_flags_off():
     slow, fast = _engines(need_spans=False, need_html=False)
     for doc in EDGE_DOCS:
