@@ -375,7 +375,8 @@ class ExtractionEngine:
             if lt > scan:
                 append_text(s[scan:lt])
             if lt + 1 >= n:
-                eof = True            # lone '<' at EOF: dropped, no flush
+                flush()
+                eof = True            # lone '<' at EOF: dropped
                 break
             c = s[lt + 1]
             if c in _ALPHA:
@@ -389,6 +390,7 @@ class ExtractionEngine:
                 else:
                     parsed = _parse_start_tag_slow(s, lt, n)
                     if parsed is None:
+                        flush()
                         eof = True    # incomplete tag swallows the rest
                         break
                     slow_tag, scan = parsed
@@ -496,6 +498,7 @@ class ExtractionEngine:
                 continue
             if c == "/":
                 if lt + 2 >= n:
+                    flush()
                     eof = True        # '</' at EOF: dropped
                     break
                 c2 = s[lt + 2]
@@ -505,6 +508,7 @@ class ExtractionEngine:
                         j += 1
                     gt = s.find(">", j)
                     if gt == -1:
+                        flush()
                         eof = True    # incomplete end tag: dropped
                         break
                     if text_pieces:

@@ -25,11 +25,15 @@ stream, with NO DOM materialization. Semantics mirror the reference engine
 
 from __future__ import annotations
 
+import re as _re
+
 from .escape import escape_quotes, escape_text
 from .sanitizer import Sanitizer
 from .selector import CompiledSelector
 from .tags import ESCAPE_PASS_TAGS, VOID_TAGS
 from .tokenizer import Attr, StartTag, tokenize
+
+_ALPHA_SET = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 
 class MemoryLimitError(RuntimeError):
@@ -418,6 +422,22 @@ class Rewriter:
                         "max_allowed_memory_usage")
                 self.max_memory = maxm
 
+        # Pass-2 (escape-tagfilter) prefilter for sanitize-only rewrites:
+        # the re-parse is a string identity unless pass-1 output contains a
+        # disallowed escapeworthy start tag, a '</>' (which the tokenizer
+        # vanishes), or a trailing incomplete construct it would drop.
+        # With handlers present pass 2 always runs — handler-injected
+        # `as: :html` content must be re-normalized like the reference does.
+        self._escape_re = None
+        if self.sanitizer is not None and self.sanitizer.escape_tagfilter:
+            bad = sorted(n for n in ESCAPE_PASS_TAGS
+                         if self.sanitizer.element_not_allowed(n))
+            if bad:
+                # tag-name boundary chars match the tokenizer's name scan
+                self._escape_re = _re.compile(
+                    "<(?:%s)(?=[ \\t\\n\\f\\r/>]|\\Z)" % "|".join(bad),
+                    _re.IGNORECASE)
+
     # -- public API ----------------------------------------------------------
 
     def rewrite(self, html: str) -> str:
@@ -426,9 +446,34 @@ class Rewriter:
         out = self._run(html, self.sanitizer, self.handlers)
         if self.sanitizer is not None and self.sanitizer.escape_tagfilter:
             # 2nd full parse of pass-1 output: strip dangerous tags that were
-            # handler-injected or entity-smuggled (rewriter.rs:307-354)
-            out = self._run(out, _EscapeFilterSanitizer(self.sanitizer), ())
+            # handler-injected or entity-smuggled (rewriter.rs:307-354).
+            # Sanitize-only rewrites skip it when it is provably an identity
+            # (_needs_escape_pass) — handler runs always take it.
+            if self.handlers or self._needs_escape_pass(out):
+                out = self._run(out, _EscapeFilterSanitizer(self.sanitizer), ())
         return out
+
+    def _needs_escape_pass(self, out: str) -> bool:
+        """True unless re-parsing ``out`` with the escape-tagfilter shim is
+        guaranteed to emit ``out`` unchanged. Conservative: false positives
+        only cost the extra parse. The three non-identity sources are
+        (1) removal of a disallowed escapeworthy tag + subtree, (2) '</>'
+        vanishing, (3) incomplete trailing markup being dropped at EOF."""
+        if self._escape_re is not None and self._escape_re.search(out):
+            return True
+        if "</>" in out:
+            return True
+        # incomplete trailing markup can only start after the last '>'
+        # (any earlier '<'+alpha /'</' is terminated by that '>' and
+        # re-emits its raw slice); tag removal can concatenate a literal
+        # '<' with following text, so every '<' in the tail region counts
+        i = out.find("<", out.rfind(">") + 1)
+        while i != -1:
+            tail = out[i + 1:i + 2]
+            if tail == "" or tail == "/" or tail in _ALPHA_SET:
+                return True
+            i = out.find("<", i + 1)
+        return False
 
     # -- engine --------------------------------------------------------------
 

@@ -8,9 +8,11 @@ inherits from lol_html (observed through the reference test goldens, e.g.
 
 - ``<`` not followed by tag-start syntax is text; ``</>`` is dropped;
   ``</`` + non-alpha opens a bogus comment (a Comment token).
-- Start/end tags left incomplete at EOF are dropped along with the rest of
-  the input (the reference never flushes its rewriter, so pending
-  partially-parsed markup disappears).
+- Start/end tags left incomplete at EOF are dropped (the reference writes
+  but never calls the rewriter's ``end()`` — rewriter.rs:442-472 — so the
+  partially-buffered token disappears), but text PRECEDING the incomplete
+  construct is still emitted: lol_html dispatches text chunks as they are
+  confirmed, before stalling on the partial token.
 - Comments/doctypes left unterminated at EOF are emitted with their raw text.
 - RCDATA (title, textarea), RAWTEXT (style, xmp, iframe, noembed, noframes,
   noscript), script data and PLAINTEXT content modes: contents are a single
@@ -263,12 +265,13 @@ def tokenize(s: str) -> list:
         if lt > pos:
             append_text(s[pos:lt])
         if lt + 1 >= n:
-            # lone '<' at EOF: pending tag start, dropped (never flushed)
-            return out
+            flush()
+            return out  # lone '<' at EOF: pending tag start, dropped
         c = s[lt + 1]
         if c in _ALPHA:
             parsed = _parse_start_tag(s, lt, n)
             if parsed is None:
+                flush()
                 return out  # incomplete tag swallows the rest of the input
             tag, pos = parsed
             if text_pieces:
@@ -301,6 +304,7 @@ def tokenize(s: str) -> list:
             continue
         if c == "/":
             if lt + 2 >= n:
+                flush()
                 return out  # '</' at EOF: dropped
             c2 = s[lt + 2]
             if c2 in _ALPHA:
@@ -310,6 +314,7 @@ def tokenize(s: str) -> list:
                 name = s[lt + 2:j]
                 gt = s.find(">", j)
                 if gt == -1:
+                    flush()
                     return out  # incomplete end tag: dropped
                 if text_pieces:
                     flush()

@@ -76,3 +76,25 @@ def test_arbitrary_unicode_never_raises(s):
     _sanitizer.rewrite(s)
     _fast.process(s)
     assert _fast.process(s) == _slow.process(s)
+
+
+def _forced_two_pass(rw: Rewriter, s: str) -> str:
+    """rewrite() with the pass-2 prefilter disabled: always re-parse."""
+    from selma_ray.engine.rewriter import _EscapeFilterSanitizer
+
+    out = rw._run(s, rw.sanitizer, rw.handlers)
+    return rw._run(out, _EscapeFilterSanitizer(rw.sanitizer), ())
+
+
+@given(_html_soup)
+@settings(max_examples=400, deadline=None)
+def test_escape_pass_prefilter_matches_forced_pass_default(s):
+    # skipping pass 2 must be an exact identity decision: the prefiltered
+    # rewrite() equals an unconditional two-pass run on any input
+    assert _sanitizer.rewrite(s) == _forced_two_pass(_sanitizer, s)
+
+
+@given(_html_soup)
+@settings(max_examples=300, deadline=None)
+def test_escape_pass_prefilter_matches_forced_pass_relaxed(s):
+    assert _relaxed.rewrite(s) == _forced_two_pass(_relaxed, s)

@@ -262,6 +262,19 @@ def test_ambiguous_non_tag_brackets():
         "OMG HAPPY BIRTHDAY! *<:-D"
 
 
+def test_incomplete_markup_at_eof_keeps_preceding_text():
+    # the reference writes without calling the rewriter's end()
+    # (rewriter.rs:442-472): the partial token at EOF is dropped, but text
+    # already confirmed BEFORE it was emitted by lol_html as it parsed
+    assert Rewriter().rewrite("keep me <") == "keep me "
+    assert Rewriter().rewrite("keep me <div") == "keep me "
+    assert Rewriter().rewrite("keep me </") == "keep me "
+    assert Rewriter().rewrite("keep me </div") == "keep me "
+    assert Rewriter().rewrite('keep me <a href="x') == "keep me "
+    # rawtext subtree followed by incomplete markup: both text runs survive
+    assert Rewriter().rewrite("<xmp>gone</xmp> tail <") == " tail "
+
+
 # -- malicious html (malicious_html_test.rb) -----------------------------------
 
 @pytest.fixture
