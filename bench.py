@@ -97,9 +97,9 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
     """Per-pipeline wall seconds over the testdata tables."""
     import __ray_entry__ as entrymod
 
-    picks = ["exact_dedup", "minhash_lsh_pairs", "ann_topk",
-             "embedding_near_dup", "events_rollup", "events_windowed",
-             "events_asof_orders", "pricing_summary",
+    picks = ["sanitize_transcripts", "exact_dedup", "minhash_lsh_pairs",
+             "ann_topk", "embedding_near_dup", "events_rollup",
+             "events_windowed", "events_asof_orders", "pricing_summary",
              "revenue_by_nation", "doc_stats", "conversation_assembly"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -132,21 +132,29 @@ def run_once(sf_dir: str, num_cpus: int, with_queries: bool) -> dict:
     return rec
 
 
-def run_scaling(sf_dir: str) -> dict:
-    """Same job at num_cpus=8 and 32 in fresh processes."""
-    # warm the input cache once so neither child pays synthesis cost
+def run_scaling(sf_dir: str, repeats: int = 2) -> dict:
+    """Same job at num_cpus=8 and 32 in fresh processes.
+
+    Each level runs ``repeats`` times, interleaved (8,32,8,32) so slow
+    drift in VM conditions hits both levels alike, and the BEST
+    throughput per level is used: single runs swing ~±20% on this VM,
+    and best-of-k compares the two levels at their least-perturbed."""
+    # warm the input cache once so no child pays synthesis cost
     _transcript_input(sf_dir)
-    results = {}
-    for cpus in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                   GRAFT_SF_DIR=sf_dir)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child"],
-            env=env, capture_output=True, text=True, timeout=3600)
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-    thr8 = results[8]["turns_per_sec"]
-    thr32 = results[32]["turns_per_sec"]
+    samples: dict[int, list] = {8: [], 32: []}
+    for _ in range(repeats):
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       GRAFT_SF_DIR=sf_dir)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            line = proc.stdout.strip().splitlines()[-1]
+            samples[cpus].append(json.loads(line))
+    best = {c: max(rs, key=lambda r: r["turns_per_sec"])
+            for c, rs in samples.items()}
+    thr8 = best[8]["turns_per_sec"]
+    thr32 = best[32]["turns_per_sec"]
     return {
         "metric": "scaling efficiency N=8 -> 4N=32 cpus, transcript "
                   "extraction throughput",
@@ -155,9 +163,11 @@ def run_scaling(sf_dir: str) -> dict:
         "sf": _sf_of(sf_dir),
         "throughput_n8": round(thr8, 1),
         "throughput_n32": round(thr32, 1),
-        "sec_n8": results[8]["value"],
-        "sec_n32": results[32]["value"],
-        "turns": results[32]["turns"],
+        "sec_n8": best[8]["value"],
+        "sec_n32": best[32]["value"],
+        "turns": best[32]["turns"],
+        "samples_n8": [round(r["turns_per_sec"], 1) for r in samples[8]],
+        "samples_n32": [round(r["turns_per_sec"], 1) for r in samples[32]],
     }
 
 

@@ -38,10 +38,14 @@ _HREF_SAFE = frozenset(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
     "!#$%()*+,-./:;=?@_"
 )
+import re as _re  # noqa: E402
+
+_HREF_UNSAFE_RE = _re.compile(
+    "[^A-Za-z0-9!#$%()*+,\\-./:;=?@_]")
 
 
 def escape_href(value: str) -> str:
-    if all(c in _HREF_SAFE for c in value):
+    if _HREF_UNSAFE_RE.search(value) is None:
         return value
     out = []
     for ch in value:

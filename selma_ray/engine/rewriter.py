@@ -27,8 +27,10 @@ from __future__ import annotations
 
 import re as _re
 
-from .escape import escape_quotes, escape_text
-from .sanitizer import Sanitizer
+from .escape import escape_href, escape_html, escape_quotes, escape_text, \
+    unescape_html
+from .sanitizer import A_KEEP, A_KEEP_IFRAME, A_REMOVE_ALL, A_UNWRAP_WS, \
+    Sanitizer, _has_allowed_protocol
 from .selector import CompiledSelector
 from .tags import ESCAPE_PASS_TAGS, VOID_TAGS
 from .tokenizer import Attr, StartTag, tokenize
@@ -314,6 +316,71 @@ class Element:
         return "".join(parts)
 
 
+def _sanitize_start_tag(sanitizer, tag: StartTag):
+    """Fused twin of Sanitizer.sanitize_attributes + Element.serialize:
+    returns the serialized start tag (``tag.raw`` when untouched), or
+    None when a '<!--'-named attribute nukes the element
+    (sanitizer.rs:419-425). Drop/normalize decisions match
+    sanitize_attributes line for line."""
+    attrs = tag.attrs
+    if not attrs:
+        return tag.raw
+    name_lc = tag.name_lc
+    el_allowed = sanitizer.element_allowed_attrs.get(name_lc, ())
+    allowed = sanitizer.allowed_attrs
+    protos = sanitizer.protocol_sanitizers.get(name_lc)
+    is_meta = name_lc == "meta"
+    kept: list = []   # (raw | None, name_raw, rewritten_value | None)
+    dirty = False
+    for a in attrs:
+        an = a.name_lc
+        if an.startswith("<!--"):
+            return None
+        raw_val = a.value if a.has_value else None
+        unescaped = unescape_html((raw_val or "").lstrip())
+        keep = an in el_allowed or an in allowed
+        if keep and unescaped:
+            plist = protos.get(an) if protos is not None else None
+            if plist is None:
+                if "://" in unescaped:
+                    keep = False
+            elif not _has_allowed_protocol(plist, unescaped):
+                keep = False
+        if not keep:
+            dirty = True          # remove_attribute dirties the element
+            continue
+        if is_meta:
+            if an == "charset" and unescaped != "utf-8":
+                kept.append((None, a.name_raw, "utf-8"))
+                dirty = True
+            else:
+                kept.append((a.raw, a.name_raw, None))
+        elif unescaped:
+            # kept non-empty values are always normalized and written back
+            # (trim + unescape + re-escape), which re-serializes the tag
+            v = (escape_href(unescaped) if an == "href"
+                 else escape_html(unescaped))
+            kept.append((None, a.name_raw, v))
+            dirty = True
+        else:
+            kept.append((a.raw, a.name_raw, None))
+    if not dirty:
+        return tag.raw
+    parts = ["<", tag.name_raw]
+    for raw, name_raw, v in kept:
+        parts.append(" ")
+        if raw is not None:
+            parts.append(raw)
+        elif v is not None:
+            parts.append(f'{name_raw}="{escape_quotes(v)}"')
+        else:
+            parts.append(name_raw)
+    if tag.self_closing:
+        parts.append("/")
+    parts.append(">")
+    return "".join(parts)
+
+
 _EMPTY_AMAP: dict = {}
 
 
@@ -422,6 +489,15 @@ class Rewriter:
                         "max_allowed_memory_usage")
                 self.max_memory = maxm
 
+        # The fused sanitize-only loop is semantics-complete for every
+        # reachable config (class allowlists have no config key in the
+        # reference — sanitizer.rs:59); guard anyway so an exotic future
+        # config falls back to the generic dispatch loop.
+        self._fast_sanitize = (
+            self.sanitizer is not None
+            and not self.sanitizer.allowed_classes
+            and not self.sanitizer.element_allowed_classes)
+
         # Pass-2 (escape-tagfilter) prefilter for sanitize-only rewrites:
         # the re-parse is a string identity unless pass-1 output contains a
         # disallowed escapeworthy start tag, a '</>' (which the tokenizer
@@ -443,14 +519,22 @@ class Rewriter:
     def rewrite(self, html: str) -> str:
         if not isinstance(html, str):
             raise TypeError("html must be a string")
-        out = self._run(html, self.sanitizer, self.handlers)
+        if self.handlers or not self._fast_sanitize:
+            out = self._run(html, self.sanitizer, self.handlers)
+        else:
+            # no handlers: the fused loop skips Element/_Open/_Node
+            # construction and selector plumbing entirely (output-identical
+            # by the prefilter-vs-forced-two-pass property tests)
+            out = self._run_sanitize_only(html, self.sanitizer, True)
         if self.sanitizer is not None and self.sanitizer.escape_tagfilter:
             # 2nd full parse of pass-1 output: strip dangerous tags that were
             # handler-injected or entity-smuggled (rewriter.rs:307-354).
             # Sanitize-only rewrites skip it when it is provably an identity
-            # (_needs_escape_pass) — handler runs always take it.
+            # (_needs_escape_pass) — handler runs always take it. Pass 2 is
+            # handler-free by construction, so it always takes the fused loop.
             if self.handlers or self._needs_escape_pass(out):
-                out = self._run(out, _EscapeFilterSanitizer(self.sanitizer), ())
+                out = self._run_sanitize_only(
+                    out, _EscapeFilterSanitizer(self.sanitizer), False)
         return out
 
     def _needs_escape_pass(self, out: str) -> bool:
@@ -474,6 +558,128 @@ class Rewriter:
                 return True
             i = out.find("<", i + 1)
         return False
+
+    # -- fused sanitize-only engine -------------------------------------------
+
+    def _run_sanitize_only(self, html, policy, sanitize_attrs):
+        """Token-loop twin of ``_run(html, policy, ())`` for handler-free
+        rewrites: identical output (enforced by the forced-two-pass property
+        tests in tests/test_fuzz.py and the preset golden matrix), ~2x
+        faster by skipping Element/_Open/_Node construction per tag.
+
+        ``policy`` is a Sanitizer or _EscapeFilterSanitizer (both provide
+        ``action_for`` / ``allow_comments`` / ``allow_doctype``);
+        ``sanitize_attrs=False`` (the escape pass) emits kept tags raw.
+        """
+        out: list = []
+        emit = out.append
+        cap = self.max_memory
+        if cap is not None:
+            mem = 0
+
+            def emit(p, _append=out.append):  # noqa: F811
+                nonlocal mem
+                mem += len(p)
+                if mem > cap:
+                    raise MemoryLimitError(
+                        f"The memory limit has been exceeded: "
+                        f"used {mem} > {cap}")
+                _append(p)
+
+        action_for = policy.action_for
+        filter_comments = not policy.allow_comments
+        filter_doctype = not policy.allow_doctype
+        stack: list[str] = []         # open non-void tag names
+        # 1=suppresses_content | 2=end tag emitted | 4=after-space (ws wrap)
+        stack_flags: list[int] = []
+        open_counts: dict = {}
+        suppress = 0
+
+        for tok in tokenize(html):
+            kind = tok[0]
+
+            if kind == "text":
+                if suppress == 0 and tok[1]:
+                    emit(tok[1])
+                continue
+
+            if kind == "start":
+                tag = tok[1]
+                name = tag.name_lc
+                act = action_for(name)
+                is_void = name in VOID_TAGS
+                if act == A_KEEP or act == A_KEEP_IFRAME:
+                    s = (_sanitize_start_tag(policy, tag)
+                         if sanitize_attrs else tag.raw)
+                    if s is None:
+                        # '<!--'-named attr nukes the element (force-remove)
+                        if not is_void:
+                            stack.append(name)
+                            stack_flags.append(1)
+                            open_counts[name] = open_counts.get(name, 0) + 1
+                            suppress += 1
+                        continue
+                    if suppress == 0:
+                        emit(s)
+                        if act == A_KEEP_IFRAME:
+                            emit(" ")     # kept iframe: inner forced to " "
+                    if is_void:
+                        continue
+                    stack.append(name)
+                    if act == A_KEEP_IFRAME:
+                        stack_flags.append(3)  # children suppressed, end kept
+                        suppress += 1
+                    else:
+                        stack_flags.append(2)
+                    open_counts[name] = open_counts.get(name, 0) + 1
+                    continue
+                if act == A_REMOVE_ALL:
+                    if not is_void:
+                        stack.append(name)
+                        stack_flags.append(1)
+                        open_counts[name] = open_counts.get(name, 0) + 1
+                        suppress += 1
+                    continue
+                # A_UNWRAP / A_UNWRAP_WS: tags dropped, children kept
+                if act == A_UNWRAP_WS and suppress == 0:
+                    emit(" ")             # void: after-space; else before
+                if not is_void:
+                    stack.append(name)
+                    stack_flags.append(4 if act == A_UNWRAP_WS else 0)
+                    open_counts[name] = open_counts.get(name, 0) + 1
+                continue
+
+            if kind == "end":
+                name, raw = tok[1], tok[2]
+                if not open_counts.get(name):
+                    if suppress == 0:
+                        emit(raw)         # stray end tag passes through
+                    continue
+                while True:
+                    top = stack.pop()
+                    fl = stack_flags.pop()
+                    open_counts[top] -= 1
+                    if fl & 1:
+                        suppress -= 1
+                    if top == name:
+                        break
+                if suppress == 0:
+                    if fl & 2:
+                        emit(raw)
+                    if fl & 4:
+                        emit(" ")
+                continue
+
+            if kind == "comment":
+                if not filter_comments and suppress == 0:
+                    emit(tok[1])
+                continue
+
+            # doctype
+            if not filter_doctype and suppress == 0:
+                emit(tok[1])
+
+        return "".join(out)
 
     # -- engine --------------------------------------------------------------
 
@@ -717,3 +923,9 @@ class _EscapeFilterSanitizer:
 
     def sanitize_attributes(self, el):
         return None
+
+    def action_for(self, name_lc: str) -> int:
+        if (name_lc in ESCAPE_PASS_TAGS
+                and self.inner.element_not_allowed(name_lc)):
+            return A_REMOVE_ALL
+        return A_KEEP

@@ -29,12 +29,22 @@ ALLOW = 1 << 0
 REMOVE_CONTENTS = 1 << 2
 WRAP_WHITESPACE = 1 << 3
 
+# Per-tag element-policy actions for the fused sanitize-only loop
+# (rewriter._run_sanitize_only) — one dict lookup replaces the
+# try_remove_element branch chain. Exactly the decisions of
+# try_remove_element/_remove_element below.
+A_KEEP = 0          # allowed, serialize (attrs sanitized)
+A_KEEP_IFRAME = 1   # allowed iframe: inner content forced to " "
+A_REMOVE_ALL = 2    # remove element + subtree (REMOVE_CONTENTS)
+A_UNWRAP = 3        # drop tags, keep children
+A_UNWRAP_WS = 4     # drop tags, keep children, wrap with spaces
+
 
 class Sanitizer:
     __slots__ = ("flags", "allowed_attrs", "allowed_classes",
                  "element_allowed_attrs", "element_allowed_classes",
                  "protocol_sanitizers", "escape_tagfilter", "allow_comments",
-                 "allow_doctype", "config")
+                 "allow_doctype", "config", "_action_cache")
 
     def __init__(self, config=None):
         from .. import config as presets
@@ -66,8 +76,8 @@ class Sanitizer:
                 flags[_tags.tag_index(el)] |= WRAP_WHITESPACE
         self.flags = flags
 
-        self.allowed_attrs: list[str] = []
-        self.element_allowed_attrs: dict[str, list[str]] = {}
+        allowed_attrs: list[str] = []
+        element_allowed_attrs: dict[str, list[str]] = {}
         attrs_cfg = config.get("attributes") or {}
         for element, attr_list in attrs_cfg.items():
             key = str(element) if not isinstance(element, str) else element
@@ -75,9 +85,13 @@ class Sanitizer:
                 if not isinstance(attr, str):
                     continue
                 if key == "all":
-                    self.allowed_attrs.append(attr)
+                    allowed_attrs.append(attr)
                 else:
-                    self.element_allowed_attrs.setdefault(key, []).append(attr)
+                    element_allowed_attrs.setdefault(key, []).append(attr)
+        # frozen sets: membership is the hot check in sanitize_attributes
+        self.allowed_attrs = frozenset(allowed_attrs)
+        self.element_allowed_attrs = {
+            k: frozenset(v) for k, v in element_allowed_attrs.items()}
 
         # class filtering exists in the reference but no config key feeds it
         # (sanitizer.rs:59 allowed_classes is always empty); kept for parity.
@@ -111,11 +125,32 @@ class Sanitizer:
         self.escape_tagfilter = bool(config.get("escape_tagfilter", True))
         self.allow_comments = bool(config.get("allow_comments", False))
         self.allow_doctype = bool(config.get("allow_doctype", True))
+        self._action_cache: dict[str, int] = {}
 
     # -- element policy ----------------------------------------------------
 
     def element_not_allowed(self, name_lc: str) -> bool:
         return not (self.flags[_tags.tag_index(name_lc)] & ALLOW)
+
+    def action_for(self, name_lc: str) -> int:
+        """A_* action for this tag name (cached; small repeated vocab).
+        Mirrors try_remove_element's decision chain exactly."""
+        a = self._action_cache.get(name_lc)
+        if a is None:
+            fl = self.flags[_tags.tag_index(name_lc)]
+            if fl & ALLOW:
+                a = A_KEEP_IFRAME if name_lc == "iframe" else A_KEEP
+            elif (name_lc in _tags.TEXT_CONTENT_TAGS
+                  or fl & REMOVE_CONTENTS):
+                a = A_REMOVE_ALL
+            elif fl & WRAP_WHITESPACE:
+                a = A_UNWRAP_WS
+            else:
+                a = A_UNWRAP
+            if len(self._action_cache) > 4096:  # malformed-input safety
+                self._action_cache.clear()
+            self._action_cache[name_lc] = a
+        return a
 
     def try_remove_element(self, el) -> bool:
         """Apply the element allowlist to an element view; returns removed."""

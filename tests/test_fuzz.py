@@ -30,7 +30,10 @@ _html_soup = st.lists(
            "<title>", "</title>", "<nav>", "</nav>", "<br/>", "&amp;",
            "<meta name=", "content=", "<div class='x'>", "</div>",
            "<iframe>", "<svg>", "<foo", "]]>", "<![CDATA[", "<?php",
-           "</", "<!", "x=y", "<a href=javascript:alert(1)>"]),
+           "</", "<!", "x=y", "<a href=javascript:alert(1)>",
+           "<a href='/rel#f'>", '<A HREF="HTTP://x/">', "</iframe>",
+           "<meta charset=UTF-8>", "<img src=x onerror=y>",
+           "<blockquote cite='&#106;avascript:x'>"]),
     max_size=80,
 ).map("".join)
 
@@ -98,3 +101,21 @@ def test_escape_pass_prefilter_matches_forced_pass_default(s):
 @settings(max_examples=300, deadline=None)
 def test_escape_pass_prefilter_matches_forced_pass_relaxed(s):
     assert _relaxed.rewrite(s) == _forced_two_pass(_relaxed, s)
+
+
+_basic = Rewriter(sanitizer=Sanitizer(config.BASIC))
+_restricted = Rewriter(sanitizer=Sanitizer(config.RESTRICTED))
+
+
+@given(_html_soup)
+@settings(max_examples=300, deadline=None)
+def test_fused_sanitize_matches_generic_basic(s):
+    # BASIC exercises the protocol allowlists (incl. :relative) through
+    # the fused sanitize-only loop vs the generic dispatch loop
+    assert _basic.rewrite(s) == _forced_two_pass(_basic, s)
+
+
+@given(_html_soup)
+@settings(max_examples=200, deadline=None)
+def test_fused_sanitize_matches_generic_restricted(s):
+    assert _restricted.rewrite(s) == _forced_two_pass(_restricted, s)
