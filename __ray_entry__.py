@@ -292,6 +292,20 @@ def _q_revenue_by_nation(sf_dir: str):
                              f"{sf_dir}/nation.parquet")
 
 
+def _q_suppliers_by_region(sf_dir: str):
+    from selma_ray.pipelines.relational import suppliers_by_region
+
+    return suppliers_by_region(_read(sf_dir, "supplier"),
+                               f"{sf_dir}/nation.parquet",
+                               f"{sf_dir}/region.parquet")
+
+
+def _q_parts_by_brand(sf_dir: str):
+    from selma_ray.pipelines.relational import parts_by_brand
+
+    return parts_by_brand(_read(sf_dir, "part"))
+
+
 def _q_pricing_summary(sf_dir: str):
     from selma_ray.pipelines.relational import lineitem_pricing_summary
 
@@ -425,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "top_customers": _q_top_customers,
         "revenue_by_nation": _q_revenue_by_nation,
+        "suppliers_by_region": _q_suppliers_by_region,
+        "parts_by_brand": _q_parts_by_brand,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "extract_links": _q_extract_links,
@@ -580,6 +596,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "suppliers_by_region": r"""
+            SELECT r_name,
+                   count(*)::BIGINT AS n_suppliers,
+                   sum(round(s_acctbal * 100)::BIGINT)::BIGINT
+                       AS total_acctbal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "parts_by_brand": r"""
+            SELECT p_brand,
+                   count(*)::BIGINT AS n_parts,
+                   sum(round(p_retailprice * 100)::BIGINT)::BIGINT
+                       AS sum_retailprice_cents,
+                   max(p_size)::BIGINT AS max_size
+            FROM part GROUP BY p_brand
         """,
         "pricing_summary": r"""
             SELECT l_returnflag, l_linestatus,

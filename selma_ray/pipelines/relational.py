@@ -336,6 +336,95 @@ def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def suppliers_by_region(supplier_ds, nation_path: str, region_path: str):
+    """supplier ⋈ nation ⋈ region -> (r_name, n_suppliers,
+    total_acctbal_cents).
+
+    Both dimension sides are tiny fixed vocabularies (25 nations, 5
+    regions): composed driver-side into ONE nationkey->region-name dict
+    and broadcast; suppliers partial-aggregate by nationkey inside each
+    batch, so the final shuffle is one row per region per block.
+    """
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(nation_path, columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(region_path, columns=["r_regionkey", "r_name"])
+    region_name = dict(zip(reg.column("r_regionkey").to_pylist(),
+                           reg.column("r_name").to_pylist()))
+    nation_region = {
+        nk: region_name[rk]
+        for nk, rk in zip(nat.column("n_nationkey").to_pylist(),
+                          nat.column("n_regionkey").to_pylist())
+    }
+    ref = ray.put(nation_region)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _partial_sum_by(
+            {"s_nationkey": batch.column("s_nationkey"),
+             "acctbal": _cents(batch.column("s_acctbal"))},
+            ["s_nationkey"], ["acctbal"], "n_partial")
+
+    tagged = supplier_ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(
+            _broadcast_lookup_fn,
+            fn_kwargs=dict(mapping_ref=ref, key_col="s_nationkey",
+                           out_col="r_name"),
+            batch_format="pyarrow")
+    agg = coalesce_small(tagged).groupby("r_name").aggregate(
+        Sum("acctbal"), Sum("n_partial"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": batch.column("r_name"),
+            "n_suppliers": pc.cast(batch.column("sum(n_partial)"),
+                                   pa.int64()),
+            "total_acctbal_cents": pc.cast(batch.column("sum(acctbal)"),
+                                           pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def parts_by_brand(part_ds):
+    """part rollup -> (p_brand, n_parts, sum_retailprice_cents, max_size):
+    per-batch Arrow combiner (sum/max/count by brand), then a tiny
+    per-brand global aggregate."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "p_brand": batch.column("p_brand"),
+            "price": _cents(batch.column("p_retailprice")),
+            "size": batch.column("p_size"),
+        })
+        g = t.group_by("p_brand").aggregate(
+            [("price", "sum"), ("size", "max"), ("p_brand", "count")])
+        return pa.table({
+            "p_brand": g.column("p_brand"),
+            "price": g.column("price_sum"),
+            "size": pc.cast(g.column("size_max"), pa.int64()),
+            "n_partial": pc.cast(g.column("p_brand_count"), pa.int64()),
+        })
+
+    agg = coalesce_small(part_ds.map_batches(partial,
+                                             batch_format="pyarrow")) \
+        .groupby("p_brand").aggregate(Sum("price"), Max("size"),
+                                      Sum("n_partial"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": batch.column("p_brand"),
+            "n_parts": pc.cast(batch.column("sum(n_partial)"), pa.int64()),
+            "sum_retailprice_cents": pc.cast(batch.column("sum(price)"),
+                                             pa.int64()),
+            "max_size": pc.cast(batch.column("max(size)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def top_customers(orders_ds, *, k: int = 10):
     """Top-k customers by total order price (groupby -> sort -> limit).
 
