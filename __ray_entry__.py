@@ -306,6 +306,21 @@ def _q_parts_by_brand(sf_dir: str):
     return parts_by_brand(_read(sf_dir, "part"))
 
 
+def _q_lines_by_priority(sf_dir: str):
+    import ray.data
+
+    from selma_ray.pipelines.relational import lines_by_priority
+
+    # prune at the read: only the join key + expression inputs leave disk
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    return lines_by_priority(line, orders, num_partitions=8)
+
+
 def _q_pricing_summary(sf_dir: str):
     from selma_ray.pipelines.relational import lineitem_pricing_summary
 
@@ -441,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "suppliers_by_region": _q_suppliers_by_region,
         "parts_by_brand": _q_parts_by_brand,
+        "lines_by_priority": _q_lines_by_priority,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "extract_links": _q_extract_links,
@@ -614,6 +630,16 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_retailprice_cents,
                    max(p_size)::BIGINT AS max_size
             FROM part GROUP BY p_brand
+        """,
+        "lines_by_priority": r"""
+            SELECT o_orderpriority,
+                   count(*)::BIGINT AS n_lines,
+                   sum(round(l_extendedprice * (1 - l_discount)
+                             * 10000)::BIGINT)::BIGINT AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY o_orderpriority
         """,
         "pricing_summary": r"""
             SELECT l_returnflag, l_linestatus,

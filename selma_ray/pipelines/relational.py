@@ -457,6 +457,77 @@ def top_customers(orders_ds, *, k: int = 10):
                         descending=[True, False]).limit(k)
 
 
+def lines_by_priority(lineitem_ds, orders_ds, *, num_partitions: int = 16):
+    """Fact ⋈ fact hash join: lineitem ⋈ orders(status='F') on orderkey,
+    rolled up by priority -> (o_orderpriority, n_lines, revenue_e4).
+
+    Neither side of a fact⋈fact join fits a broadcast, so this uses Ray
+    Data's native hash-partitioned ``Dataset.join`` (both sides shuffle
+    on the key into ``num_partitions`` aggregator actors). What makes it
+    scale is what crosses the exchange:
+
+    - lineitem is pruned to (l_orderkey, revenue_e4): the discounted-price
+      expression is evaluated per batch BEFORE the shuffle so one int64
+      rides the wire instead of two float64s;
+    - orders is filtered (o_orderstatus = 'F') and pruned to
+      (o_orderkey, o_orderpriority) before the shuffle — predicate and
+      projection pushed below the join;
+    - the post-join rollup reuses the partial-combiner + tiny-groupby
+      shape, so the second shuffle carries one row per (batch × priority).
+
+    At 100 TB size ``num_partitions`` to ~256 MB of pruned join input per
+    partition (total_pruned_bytes / 256 MB). Orderkey skew does not arise:
+    the build side (orders) is unique per key and the probe side fans out
+    at most ~7 lines per order.
+    """
+
+    def prune_line(batch: pa.Table) -> pa.Table:
+        ext = batch.column("l_extendedprice")
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        disc = batch.column("l_discount")
+        if isinstance(disc, pa.ChunkedArray):
+            disc = disc.combine_chunks()
+        ext_np = ext.to_numpy(zero_copy_only=False).astype(np.float64)
+        disc_np = disc.to_numpy(zero_copy_only=False).astype(np.float64)
+        rev = np.rint(ext_np * (1 - disc_np) * 10000).astype(np.int64)
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "revenue_e4": pa.array(rev, pa.int64())})
+
+    def prune_orders(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("o_orderstatus"), "F")
+        t = batch.filter(mask)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_orderpriority": t.column("o_orderpriority")})
+
+    line = lineitem_ds.map_batches(prune_line, batch_format="pyarrow")
+    orders = orders_ds.map_batches(prune_orders, batch_format="pyarrow")
+    joined = line.join(orders, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _partial_sum_by(
+            {"o_orderpriority": batch.column("o_orderpriority"),
+             "rev": batch.column("revenue_e4")},
+            ["o_orderpriority"], ["rev"], "n_partial")
+
+    agg = coalesce_small(
+        joined.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("o_orderpriority").aggregate(Sum("rev"), Sum("n_partial"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "n_lines": pc.cast(batch.column("sum(n_partial)"), pa.int64()),
+            "revenue_e4": pc.cast(batch.column("sum(rev)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def lineitem_pricing_summary(lineitem_ds):
     """TPC-H Q1-shaped rollup per (returnflag, linestatus).
 
