@@ -100,7 +100,8 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
     picks = ["sanitize_transcripts", "exact_dedup", "minhash_lsh_pairs",
              "ann_topk", "embedding_near_dup", "events_rollup",
              "events_windowed", "events_asof_orders", "pricing_summary",
-             "revenue_by_nation", "doc_stats", "conversation_assembly"]
+             "revenue_by_nation", "lines_by_priority", "doc_stats",
+             "conversation_assembly"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in picks:

@@ -11,6 +11,12 @@ Layout:
   functions/  vectorized scalar/text functions (Arrow-level)
 """
 
+from ._blas import limit_blas_threads
+
+# see _blas.py: numpy's 2-thread OpenBLAS spin-waits ~350x slow on this
+# VM class, and intra-op BLAS threads are wrong under Ray regardless
+limit_blas_threads(1)
+
 from . import config
 from .engine import Rewriter, Sanitizer, Selector
 

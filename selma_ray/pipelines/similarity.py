@@ -391,16 +391,28 @@ def embedding_near_dup_pairs(ds, *, id_col: str = "vec_id",
             return empty
         sub_ids = ids_all[start:]
         sims = E @ Mat[start:].T             # (batch, suffix)
-        # threshold on the ROUNDED similarity so inclusion can't flip on
-        # float noise between this and an independent (SQL) computation
+        # inclusion is decided on the ROUNDED similarity so it can't flip
+        # on float noise between this and an independent (SQL) computation
+        # — but rounding the FULL (batch x suffix) matrix costs 3 matrix
+        # allocations per call, which dwarfs the matmul. Instead: take a
+        # candidate superset with a half-ulp-of-rounding slack, then round
+        # only the few surviving values.
         if round_to is not None:
-            sims = np.round(sims, round_to)
-        mask = (sims >= threshold) & (sub_ids[None, :] > bids[:, None])
+            thr = threshold - 0.5 * 10.0 ** (-round_to) - 1e-12
+        else:
+            thr = threshold
+        mask = sims >= thr
+        mask &= sub_ids[None, :] > bids[:, None]
         ii, jj = np.nonzero(mask)            # fully vectorized pair pick
+        vals = sims[ii, jj]
+        if round_to is not None:
+            vals = np.round(vals, round_to)
+            keep = vals >= threshold
+            ii, jj, vals = ii[keep], jj[keep], vals[keep]
         return pa.table({
             "id_a": pa.array(bids[ii].astype(np.int64), pa.int64()),
             "id_b": pa.array(sub_ids[jj], pa.int64()),
-            "similarity": pa.array(sims[ii, jj], pa.float64()),
+            "similarity": pa.array(vals, pa.float64()),
             "method": pa.array(["embedding_cosine"] * ii.size),
         })
 
