@@ -185,6 +185,23 @@ def _q_ngram_jaccard(sf_dir: str):
                                threshold=0.1, max_id=200)
 
 
+def _q_near_dup_clusters(sf_dir: str):
+    from selma_ray.pipelines.dedup import near_dup_clusters, \
+        ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents")
+
+    def below(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.less(batch.column("doc_id"),
+                                    pa.scalar(200)))
+
+    pairs = ngram_jaccard_pairs(docs, ngram=2, threshold=0.1, max_id=200)
+    return near_dup_clusters(docs.map_batches(below,
+                                              batch_format="pyarrow"),
+                             pairs, num_partitions=4)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from selma_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -437,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "fingerprint_md5": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
+        "near_dup_clusters": _q_near_dup_clusters,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "language_id": _q_language_id,
@@ -517,6 +535,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, similarity, 'ngram_jaccard' AS method
             FROM pairs WHERE similarity >= 0.1
+        """,
+        "near_dup_clusters": r"""
+            WITH RECURSIVE
+            toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents WHERE doc_id < 200),
+            sh AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(t) >= 2
+                         THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+                         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                         ELSE [] END) AS s
+                FROM toks),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                      >= 0.1),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            comp AS (
+                SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+            LEFT JOIN comp c USING (doc_id)
         """,
         "ann_topk": r"""
             WITH q AS (

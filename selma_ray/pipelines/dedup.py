@@ -20,11 +20,12 @@ shuffle payload:
   batch).
 
 Dropping duplicates uses the "keep the smallest id in each duplicate
-pair/cluster" rule, which is deterministic and needs no iterative
-connected components: any doc that is the larger id of some pair is
-dropped. (Transitive chains collapse to the smallest id in practice;
-the pairs table is returned so callers can run full CC offline if they
-need exact clusters.)
+pair/cluster" rule. The cheap path (minhash_dedup) drops any doc that
+is the larger id of some pair — deterministic, no iteration. The exact
+path (connected_components / near_dup_clusters at the bottom of this
+module) runs Hash-Min label propagation as iterated Ray Data
+join+groupby rounds and yields true transitive clusters plus a
+canonical ``keep`` flag per doc.
 """
 
 from __future__ import annotations
@@ -440,3 +441,129 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return hashed.map_batches(pairs_fn, batch_format="pyarrow")
+
+
+def connected_components(pairs_ds, *, num_partitions: int = 8,
+                         max_iters: int = 50):
+    """Connected components over an undirected pair list via Hash-Min
+    label propagation: every node repeatedly adopts the smallest label
+    among itself and its neighbors until nothing changes.
+
+    Returns a Dataset (node:int64, label:int64) covering every node that
+    appears in at least one pair; ``label`` is the smallest node id in
+    the component.
+
+    Scale shape (the standard big-data CC algorithm — Hash-Min of
+    Rastogi et al., "Finding Connected Components in Map-Reduce",
+    ICDE'13 — re-expressed as Ray Data rounds):
+
+    - the symmetrized edge table is materialized ONCE and re-read from
+      the object store every round (never recomputed, never collected);
+    - each round is one hash-partitioned join (labels into edges, keyed
+      by src) + one groupby-min over (neighbor labels ∪ own labels);
+      nothing driver-side but a per-round int64 convergence scalar;
+    - only the label table (O(#nodes) rows) materializes per round, to
+      truncate lineage; rounds needed = the largest component's
+      diameter. Near-dup clusters are dense and shallow (2-4 rounds);
+      pathological chain graphs are bounded by ``max_iters``;
+    - sum(label) decreases monotonically, so an unchanged sum is the
+      fixpoint — an exact integer test, no tolerance.
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+    if edges.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    # round 0 fused into init: label[node] = min(node, min neighbor)
+    def init_label(batch: pa.Table) -> pa.Table:
+        node = pc.cast(batch.column("src"), pa.int64())
+        mn = pc.cast(batch.column("min(dst)"), pa.int64())
+        return pa.table({"node": node,
+                         "label": pc.min_element_wise(node, mn)})
+
+    labels = edges.groupby("src").aggregate(Min("dst")) \
+        .map_batches(init_label, batch_format="pyarrow").materialize()
+    prev_sum = labels.sum("label")
+
+    def as_node(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(batch.column("dst"), pa.int64()),
+                         "label": pc.cast(batch.column("label"),
+                                          pa.int64())})
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(batch.column("node"), pa.int64()),
+                         "label": pc.cast(batch.column("min(label)"),
+                                          pa.int64())})
+
+    for _ in range(max_iters):
+        msgs = edges.join(labels, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("src",), right_on=("node",)) \
+            .map_batches(as_node, batch_format="pyarrow")
+        labels_new = msgs.union(labels).groupby("node") \
+            .aggregate(Min("label")) \
+            .map_batches(fin, batch_format="pyarrow").materialize()
+        new_sum = labels_new.sum("label")
+        labels = labels_new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    # the hash aggregate can emit schema-less EMPTY blocks on sparse
+    # partitions; a downstream acero join rejects them ("no match for
+    # FieldRef"). The streaming repartition merges them away.
+    return coalesce_small(labels)
+
+
+def near_dup_clusters(docs_ds, pairs_ds, *, id_col: str = "doc_id",
+                      num_partitions: int = 8):
+    """End-to-end near-dup clustering: (doc_id, cluster_id, keep) for
+    every input doc. ``cluster_id`` is the connected-component id over
+    the pair graph (smallest member id); docs in no pair are their own
+    singleton cluster; ``keep`` marks the canonical (minimum-id) member
+    — filtering on it yields the deduplicated corpus.
+
+    The doc side streams: components (small — only pair endpoints) are
+    attached with a left-outer hash join, so the full corpus is never
+    collected or broadcast.
+    """
+    comp = connected_components(pairs_ds, num_partitions=num_partitions)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch.column(id_col),
+                                           pa.int64())})
+
+    # hash-shuffling a 0-row join side yields schema-less partitions
+    # acero rejects; no pairs means every doc is its own cluster anyway.
+    # (The count costs one pass over the SMALL label table, not docs.)
+    if comp.count() == 0:
+        def singleton(batch: pa.Table) -> pa.Table:
+            doc = pc.cast(batch.column(id_col), pa.int64())
+            return pa.table({
+                "doc_id": doc, "cluster_id": doc,
+                "keep": pa.array(np.ones(len(doc), dtype=bool)),
+            })
+        return docs_ds.map_batches(singleton, batch_format="pyarrow")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id")
+        cid = pc.coalesce(batch.column("label"), doc)
+        return pa.table({"doc_id": doc, "cluster_id": cid,
+                         "keep": pc.equal(cid, doc)})
+
+    return docs_ds.map_batches(slim, batch_format="pyarrow") \
+        .join(comp, join_type="left_outer", num_partitions=num_partitions,
+              on=("doc_id",), right_on=("node",)) \
+        .map_batches(fin, batch_format="pyarrow")

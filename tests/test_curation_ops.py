@@ -107,3 +107,41 @@ class TestPackWindows:
         # conv c token counts: 3,2,4,1 -> cum-before 0,3,5,9 -> //5: 0,0,1,1
         assert list(out.window_idx) == [0, 0, 1, 1, 0]
         assert list(out.n_tokens) == [3, 2, 4, 1, 3]
+
+
+class TestConnectedComponents:
+    def _pairs(self, edges):
+        import ray.data
+        a, b = zip(*edges) if edges else ((), ())
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array(list(a), pa.int64()),
+            "id_b": pa.array(list(b), pa.int64()),
+            "similarity": pa.array([1.0] * len(edges), pa.float64()),
+            "method": pa.array(["test"] * len(edges)),
+        }))
+
+    def test_chain_needs_multiple_rounds(self, ray_session):
+        # 0-1-2-3-4-5 chain (diameter 5) + separate pair + singleton doc
+        from selma_ray.pipelines.dedup import near_dup_clusters
+
+        import ray.data
+        edges = [(i, i + 1) for i in range(5)] + [(10, 11)]
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(6)) + [10, 11, 99], pa.int64())}))
+        out = near_dup_clusters(docs, self._pairs(edges), num_partitions=2)
+        rows = {r["doc_id"]: r for r in out.take_all()}
+        assert all(rows[i]["cluster_id"] == 0 for i in range(6))
+        assert rows[10]["cluster_id"] == 10 and rows[11]["cluster_id"] == 10
+        assert rows[99]["cluster_id"] == 99 and rows[99]["keep"]
+        assert [d for d, r in sorted(rows.items()) if r["keep"]] == [0, 10, 99]
+
+    def test_no_edges_all_singletons(self, ray_session):
+        from selma_ray.pipelines.dedup import near_dup_clusters
+
+        import ray.data
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([3, 7], pa.int64())}))
+        out = near_dup_clusters(docs, self._pairs([]), num_partitions=2)
+        rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+        assert [(r["doc_id"], r["cluster_id"], r["keep"]) for r in rows] == \
+            [(3, 3, True), (7, 7, True)]
