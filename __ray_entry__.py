@@ -338,6 +338,32 @@ def _q_lines_by_priority(sf_dir: str):
     return lines_by_priority(line, orders, num_partitions=8)
 
 
+def _q_customers_without_urgent(sf_dir: str):
+    import ray.data
+
+    from selma_ray.pipelines.relational import \
+        customers_without_urgent_orders
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+    return customers_without_urgent_orders(cust, orders, num_partitions=4)
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    from selma_ray.pipelines.relational import top_docs_per_lang
+
+    return top_docs_per_lang(_read(sf_dir, "documents"), k=3)
+
+
+def _q_events_quantiles(sf_dir: str):
+    from selma_ray.pipelines.relational import events_quantiles
+
+    return events_quantiles(_read(sf_dir, "events"))
+
+
 def _q_pricing_summary(sf_dir: str):
     from selma_ray.pipelines.relational import lineitem_pricing_summary
 
@@ -475,6 +501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_by_region": _q_suppliers_by_region,
         "parts_by_brand": _q_parts_by_brand,
         "lines_by_priority": _q_lines_by_priority,
+        "customers_without_urgent": _q_customers_without_urgent,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "events_quantiles": _q_events_quantiles,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "extract_links": _q_extract_links,
@@ -683,6 +712,25 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_retailprice_cents,
                    max(p_size)::BIGINT AS max_size
             FROM part GROUP BY p_brand
+        """,
+        "customers_without_urgent": r"""
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+        """,
+        "top_docs_per_lang": r"""
+            SELECT lang, n_chars, doc_id FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents) WHERE rn <= 3
+        """,
+        "events_quantiles": r"""
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY event_type
         """,
         "lines_by_priority": r"""
             SELECT o_orderpriority,

@@ -579,3 +579,103 @@ def lineitem_pricing_summary(lineitem_ds):
         })
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def customers_without_urgent_orders(customer_ds, orders_ds, *,
+                                    num_partitions: int = 8):
+    """Anti-join: customers that never placed a 1-URGENT order ->
+    (c_custkey, c_name).
+
+    The "unmatched keys" op a broadcast can't serve once BOTH sides are
+    fact-scale: a native hash-partitioned ``left_anti`` join. Both sides
+    are pruned before the shuffle — customers to (key, name); orders are
+    filtered (predicate pushed below the join) then collapsed to
+    per-batch DISTINCT custkeys (the anti probe only needs existence, so
+    the combiner collapses repeat orderers to one row per batch).
+    """
+
+    def slim_c(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "c_name": batch.column("c_name")})
+
+    def slim_o(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("o_orderpriority"),
+                                  "1-URGENT"))
+        col = t.column("o_custkey")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"o_custkey": pc.unique(col)})
+
+    left = customer_ds.map_batches(slim_c, batch_format="pyarrow")
+    right = orders_ds.map_batches(slim_o, batch_format="pyarrow")
+    return left.join(right, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
+def top_k_per_group(ds, *, group_col: str, order_col: str, k: int,
+                    tie_col: str, keep_cols: list[str]):
+    """Per-group top-k rows by ``order_col`` DESC (ties broken by
+    ``tie_col`` ASC — fully deterministic).
+
+    Two-phase like every other rollup here: each batch prunes itself to
+    at most k rows per group (the combiner), so the shuffle carries
+    <= k x groups x blocks rows; the groupby().map_groups then takes the
+    global top-k per group. No global sort."""
+    import pandas as pd  # noqa: F401  (map_groups pandas path)
+
+    cols = list(dict.fromkeys([group_col, order_col, tie_col] + keep_cols))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        df = df.sort_values([group_col, order_col, tie_col],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby(group_col, sort=False)
+                                    .head(k), preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([order_col, tie_col],
+                              ascending=[False, True]).head(k)
+        return g[cols].reset_index(drop=True)
+
+    return ds.map_batches(prune, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(final, batch_format="pandas")
+
+
+def top_docs_per_lang(docs_ds, *, k: int = 3):
+    """Top-k longest documents per language -> (lang, doc_id, n_chars)."""
+    return top_k_per_group(docs_ds, group_col="lang", order_col="n_chars",
+                           k=k, tie_col="doc_id", keep_cols=["doc_id"])
+
+
+def events_quantiles(events_ds, *, qs: tuple = (0.5, 0.9, 0.99)):
+    """Exact discrete quantiles of ``value`` per event_type ->
+    (event_type, p50, p90, p99).
+
+    quantile_disc semantics (an actual element is returned, no
+    interpolation — so results hash-match an independent SQL computation
+    bit-for-bit): element at index ceil(q*n)-1 of the sorted values.
+
+    Partitioning assumption: one event_type's values fit one worker
+    (map_groups). For heavy-hitter types at 100 TB, swap the final for a
+    two-pass histogram refine: per-batch fixed-width histograms merge in
+    a tiny groupby, then a second pass scans only the boundary bucket.
+    """
+    import math
+
+    import pandas as pd
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch.column("event_type"),
+                         "value": batch.column("value")})
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(group["value"].to_numpy())
+        n = v.size
+        row = {"event_type": group["event_type"].iloc[0]}
+        for q in qs:
+            row[f"p{int(q * 100)}"] = float(v[max(0, math.ceil(q * n) - 1)])
+        return pd.DataFrame([row])
+
+    return events_ds.map_batches(slim, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(final, batch_format="pandas")
