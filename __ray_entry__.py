@@ -120,6 +120,15 @@ def _q_sanitize_transcripts(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx", "sanitized"])
 
 
+def _q_block_filter(sf_dir: str):
+    from selma_ray.stages.extract import block_filter_stage
+
+    ds = _transcripts_for(sf_dir)
+    out = block_filter_stage(ds, concurrency=2)
+    return out.select_columns(["conv_id", "turn_idx", "main_text",
+                               "n_blocks", "n_kept"])
+
+
 def _q_doc_stats(sf_dir: str):
     from selma_ray.functions.text import doc_stats_batch
 
@@ -358,6 +367,13 @@ def _q_top_docs_per_lang(sf_dir: str):
     return top_docs_per_lang(_read(sf_dir, "documents"), k=3)
 
 
+def _q_events_hopping(sf_dir: str):
+    from selma_ray.pipelines.relational import events_hopping
+
+    return events_hopping(_read(sf_dir, "events"), size_hours=2,
+                          hop_hours=1)
+
+
 def _q_events_quantiles(sf_dir: str):
     from selma_ray.pipelines.relational import events_quantiles
 
@@ -475,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_transcripts": _q_extract_transcripts,
         "sanitize_transcripts": _q_sanitize_transcripts,
+        "block_filter": _q_block_filter,
         "doc_stats": _q_doc_stats,
         "tokens_by_lang": _q_tokens_by_lang,
         "exact_dedup": _q_exact_dedup,
@@ -503,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lines_by_priority": _q_lines_by_priority,
         "customers_without_urgent": _q_customers_without_urgent,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "events_hopping": _q_events_hopping,
         "events_quantiles": _q_events_quantiles,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
@@ -643,6 +661,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": r"""
+            WITH fan AS (
+                SELECT date_trunc('hour', ts)
+                           - (t.o * INTERVAL 1 HOUR) AS window_start,
+                       event_type, value
+                FROM events, unnest([0, 1]) AS t(o))
+            SELECT window_start, event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
+            FROM fan GROUP BY 1, 2
         """,
         "events_asof_orders": r"""
             SELECT e.event_id, e.user_id, e.ts,

@@ -679,3 +679,59 @@ def events_quantiles(events_ds, *, qs: tuple = (0.5, 0.9, 0.99)):
 
     return events_ds.map_batches(slim, batch_format="pyarrow") \
         .groupby("event_type").map_groups(final, batch_format="pandas")
+
+
+def events_hopping(ds, *, size_hours: int = 2, hop_hours: int = 1):
+    """Hopping (sliding) window rollup: (window_start, event_type) ->
+    count, sum over [window_start, window_start + size).
+
+    The overlapping-window aggregate, composed streaming-style: each
+    event is fanned out to its size/hop owning windows INSIDE the batch
+    (vectorized repeat — the fan-out never crosses a task boundary
+    un-aggregated), partial-aggregated per block, then a tiny global
+    groupby. Late data needs no watermark: windows are pure functions of
+    event time, so stragglers fold into the same keys.
+
+    Shuffle cost is (size/hop) x the tumbling case per block BEFORE the
+    per-block combiner collapses it to one row per (window, type) —
+    identical post-combiner row counts, so the wide step does not grow
+    with overlap.
+    """
+    from ray.data.aggregate import Sum
+
+    k = size_hours // hop_hours
+    assert size_hours % hop_hours == 0, "size must be a multiple of hop"
+    HOP_US = hop_hours * 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        base = (ts // HOP_US) * HOP_US      # newest window containing ts
+        # k owning windows: base, base - hop, ..., base - (k-1)*hop
+        starts = (base[None, :] - (np.arange(k, dtype=np.int64)[:, None]
+                                   * HOP_US)).ravel()
+        etype = batch.column("event_type")
+        if isinstance(etype, pa.ChunkedArray):
+            etype = etype.combine_chunks()
+        v = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+        return _partial_sum_by(
+            {"window_start": pa.array(starts).cast(pa.timestamp("us")),
+             "event_type": etype.take(idx),
+             "v": pa.array(np.tile(v, k), pa.int64())},
+            ["window_start", "event_type"], ["v"], "n_partial")
+
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["window_start", "event_type"]).aggregate(
+            Sum("v"), Sum("n_partial"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": batch.column("window_start"),
+            "event_type": batch.column("event_type"),
+            "n_events": pc.cast(batch.column("sum(n_partial)"), pa.int64()),
+            "sum_value_cents": pc.cast(batch.column("sum(v)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -178,3 +178,74 @@ def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
     kwargs["concurrency"] = (concurrency if concurrency is not None
                              else default_pool_size())
     return ds.map_batches(ExtractTurns, **kwargs)
+
+
+class FilterBlocks:
+    """Actor-pool stage for block-level boilerplate classification
+    (engine.blocks: jusText-style word-count + link-density heuristics).
+
+    Appends (main_text:large_string, n_blocks:int32, n_kept:int32) to
+    the batch; the per-block table rides only when ``keep_blocks=True``
+    (list<struct> column — sizeable, off by default at corpus scale).
+    """
+
+    def __init__(self, text_col: str = "text", min_words: int = 3,
+                 max_link_density: float = 0.5,
+                 drop_input_text: bool = False,
+                 keep_blocks: bool = False):
+        from ..engine.blocks import BlockFilterEngine
+
+        self.text_col = text_col
+        self.drop_input_text = drop_input_text
+        self.keep_blocks = keep_blocks
+        self.engine = BlockFilterEngine(min_words, max_link_density)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        process = self.engine.process
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        main = [None] * n
+        n_blocks = [0] * n
+        n_kept = [0] * n
+        blocks = [None] * n if self.keep_blocks else None
+        for i, t in enumerate(texts):
+            r = process(t if t is not None else "")
+            main[i] = r["main_text"]
+            n_blocks[i] = r["n_blocks"]
+            n_kept[i] = r["n_kept"]
+            if blocks is not None:
+                blocks[i] = r["blocks"]
+        out = (batch.drop_columns([self.text_col])
+               if self.drop_input_text else batch)
+        out = out.append_column("main_text",
+                                pa.array(main, pa.large_string()))
+        out = out.append_column("n_blocks", pa.array(n_blocks, pa.int32()))
+        out = out.append_column("n_kept", pa.array(n_kept, pa.int32()))
+        if blocks is not None:
+            out = out.append_column("blocks", pa.array(
+                blocks, pa.list_(pa.struct([
+                    ("text", pa.string()), ("words", pa.int64()),
+                    ("link_density", pa.float64()), ("kept", pa.bool_()),
+                ]))))
+        return out
+
+
+def block_filter_stage(ds, *, text_col: str = "text", min_words: int = 3,
+                       max_link_density: float = 0.5,
+                       drop_input_text: bool = False,
+                       keep_blocks: bool = False,
+                       batch_size: int = 64, concurrency=None):
+    """Attach the block-filter actor-pool stage (same pool sizing rules
+    as extract_stage)."""
+    from .util import default_pool_size
+
+    if concurrency is None:
+        concurrency = default_pool_size()
+    return ds.map_batches(
+        FilterBlocks,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, min_words=min_words,
+            max_link_density=max_link_density,
+            drop_input_text=drop_input_text, keep_blocks=keep_blocks),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

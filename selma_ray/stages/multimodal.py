@@ -89,3 +89,52 @@ def multimodal_stage(ds, cls=DecodeImageFeatures, *, batch_size: int = 16,
     return ds.map_batches(cls, fn_constructor_kwargs=ctor_kwargs,
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
+
+
+class ParsePdfText:
+    """map_batches actor: binary PDF column -> per-page text + layout.
+
+    The north-rule's "PDF/layout parse" leg. No PDF library ships in
+    this container, so ``parse_impl`` raises NotImplementedError unless
+    ``fake=True``, where a deterministic stand-in (payload split into
+    pseudo-pages with synthetic bboxes) exercises the real Ray plumbing:
+    per-actor parser init, bytes-aware small batches, and the
+    list<struct> page/layout output schema downstream text stages
+    consume (page text feeds the same block/quality filters as HTML).
+    """
+
+    PAGE_TYPE = pa.list_(pa.struct([
+        ("page", pa.int32()),
+        ("text", pa.string()),
+        ("bbox", pa.list_(pa.float32(), 4)),
+    ]))
+
+    def __init__(self, data_col: str = "data", out_col: str = "pages",
+                 page_bytes: int = 1024, fake: bool = True):
+        self.data_col = data_col
+        self.out_col = out_col
+        self.page_bytes = page_bytes
+        self.fake = fake
+        # real impl: load the PDF parser / layout model ONCE per actor
+
+    def parse_impl(self, payload: bytes) -> list[dict]:
+        if not self.fake:
+            raise NotImplementedError(
+                "no PDF parser is available in this environment; "
+                "run with fake=True for the deterministic stand-in")
+        payload = payload or b""
+        pages = []
+        for i in range(0, max(1, len(payload)), self.page_bytes):
+            chunk = payload[i:i + self.page_bytes]
+            pages.append({
+                "page": i // self.page_bytes,
+                "text": chunk.decode("latin-1"),
+                "bbox": [0.0, float(i), 612.0, float(i + len(chunk))],
+            })
+        return pages
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pages = [self.parse_impl(p) for p in
+                 batch.column(self.data_col).to_pylist()]
+        return batch.append_column(self.out_col,
+                                   pa.array(pages, self.PAGE_TYPE))

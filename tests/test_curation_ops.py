@@ -145,3 +145,83 @@ class TestConnectedComponents:
         rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
         assert [(r["doc_id"], r["cluster_id"], r["keep"]) for r in rows] == \
             [(3, 3, True), (7, 7, True)]
+
+
+class TestBlockFilter:
+    def _eng(self, **kw):
+        from selma_ray.engine.blocks import BlockFilterEngine
+        return BlockFilterEngine(**kw)
+
+    def test_nav_footer_dropped_content_kept(self):
+        e = self._eng()
+        doc = ('<nav><a href="/">Home</a> <a href="/x">X</a></nav>'
+               '<p>Real article text with enough words to count.</p>'
+               '<footer><a href="/t">Terms</a> <a href="/p">Priv</a>'
+               '</footer>')
+        r = e.process(doc)
+        assert r["main_text"] == \
+            "Real article text with enough words to count."
+        assert r["n_kept"] == 1 and r["n_blocks"] >= 2
+        dropped = [b for b in r["blocks"] if not b["kept"]]
+        assert all(b["link_density"] > 0.5 or b["words"] < 3
+                   for b in dropped)
+
+    def test_link_density_boundary(self):
+        # half link chars exactly at threshold 0.5 -> kept
+        e = self._eng(min_words=1)
+        r = e.process("<p><a href=x>abcde</a>fghij</p>")
+        [b] = r["blocks"]
+        assert b["kept"] and abs(b["link_density"] - 0.5) < 1e-9
+
+    def test_short_block_dropped(self):
+        e = self._eng(min_words=3)
+        r = e.process("<p>two words</p><p>three whole words</p>")
+        assert [b["kept"] for b in r["blocks"]] == [False, True]
+
+    def test_plain_text_passthrough(self):
+        e = self._eng()
+        r = e.process("just plain text no markup here")
+        assert r["main_text"] == "just plain text no markup here"
+        assert r["n_blocks"] == r["n_kept"] == 1
+
+    def test_script_style_ignored(self):
+        e = self._eng()
+        r = e.process("<p>Content words live here fine.</p>"
+                      "<script>var a = 'not text';</script>")
+        assert "var a" not in r["main_text"]
+        assert r["n_kept"] == 1
+
+    def test_stage_over_dataset(self, ray_session):
+        import ray.data
+        from selma_ray.stages.extract import block_filter_stage
+        t = pa.table({
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "text": ["<nav><a href=/>Home</a></nav><p>Body text of the "
+                     "first turn right here.</p>", "plain follow-up turn"],
+        })
+        out = block_filter_stage(ray.data.from_arrow(t), concurrency=1,
+                                 keep_blocks=True)
+        rows = sorted(out.take_all(), key=lambda r: r["turn_idx"])
+        assert rows[0]["main_text"].startswith("Body text")
+        assert rows[0]["n_blocks"] == 2 and rows[0]["n_kept"] == 1
+        assert rows[1]["main_text"] == "plain follow-up turn"
+        assert rows[0]["blocks"][0]["kept"] in (True, False)
+
+
+def test_pdf_parse_fake_stage(ray_session):
+    import ray.data
+    from selma_ray.stages.multimodal import ParsePdfText
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "data": pa.array([b"x" * 2500, b""], pa.binary()),
+    })
+    out = ray.data.from_arrow(t).map_batches(
+        ParsePdfText, fn_constructor_kwargs=dict(page_bytes=1024),
+        batch_format="pyarrow", batch_size=16, concurrency=1)
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    assert [p["page"] for p in rows[0]["pages"]] == [0, 1, 2]
+    assert sum(len(p["text"]) for p in rows[0]["pages"]) == 2500
+    assert rows[0]["pages"][1]["bbox"][1] == 1024.0
+    assert rows[1]["pages"][0]["text"] == ""
