@@ -138,6 +138,15 @@ def _q_doc_stats(sf_dir: str):
                                "n_bpe_tokens"])
 
 
+def _q_quality_filter(sf_dir: str):
+    from selma_ray.functions.text import quality_filter_batch
+
+    out = _read(sf_dir, "documents").map_batches(
+        quality_filter_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_words", "mean_word_len",
+                               "alpha_ratio", "keep"])
+
+
 def _q_tokens_by_lang(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -493,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sanitize_transcripts": _q_sanitize_transcripts,
         "block_filter": _q_block_filter,
         "doc_stats": _q_doc_stats,
+        "quality_filter": _q_quality_filter,
         "tokens_by_lang": _q_tokens_by_lang,
         "exact_dedup": _q_exact_dedup,
         "fingerprint_md5": _q_fingerprint,
@@ -546,6 +556,28 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
                    ))::BIGINT AS n_bpe_tokens
             FROM documents
+        """,
+        "quality_filter": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT
+                           AS n_words,
+                       length(regexp_replace(text, '\s', '', 'g'))::BIGINT
+                           AS nonspace,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           ::BIGINT AS alpha
+                FROM documents)
+            SELECT doc_id, n_words,
+                   nonspace::DOUBLE / greatest(n_words, 1)::DOUBLE
+                       AS mean_word_len,
+                   alpha::DOUBLE / greatest(nonspace, 1)::DOUBLE
+                       AS alpha_ratio,
+                   (n_words BETWEEN 5 AND 100000
+                    AND nonspace::DOUBLE / greatest(n_words, 1)::DOUBLE
+                        BETWEEN 2.0 AND 12.0
+                    AND alpha::DOUBLE / greatest(nonspace, 1)::DOUBLE
+                        >= 0.6) AS keep
+            FROM c
         """,
         "tokens_by_lang": r"""
             SELECT lang,

@@ -128,3 +128,44 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = batch.append_column("quality", pa.array(score, pa.float64()))
     out = out.append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
     return out.append_column("stopword_ratio", pa.array(sw_ratio, pa.float64()))
+
+
+def quality_filter_batch(batch: pa.Table, text_col: str = "text",
+                         min_words: int = 5, max_words: int = 100_000,
+                         min_mean_word_len: float = 2.0,
+                         max_mean_word_len: float = 12.0,
+                         min_alpha_ratio: float = 0.6) -> pa.Table:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1, simplified to the
+    deterministic core): word-count bounds, mean-word-length bounds, and
+    alphabetic-character ratio. Fully vectorized (three Arrow regex
+    kernels per batch) and SQL-mirrorable bit-for-bit — every ratio is
+    one IEEE division of two integer counts.
+
+    Appends: n_words:int64, mean_word_len:float64, alpha_ratio:float64,
+    keep:bool.
+    """
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    nonspace = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(text, r"\s", "")), pa.int64())
+    alpha = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(text, r"[^A-Za-z]", "")), pa.int64())
+    fw = pc.cast(n_words, pa.float64())
+    fns = pc.cast(nonspace, pa.float64())
+    mean_wl = pc.divide(fns, pc.max_element_wise(fw, pa.scalar(1.0)))
+    alpha_ratio = pc.divide(pc.cast(alpha, pa.float64()),
+                            pc.max_element_wise(fns, pa.scalar(1.0)))
+    keep = pc.and_(
+        pc.and_(pc.greater_equal(n_words, pa.scalar(min_words)),
+                pc.less_equal(n_words, pa.scalar(max_words))),
+        pc.and_(
+            pc.and_(pc.greater_equal(mean_wl,
+                                     pa.scalar(min_mean_word_len)),
+                    pc.less_equal(mean_wl, pa.scalar(max_mean_word_len))),
+            pc.greater_equal(alpha_ratio, pa.scalar(min_alpha_ratio))))
+    out = batch.append_column("n_words", n_words)
+    out = out.append_column("mean_word_len", mean_wl)
+    out = out.append_column("alpha_ratio", alpha_ratio)
+    return out.append_column("keep", keep)
