@@ -1,0 +1,83 @@
+"""Multi-format transcript ingestion -> one normalized Dataset schema.
+
+The engine's canonical input is the transcript table of the target
+pipeline (conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp[us]). Real corpora arrive as Parquet, JSONL
+crawl dumps, or CSV exports; ``read_transcripts`` reads any of them
+column-pruned where the format supports it and normalizes dtypes in one
+vectorized cast pass, so every downstream stage sees a single schema.
+
+Scale notes: Parquet is the only format with real projection/row-group
+pruning — JSONL/CSV read whole objects/lines and should be converted to
+Parquet at ingest (write_parquet of this dataset IS that converter).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TRANSCRIPT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.large_string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+_COLUMNS = [f.name for f in TRANSCRIPT_SCHEMA]
+
+
+def normalize_transcripts(batch: pa.Table) -> pa.Table:
+    """Cast/select a raw batch to TRANSCRIPT_SCHEMA (missing optional
+    columns materialize as typed nulls; extras are dropped)."""
+    n = batch.num_rows
+    cols = {}
+    names = set(batch.column_names)
+    for field in TRANSCRIPT_SCHEMA:
+        if field.name in names:
+            col = batch.column(field.name)
+            if pa.types.is_timestamp(field.type) and (
+                    pa.types.is_string(col.type)
+                    or pa.types.is_large_string(col.type)):
+                # ISO-8601 strings (JSON/CSV) -> timestamp[us]
+                col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S",
+                                  unit="us")
+            cols[field.name] = pc.cast(col, field.type)
+        else:
+            cols[field.name] = pa.nulls(n, field.type)
+    return pa.table(cols)
+
+
+def read_transcripts(path: str, *, format: str = "parquet", **read_kwargs):
+    """Read a transcript corpus in any supported format, normalized.
+
+    format="parquet" prunes to the schema columns at the read (only
+    those bytes leave storage); json/csv parse whole records then
+    normalize. Extra ``read_kwargs`` pass through to the Ray reader
+    (e.g. override_num_blocks).
+    """
+    import ray.data
+
+    if format == "parquet":
+        # prune to schema ∩ file columns (missing optionals materialize
+        # as typed nulls in normalize); peeking one footer is O(1)
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        first = path
+        if os.path.isdir(path):
+            first = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        avail = set(pq.read_schema(first).names)
+        cols = [c for c in _COLUMNS if c in avail]
+        ds = ray.data.read_parquet(path, columns=cols, **read_kwargs)
+    elif format in ("json", "jsonl"):
+        ds = ray.data.read_json(path, **read_kwargs)
+    elif format == "csv":
+        ds = ray.data.read_csv(path, **read_kwargs)
+    else:
+        raise ValueError(f"unsupported transcript format: {format!r}")
+    return ds.map_batches(normalize_transcripts, batch_format="pyarrow")

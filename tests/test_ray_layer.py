@@ -193,3 +193,50 @@ def test_multimodal_fake_decode(ray_session):
 
     with pytest.raises(NotImplementedError):
         DecodeImageFeatures(fake=False).decode_impl(b"x")
+
+
+def test_read_transcripts_formats(ray_session, tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from selma_ray.sources.readers import TRANSCRIPT_SCHEMA, read_transcripts
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "<p>hi</p>", "tool": "", "ts": "2024-01-02T03:04:05"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "plain", "tool": "search", "ts": "2024-01-02T03:05:06"},
+    ]
+    # jsonl
+    jp = tmp_path / "t.jsonl"
+    jp.write_text("\n".join(json.dumps(r) for r in rows))
+    # csv
+    cp = tmp_path / "t.csv"
+    cp.write_text("conv_id,turn_idx,role,text,tool,ts\n" + "\n".join(
+        f'{r["conv_id"]},{r["turn_idx"]},{r["role"]},"{r["text"]}",'
+        f'{r["tool"]},{r["ts"]}' for r in rows))
+    # parquet (ts as real timestamp; tool column missing -> typed nulls)
+    t = pa.table({
+        "conv_id": ["c1", "c1"], "turn_idx": [0, 1],
+        "role": ["user", "assistant"], "text": ["<p>hi</p>", "plain"],
+        "ts": pa.array([1704164645000000, 1704164706000000],
+                       pa.timestamp("us")),
+        "extra": [1, 2],
+    })
+    pp = tmp_path / "t.parquet"
+    pq.write_table(t, pp)
+
+    outs = {}
+    for fmt, path in (("jsonl", jp), ("csv", cp)):
+        ds = read_transcripts(str(path), format=fmt)
+        assert ds.schema().base_schema == TRANSCRIPT_SCHEMA
+        outs[fmt] = sorted(ds.take_all(), key=lambda r: r["turn_idx"])
+    assert outs["jsonl"] == outs["csv"]
+    assert outs["jsonl"][0]["text"] == "<p>hi</p>"
+    assert outs["jsonl"][1]["ts"].year == 2024
+
+    pds = read_transcripts(str(pp), format="parquet")
+    prows = sorted(pds.take_all(), key=lambda r: r["turn_idx"])
+    assert pds.schema().base_schema == TRANSCRIPT_SCHEMA
+    assert prows[0]["tool"] is None and "extra" not in prows[0]
