@@ -220,6 +220,13 @@ def _q_near_dup_clusters(sf_dir: str):
                              pairs, num_partitions=4)
 
 
+def _q_dup_spans(sf_dir: str):
+    from selma_ray.pipelines.dedup import dup_span_pairs
+
+    return dup_span_pairs(_read(sf_dir, "documents"), window=16, stride=8,
+                          max_id=200)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from selma_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -508,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
         "near_dup_clusters": _q_near_dup_clusters,
+        "dup_spans": _q_dup_spans,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "language_id": _q_language_id,
@@ -614,6 +622,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, similarity, 'ngram_jaccard' AS method
             FROM pairs WHERE similarity >= 0.1
+        """,
+        "dup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents WHERE doc_id < 200),
+            wins AS (
+                SELECT doc_id,
+                       md5(array_to_string(t[i:i+15], ' ')) AS h
+                FROM toks,
+                     unnest(range(1, greatest(len(t) - 14, 2), 8)) AS r(i)),
+            dw AS (SELECT DISTINCT doc_id, h FROM wins)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM dw a JOIN dw b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "near_dup_clusters": r"""
             WITH RECURSIVE

@@ -567,3 +567,76 @@ def near_dup_clusters(docs_ds, pairs_ds, *, id_col: str = "doc_id",
         .join(comp, join_type="left_outer", num_partitions=num_partitions,
               on=("doc_id",), right_on=("node",)) \
         .map_batches(fin, batch_format="pyarrow")
+
+
+def dup_span_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   window: int = 16, stride: int = 8,
+                   max_id: int | None = None,
+                   max_bucket: int | None = None):
+    """Exact duplicate-span detection (the substring-dedup family of
+    Lee et al. 2021, windowed form): cross-doc pairs (id_a < id_b,
+    n_shared) that share >= 1 exact ``window``-token span, counted over
+    distinct spans.
+
+    Per batch each doc emits the md5 digest of every token window at
+    ``stride`` offsets, deduped within the doc — 16-byte-digest rows ride
+    the shuffle, never window text. The wide ops are one groupby(digest)
+    whose buckets emit cross-doc pairs (same bucket shape as LSH banding;
+    a digest shared by many docs IS a duplication cluster — cap blowup
+    with ``max_bucket`` at corpus scale) and one (id_a,id_b) groupby-count.
+    Production-scale variant: swap md5 for a 64-bit rolling hash and
+    stride 1 for exact substring coverage.
+    """
+    import hashlib as _hl
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        h_out: list[str] = []
+        d_out: list[int] = []
+        for did, text in zip(ids, texts):
+            if max_id is not None and did >= max_id:
+                continue
+            toks = (text or "").split()
+            n = len(toks)
+            seen: set[str] = set()
+            for j in range(0, max(n - (window - 1), 1), stride):
+                win = " ".join(toks[j:j + window])
+                dig = _hl.md5(win.encode()).hexdigest()
+                if dig not in seen:
+                    seen.add(dig)
+                    h_out.append(dig)
+                    d_out.append(did)
+        return pa.table({"h": pa.array(h_out, pa.string()),
+                         "doc": pa.array(d_out, pa.int64())})
+
+    def bucket_pairs(group):
+        import pandas as pd
+
+        docs = sorted(set(group["doc"].tolist()))
+        if max_bucket is not None:
+            docs = docs[:max_bucket]
+        a_out, b_out = [], []
+        for i in range(len(docs) - 1):
+            for j in range(i + 1, len(docs)):
+                a_out.append(docs[i])
+                b_out.append(docs[j])
+        return pd.DataFrame({"id_a": pd.array(a_out, dtype="int64"),
+                             "id_b": pd.array(b_out, dtype="int64")})
+
+    from ray.data.aggregate import Count
+
+    wins = coalesce_small(ds.map_batches(windows, batch_format="pyarrow"))
+    pairs = wins.groupby("h").map_groups(bucket_pairs,
+                                         batch_format="pandas")
+    agg = coalesce_small(pairs).groupby(["id_a", "id_b"]) \
+        .aggregate(Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "n_shared": pc.cast(batch.column("count()"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -225,3 +225,22 @@ def test_pdf_parse_fake_stage(ray_session):
     assert sum(len(p["text"]) for p in rows[0]["pages"]) == 2500
     assert rows[0]["pages"][1]["bbox"][1] == 1024.0
     assert rows[1]["pages"][0]["text"] == ""
+
+
+def test_dup_span_pairs_planted(ray_session):
+    import ray.data
+    from selma_ray.pipelines.dedup import dup_span_pairs
+
+    span = " ".join(f"w{i}" for i in range(16))
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [f"{span} unique tail zero",
+                 f"prefix one {span} and more trailing words here",
+                 "completely different text with no shared span at all "
+                 "padded out to be long enough for several windows "
+                 + " ".join(f"x{i}" for i in range(40))],
+    })
+    out = dup_span_pairs(ray.data.from_arrow(docs), window=16, stride=1)
+    rows = out.take_all()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
+    assert rows[0]["n_shared"] >= 1
