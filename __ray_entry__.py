@@ -360,7 +360,7 @@ def _q_lines_by_priority(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderstatus", "o_orderpriority"])
-    return lines_by_priority(line, orders, num_partitions=8)
+    return lines_by_priority(line, orders, num_partitions=4)
 
 
 def _q_customers_without_urgent(sf_dir: str):

@@ -244,3 +244,47 @@ def test_dup_span_pairs_planted(ray_session):
     rows = out.take_all()
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
     assert rows[0]["n_shared"] >= 1
+
+
+def test_connected_components_random_vs_union_find(ray_session):
+    """Hash-Min CC must match a driver-side union-find on random graphs."""
+    import random
+
+    import ray.data
+    from selma_ray.pipelines.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_nodes = 40
+        edges = sorted({tuple(sorted(rng.sample(range(n_nodes), 2)))
+                        for _ in range(25)})
+        # reference union-find
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for a, b in edges:
+            for x in (a, b):
+                want[x] = find(x)
+        # min-id label: union-find roots ARE min ids here because unions
+        # always attach the larger root under the smaller
+        a, b = zip(*edges)
+        pairs = ray.data.from_arrow(pa.table({
+            "id_a": pa.array(list(a), pa.int64()),
+            "id_b": pa.array(list(b), pa.int64()),
+            "similarity": pa.array([1.0] * len(edges), pa.float64()),
+            "method": pa.array(["t"] * len(edges)),
+        }))
+        got = {r["node"]: r["label"]
+               for r in connected_components(pairs,
+                                             num_partitions=2).take_all()}
+        assert got == want, f"trial {trial}: {got} != {want}"
