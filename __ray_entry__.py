@@ -129,6 +129,23 @@ def _q_block_filter(sf_dir: str):
                                "n_blocks", "n_kept"])
 
 
+def _q_curate_corpus(sf_dir: str):
+    """End-to-end curation (extract -> quality filter -> dedup -> pack)
+    over the tier's synthetic transcripts; returns the packed-window
+    assignment table. Deterministic; stage checkpoints under /tmp let
+    driver re-runs resume instead of recompute."""
+    import ray.data
+
+    from selma_ray.pipelines.curate import curate_corpus
+    from selma_ray.sources.transcripts import transcripts_parquet
+
+    n_convs = max(24, int(10_000 * _sf_of(sf_dir)))
+    inp = transcripts_parquet(n_convs)
+    out = f"/tmp/selma_curate_{n_convs}"
+    curate_corpus(inp, out, concurrency=2)
+    return ray.data.read_parquet(f"{out}/packed")
+
+
 def _q_doc_stats(sf_dir: str):
     from selma_ray.functions.text import doc_stats_batch
 
@@ -508,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_transcripts": _q_extract_transcripts,
         "sanitize_transcripts": _q_sanitize_transcripts,
         "block_filter": _q_block_filter,
+        "curate_corpus": _q_curate_corpus,
         "doc_stats": _q_doc_stats,
         "quality_filter": _q_quality_filter,
         "tokens_by_lang": _q_tokens_by_lang,

@@ -1,0 +1,123 @@
+"""End-to-end corpus curation: extract → quality-filter → dedup → pack.
+
+The composed production pipeline a training-data user actually runs —
+every stage is one of this repo's operators, chained with STAGE-LEVEL
+parquet checkpoints:
+
+  stage 1  extract+filter  per-shard resume (run_extraction's manifest)
+           then a map-only quality pass over the extracted text
+  stage 2  exact dedup     global groupby over text hashes (cross-shard,
+           so it restarts whole — its input is the stage-1 checkpoint,
+           never the raw corpus)
+  stage 3  window packing  per-conversation token-budget windows
+
+Stage boundaries materialize to ``<out_root>/<stage>/`` with a done
+marker; a restarted job skips completed stages. Within stage 1, resume
+is per-shard (the finer grain matters there: it is ~all the compute).
+This is the honest 100 TB shape — iterating dedup cheaply requires the
+extracted text to already sit in columnar form.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DONE = "_STAGE_DONE.json"
+
+
+def _stage_done(stage_dir: str) -> bool:
+    return os.path.exists(os.path.join(stage_dir, DONE))
+
+
+def _mark_done(stage_dir: str, info: dict) -> None:
+    tmp = os.path.join(stage_dir, DONE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, os.path.join(stage_dir, DONE))
+
+
+def curate_corpus(input_path: str, out_root: str, *,
+                  min_words: int = 3, batch_size: int = 64,
+                  window_budget: int = 128, concurrency=None,
+                  resume: bool = True) -> dict:
+    """Run (or resume) the full curation pipeline over a transcript
+    parquet path. Returns per-stage summary metrics."""
+    import ray.data
+
+    from ..functions.text import quality_filter_batch
+    from .conversations import pack_context_windows
+    from .extract import run_extraction
+
+    summary: dict = {"stages": {}}
+
+    # -- stage 1: extraction (per-shard resume) + quality columns ---------
+    ex_dir = os.path.join(out_root, "extracted")
+    qf_dir = os.path.join(out_root, "filtered")
+    ex = run_extraction(input_path, ex_dir, keep_spans=False,
+                        batch_size=batch_size, concurrency=concurrency,
+                        resume=resume)
+    summary["stages"]["extract"] = ex
+
+    if not (resume and _stage_done(qf_dir)):
+        ds = ray.data.read_parquet(ex_dir)
+        ds = ds.map_batches(quality_filter_batch,
+                            fn_kwargs=dict(text_col="extracted_text",
+                                           min_words=min_words),
+                            batch_format="pyarrow")
+        def keep_only(batch: pa.Table) -> pa.Table:
+            m = batch.column("keep")
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            return batch.filter(m)
+
+        kept = ds.map_batches(keep_only, batch_format="pyarrow")
+        os.makedirs(qf_dir, exist_ok=True)
+        kept.write_parquet(qf_dir)
+        n_kept = ray.data.read_parquet(qf_dir).count()
+        _mark_done(qf_dir, {"rows_kept": n_kept})
+    with open(os.path.join(qf_dir, DONE)) as f:
+        summary["stages"]["quality_filter"] = json.load(f)
+
+    # -- stage 2: exact dedup on extracted text (global) -------------------
+    dd_dir = os.path.join(out_root, "deduped")
+    if not (resume and _stage_done(dd_dir)):
+        from .dedup import exact_dedup
+
+        ds = ray.data.read_parquet(qf_dir)
+
+        def row_key(batch: pa.Table) -> pa.Table:
+            key = pc.binary_join_element_wise(
+                batch.column("conv_id"),
+                pc.utf8_lpad(pc.cast(batch.column("turn_idx"),
+                                     pa.string()), 12, "0"), "#")
+            return batch.append_column("row_key", key)
+
+        keyed = ds.map_batches(row_key, batch_format="pyarrow")
+        survivors = exact_dedup(keyed, id_col="row_key",
+                                text_col="extracted_text")
+        os.makedirs(dd_dir, exist_ok=True)
+        survivors.drop_columns(["row_key", "text_hash"]) \
+            .write_parquet(dd_dir)
+        _mark_done(dd_dir, {
+            "rows_out": ray.data.read_parquet(dd_dir).count()})
+    with open(os.path.join(dd_dir, DONE)) as f:
+        summary["stages"]["dedup"] = json.load(f)
+
+    # -- stage 3: context-window packing ----------------------------------
+    pk_dir = os.path.join(out_root, "packed")
+    if not (resume and _stage_done(pk_dir)):
+        ds = ray.data.read_parquet(dd_dir)
+        packed = pack_context_windows(ds, budget=window_budget,
+                                      text_col="extracted_text")
+        os.makedirs(pk_dir, exist_ok=True)
+        packed.write_parquet(pk_dir)
+        _mark_done(pk_dir, {
+            "rows_out": ray.data.read_parquet(pk_dir).count()})
+    with open(os.path.join(pk_dir, DONE)) as f:
+        summary["stages"]["pack"] = json.load(f)
+
+    return summary

@@ -240,3 +240,23 @@ def test_read_transcripts_formats(ray_session, tmp_path):
     prows = sorted(pds.take_all(), key=lambda r: r["turn_idx"])
     assert pds.schema().base_schema == TRANSCRIPT_SCHEMA
     assert prows[0]["tool"] is None and "extra" not in prows[0]
+
+
+def test_curate_corpus_stages_and_resume(ray_session, tmp_path):
+    from selma_ray.pipelines.curate import curate_corpus
+    from selma_ray.sources.transcripts import transcripts_parquet
+
+    inp = transcripts_parquet(24)
+    out = str(tmp_path / "curated")
+    s1 = curate_corpus(inp, out, concurrency=1)
+    assert s1["stages"]["extract"]["shards_skipped"] == 0
+    assert s1["stages"]["quality_filter"]["rows_kept"] > 0
+    # dedup can only shrink; packing preserves rows
+    assert (s1["stages"]["dedup"]["rows_out"]
+            <= s1["stages"]["quality_filter"]["rows_kept"])
+    assert (s1["stages"]["pack"]["rows_out"]
+            == s1["stages"]["dedup"]["rows_out"])
+    s2 = curate_corpus(inp, out, concurrency=1)
+    assert s2["stages"]["extract"]["shards_skipped"] \
+        == s2["stages"]["extract"]["shards_total"]
+    assert s2["stages"]["dedup"] == s1["stages"]["dedup"]
