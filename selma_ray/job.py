@@ -49,6 +49,22 @@ def cmd_extract(args) -> dict:
     return summary
 
 
+def cmd_curate(args) -> dict:
+    from selma_ray.pipelines.curate import curate_corpus
+
+    ray = _init(args)
+    summary = curate_corpus(
+        args.input, args.output,
+        min_words=args.min_words,
+        batch_size=args.batch_size,
+        window_budget=args.window_budget,
+        concurrency=args.concurrency,
+        resume=not args.no_resume,
+    )
+    ray.shutdown()
+    return summary
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="selma_ray.job")
     ap.add_argument("--address", default=None,
@@ -70,9 +86,25 @@ def main(argv=None) -> int:
     ex.add_argument("--concurrency", type=int, default=None,
                     help="actor pool size (default: cpus - max(2, cpus/8))")
 
+    cu = sub.add_parser(
+        "curate", help="run/resume the full curation pipeline "
+                       "(extract -> quality filter -> dedup -> pack)")
+    cu.add_argument("--input", required=True, help="parquet file or dir")
+    cu.add_argument("--output", required=True, help="output root dir")
+    cu.add_argument("--no-resume", action="store_true",
+                    help="recompute every stage even if marked done")
+    cu.add_argument("--min-words", type=int, default=3)
+    cu.add_argument("--window-budget", type=int, default=128)
+    cu.add_argument("--batch-size", type=int, default=64)
+    cu.add_argument("--concurrency", type=int, default=None)
+
     args = ap.parse_args(argv)
     if args.cmd == "extract":
         summary = cmd_extract(args)
+        print(json.dumps(summary))
+        return 0
+    if args.cmd == "curate":
+        summary = cmd_curate(args)
         print(json.dumps(summary))
         return 0
     return 2
