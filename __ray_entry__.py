@@ -244,6 +244,20 @@ def _q_dup_spans(sf_dir: str):
                           max_id=200)
 
 
+def _q_minhash_clusters(sf_dir: str):
+    """Full fuzzy-dedup composition: MinHash+LSH candidate pairs ->
+    connected components -> canonical keep flag per doc. Rows-only
+    (minhash is not SQL-expressible; the pair stage is verified against
+    exact Jaccard in tests, the CC stage against a recursive-CTE oracle
+    in near_dup_clusters)."""
+    from selma_ray.pipelines.dedup import minhash_lsh_pairs, \
+        near_dup_clusters
+
+    docs = _read(sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, ngram=2, threshold=0.5)
+    return near_dup_clusters(docs, pairs, num_partitions=4)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from selma_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -535,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "dup_spans": _q_dup_spans,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "minhash_clusters": _q_minhash_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "language_id": _q_language_id,
         "quality_score": _q_quality,

@@ -65,7 +65,8 @@ def _transcript_input(sf_dir: str) -> tuple[str, int]:
     return path, n_rows
 
 
-def bench_extract(sf_dir: str, num_cpus: int, out_dir: str) -> dict:
+def bench_extract(sf_dir: str, num_cpus: int, out_dir: str,
+                  show_stats: bool = False) -> dict:
     """Headline: transcript extraction read→actor-pool→write."""
     import ray.data
 
@@ -90,6 +91,8 @@ def bench_extract(sf_dir: str, num_cpus: int, out_dir: str) -> dict:
                         concurrency=conc, drop_input_text=True)
     out.write_parquet(out_dir)
     dt = time.perf_counter() - t0
+    if show_stats:
+        print(out.stats(), file=sys.stderr)
     return {"sec": dt, "turns": n_rows, "turns_per_sec": n_rows / dt}
 
 
@@ -113,10 +116,12 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
     return out
 
 
-def run_once(sf_dir: str, num_cpus: int, with_queries: bool) -> dict:
+def run_once(sf_dir: str, num_cpus: int, with_queries: bool,
+             show_stats: bool = False) -> dict:
     _init_ray(num_cpus)
     extract = bench_extract(sf_dir, num_cpus,
-                            out_dir=f"/tmp/selma_bench_out_{num_cpus}")
+                            out_dir=f"/tmp/selma_bench_out_{num_cpus}",
+                            show_stats=show_stats)
     rec = {
         "metric": "transcript main-content extraction wall-time "
                   "(read_parquet -> actor-pool extract -> write_parquet)",
@@ -177,6 +182,8 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--child", action="store_true",
                     help="internal: headline pipeline only, fresh session")
+    ap.add_argument("--stats", action="store_true",
+                    help="print the headline pipeline's ds.stats() to stderr")
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     args = ap.parse_args()
@@ -186,9 +193,11 @@ def main():
     if args.scaling:
         rec = run_scaling(args.sf_dir)
     elif args.child:
-        rec = run_once(args.sf_dir, args.cpus, with_queries=False)
+        rec = run_once(args.sf_dir, args.cpus, with_queries=False,
+                       show_stats=args.stats)
     else:
-        rec = run_once(args.sf_dir, args.cpus, with_queries=True)
+        rec = run_once(args.sf_dir, args.cpus, with_queries=True,
+                       show_stats=args.stats)
     print(json.dumps(rec))
     if ray.is_initialized():
         ray.shutdown()
