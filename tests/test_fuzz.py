@@ -119,3 +119,22 @@ def test_fused_sanitize_matches_generic_basic(s):
 @settings(max_examples=200, deadline=None)
 def test_fused_sanitize_matches_generic_restricted(s):
     assert _restricted.rewrite(s) == _forced_two_pass(_restricted, s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="<>/ab c=\"'&;!-x\n", max_size=160))
+def test_block_filter_invariants(doc):
+    """Block filter never crashes, densities stay in [0,1], and kept
+    blocks respect the word-count floor."""
+    from selma_ray.engine.blocks import BlockFilterEngine
+
+    eng = BlockFilterEngine(min_words=2)
+    r = eng.process(doc)
+    assert r["n_kept"] <= r["n_blocks"] == len(r["blocks"])
+    for b in r["blocks"]:
+        assert 0.0 <= b["link_density"] <= 1.0
+        assert b["words"] == len(b["text"].split())
+        if b["kept"]:
+            assert b["words"] >= 2 and b["link_density"] <= 0.5
+    assert r["main_text"] == " ".join(
+        b["text"] for b in r["blocks"] if b["kept"])
