@@ -116,6 +116,12 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
     return out
 
 
+def _fixture_pass_rate() -> float:
+    from selma_ray.engine.conformance import run_conformance
+
+    return round(run_conformance()["pass_rate"], 4)
+
+
 def run_once(sf_dir: str, num_cpus: int, with_queries: bool,
              show_stats: bool = False) -> dict:
     _init_ray(num_cpus)
@@ -131,6 +137,9 @@ def run_once(sf_dir: str, num_cpus: int, with_queries: bool,
         "num_cpus": num_cpus,
         "turns": extract["turns"],
         "turns_per_sec": round(extract["turns_per_sec"], 1),
+        # per-turn text-equality pass rate vs the reference fixture
+        # matrix (BASELINE.json metric): replayed live, not hard-coded
+        "fixture_pass_rate": _fixture_pass_rate(),
         "queries": {"extract": round(extract["sec"], 3)},
     }
     if with_queries:
