@@ -427,6 +427,12 @@ def _q_events_quantiles(sf_dir: str):
     return events_quantiles(_read(sf_dir, "events"))
 
 
+def _q_events_quantiles_twopass(sf_dir: str):
+    from selma_ray.pipelines.relational import events_quantiles_twopass
+
+    return events_quantiles_twopass(_read(sf_dir, "events"))
+
+
 def _q_pricing_summary(sf_dir: str):
     from selma_ray.pipelines.relational import lineitem_pricing_summary
 
@@ -573,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "events_hopping": _q_events_hopping,
         "events_quantiles": _q_events_quantiles,
+        "events_quantiles_scalable": _q_events_quantiles_twopass,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "extract_links": _q_extract_links,
@@ -843,6 +850,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "events_quantiles": r"""
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "events_quantiles_scalable": r"""
             SELECT event_type,
                    quantile_disc(value, 0.5) AS p50,
                    quantile_disc(value, 0.9) AS p90,

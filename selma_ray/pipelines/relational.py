@@ -735,3 +735,139 @@ def events_hopping(ds, *, size_hours: int = 2, hop_hours: int = 1):
         })
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def events_quantiles_twopass(events_ds, *, qs: tuple = (0.5, 0.9, 0.99),
+                             n_buckets: int = 512):
+    """Exact per-group discrete quantiles WITHOUT materializing any
+    group — the scale path events_quantiles' docstring promises, for
+    heavy-hitter groups that cannot fit one worker.
+
+    Three streaming passes over the value column (each a map-side
+    partial + tiny groupby; only per-group metadata ever reaches the
+    driver):
+
+      1. per-type (count, min, max);
+      2. per-type fixed-width histogram -> cumulative ranks -> the ONE
+         boundary bucket per requested quantile;
+      3. re-scan collecting only boundary-bucket values (~n/n_buckets
+         per type) and rank-select the exact element.
+
+    Returns the same (event_type, p50, p90, p99) rows as
+    events_quantiles, bit-for-bit (actual elements are selected, so
+    float bucketing arithmetic never leaks into results). Degenerate
+    distributions (one value, or extreme skew into one bucket) fall
+    back to collecting that bucket whole — cap n_buckets x skew by
+    recursing on the bucket if that ever exceeds worker memory.
+    """
+    import math
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    # -- pass 1: count/min/max per type ------------------------------------
+    def p1(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "value": batch.column("value")})
+        g = t.group_by("event_type").aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n": pc.cast(g.column("value_count"), pa.int64()),
+            "lo": g.column("value_min"),
+            "hi": g.column("value_max"),
+        })
+
+    stats = coalesce_small(events_ds.map_batches(p1,
+                                                 batch_format="pyarrow")) \
+        .groupby("event_type").aggregate(Sum("n"), Min("lo"), Max("hi")) \
+        .take_all()
+    meta = {r["event_type"]: (int(r["sum(n)"]), float(r["min(lo)"]),
+                              float(r["max(hi)"])) for r in stats}
+
+    def bucket_of(types, values):
+        out = np.zeros(len(values), dtype=np.int64)
+        for et, (n, lo, hi) in meta.items():
+            m = types == et
+            if hi > lo:
+                w = (hi - lo) / n_buckets
+                out[m] = np.clip(((values[m] - lo) / w).astype(np.int64),
+                                 0, n_buckets - 1)
+        return out
+
+    # -- pass 2: histogram -> boundary buckets ------------------------------
+    def p2(batch: pa.Table) -> pa.Table:
+        types = np.asarray(batch.column("event_type").to_pylist())
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        return _partial_sum_by(
+            {"event_type": pa.array(types),
+             "bucket": pa.array(bucket_of(types, vals), pa.int64())},
+            ["event_type", "bucket"], [], "cnt")
+
+    hist = coalesce_small(events_ds.map_batches(p2,
+                                                batch_format="pyarrow")) \
+        .groupby(["event_type", "bucket"]).aggregate(Sum("cnt")).take_all()
+    counts: dict[str, dict[int, int]] = {}
+    for r in hist:
+        counts.setdefault(r["event_type"], {})[int(r["bucket"])] = \
+            int(r["sum(cnt)"])
+
+    # boundary bucket + in-bucket rank per (type, quantile)
+    need: dict[str, dict[int, list]] = {}  # type -> bucket -> [(q, k)]
+    for et, (n, lo, hi) in meta.items():
+        cum = 0
+        ranks = {q: max(0, math.ceil(q * n) - 1) for q in qs}
+        per_bucket = sorted(counts.get(et, {}).items())
+        for q in sorted(qs):
+            target = ranks[q]
+            cum = 0
+            for b, c in per_bucket:
+                if cum + c > target:
+                    need.setdefault(et, {}).setdefault(b, []).append(
+                        (q, target - cum))
+                    break
+                cum += c
+
+    # -- pass 3: collect boundary buckets, rank-select ----------------------
+    def p3(batch: pa.Table) -> pa.Table:
+        types = np.asarray(batch.column("event_type").to_pylist())
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        buckets = bucket_of(types, vals)
+        keep = np.zeros(len(vals), dtype=bool)
+        for et, bmap in need.items():
+            m = types == et
+            keep |= m & np.isin(buckets, list(bmap))
+        return pa.table({
+            "event_type": pa.array(types[keep]),
+            "bucket": pa.array(buckets[keep], pa.int64()),
+            "value": pa.array(vals[keep], pa.float64()),
+        })
+
+    import pandas as pd
+
+    def select(group: pd.DataFrame) -> pd.DataFrame:
+        et = group["event_type"].iloc[0]
+        b = int(group["bucket"].iloc[0])
+        v = np.sort(group["value"].to_numpy())
+        rows = [{"event_type": et, "q": q, "value": float(v[k])}
+                for (q, k) in need[et][b]]
+        return pd.DataFrame(rows)
+
+    picked = coalesce_small(events_ds.map_batches(p3,
+                                                  batch_format="pyarrow")) \
+        .groupby(["event_type", "bucket"]) \
+        .map_groups(select, batch_format="pandas").take_all()
+
+    # tiny pivot (|types| x |qs| rows) -> one row per type
+    byq: dict[str, dict[float, float]] = {}
+    for r in picked:
+        byq.setdefault(r["event_type"], {})[float(r["q"])] = r["value"]
+    ets = sorted(meta)
+    cols: dict = {"event_type": pa.array(ets, pa.string())}
+    for q in qs:
+        cols[f"p{int(q * 100)}"] = pa.array(
+            [byq.get(et, {}).get(q, meta[et][1]) for et in ets],
+            pa.float64())
+
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(cols))
