@@ -312,6 +312,16 @@ def _q_ann_ivf(sf_dir: str):
                     nprobe=4, round_to=4)
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (rows-only:
+    iterative, not SQL-expressible; verified against a single-process
+    numpy reference in tests/test_functions.py)."""
+    from selma_ray.pipelines.clustering import kmeans
+
+    out, _ = kmeans(_read(sf_dir, "embeddings"), k=8, iters=10)
+    return out
+
+
 def _q_embedding_near_dup(sf_dir: str):
     from selma_ray.pipelines.similarity import embedding_near_dup_pairs
 
@@ -563,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
+        "kmeans_embeddings": _q_kmeans,
         "conversation_assembly": _q_conversation_assembly,
         "conversation_stats": _q_conversation_stats,
         "events_rollup": _q_events_rollup,

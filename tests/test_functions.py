@@ -105,3 +105,45 @@ def test_rolling_fingerprint_deterministic():
 def test_crc32_shard_range():
     for k in ["a", "b", "conv-000001"]:
         assert 0 <= crc32_shard(k, 16) < 16
+
+
+def test_kmeans_matches_driver_reference(ray_session):
+    """Distributed Lloyd's must match a single-process numpy reference
+    (same deterministic init and per-round rounding)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from selma_ray.pipelines.clustering import kmeans
+
+    rng = np.random.default_rng(3)
+    # three well-separated blobs
+    blobs = np.vstack([rng.normal(c, 0.05, (30, 8))
+                       for c in (0.0, 1.0, 5.0)])
+    ids = np.arange(len(blobs))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(blobs.astype(np.float64))),
+    }))
+    out, cent = kmeans(ds, k=3, iters=8)
+    got = {r["vec_id"]: r["cluster"] for r in out.take_all()}
+
+    # reference Lloyd's with identical init/rounding
+    C = np.round(blobs[:3].astype(np.float64), 6)
+    for _ in range(8):
+        d2 = ((blobs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d2, 1)
+        newC = np.array([blobs[a == j].mean(0) if (a == j).any() else C[j]
+                         for j in range(3)])
+        newC = np.round(newC, 6)
+        if np.abs(newC - C).max() <= 1e-6:
+            C = newC
+            break
+        C = newC
+    d2 = ((blobs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    want = np.argmin(d2, 1)
+    assert np.allclose(cent, C)
+    assert all(got[i] == want[i] for i in ids)
+    # blob membership is perfectly recovered
+    assert len({got[i] for i in range(30)}) == 1
+    assert len({got[i] for i in range(60, 90)}) == 1
