@@ -164,6 +164,15 @@ def _q_quality_filter(sf_dir: str):
                                "alpha_ratio", "keep"])
 
 
+def _q_repetition_stats(sf_dir: str):
+    from selma_ray.functions.text import repetition_stats_batch
+
+    out = _read(sf_dir, "documents").map_batches(
+        repetition_stats_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_lines", "dup_line_frac",
+                               "n_tokens_ws", "dup_token_frac"])
+
+
 def _q_tokens_by_lang(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -558,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "doc_stats": _q_doc_stats,
         "quality_filter": _q_quality_filter,
+        "repetition_stats": _q_repetition_stats,
         "tokens_by_lang": _q_tokens_by_lang,
         "exact_dedup": _q_exact_dedup,
         "fingerprint_md5": _q_fingerprint,
@@ -636,6 +646,22 @@ def oracle_sql() -> dict[str, str]:
                         BETWEEN 2.0 AND 12.0
                     AND alpha::DOUBLE / greatest(nonspace, 1)::DOUBLE
                         >= 0.6) AS keep
+            FROM c
+        """,
+        "repetition_stats": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       string_split(text, chr(10)) AS lines,
+                       regexp_extract_all(text, '\S+') AS toks
+                FROM documents)
+            SELECT doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   1.0 - len(list_distinct(lines))::DOUBLE
+                       / len(lines)::DOUBLE AS dup_line_frac,
+                   len(toks)::BIGINT AS n_tokens_ws,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(toks))::DOUBLE
+                             / len(toks)::DOUBLE END AS dup_token_frac
             FROM c
         """,
         "tokens_by_lang": r"""

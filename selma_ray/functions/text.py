@@ -169,3 +169,34 @@ def quality_filter_batch(batch: pa.Table, text_col: str = "text",
     out = out.append_column("mean_word_len", mean_wl)
     out = out.append_column("alpha_ratio", alpha_ratio)
     return out.append_column("keep", keep)
+
+
+def repetition_stats_batch(batch: pa.Table,
+                           text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction
+    of duplicate lines and duplicate tokens per document. High values
+    mark boilerplate/spam for filtering.
+
+    Ratios are IEEE divisions of integer counts, so they mirror a SQL
+    computation (list_distinct / string_split) bit-for-bit. Per-row work
+    is O(bytes) set-building — the same order as any tokenizing pass.
+    """
+    texts = batch.column(text_col).to_pylist()
+    n_lines = [0] * len(texts)
+    dup_line = [0.0] * len(texts)
+    n_tok = [0] * len(texts)
+    dup_tok = [0.0] * len(texts)
+    for i, t in enumerate(texts):
+        t = t or ""
+        lines = t.split("\n")
+        n_lines[i] = len(lines)
+        dup_line[i] = 1.0 - len(set(lines)) / len(lines)
+        toks = t.split()
+        n_tok[i] = len(toks)
+        dup_tok[i] = (1.0 - len(set(toks)) / len(toks)) if toks else 0.0
+    out = batch.append_column("n_lines", pa.array(n_lines, pa.int64()))
+    out = out.append_column("dup_line_frac",
+                            pa.array(dup_line, pa.float64()))
+    out = out.append_column("n_tokens_ws", pa.array(n_tok, pa.int64()))
+    return out.append_column("dup_token_frac",
+                             pa.array(dup_tok, pa.float64()))

@@ -245,7 +245,9 @@ def train_ivf_centroids(ds, *, emb_col: str = "embedding", n_cells: int = 16,
     n_cells vectors), a few Lloyd iterations on normalized vectors.
     Returns a normalized (n_cells, dim) matrix. At 100 TB the sample read
     stays a single limit() scan; training is O(sample * cells * iter) on
-    the driver."""
+    the driver. For full-corpus training swap in the distributed Lloyd's
+    implementation (selma_ray.pipelines.clustering.kmeans) — same
+    centroid contract."""
     sample = ds.limit(sample_rows)
     mats = [_batch_matrix(b, emb_col)
             for b in sample.iter_batches(batch_format="pyarrow",
