@@ -541,6 +541,12 @@ def _q_pack_windows(sf_dir: str):
     return pack_context_windows(_docs_as_conv_turns(sf_dir), budget=128)
 
 
+def _q_packed_sequences(sf_dir: str):
+    from selma_ray.pipelines.conversations import packed_sequences
+
+    return packed_sequences(_docs_as_conv_turns(sf_dir), budget=128)
+
+
 def _q_multimodal_features(sf_dir: str):
     from selma_ray.stages.multimodal import DecodeImageFeatures, multimodal_stage
 
@@ -608,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "hash_sample": _q_hash_sample,
         "pack_windows": _q_pack_windows,
+        "packed_sequences": _q_packed_sequences,
     }
 
 
@@ -1022,6 +1029,25 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING) - n_tokens)
                     // 128)::BIGINT AS window_idx
             FROM t
+        """,
+        "packed_sequences": r"""
+            WITH t AS (
+                SELECT source AS conv_id, doc_id AS turn_idx, text,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT
+                           AS n_tokens
+                FROM documents),
+            w AS (
+                SELECT conv_id, turn_idx, text, n_tokens,
+                       ((sum(n_tokens) OVER (
+                             PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        // 128)::BIGINT AS window_idx
+                FROM t)
+            SELECT conv_id, window_idx,
+                   count(*)::BIGINT AS n_turns,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS text
+            FROM w GROUP BY 1, 2
         """,
         # extract_transcripts / sanitize_transcripts: the HTML streaming
         # engine (tokenizer + selector automaton + sanitizer) is not

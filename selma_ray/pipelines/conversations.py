@@ -175,3 +175,43 @@ def conversation_stats(ds):
         })
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def packed_sequences(ds, *, budget: int = 128, text_col: str = "text",
+                     sep: str = "\n"):
+    """Materialize the actual packed training sequences: per
+    (conv_id, window_idx), the turn texts concatenated in turn order ->
+    (conv_id, window_idx, n_turns, n_tokens, text).
+
+    Unlike pack_context_windows (which ships only token counts), here
+    the text itself MUST co-locate — sequence assembly is the one op
+    where payload rides the shuffle. Mitigations: ONE groupby(conv_id)
+    (never a global sort), and everything else (token counts, window
+    ids, concat) happens inside the group task. Conversations are the
+    partitioning unit, so the skew cap is the largest single
+    conversation — the same bound conversation_assembly already carries.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("turn_idx")
+        texts = g[text_col].fillna("").tolist()
+        n_tok = np.array([len(t.split()) for t in texts], dtype=np.int64)
+        start = np.cumsum(n_tok) - n_tok
+        widx = start // budget
+        conv = g["conv_id"].iloc[0]
+        rows = []
+        for w in np.unique(widx):
+            m = widx == w
+            rows.append({
+                "conv_id": conv,
+                "window_idx": int(w),
+                "n_turns": int(m.sum()),
+                "n_tokens": int(n_tok[m].sum()),
+                "text": sep.join(t for t, keep in zip(texts, m) if keep),
+            })
+        return pd.DataFrame(rows)
+
+    return ds.groupby("conv_id").map_groups(assemble,
+                                            batch_format="pandas")
