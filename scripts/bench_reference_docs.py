@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Apples-to-apples single-core comparison against the reference's own
+benchmark (rakelib/benchmark.rake -> test/benchmark.rb): the SAME input
+documents (test/benchmark/html/document-{sm,md}.html) through the SAME
+two workloads —
+
+  sanitize: Sanitizer(RELAXED), no handlers         (benchmark.rb:35-53)
+  rewrite:  sanitizer=None + the three handlers of
+            test/benchmark/selma_config.rb (href->gopher rewrite,
+            span-text duplication, img removal)
+
+Prints one JSON line of MB/s per (workload, doc). Reference numbers for
+the same cells are in BASELINE.md (Rust lol_html, author's machine).
+Engine-only: no Ray; multiply by usable cores for pipeline throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from selma_ray import Rewriter, Sanitizer, Selector, config  # noqa: E402
+
+DOCS = {
+    "sm": "/root/reference/test/benchmark/html/document-sm.html",
+    "md": "/root/reference/test/benchmark/html/document-md.html",
+}
+
+_HTTP_RE = re.compile(r"^https?:")
+
+
+class HrefHandler:
+    # the reference selector string is "href" (selma_config.rb:5) — an
+    # element-name selector; kept verbatim for workload parity
+    selector = Selector(match_element="href")
+
+    def handle_element(self, element):
+        element["href"] = _HTTP_RE.sub("gopher:", element["href"] or "")
+
+
+class SpanHandler:
+    selector = Selector(match_text_within="span")
+
+    def handle_text_chunk(self, text_chunk):
+        content = text_chunk.content
+        if content.strip():
+            text_chunk.after(f"<div>{content}</div>", as_="html")
+
+
+class ImgHandler:
+    selector = Selector(match_element="img")
+
+    def handle_element(self, element):
+        element.remove()
+
+
+def _mbps(fn, payload: str, min_sec: float = 2.0) -> float:
+    fn(payload)  # warm
+    n = 0
+    t0 = time.perf_counter()
+    while True:
+        fn(payload)
+        n += 1
+        dt = time.perf_counter() - t0
+        if dt >= min_sec:
+            return len(payload) * n / dt / 1e6
+
+
+def main():
+    out = {}
+    for name, path in DOCS.items():
+        html = open(path, encoding="utf-8").read()
+        san = Rewriter(sanitizer=Sanitizer(config.thaw(config.RELAXED)))
+        out[f"sanitize_{name}_mbps"] = round(_mbps(san.rewrite, html), 2)
+        rw = Rewriter(sanitizer=None, handlers=[HrefHandler(),
+                                                SpanHandler(),
+                                                ImgHandler()])
+        out[f"rewrite_{name}_mbps"] = round(_mbps(rw.rewrite, html), 2)
+        out[f"bytes_{name}"] = len(html.encode())
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
