@@ -213,6 +213,59 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup_stats(_read(sf_dir, "documents"))
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 41 == 0 act as the
+    held-out eval set; the rest of the corpus is scored for exact
+    4-gram overlap against it."""
+    from selma_ray.pipelines.contamination import decontaminate_stats
+
+    def eval_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 41 == 0))
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 41 != 0))
+
+    docs = _read(sf_dir, "documents")
+    return decontaminate_stats(
+        docs.map_batches(corpus_side, batch_format="pyarrow"),
+        docs.map_batches(eval_side, batch_format="pyarrow"),
+        ngram=4)
+
+
+def _chunk_doc_lines(batch: pa.Table, width: int = 4) -> pa.Table:
+    """Deterministically re-shape single-line docs into multi-line docs
+    (lines = aligned ``width``-token chunks) so line-level ops have real
+    line structure to work on at every sf tier."""
+    texts = batch.column("text").to_pylist()
+    out = []
+    for t in texts:
+        toks = (t or "").split()
+        out.append("\n".join(" ".join(toks[i:i + width])
+                             for i in range(0, len(toks), width)))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text": pa.array(out, pa.large_string()),
+    })
+
+
+def _q_strip_common_lines(sf_dir: str):
+    from selma_ray.pipelines.corpus import strip_common_lines
+
+    ds = _read(sf_dir, "documents").map_batches(
+        _chunk_doc_lines, batch_format="pyarrow")
+    out = strip_common_lines(ds, min_count=3, min_len=1)
+    return out.select_columns(["doc_id", "clean_text", "n_lines",
+                               "n_removed"])
+
+
+def _q_term_frequencies(sf_dir: str):
+    from selma_ray.pipelines.corpus import term_frequencies
+
+    return term_frequencies(_read(sf_dir, "documents"), top_n=100)
+
+
 def _q_fingerprint(sf_dir: str):
     from selma_ray.pipelines.dedup import add_md5
 
@@ -576,6 +629,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "tokens_by_lang": _q_tokens_by_lang,
         "exact_dedup": _q_exact_dedup,
+        "decontaminate": _q_decontaminate,
+        "strip_common_lines": _q_strip_common_lines,
+        "term_frequencies": _q_term_frequencies,
         "fingerprint_md5": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -686,6 +742,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": r"""
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 4
+                            THEN [array_to_string(t[i:i+3], ' ')
+                                  FOR i IN range(1, len(t) - 2)]
+                            ELSE [] END AS gs
+                FROM toks),
+            eval_grams AS (
+                SELECT DISTINCT unnest(gs) AS g FROM grams
+                WHERE doc_id % 41 = 0),
+            doc_grams AS (
+                SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams
+                WHERE doc_id % 41 <> 0),
+            hits AS (
+                SELECT doc_id, count(*)::BIGINT AS n_overlap
+                FROM doc_grams
+                WHERE g IN (SELECT g FROM eval_grams)
+                GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+                   coalesce(h.n_overlap, 0) > 0 AS contaminated
+            FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+            WHERE t.doc_id % 41 <> 0
+        """,
+        "strip_common_lines": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents),
+            lines AS (
+                SELECT doc_id, s.i AS line_idx,
+                       array_to_string(t[(s.i-1)*4+1:(s.i-1)*4+4], ' ')
+                           AS line
+                FROM (SELECT doc_id, t,
+                        unnest([{'i': i} FOR i IN
+                                range(1, CAST(ceil(len(t)/4.0) AS BIGINT)
+                                         + 1)]) AS s
+                      FROM toks)),
+            freq AS (
+                SELECT line FROM lines WHERE len(line) >= 1
+                GROUP BY line HAVING count(*) >= 3),
+            marked AS (
+                SELECT doc_id, line_idx, line,
+                       (len(line) >= 1
+                        AND line IN (SELECT line FROM freq)) AS removed
+                FROM lines)
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY line_idx)
+                            FILTER (WHERE NOT removed), '') AS clean_text,
+                   count(*)::BIGINT AS n_lines,
+                   (count(*) FILTER (WHERE removed))::BIGINT AS n_removed
+            FROM marked GROUP BY doc_id
+        """,
+        "term_frequencies": r"""
+            SELECT term, count(*)::BIGINT AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents)
+            GROUP BY term
+            ORDER BY n DESC, term
+            LIMIT 100
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

@@ -288,3 +288,129 @@ def test_connected_components_random_vs_union_find(ray_session):
                for r in connected_components(pairs,
                                              num_partitions=2).take_all()}
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+class TestDecontaminate:
+    def _tables(self):
+        import ray.data
+
+        corpus = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "alpha beta gamma delta epsilon",   # shares 'alpha..delta'
+                "zeta eta theta iota",              # clean
+                "one two three alpha beta gamma delta",  # shares 1 gram x2 pos
+            ]),
+        }))
+        eval_ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([100], pa.int64()),
+            "text": pa.array(["alpha beta gamma delta"]),
+        }))
+        return corpus, eval_ds
+
+    def test_stats(self, ray_session):
+        from selma_ray.pipelines.contamination import decontaminate_stats
+
+        corpus, eval_ds = self._tables()
+        got = {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+               for r in decontaminate_stats(corpus, eval_ds,
+                                            ngram=4).take_all()}
+        assert got == {1: (1, True), 2: (0, False), 3: (1, True)}
+
+    def test_filter(self, ray_session):
+        from selma_ray.pipelines.contamination import decontaminate
+
+        corpus, eval_ds = self._tables()
+        out = decontaminate(corpus, eval_ds, ngram=4)
+        assert [r["doc_id"] for r in out.take_all()] == [2]
+
+    def test_short_docs_never_contaminated(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.contamination import decontaminate_stats
+
+        corpus = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["alpha beta gamma"]),  # < ngram tokens
+        }))
+        eval_ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([2], pa.int64()),
+            "text": pa.array(["alpha beta gamma delta"]),
+        }))
+        r = decontaminate_stats(corpus, eval_ds, ngram=4).take_all()
+        assert r[0]["n_overlap"] == 0 and not r[0]["contaminated"]
+
+
+class TestStripCommonLines:
+    def test_boilerplate_removed_rare_kept(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import strip_common_lines
+
+        boiler = "subscribe to our newsletter"
+        docs = [f"unique line {i}\n{boiler}\nkeep {i}" for i in range(3)]
+        docs.append("no boiler here\nat all")
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(4)), pa.int64()),
+            "text": pa.array(docs),
+        }))
+        got = {r["doc_id"]: r for r in strip_common_lines(
+            ds, min_count=3, min_len=4).take_all()}
+        for i in range(3):
+            assert got[i]["clean_text"] == f"unique line {i}\nkeep {i}"
+            assert got[i]["n_lines"] == 3 and got[i]["n_removed"] == 1
+        assert got[3]["clean_text"] == "no boiler here\nat all"
+        assert got[3]["n_removed"] == 0
+
+    def test_min_len_protects_short_lines(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import strip_common_lines
+
+        # "ok" repeats 5x but is shorter than min_len -> kept everywhere
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "text": pa.array([f"ok\nbody {i}" for i in range(5)]),
+        }))
+        out = strip_common_lines(ds, min_count=3, min_len=4).take_all()
+        assert all(r["clean_text"].startswith("ok\n") for r in out)
+        assert all(r["n_removed"] == 0 for r in out)
+
+    def test_normalization_strips_whitespace(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import strip_common_lines
+
+        # same line with varying indentation counts as one normalized line
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["  footer text", "footer text\t", "footer text"]),
+        }))
+        out = strip_common_lines(ds, min_count=3, min_len=4).take_all()
+        assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in out)
+
+
+class TestTermFrequencies:
+    def test_counts_match_counter(self, ray_session):
+        from collections import Counter
+
+        import ray.data
+
+        from selma_ray.pipelines.corpus import term_frequencies
+
+        texts = ["a b b c", "  c c  a\tz ", "", "q a"]
+        want = Counter(" ".join(texts).split())
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+        got = {r["term"]: r["n"] for r in term_frequencies(ds).take_all()}
+        assert got == dict(want)
+
+    def test_top_n_deterministic_tiebreak(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import term_frequencies
+
+        ds = ray.data.from_arrow(pa.table({
+            "text": pa.array(["b a d c", "b d", "x"])}))
+        rows = term_frequencies(ds, top_n=3).take_all()
+        assert [(r["term"], r["n"]) for r in rows] == [
+            ("b", 2), ("d", 2), ("a", 1)]
