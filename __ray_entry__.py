@@ -266,6 +266,19 @@ def _q_term_frequencies(sf_dir: str):
     return term_frequencies(_read(sf_dir, "documents"), top_n=100)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from selma_ray.pipelines.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_read(sf_dir, "documents"), k=5,
+                           num_partitions=8)
+
+
+def _q_inverted_index(sf_dir: str):
+    from selma_ray.pipelines.corpus import inverted_index
+
+    return inverted_index(_read(sf_dir, "documents"), max_df=395)
+
+
 def _q_fingerprint(sf_dir: str):
     from selma_ray.pipelines.dedup import add_md5
 
@@ -632,6 +645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "strip_common_lines": _q_strip_common_lines,
         "term_frequencies": _q_term_frequencies,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "inverted_index": _q_inverted_index,
         "fingerprint_md5": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -806,6 +821,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY n DESC, term
             LIMIT 100
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
+                           AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM toks GROUP BY doc_id, term),
+            df AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                FROM toks GROUP BY term),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       tf.tf * ln(n.n / df.df) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN n),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rk
+                FROM scored)
+            SELECT doc_id, term, tf, score FROM ranked WHERE rk <= 5
+        """,
+        "inverted_index": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
+                           AS term
+                FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, term FROM toks)
+            SELECT term, count(*)::BIGINT AS df,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                       AS postings
+            FROM pairs GROUP BY term HAVING count(*) <= 395
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

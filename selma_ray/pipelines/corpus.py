@@ -1,8 +1,9 @@
 """Corpus-wide cleaning/statistics ops: frequent-line boilerplate
-removal (CCNet-style line dedup) and term frequencies (word count).
+removal (CCNet-style line dedup), term frequencies (word count),
+TF-IDF salient terms, and an inverted-index builder.
 
-Both are two-phase wide ops with per-batch combiners so the shuffle
-carries distinct keys, not raw occurrences:
+All are multi-phase wide ops with per-batch combiners so shuffles
+carry distinct keys, not raw occurrences:
 
 - ``strip_common_lines``: pass 1 counts normalized line occurrences
   across the corpus (per-batch partial counts -> one groupby(line_hash)
@@ -27,6 +28,7 @@ from __future__ import annotations
 
 from hashlib import md5
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -157,3 +159,159 @@ def term_frequencies(ds, *, text_col: str = "text", top_n: int | None = None):
     if top_n is not None:
         out = out.sort(["n", "term"], descending=[True, False]).limit(top_n)
     return out
+
+
+def _doc_term_tf(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Explode a doc batch into its (doc_id, term, tf) triples.
+
+    Fully Arrow-vectorized: utf8_split_whitespace -> list_parent_indices
+    maps every flat token back to its source row, then one hash groupby
+    per batch collapses to per-doc term counts. Rows are globally
+    distinct on (doc_id, term) because each document lives whole in one
+    input row."""
+    toks = batch.column(text_col)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lists = pc.utf8_split_whitespace(toks)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    doc_ids = ids.take(parent)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    pairs = pa.table({"doc_id": doc_ids.filter(keep),
+                      "term": flat.filter(keep)})
+    agg = pairs.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+    return pa.table({
+        "doc_id": pc.cast(agg.column("doc_id"), pa.int64()),
+        "term": agg.column("term"),
+        "tf": pc.cast(agg.column("term_count"), pa.int64()),
+    })
+
+
+def document_frequencies(ds, *, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Dataset -> (term, df) where df = number of distinct docs
+    containing the term. Per-batch combiner emits one row per distinct
+    (doc, term), collapsed to per-batch partial dfs before the one
+    groupby(term) shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf = _doc_term_tf(batch, id_col, text_col)
+        agg = tf.group_by("term").aggregate([("doc_id", "count")])
+        return pa.table({
+            "term": agg.column("term"),
+            "partial_df": pc.cast(agg.column("doc_id_count"), pa.int64()),
+        })
+
+    agg = coalesce_small(
+        ds.map_batches(partial, batch_format="pyarrow")
+    ).groupby("term").aggregate(Sum("partial_df"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": batch.column("term"),
+            "df": pc.cast(batch.column("sum(partial_df)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 5, num_partitions: int = 16):
+    """Dataset -> (doc_id, term, tf, score): each doc's top-``k`` terms
+    by TF-IDF, score = tf * ln(N / df), ties broken by term ASC.
+
+    Shape: the corpus explodes once into (doc_id, term, tf) triples and
+    once into the (term, df) table (a per-batch-combined groupby whose
+    output is vocabulary-sized, tiny next to the corpus); Ray's native
+    hash-partitioned join co-locates them on term; scoring is a
+    streaming map; the final per-doc top-k reuses the k-prune combiner
+    (no global sort). The input pipeline executes twice (df pass + probe
+    pass) — feed a parquet-backed dataset so both passes stream from
+    storage.
+
+    Float determinism: idf goes through ``math.log`` (platform libm),
+    which is bit-identical to DuckDB's ``ln`` on this toolchain —
+    ``np.log`` is NOT (SIMD rounding differs) — so score ties are exact
+    in both engines and the term tie-break yields identical top-k sets.
+    """
+    import math
+
+    from .relational import top_k_per_group
+
+    n_docs = float(ds.count())
+    df_tbl = document_frequencies(ds, id_col=id_col, text_col=text_col)
+    tf_tbl = ds.map_batches(_doc_term_tf,
+                            fn_kwargs={"id_col": id_col,
+                                       "text_col": text_col},
+                            batch_format="pyarrow")
+    joined = tf_tbl.join(df_tbl, join_type="inner",
+                         num_partitions=num_partitions, on=("term",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfv = batch.column("df").to_numpy(zero_copy_only=False)
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False)
+        idf = {d: math.log(n_docs / d) for d in np.unique(dfv)}
+        s = tfv.astype(np.float64) * np.array([idf[d] for d in dfv])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "term": batch.column("term"),
+            "tf": batch.column("tf"),
+            "score": pa.array(s, pa.float64()),
+        })
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return top_k_per_group(scored, group_col="doc_id", order_col="score",
+                           k=k, tie_col="term", keep_cols=["tf"])
+
+
+def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   max_df: int | None = None):
+    """Dataset -> (term, df, postings): sorted distinct doc-id posting
+    lists per term (postings = comma-joined ascending doc_ids).
+
+    Two-pass so stopword-class terms never ride the heavy shuffle:
+    pass 1 computes (term, df) (per-batch combiner -> tiny groupby) and
+    collects ONLY the over-``max_df`` terms — by Zipf's law a short
+    list — into a broadcast skip-set; pass 2 explodes (term, doc_id)
+    pairs, drops skipped terms in-batch, and one groupby(term) assembles
+    each posting list. With ``max_df=None`` pass 1 is skipped entirely
+    and every term is indexed (fine at test scale; cap it in
+    production)."""
+    import pandas as pd
+    import ray
+
+    skip_ref = None
+    if max_df is not None:
+        dfs = document_frequencies(ds, id_col=id_col, text_col=text_col)
+        hot = dfs.map_batches(
+            lambda b: b.filter(pc.greater(b.column("df"),
+                                          pa.scalar(max_df))).select(
+                ["term"]),
+            batch_format="pyarrow")
+        skip_ref = ray.put(frozenset(r["term"] for r in hot.take_all()))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = _doc_term_tf(batch, id_col, text_col).select(["doc_id", "term"])
+        if skip_ref is not None:
+            skip = ray.get(skip_ref)
+            if skip:
+                mask = pa.array([s not in skip
+                                 for s in t.column("term").to_pylist()],
+                                pa.bool_())
+                t = t.filter(mask)
+        return t
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"].tolist())
+        return pd.DataFrame({
+            "term": [group["term"].iloc[0]],
+            "df": np.array([len(ids)], dtype=np.int64),
+            "postings": [",".join(str(i) for i in ids)],
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("term").map_groups(assemble, batch_format="pandas")

@@ -414,3 +414,81 @@ class TestTermFrequencies:
         rows = term_frequencies(ds, top_n=3).take_all()
         assert [(r["term"], r["n"]) for r in rows] == [
             ("b", 2), ("d", 2), ("a", 1)]
+
+
+class TestTfidfTopTerms:
+    def test_matches_naive_tfidf(self, ray_session):
+        import math
+        from collections import Counter
+
+        import ray.data
+
+        from selma_ray.pipelines.corpus import tfidf_top_terms
+
+        texts = ["cat dog cat", "dog bird", "cat fish fish fish", "dog"]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(4)), pa.int64()),
+            "text": pa.array(texts),
+        }))
+        # naive single-process reference
+        n = len(texts)
+        df = Counter(t for txt in texts for t in set(txt.split()))
+        want = {}
+        for i, txt in enumerate(texts):
+            tf = Counter(txt.split())
+            rows = sorted(((term, c, c * math.log(n / df[term]))
+                           for term, c in tf.items()),
+                          key=lambda r: (-r[2], r[0]))[:2]
+            want[i] = rows
+        out = tfidf_top_terms(ds, k=2, num_partitions=2).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["doc_id"], []).append(
+                (r["term"], r["tf"], r["score"]))
+        got = {k: sorted(v, key=lambda r: (-r[2], r[0]))
+               for k, v in got.items()}
+        assert got == want
+
+    def test_rare_term_beats_common(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import tfidf_top_terms
+
+        # 'the' is everywhere (idf=0); the rare term must rank first
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["the zebra the the", "the", "the the"]),
+        }))
+        out = tfidf_top_terms(ds, k=1).take_all()
+        top0 = next(r for r in out if r["doc_id"] == 0)
+        assert top0["term"] == "zebra" and top0["tf"] == 1
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_distinct(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import inverted_index
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([5, 3, 9], pa.int64()),
+            "text": pa.array(["a b a", "b c", "a"]),
+        }))
+        got = {r["term"]: (r["df"], r["postings"])
+               for r in inverted_index(ds).take_all()}
+        assert got == {"a": (2, "5,9"),
+                       "b": (2, "3,5"),
+                       "c": (1, "3")}
+
+    def test_max_df_skips_stopwords(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import inverted_index
+
+        # 'the' in all 4 docs; max_df=3 must drop it, keep the rest
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(4)), pa.int64()),
+            "text": pa.array([f"the w{i}" for i in range(4)]),
+        }))
+        got = {r["term"] for r in inverted_index(ds, max_df=3).take_all()}
+        assert got == {f"w{i}" for i in range(4)}
