@@ -279,6 +279,13 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_read(sf_dir, "documents"), max_df=395)
 
 
+def _q_distinct_users_kmv(sf_dir: str):
+    from selma_ray.pipelines.sketches import kmv_distinct
+
+    return kmv_distinct(_read(sf_dir, "events"), group_col="event_type",
+                        value_col="user_id", k=64)
+
+
 def _q_fingerprint(sf_dir: str):
     from selma_ray.pipelines.dedup import add_md5
 
@@ -647,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_frequencies,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
+        "distinct_users_kmv": _q_distinct_users_kmv,
         "fingerprint_md5": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -855,6 +863,28 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
                        AS postings
             FROM pairs GROUP BY term HAVING count(*) <= 395
+        """,
+        "distinct_users_kmv": r"""
+            -- KMV sketch oracle: same hash (md5_number_lower), same
+            -- k-th-minimum estimator, same IEEE evaluation order ->
+            -- the ESTIMATE matches bit-for-bit, not approximately.
+            WITH hv AS (
+                SELECT DISTINCT event_type,
+                       md5_number_lower(user_id::VARCHAR) AS h
+                FROM events),
+            ranked AS (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS nd
+                FROM hv)
+            SELECT event_type,
+                   CASE WHEN nd < 64 THEN nd::DOUBLE
+                        ELSE 63.0 * 18446744073709551616.0 / h::DOUBLE
+                   END AS est_distinct,
+                   least(nd, 64)::BIGINT AS sketch_size
+            FROM ranked
+            WHERE rk = least(nd, 64)
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

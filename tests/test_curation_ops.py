@@ -492,3 +492,67 @@ class TestInvertedIndex:
         }))
         got = {r["term"] for r in inverted_index(ds, max_df=3).take_all()}
         assert got == {f"w{i}" for i in range(4)}
+
+
+class TestKmvDistinct:
+    def test_exact_below_saturation(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.sketches import kmv_distinct
+
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(["a"] * 6 + ["b"] * 3),
+            "v": pa.array([1, 2, 3, 1, 2, 1, 7, 7, 8], pa.int64()),
+        }))
+        got = {r["g"]: (r["est_distinct"], r["sketch_size"])
+               for r in kmv_distinct(ds, group_col="g", value_col="v",
+                                     k=64).take_all()}
+        assert got == {"a": (3.0, 3), "b": (2.0, 2)}
+
+    def test_estimate_within_bounds_when_saturated(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.sketches import kmv_distinct
+
+        n = 5000
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(["x"] * n),
+            "v": pa.array(list(range(n)), pa.int64()),
+        })).repartition(8)
+        r = kmv_distinct(ds, group_col="g", value_col="v",
+                         k=256).take_all()[0]
+        assert r["sketch_size"] == 256
+        # KMV relative std err ~ 1/sqrt(k-2) ~ 6.3%; allow 5 sigma
+        assert abs(r["est_distinct"] - n) / n < 0.32
+
+    def test_merge_invariance_across_partitions(self, ray_session):
+        """The sketch must give the IDENTICAL result regardless of how
+        rows are split into blocks (k-min sets merge losslessly)."""
+        import ray.data
+
+        from selma_ray.pipelines.sketches import kmv_distinct
+
+        tbl = pa.table({
+            "g": pa.array(["a"] * 400),
+            "v": pa.array([i % 97 for i in range(400)], pa.int64()),
+        })
+        outs = []
+        for parts in (1, 7):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            r = kmv_distinct(ds, group_col="g", value_col="v",
+                             k=32).take_all()[0]
+            outs.append((r["est_distinct"], r["sketch_size"]))
+        assert outs[0] == outs[1]
+        assert outs[0][1] == 32  # saturated: 97 distinct > k=32
+
+    def test_hash_matches_duckdb_md5_number_lower(self):
+        import duckdb
+
+        from selma_ray.pipelines.sketches import kmv_hash64
+
+        con = duckdb.connect()
+        vals = [0, 1, 42, 123456789, -5]
+        want = [con.sql(
+            f"SELECT md5_number_lower('{v}')").fetchone()[0]
+            for v in vals]
+        assert [kmv_hash64(v) for v in vals] == want
