@@ -82,6 +82,46 @@ class SampleVideoFrames:
             self.out_col, pa.array(frames, pa.list_(pa.binary())))
 
 
+class ResizeImage:
+    """map_batches actor: binary image column -> resized binary column
+    plus (width, height) metadata.
+
+    Deterministic fake: truncates/tiles the payload to ``w*h`` bytes (a
+    stand-in for a real decoded-resize-reencode round trip). A real
+    implementation loads the codec ONCE in __init__ and must keep
+    ``batch_size`` small — output bytes stay O(w*h) per row regardless
+    of input size, which is the property downstream stages rely on.
+    """
+
+    def __init__(self, data_col: str = "data", out_col: str = "resized",
+                 w: int = 64, h: int = 64, fake: bool = True):
+        self.data_col = data_col
+        self.out_col = out_col
+        self.w = w
+        self.h = h
+        self.fake = fake
+        # codec init would go here (once per actor)
+
+    def resize_impl(self, payload: bytes) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "image codecs are not available in this environment; "
+                "run with fake=True for the deterministic stand-in")
+        payload = payload or b"\0"
+        need = self.w * self.h
+        reps = -(-need // len(payload))  # ceil
+        return (payload * reps)[:need]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self.resize_impl(p)
+               for p in batch.column(self.data_col).to_pylist()]
+        n = batch.num_rows
+        return (batch
+                .append_column(self.out_col, pa.array(out, pa.binary()))
+                .append_column("width", pa.array([self.w] * n, pa.int32()))
+                .append_column("height", pa.array([self.h] * n, pa.int32())))
+
+
 def multimodal_stage(ds, cls=DecodeImageFeatures, *, batch_size: int = 16,
                      concurrency=(1, 16), **ctor_kwargs):
     """Attach a multimodal actor-pool stage; small batches because binary

@@ -195,6 +195,25 @@ def test_multimodal_fake_decode(ray_session):
         DecodeImageFeatures(fake=False).decode_impl(b"x")
 
 
+def test_multimodal_fake_resize(ray_session):
+    import ray.data
+
+    from selma_ray.stages.multimodal import ResizeImage, multimodal_stage
+
+    t = pa.table({"id": pa.array([0, 1]),
+                  "data": pa.array([b"short", b"x" * 5000], pa.binary())})
+    out = multimodal_stage(ray.data.from_arrow(t), ResizeImage,
+                           batch_size=2, w=16, h=8, concurrency=1) \
+        .to_pandas().sort_values("id")
+    # output bytes are O(w*h) regardless of input size, metadata typed
+    assert [len(b) for b in out["resized"]] == [128, 128]
+    assert list(out["width"]) == [16, 16] and list(out["height"]) == [8, 8]
+    assert bytes(out["resized"].iloc[0][:5]) == b"short"
+
+    with pytest.raises(NotImplementedError):
+        ResizeImage(fake=False).resize_impl(b"x")
+
+
 def test_read_transcripts_formats(ray_session, tmp_path):
     import json
 
