@@ -311,7 +311,7 @@ class Element:
             else:
                 parts.append(a.name_raw)
         if tag.self_closing:
-            parts.append("/")
+            parts.append(" /")
         parts.append(">")
         return "".join(parts)
 
@@ -376,7 +376,9 @@ def _sanitize_start_tag(sanitizer, tag: StartTag):
         else:
             parts.append(name_raw)
     if tag.self_closing:
-        parts.append("/")
+        # lol_html re-serializes a modified self-closing tag as ' />'
+        # (reference: selma_sanitizer_test.rb:69-88 svg/circle golden)
+        parts.append(" /")
     parts.append(">")
     return "".join(parts)
 
