@@ -279,6 +279,13 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_read(sf_dir, "documents"), max_df=395)
 
 
+def _q_mixture_sample(sf_dir: str):
+    from selma_ray.pipelines.sampling import mixture_sample_by_budget
+
+    return mixture_sample_by_budget(_read(sf_dir, "documents"),
+                                    default_budget=600)
+
+
 def _q_distinct_users_kmv(sf_dir: str):
     from selma_ray.pipelines.sketches import kmv_distinct
 
@@ -654,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_frequencies,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
+        "mixture_sample": _q_mixture_sample,
         "distinct_users_kmv": _q_distinct_users_kmv,
         "fingerprint_md5": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -863,6 +871,21 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
                        AS postings
             FROM pairs GROUP BY term HAVING count(*) <= 395
+        """,
+        "mixture_sample": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT
+                           AS n_tokens,
+                       md5(doc_id::VARCHAR) AS hk
+                FROM documents),
+            w AS (
+                SELECT *, coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY hk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cum_before
+                FROM t)
+            SELECT doc_id, source, n_tokens FROM w WHERE cum_before < 600
         """,
         "distinct_users_kmv": r"""
             -- KMV sketch oracle: same hash (md5_number_lower), same

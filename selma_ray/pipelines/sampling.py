@@ -102,3 +102,127 @@ def redact_pii(ds, *, text_col: str, patterns: list[str] | None = None,
                 .append_column("n_redactions", counts))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _budget_bucket_partials(batch: pa.Table, *, id_col: str,
+                            source_col: str, text_col: str) -> pa.Table:
+    """Per-batch combiner for mixture sampling pass 1: partial token sums
+    per (source, hash-prefix bucket)."""
+    from ..functions.text import token_count_batch
+
+    toks = pc.cast(token_count_batch(batch.column(text_col)),
+                   pa.int64()).to_pylist()
+    srcs = batch.column(source_col).to_pylist()
+    ids = batch.column(id_col).to_pylist()
+    acc: dict = {}
+    for s, i, n in zip(srcs, ids, toks):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+        acc[(s, b)] = acc.get((s, b), 0) + n
+    return pa.table({
+        source_col: pa.array([k[0] for k in acc]),
+        "bucket": pa.array([k[1] for k in acc], pa.int32()),
+        "partial_tokens": pa.array(list(acc.values()), pa.int64()),
+    })
+
+
+def mixture_sample_by_budget(ds, *, default_budget: int,
+                             budgets: dict | None = None,
+                             id_col: str = "doc_id",
+                             source_col: str = "source",
+                             text_col: str = "text"):
+    """Token-budget mixture sampling (the data-mixing op): per source,
+    keep documents in deterministic md5(id) order until the source's
+    token budget fills. A doc is kept iff the token sum of all
+    hash-earlier docs of its source is < budget. -> (id, source,
+    n_tokens). Exactly SQL-checkable (window sum over hash order).
+
+    Scale shape (same histogram-refine discipline as
+    ``events_quantiles_scalable``): pass 1 sums tokens per (source,
+    256-way hash-prefix bucket) through a per-batch combiner — the
+    groupby output is 256 x sources rows, driver-sized. The driver
+    finds each source's BOUNDARY bucket (where the cumulative crosses
+    the budget). Pass 2 streams: docs in earlier buckets are kept
+    map-only (NO shuffle — the bulk of the sample), later buckets are
+    dropped in-batch, and only the ~1/256 boundary slice rides a
+    groupby(source) for the exact ordered scan. Budget >> corpus keeps
+    everything; budget 0 keeps nothing.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    budgets = budgets or {}
+
+    partial = ds.map_batches(
+        _budget_bucket_partials,
+        fn_kwargs={"id_col": id_col, "source_col": source_col,
+                   "text_col": text_col},
+        batch_format="pyarrow")
+    hist = coalesce_small(partial).groupby([source_col, "bucket"]) \
+        .aggregate(Sum("partial_tokens")).take_all()
+
+    per_src: dict = {}
+    for r in hist:
+        per_src.setdefault(r[source_col], []).append(
+            (r["bucket"], r["sum(partial_tokens)"]))
+    # boundary[s] = (boundary_bucket_or_None_if_all_kept, tokens_before_it)
+    boundary: dict = {}
+    for s, pairs in per_src.items():
+        budget = budgets.get(s, default_budget)
+        cum = 0
+        bnd = None
+        for b, n in sorted(pairs):
+            if cum + n >= budget:
+                bnd = b
+                break
+            cum += n
+        boundary[s] = (bnd, cum)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        from ..functions.text import token_count_batch
+
+        toks = pc.cast(token_count_batch(batch.column(text_col)), pa.int64())
+        t = pa.table({
+            id_col: batch.column(id_col),
+            source_col: batch.column(source_col),
+            "n_tokens": toks,
+        })
+        hks = [hashlib.md5(str(i).encode()).hexdigest()
+               for i in t.column(id_col).to_pylist()]
+        return t.append_column("hk", pa.array(hks, pa.string()))
+
+    def bulk_keep(batch: pa.Table) -> pa.Table:
+        t = annotate(batch)
+        keep = []
+        for s, hk in zip(t.column(source_col).to_pylist(),
+                         t.column("hk").to_pylist()):
+            bnd, _ = boundary.get(s, (None, 0))
+            keep.append(bnd is None or int(hk[:2], 16) < bnd)
+        return t.filter(pa.array(keep, pa.bool_())).drop_columns(["hk"])
+
+    def boundary_only(batch: pa.Table) -> pa.Table:
+        t = annotate(batch)
+        keep = []
+        for s, hk in zip(t.column(source_col).to_pylist(),
+                         t.column("hk").to_pylist()):
+            bnd, _ = boundary.get(s, (None, 0))
+            keep.append(bnd is not None and int(hk[:2], 16) == bnd)
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    def exact_scan(group):
+        import pandas as pd  # noqa: F401
+
+        g = group.sort_values("hk").reset_index(drop=True)
+        s = g[source_col].iloc[0]
+        bnd, cum = boundary[s]
+        budget = budgets.get(s, default_budget)
+        before = cum + g["n_tokens"].cumsum().shift(fill_value=0)
+        return g.loc[before < budget,
+                     [id_col, source_col, "n_tokens"]]
+
+    bulk = ds.map_batches(bulk_keep, batch_format="pyarrow")
+    if all(bnd is None for bnd, _ in boundary.values()):
+        return bulk  # budget exceeds every source: nothing to refine
+    bound = ds.map_batches(boundary_only, batch_format="pyarrow") \
+        .groupby(source_col).map_groups(exact_scan, batch_format="pandas")
+    return bulk.union(bound)

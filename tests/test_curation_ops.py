@@ -556,3 +556,53 @@ class TestKmvDistinct:
             f"SELECT md5_number_lower('{v}')").fetchone()[0]
             for v in vals]
         assert [kmv_hash64(v) for v in vals] == want
+
+
+class TestMixtureSample:
+    def _naive(self, rows, budgets, default):
+        import hashlib as h
+        out = []
+        by_src = {}
+        for doc_id, src, toks in rows:
+            by_src.setdefault(src, []).append(
+                (h.md5(str(doc_id).encode()).hexdigest(), doc_id, toks))
+        for src, lst in by_src.items():
+            budget = budgets.get(src, default)
+            cum = 0
+            for _, doc_id, toks in sorted(lst):
+                if cum < budget:
+                    out.append((doc_id, src, toks))
+                cum += toks
+        return sorted(out)
+
+    def _run(self, rows, ray_session, **kw):
+        import ray.data
+
+        from selma_ray.pipelines.sampling import mixture_sample_by_budget
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array(["tok " * r[2] if r[2] else "" for r in rows]),
+        })).repartition(4)
+        got = mixture_sample_by_budget(ds, **kw).take_all()
+        return sorted((r["doc_id"], r["source"], r["n_tokens"]) for r in got)
+
+    def test_matches_naive_windowed_scan(self, ray_session):
+        rows = [(i, f"s{i % 3}", (i * 7) % 13) for i in range(60)]
+        got = self._run(rows, ray_session, default_budget=40,
+                        budgets={"s1": 5})
+        assert got == self._naive(rows, {"s1": 5}, 40)
+
+    def test_budget_zero_and_huge(self, ray_session):
+        rows = [(i, "only", 3) for i in range(10)]
+        assert self._run(rows, ray_session, default_budget=0) == []
+        assert len(self._run(rows, ray_session,
+                             default_budget=10**9)) == 10
+
+    def test_last_doc_may_overflow_budget(self, ray_session):
+        # keep rule is cum_BEFORE < budget: the doc that crosses the
+        # budget line is kept, nothing after it is
+        rows = [(1, "s", 10), (2, "s", 10), (3, "s", 10)]
+        got = self._run(rows, ray_session, default_budget=15)
+        assert len(got) == 2
