@@ -606,3 +606,61 @@ class TestMixtureSample:
         rows = [(1, "s", 10), (2, "s", 10), (3, "s", 10)]
         got = self._run(rows, ray_session, default_budget=15)
         assert len(got) == 2
+
+
+class TestCorpusOpsPartitionInvariance:
+    """Distributed-correctness property: results must be identical no
+    matter how rows are split into blocks (combiners must be lossless)."""
+
+    def _docs(self, n=40):
+        texts = [" ".join(f"w{(i * j) % 11}" for j in range(i % 9))
+                 for i in range(n)]
+        return pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(texts),
+        })
+
+    def _runs(self, fn, parts=(1, 6)):
+        import ray.data
+
+        outs = []
+        for p in parts:
+            ds = ray.data.from_arrow(self._docs()).repartition(p)
+            outs.append(sorted(tuple(sorted(r.items()))
+                               for r in fn(ds).take_all()))
+        return outs
+
+    def test_term_frequencies(self, ray_session):
+        from selma_ray.pipelines.corpus import term_frequencies
+
+        a, b = self._runs(term_frequencies)
+        assert a == b and len(a) > 0
+
+    def test_document_frequencies(self, ray_session):
+        from selma_ray.pipelines.corpus import document_frequencies
+
+        a, b = self._runs(document_frequencies)
+        assert a == b and len(a) > 0
+
+    def test_tfidf_top_terms(self, ray_session):
+        from selma_ray.pipelines.corpus import tfidf_top_terms
+
+        a, b = self._runs(
+            lambda ds: tfidf_top_terms(ds, k=3, num_partitions=4))
+        assert a == b and len(a) > 0
+
+    def test_mixture_sample(self, ray_session):
+        from selma_ray.pipelines.sampling import mixture_sample_by_budget
+
+        docs = self._docs()
+        src = pa.array(["s0" if i % 2 else "s1" for i in range(40)])
+        docs = docs.append_column("source", src)
+        import ray.data
+
+        outs = []
+        for p in (1, 6):
+            ds = ray.data.from_arrow(docs).repartition(p)
+            outs.append(sorted(
+                (r["doc_id"], r["source"], r["n_tokens"]) for r in
+                mixture_sample_by_budget(ds, default_budget=30).take_all()))
+        assert outs[0] == outs[1] and len(outs[0]) > 0
