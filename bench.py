@@ -104,7 +104,8 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
              "ann_topk", "embedding_near_dup", "events_rollup",
              "events_windowed", "events_asof_orders", "pricing_summary",
              "revenue_by_nation", "lines_by_priority", "doc_stats",
-             "conversation_assembly"]
+             "conversation_assembly", "decontaminate", "term_frequencies",
+             "mixture_sample", "distinct_users_kmv"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in picks:

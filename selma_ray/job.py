@@ -59,6 +59,7 @@ def cmd_curate(args) -> dict:
         batch_size=args.batch_size,
         window_budget=args.window_budget,
         concurrency=args.concurrency,
+        eval_path=args.eval_path,
         resume=not args.no_resume,
     )
     ray.shutdown()
@@ -97,6 +98,9 @@ def main(argv=None) -> int:
     cu.add_argument("--window-budget", type=int, default=128)
     cu.add_argument("--batch-size", type=int, default=64)
     cu.add_argument("--concurrency", type=int, default=None)
+    cu.add_argument("--eval-path", default=None,
+                    help="parquet of held-out eval docs (text column); "
+                         "adds a decontamination stage before packing")
 
     args = ap.parse_args(argv)
     if args.cmd == "extract":

@@ -66,7 +66,8 @@ def eval_gram_set(eval_ds, *, text_col: str = "text", ngram: int = 8):
 
 
 def decontaminate_stats(docs_ds, eval_ds, *, id_col: str = "doc_id",
-                        text_col: str = "text", ngram: int = 8):
+                        text_col: str = "text",
+                        eval_text_col: str | None = None, ngram: int = 8):
     """Dataset -> (id, n_overlap, contaminated) per corpus doc.
 
     ``n_overlap`` counts the doc's DISTINCT grams that occur anywhere
@@ -75,7 +76,8 @@ def decontaminate_stats(docs_ds, eval_ds, *, id_col: str = "doc_id",
     """
     import ray
 
-    ref = ray.put(eval_gram_set(eval_ds, text_col=text_col, ngram=ngram))
+    ref = ray.put(eval_gram_set(eval_ds, text_col=eval_text_col or text_col,
+                                ngram=ngram))
 
     def stats(batch: pa.Table) -> pa.Table:
         grams = ray.get(ref)
@@ -92,13 +94,15 @@ def decontaminate_stats(docs_ds, eval_ds, *, id_col: str = "doc_id",
 
 
 def decontaminate(docs_ds, eval_ds, *, id_col: str = "doc_id",
-                  text_col: str = "text", ngram: int = 8):
+                  text_col: str = "text",
+                  eval_text_col: str | None = None, ngram: int = 8):
     """Dataset -> the corpus with contaminated docs dropped (single
     streaming pass; rows with zero eval-gram overlap survive with all
     their columns)."""
     import ray
 
-    ref = ray.put(eval_gram_set(eval_ds, text_col=text_col, ngram=ngram))
+    ref = ray.put(eval_gram_set(eval_ds, text_col=eval_text_col or text_col,
+                                ngram=ngram))
 
     def filt(batch: pa.Table) -> pa.Table:
         grams = ray.get(ref)

@@ -43,9 +43,16 @@ def _mark_done(stage_dir: str, info: dict) -> None:
 def curate_corpus(input_path: str, out_root: str, *,
                   min_words: int = 3, batch_size: int = 64,
                   window_budget: int = 128, concurrency=None,
+                  eval_path: str | None = None, decontam_ngram: int = 8,
                   resume: bool = True) -> dict:
     """Run (or resume) the full curation pipeline over a transcript
-    parquet path. Returns per-stage summary metrics."""
+    parquet path. Returns per-stage summary metrics.
+
+    ``eval_path`` (optional): parquet of held-out benchmark docs with a
+    ``text`` column; when given, an extra decontamination stage drops
+    every turn sharing an exact ``decontam_ngram``-gram with the eval
+    set (between dedup and packing, checkpointed like the others).
+    """
     import ray.data
 
     from ..functions.text import quality_filter_batch
@@ -107,10 +114,30 @@ def curate_corpus(input_path: str, out_root: str, *,
     with open(os.path.join(dd_dir, DONE)) as f:
         summary["stages"]["dedup"] = json.load(f)
 
+    # -- stage 2.5: benchmark decontamination (optional) --------------------
+    pack_src = dd_dir
+    if eval_path is not None:
+        dc_dir = os.path.join(out_root, "decontaminated")
+        if not (resume and _stage_done(dc_dir)):
+            from .contamination import decontaminate
+
+            clean = decontaminate(ray.data.read_parquet(dd_dir),
+                                  ray.data.read_parquet(eval_path),
+                                  text_col="extracted_text",
+                                  eval_text_col="text",
+                                  ngram=decontam_ngram)
+            os.makedirs(dc_dir, exist_ok=True)
+            clean.write_parquet(dc_dir)
+            _mark_done(dc_dir, {
+                "rows_out": ray.data.read_parquet(dc_dir).count()})
+        with open(os.path.join(dc_dir, DONE)) as f:
+            summary["stages"]["decontaminate"] = json.load(f)
+        pack_src = dc_dir
+
     # -- stage 3: context-window packing ----------------------------------
     pk_dir = os.path.join(out_root, "packed")
     if not (resume and _stage_done(pk_dir)):
-        ds = ray.data.read_parquet(dd_dir)
+        ds = ray.data.read_parquet(pack_src)
         packed = pack_context_windows(ds, budget=window_budget,
                                       text_col="extracted_text")
         os.makedirs(pk_dir, exist_ok=True)

@@ -279,3 +279,33 @@ def test_curate_corpus_stages_and_resume(ray_session, tmp_path):
     assert s2["stages"]["extract"]["shards_skipped"] \
         == s2["stages"]["extract"]["shards_total"]
     assert s2["stages"]["dedup"] == s1["stages"]["dedup"]
+
+
+def test_curate_corpus_decontamination_stage(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from selma_ray.pipelines.curate import curate_corpus
+    from selma_ray.sources.transcripts import transcripts_parquet
+
+    inp = transcripts_parquet(24)
+    out = str(tmp_path / "curated_dc")
+
+    # eval set = the extracted text of one real turn, so at least one
+    # turn must be dropped; plus a never-matching probe
+    base = curate_corpus(inp, str(tmp_path / "probe"), concurrency=1)
+    dd = ray.data.read_parquet(str(tmp_path / "probe/deduped")) \
+        .take(1)[0]["extracted_text"]
+    eval_pq = str(tmp_path / "eval.parquet")
+    pq.write_table(pa.table({"text": pa.array([dd, "zz qq vv ww xx"])}),
+                   eval_pq)
+
+    s = curate_corpus(inp, out, concurrency=1, eval_path=eval_pq,
+                      decontam_ngram=4)
+    assert "decontaminate" in s["stages"]
+    assert (s["stages"]["decontaminate"]["rows_out"]
+            < s["stages"]["dedup"]["rows_out"])
+    assert (s["stages"]["pack"]["rows_out"]
+            == s["stages"]["decontaminate"]["rows_out"])
+    assert base["stages"]["dedup"]["rows_out"] \
+        == s["stages"]["dedup"]["rows_out"]
