@@ -279,6 +279,13 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_read(sf_dir, "documents"), max_df=395)
 
 
+def _q_sequence_pack(sf_dir: str):
+    from selma_ray.pipelines.conversations import pack_sequences_global
+
+    return pack_sequences_global(_read(sf_dir, "documents"), budget=64,
+                                 bucket_width=32)
+
+
 def _q_mixture_sample(sf_dir: str):
     from selma_ray.pipelines.sampling import mixture_sample_by_budget
 
@@ -661,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_frequencies,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
+        "sequence_pack": _q_sequence_pack,
         "mixture_sample": _q_mixture_sample,
         "distinct_users_kmv": _q_distinct_users_kmv,
         "fingerprint_md5": _q_fingerprint,
@@ -871,6 +879,23 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
                        AS postings
             FROM pairs GROUP BY term HAVING count(*) <= 395
+        """,
+        "sequence_pack": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT
+                           AS n_tokens
+                FROM documents),
+            w AS (
+                SELECT *, coalesce(sum(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cum_before
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   (cum_before // 64)::BIGINT AS seq_id,
+                   (cum_before % 64)::BIGINT AS seq_offset
+            FROM w
         """,
         "mixture_sample": r"""
             WITH t AS (

@@ -215,3 +215,97 @@ def packed_sequences(ds, *, budget: int = 128, text_col: str = "text",
 
     return ds.groupby("conv_id").map_groups(assemble,
                                             batch_format="pandas")
+
+
+def _token_bucket_partials(batch: pa.Table, *, id_col: str, text_col: str,
+                           bucket_width: int) -> pa.Table:
+    """Per-batch combiner for global packing pass 1: partial token sums
+    per id-range bucket (bucket = id // bucket_width)."""
+    from ..functions.text import token_count_batch
+
+    toks = pc.cast(token_count_batch(batch.column(text_col)),
+                   pa.int64()).to_pylist()
+    ids = batch.column(id_col).to_pylist()
+    acc: dict[int, int] = {}
+    for i, n in zip(ids, toks):
+        b = i // bucket_width
+        acc[b] = acc.get(b, 0) + n
+    return pa.table({
+        "bucket": pa.array(list(acc.keys()), pa.int64()),
+        "partial_tokens": pa.array(list(acc.values()), pa.int64()),
+    })
+
+
+def pack_sequences_global(ds, *, budget: int = 512, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          bucket_width: int = 1024):
+    """Cross-document training-sequence packing: assign every doc a
+    (seq_id, seq_offset) position in the stream of fixed ``budget``-token
+    windows over docs ordered by ``id_col`` -> (id, n_tokens, seq_id,
+    seq_offset). seq_id = floor(cum_tokens_before / budget) — identical
+    to a SQL window cum-sum, and the op Ray Data lacks natively: a
+    DISTRIBUTED ORDERED PREFIX SUM.
+
+    Two-phase, text never rides a shuffle:
+    - pass 1: per-batch combiner sums tokens per id-range bucket
+      (``bucket_width`` docs per bucket); one tiny groupby(bucket)
+      yields the bucket histogram; the driver's exclusive scan gives
+      each bucket's global token offset (n_docs/bucket_width rows —
+      size it so this stays driver-sized, e.g. 1e6 buckets at 100 TB).
+    - pass 2: only (id, n_tokens, bucket) triples — 24 bytes/doc —
+      shuffle on bucket; each group sorts its ≤ bucket_width ids,
+      local-cumsums, and adds the bucket offset. Deterministic and
+      partitioning-invariant by construction.
+
+    The materialization step (concatenate each seq_id's texts) is
+    ``packed_sequences``-shaped: one groupby(seq_id) where only the
+    kept text moves, chunked per window budget.
+    """
+    import pandas as pd
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import token_count_batch
+    from ..stages.util import coalesce_small
+
+    partial = ds.map_batches(
+        _token_bucket_partials,
+        fn_kwargs={"id_col": id_col, "text_col": text_col,
+                   "bucket_width": bucket_width},
+        batch_format="pyarrow")
+    hist = coalesce_small(partial).groupby("bucket") \
+        .aggregate(Sum("partial_tokens")).take_all()
+
+    offsets: dict[int, int] = {}
+    cum = 0
+    for b, n in sorted((r["bucket"], r["sum(partial_tokens)"])
+                       for r in hist):
+        offsets[b] = cum
+        cum += n
+    off_ref = ray.put(offsets)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(token_count_batch(batch.column(text_col)), pa.int64())
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        buckets = pc.divide(ids, pa.scalar(bucket_width, pa.int64()))
+        return pa.table({id_col: ids, "n_tokens": toks,
+                         "bucket": pc.cast(buckets, pa.int64())})
+
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = group.sort_values(id_col).reset_index(drop=True)
+        before = (off[g["bucket"].iloc[0]]
+                  + g["n_tokens"].cumsum().shift(fill_value=0))
+        return pd.DataFrame({
+            id_col: g[id_col],
+            "n_tokens": g["n_tokens"],
+            "seq_id": (before // budget).astype("int64"),
+            "seq_offset": (before % budget).astype("int64"),
+        })
+
+    return ds.map_batches(slim, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(scan, batch_format="pandas")

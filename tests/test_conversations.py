@@ -104,3 +104,43 @@ def test_job_cli_extract_and_resume(tmp_path):
     assert s2["shards_skipped"] == 2 and s2["shards_done"] == 0
     # metrics carried over from the manifest, not recomputed
     assert s2["metrics"]["turns_processed"] == t.num_rows
+
+
+class TestPackSequencesGlobal:
+    def _run(self, toks, ray_session, budget, parts=4, bucket_width=8):
+        import ray.data
+
+        from selma_ray.pipelines.conversations import pack_sequences_global
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(len(toks))), pa.int64()),
+            "text": pa.array(["t " * n for n in toks]),
+        })).repartition(parts)
+        out = pack_sequences_global(ds, budget=budget,
+                                    bucket_width=bucket_width)
+        return sorted((r["doc_id"], r["n_tokens"], r["seq_id"],
+                       r["seq_offset"]) for r in out.take_all())
+
+    def _naive(self, toks, budget):
+        out, cum = [], 0
+        for i, n in enumerate(toks):
+            out.append((i, n, cum // budget, cum % budget))
+            cum += n
+        return out
+
+    def test_matches_sequential_prefix_sum(self, ray_session):
+        toks = [(i * 13) % 29 for i in range(100)]
+        assert self._run(toks, ray_session, budget=50) == \
+            self._naive(toks, 50)
+
+    def test_partition_invariant(self, ray_session):
+        toks = [(i * 5) % 17 for i in range(64)]
+        a = self._run(toks, ray_session, budget=20, parts=1)
+        b = self._run(toks, ray_session, budget=20, parts=7)
+        assert a == b
+
+    def test_oversized_doc_spans_windows(self, ray_session):
+        # a 70-token doc with budget 32 starts at its cum_before window
+        toks = [10, 70, 10]
+        got = self._run(toks, ray_session, budget=32)
+        assert got == [(0, 10, 0, 0), (1, 70, 0, 10), (2, 10, 2, 16)]
