@@ -279,6 +279,22 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_read(sf_dir, "documents"), max_df=395)
 
 
+def _q_normalize_text(sf_dir: str):
+    from selma_ray.functions.text import normalize_text_batch
+
+    out = _read(sf_dir, "documents").map_batches(
+        normalize_text_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "norm_text"])
+
+
+def _q_compression_ratio(sf_dir: str):
+    from selma_ray.functions.text import compression_ratio_batch
+
+    out = _read(sf_dir, "documents").map_batches(
+        compression_ratio_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "zlib_ratio"])
+
+
 def _q_sequence_pack(sf_dir: str):
     from selma_ray.pipelines.conversations import pack_sequences_global
 
@@ -668,6 +684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_frequencies,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
+        "normalize_text": _q_normalize_text,
+        "compression_ratio": _q_compression_ratio,
         "sequence_pack": _q_sequence_pack,
         "mixture_sample": _q_mixture_sample,
         "distinct_users_kmv": _q_distinct_users_kmv,
@@ -879,6 +897,13 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
                        AS postings
             FROM pairs GROUP BY term HAVING count(*) <= 395
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   nfc_normalize(regexp_replace(text,
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+                       AS norm_text
+            FROM documents
         """,
         "sequence_pack": r"""
             WITH t AS (

@@ -200,3 +200,43 @@ def repetition_stats_batch(batch: pa.Table,
     out = out.append_column("n_tokens_ws", pa.array(n_tok, pa.int64()))
     return out.append_column("dup_token_frac",
                              pa.array(dup_tok, pa.float64()))
+
+
+# RE2 class == DuckDB regexp_replace class, so the oracle matches exactly.
+CONTROL_CHARS_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "norm_text", form: str = "NFC",
+                         strip_controls: bool = True) -> pa.Table:
+    """Unicode normalization + control-character strip (the standard
+    ingest cleanup pass). Control stripping is vectorized RE2; the NFC/
+    NFKC pass is ``unicodedata.normalize``, which is codepoint-identical
+    to DuckDB's ``nfc_normalize`` (verified) — so the op is SQL-checkable
+    despite being a per-codepoint transform."""
+    import unicodedata
+
+    col = batch.column(text_col)
+    if strip_controls:
+        col = pc.replace_substring_regex(col, pattern=CONTROL_CHARS_RE,
+                                         replacement="")
+    out = pa.array(
+        [None if t is None else unicodedata.normalize(form, t)
+         for t in col.to_pylist()], pa.large_string())
+    return batch.append_column(out_col, out)
+
+
+def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
+                            out_col: str = "zlib_ratio",
+                            level: int = 6) -> pa.Table:
+    """zlib compression ratio per doc (compressed/raw bytes) — the
+    MassiveText/RefinedWeb-family repetition proxy: highly repetitive
+    machine-generated text compresses far below ~0.4. Deterministic
+    (fixed zlib level) but not SQL-expressible -> rows-only oracle."""
+    import zlib
+
+    vals = []
+    for t in batch.column(text_col).to_pylist():
+        b = (t or "").encode("utf-8", "surrogatepass")
+        vals.append(len(zlib.compress(b, level)) / max(1, len(b)))
+    return batch.append_column(out_col, pa.array(vals, pa.float64()))

@@ -664,3 +664,57 @@ class TestCorpusOpsPartitionInvariance:
                 (r["doc_id"], r["source"], r["n_tokens"]) for r in
                 mixture_sample_by_budget(ds, default_budget=30).take_all()))
         assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+class TestNormalizeText:
+    def test_nfc_and_control_strip(self, ray_session):
+        import unicodedata
+
+        import ray.data
+
+        from selma_ray.functions.text import normalize_text_batch
+
+        decomposed = "café"          # e + combining acute
+        ctrl = "a\x01b\x0bc\x7fd\te\nf"    # tab/newline survive
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([decomposed, ctrl]),
+        }))
+        out = {r["doc_id"]: r["norm_text"] for r in ds.map_batches(
+            normalize_text_batch, batch_format="pyarrow").take_all()}
+        assert out[0] == unicodedata.normalize("NFC", decomposed) == "café"
+        assert out[1] == "abcd\te\nf"
+
+    def test_nfkc_form(self):
+        from selma_ray.functions.text import normalize_text_batch
+
+        t = pa.table({"text": pa.array(["ﬁle ①"])})
+        out = normalize_text_batch(t, form="NFKC")
+        assert out.column("norm_text").to_pylist() == ["file 1"]
+
+
+class TestCompressionRatio:
+    def test_repetitive_below_random(self):
+        import hashlib
+
+        from selma_ray.functions.text import compression_ratio_batch
+
+        # pseudo-random: md5-chained hex (incompressible-ish)
+        rnd, h = [], b"seed"
+        for _ in range(200):
+            h = hashlib.md5(h).digest()
+            rnd.append(h.hex())
+        t = pa.table({"text": pa.array(["spam ham " * 500,
+                                        "".join(rnd), ""])})
+        out = compression_ratio_batch(t)
+        rep, rand, empty = out.column("zlib_ratio").to_pylist()
+        assert rep < 0.05 < 0.4 < rand
+        assert empty > 0  # zlib header bytes / max(1, 0)
+
+    def test_deterministic(self):
+        from selma_ray.functions.text import compression_ratio_batch
+
+        t = pa.table({"text": pa.array(["some document text " * 20])})
+        a = compression_ratio_batch(t).column("zlib_ratio").to_pylist()
+        b = compression_ratio_batch(t).column("zlib_ratio").to_pylist()
+        assert a == b
