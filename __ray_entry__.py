@@ -279,6 +279,12 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_read(sf_dir, "documents"), max_df=395)
 
 
+def _q_length_filter(sf_dir: str):
+    from selma_ray.pipelines.corpus import length_percentile_filter
+
+    return length_percentile_filter(_read(sf_dir, "documents"), q=0.9)
+
+
 def _q_normalize_text(sf_dir: str):
     from selma_ray.functions.text import normalize_text_batch
 
@@ -684,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_frequencies,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
+        "length_filter": _q_length_filter,
         "normalize_text": _q_normalize_text,
         "compression_ratio": _q_compression_ratio,
         "sequence_pack": _q_sequence_pack,
@@ -897,6 +904,15 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
                        AS postings
             FROM pairs GROUP BY term HAVING count(*) <= 395
+        """,
+        "length_filter": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT
+                           AS n_tokens
+                FROM documents),
+            q AS (SELECT quantile_disc(n_tokens, 0.9) AS thr FROM t)
+            SELECT doc_id, n_tokens FROM t, q WHERE n_tokens <= thr
         """,
         "normalize_text": r"""
             SELECT doc_id,

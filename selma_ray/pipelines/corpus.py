@@ -315,3 +315,59 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.map_batches(pairs, batch_format="pyarrow") \
         .groupby("term").map_groups(assemble, batch_format="pandas")
+
+
+def length_percentile_filter(ds, *, q: float = 0.99, id_col: str = "doc_id",
+                             text_col: str = "text"):
+    """Corpus-adaptive outlier filter: keep docs whose whitespace token
+    count is <= the corpus's exact ``q``-quantile (quantile_disc
+    semantics: the actual element at index ceil(q*n)-1 of the sorted
+    counts, so the threshold — and therefore the result set — is
+    bit-exactly SQL-checkable). -> (id, n_tokens).
+
+    Scale shape: token counts are small discrete ints, so pass 1 is a
+    per-batch value-count combiner + one tiny groupby(n_tokens) — the
+    histogram is O(distinct lengths), not O(docs). The driver walks the
+    cumulative histogram to the threshold; pass 2 is a broadcast-free
+    map-only filter (the threshold is one int in the task closure)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import token_count_batch
+    from ..stages.util import coalesce_small
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(token_count_batch(batch.column(text_col)), pa.int64())
+        agg = pa.table({"n_tokens": toks}).group_by("n_tokens") \
+            .aggregate([("n_tokens", "count")])
+        return pa.table({
+            "n_tokens": agg.column("n_tokens"),
+            "partial_n": pc.cast(agg.column("n_tokens_count"), pa.int64()),
+        })
+
+    hist = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("n_tokens").aggregate(Sum("partial_n")).take_all()
+    pairs = sorted((r["n_tokens"], r["sum(partial_n)"]) for r in hist)
+    n = sum(c for _, c in pairs)
+    if n == 0:
+        return ds.map_batches(
+            lambda b: pa.table({id_col: b.column(id_col),
+                                "n_tokens": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    target = math.ceil(q * n)  # 1-based rank of the quantile element
+    cum = 0
+    thr = pairs[-1][0]
+    for v, c in pairs:
+        cum += c
+        if cum >= target:
+            thr = v
+            break
+
+    def keep(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(token_count_batch(batch.column(text_col)), pa.int64())
+        t = pa.table({id_col: batch.column(id_col), "n_tokens": toks})
+        return t.filter(pc.less_equal(t.column("n_tokens"),
+                                      pa.scalar(thr, pa.int64())))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

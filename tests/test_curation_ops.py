@@ -718,3 +718,34 @@ class TestCompressionRatio:
         a = compression_ratio_batch(t).column("zlib_ratio").to_pylist()
         b = compression_ratio_batch(t).column("zlib_ratio").to_pylist()
         assert a == b
+
+
+class TestLengthPercentileFilter:
+    def test_quantile_disc_semantics(self, ray_session):
+        import math
+
+        import ray.data
+
+        from selma_ray.pipelines.corpus import length_percentile_filter
+
+        toks = [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]  # outlier at 100
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "text": pa.array(["w " * n for n in toks]),
+        })).repartition(3)
+        got = sorted((r["doc_id"], r["n_tokens"]) for r in
+                     length_percentile_filter(ds, q=0.9).take_all())
+        # quantile_disc(0.9) over 10 values = element at rank ceil(9)=9 -> 9
+        assert math.ceil(0.9 * 10) == 9
+        assert got == [(i, toks[i]) for i in range(9)]
+
+    def test_q1_keeps_everything(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import length_percentile_filter
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a", "a b", "a b c"]),
+        }))
+        assert len(length_percentile_filter(ds, q=1.0).take_all()) == 3
