@@ -279,6 +279,13 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_read(sf_dir, "documents"), max_df=395)
 
 
+def _q_weighted_sample(sf_dir: str):
+    from selma_ray.pipelines.sampling import weighted_sample
+
+    return weighted_sample(_read(sf_dir, "documents"), k=25,
+                           weight_col="n_chars")
+
+
 def _q_length_filter(sf_dir: str):
     from selma_ray.pipelines.corpus import length_percentile_filter
 
@@ -690,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_frequencies,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
+        "weighted_sample": _q_weighted_sample,
         "length_filter": _q_length_filter,
         "normalize_text": _q_normalize_text,
         "compression_ratio": _q_compression_ratio,
@@ -904,6 +912,18 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
                        AS postings
             FROM pairs GROUP BY term HAVING count(*) <= 395
+        """,
+        "weighted_sample": r"""
+            -- Efraimidis-Spirakis A-Res oracle: same md5-uniform, same
+            -- pow (bit-identical libm), same tie-break -> exact match
+            WITH t AS (
+                SELECT doc_id,
+                       md5_number_lower(doc_id::VARCHAR)::DOUBLE
+                           / 18446744073709551616.0 AS u,
+                       n_chars::DOUBLE AS w
+                FROM documents WHERE n_chars > 0)
+            SELECT doc_id, pow(u, 1.0 / w) AS es_key
+            FROM t ORDER BY es_key DESC, doc_id LIMIT 25
         """,
         "length_filter": r"""
             WITH t AS (

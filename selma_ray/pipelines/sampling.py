@@ -226,3 +226,42 @@ def mixture_sample_by_budget(ds, *, default_budget: int,
     bound = ds.map_batches(boundary_only, batch_format="pyarrow") \
         .groupby(source_col).map_groups(exact_scan, batch_format="pandas")
     return bulk.union(bound)
+
+
+def weighted_sample(ds, *, k: int = 25, id_col: str = "doc_id",
+                    weight_col: str = "n_chars"):
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (A-Res, 2006): each row gets key = u^(1/w) with u a deterministic
+    md5-uniform of its id; the global top-``k`` keys ARE a weighted
+    sample. -> (id, es_key), key DESC.
+
+    Distributed shape: each batch prunes itself to its local top-k (the
+    classic k-prune combiner), so the final exact sort+limit runs over
+    <= k x blocks rows — never the corpus. Deterministic: u comes from
+    ``md5_number_lower`` (no RNG state), and u^(1/w) goes through
+    ``math.pow``, bit-identical to DuckDB ``pow`` on this toolchain, so
+    even the float sort keys hash-match the SQL oracle. Rows with
+    weight <= 0 or null are excluded (zero weight = never sampled)."""
+    import math
+
+    from .sketches import kmv_hash64
+
+    two64 = 2.0 ** 64
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        ws = batch.column(weight_col).to_pylist()
+        rows = []
+        for i, w in zip(ids, ws):
+            if w is not None and w > 0:
+                u = kmv_hash64(i) / two64
+                rows.append((math.pow(u, 1.0 / float(w)), i))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        rows = rows[:k]
+        return pa.table({
+            id_col: pa.array([i for _, i in rows], pa.int64()),
+            "es_key": pa.array([x for x, _ in rows], pa.float64()),
+        })
+
+    return ds.map_batches(prune, batch_format="pyarrow") \
+        .sort(["es_key", id_col], descending=[True, False]).limit(k)

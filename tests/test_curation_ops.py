@@ -749,3 +749,57 @@ class TestLengthPercentileFilter:
             "text": pa.array(["a", "a b", "a b c"]),
         }))
         assert len(length_percentile_filter(ds, q=1.0).take_all()) == 3
+
+
+class TestWeightedSample:
+    def test_matches_naive_a_res(self, ray_session):
+        import math
+
+        import ray.data
+
+        from selma_ray.pipelines.sketches import kmv_hash64
+        from selma_ray.pipelines.sampling import weighted_sample
+
+        n = 50
+        weights = [((i * 7) % 11) + 1 for i in range(n)]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "n_chars": pa.array(weights, pa.int64()),
+        })).repartition(5)
+        keys = sorted(
+            ((math.pow(kmv_hash64(i) / 2.0**64, 1.0 / w), i)
+             for i, w in enumerate(weights)),
+            key=lambda r: (-r[0], r[1]))
+        want = [(i, k) for k, i in keys[:10]]
+        got = [(r["doc_id"], r["es_key"])
+               for r in weighted_sample(ds, k=10).take_all()]
+        assert got == want
+
+    def test_zero_and_null_weights_excluded(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.sampling import weighted_sample
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "n_chars": pa.array([0, None, 5], pa.int64()),
+        }))
+        got = weighted_sample(ds, k=10).take_all()
+        assert [r["doc_id"] for r in got] == [3]
+
+    def test_heavier_weight_sampled_more(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.sampling import weighted_sample
+
+        # one row has 1000x the weight of 999 others: it should land in
+        # the top-k with overwhelming probability under the fixed hash
+        n = 1000
+        ws = [1] * n
+        ws[123] = 100000
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "n_chars": pa.array(ws, pa.int64()),
+        })).repartition(4)
+        got = {r["doc_id"] for r in weighted_sample(ds, k=20).take_all()}
+        assert 123 in got and len(got) == 20
