@@ -279,6 +279,19 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_read(sf_dir, "documents"), max_df=395)
 
 
+def _q_chunk_documents(sf_dir: str):
+    from selma_ray.pipelines.corpus import chunk_documents
+
+    return chunk_documents(_read(sf_dir, "documents"), chunk_tokens=16,
+                           stride=12)
+
+
+def _q_corpus_profile(sf_dir: str):
+    from selma_ray.pipelines.corpus import corpus_profile
+
+    return corpus_profile(_read(sf_dir, "documents"))
+
+
 def _q_weighted_sample(sf_dir: str):
     from selma_ray.pipelines.sampling import weighted_sample
 
@@ -697,6 +710,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_frequencies,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
+        "chunk_documents": _q_chunk_documents,
+        "corpus_profile": _q_corpus_profile,
         "weighted_sample": _q_weighted_sample,
         "length_filter": _q_length_filter,
         "normalize_text": _q_normalize_text,
@@ -912,6 +927,32 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
                        AS postings
             FROM pairs GROUP BY term HAVING count(*) <= 395
+        """,
+        "chunk_documents": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(range(0, len(t), 12)) AS start
+                FROM toks)
+            SELECT doc_id,
+                   (start // 12)::BIGINT AS chunk_idx,
+                   start::BIGINT AS tok_start,
+                   least(16, len(t) - start)::BIGINT AS n_chunk_tokens,
+                   array_to_string(t[start + 1:start + 16], ' ')
+                       AS chunk_text
+            FROM idx
+        """,
+        "corpus_profile": r"""
+            SELECT lang, source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_extract_all(text, '\S+')))::BIGINT
+                       AS total_tokens,
+                   sum(length(text))::BIGINT AS total_chars,
+                   sum(len(regexp_extract_all(text, '\S+')))::DOUBLE
+                       / count(*) AS mean_tokens
+            FROM documents GROUP BY lang, source
         """,
         "weighted_sample": r"""
             -- Efraimidis-Spirakis A-Res oracle: same md5-uniform, same

@@ -371,3 +371,86 @@ def length_percentile_filter(ds, *, q: float = 0.99, id_col: str = "doc_id",
                                       pa.scalar(thr, pa.int64())))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def chunk_documents(ds, *, chunk_tokens: int = 64, stride: int = 48,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split docs into overlapping token chunks (embedding / RAG prep):
+    one output row per chunk -> (id, chunk_idx, tok_start, n_chunk_tokens,
+    chunk_text). Chunk k covers tokens [k*stride, k*stride+chunk_tokens);
+    the final chunk may be short; empty docs produce no chunks.
+
+    Pure in-batch fan-out (map_batches emitting more rows than it
+    reads) — no shuffle, streams at any scale; overlap = chunk_tokens -
+    stride. SQL-checkable (range + 1-based list slices)."""
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ids_out, cidx, tstart, ntok, ctext = [], [], [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            n = len(toks)
+            for k, start in enumerate(range(0, n, stride)):
+                piece = toks[start:start + chunk_tokens]
+                ids_out.append(i)
+                cidx.append(k)
+                tstart.append(start)
+                ntok.append(len(piece))
+                ctext.append(" ".join(piece))
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "tok_start": pa.array(tstart, pa.int64()),
+            "n_chunk_tokens": pa.array(ntok, pa.int64()),
+            "chunk_text": pa.array(ctext, pa.large_string()),
+        })
+
+    return ds.map_batches(fan_out, batch_format="pyarrow")
+
+
+def corpus_profile(ds, *, group_cols: tuple = ("lang", "source"),
+                   text_col: str = "text"):
+    """Corpus profiling rollup: per group -> (group..., n_docs,
+    total_tokens, total_chars, mean_tokens). Means are computed as ONE
+    division of exact int64 sums (never a running float mean), so the
+    float column is bit-identical to SQL's sum()::DOUBLE / count(*)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import token_count_batch
+
+    cols = list(group_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(token_count_batch(batch.column(text_col)), pa.int64())
+        chars = pc.cast(pc.utf8_length(batch.column(text_col)), pa.int64())
+        t = pa.table({**{c: batch.column(c) for c in cols},
+                      "tok": toks, "chr": chars})
+        agg = t.group_by(cols).aggregate(
+            [("tok", "sum"), ("chr", "sum"), ("tok", "count")])
+        return pa.table({
+            **{c: agg.column(c) for c in cols},
+            "tok": agg.column("tok_sum"),
+            "chr": agg.column("chr_sum"),
+            "n": pc.cast(agg.column("tok_count"), pa.int64()),
+        })
+
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(cols).aggregate(Sum("tok"), Sum("chr"), Sum("n"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        tok = batch.column("sum(tok)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            **{c: batch.column(c) for c in cols},
+            "n_docs": pa.array(n, pa.int64()),
+            "total_tokens": pa.array(tok, pa.int64()),
+            "total_chars": pc.cast(batch.column("sum(chr)"), pa.int64()),
+            "mean_tokens": pa.array(tok.astype(np.float64)
+                                    / n.astype(np.float64), pa.float64()),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")

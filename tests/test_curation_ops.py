@@ -803,3 +803,57 @@ class TestWeightedSample:
         })).repartition(4)
         got = {r["doc_id"] for r in weighted_sample(ds, k=20).take_all()}
         assert 123 in got and len(got) == 20
+
+
+class TestChunkDocuments:
+    def test_overlap_and_final_short_chunk(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import chunk_documents
+
+        toks = [f"t{i}" for i in range(10)]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array([" ".join(toks)]),
+        }))
+        got = sorted((r["chunk_idx"], r["tok_start"], r["n_chunk_tokens"],
+                      r["chunk_text"]) for r in
+                     chunk_documents(ds, chunk_tokens=4,
+                                     stride=3).take_all())
+        assert got == [
+            (0, 0, 4, "t0 t1 t2 t3"),
+            (1, 3, 4, "t3 t4 t5 t6"),
+            (2, 6, 4, "t6 t7 t8 t9"),
+            (3, 9, 1, "t9"),
+        ]
+
+    def test_empty_doc_no_chunks(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import chunk_documents
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["", "one two"]),
+        }))
+        got = chunk_documents(ds, chunk_tokens=4, stride=3).take_all()
+        assert [r["doc_id"] for r in got] == [2]
+
+
+class TestCorpusProfile:
+    def test_exact_sums_and_mean(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import corpus_profile
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "lang": pa.array(["en", "en", "de"]),
+            "source": pa.array(["a", "a", "b"]),
+            "text": pa.array(["one two", "three", "vier fünf sechs"]),
+        })).repartition(2)
+        got = {(r["lang"], r["source"]):
+               (r["n_docs"], r["total_tokens"], r["total_chars"],
+                r["mean_tokens"]) for r in corpus_profile(ds).take_all()}
+        assert got == {("en", "a"): (2, 3, 12, 1.5),
+                       ("de", "b"): (1, 3, 15, 3.0)}
