@@ -279,6 +279,12 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_read(sf_dir, "documents"), max_df=395)
 
 
+def _q_bigram_frequencies(sf_dir: str):
+    from selma_ray.pipelines.corpus import ngram_frequencies
+
+    return ngram_frequencies(_read(sf_dir, "documents"), n=2, top_n=100)
+
+
 def _q_chunk_documents(sf_dir: str):
     from selma_ray.pipelines.corpus import chunk_documents
 
@@ -710,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_frequencies,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
+        "bigram_frequencies": _q_bigram_frequencies,
         "chunk_documents": _q_chunk_documents,
         "corpus_profile": _q_corpus_profile,
         "weighted_sample": _q_weighted_sample,
@@ -927,6 +934,18 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
                        AS postings
             FROM pairs GROUP BY term HAVING count(*) <= 395
+        """,
+        "bigram_frequencies": r"""
+            WITH toks AS (
+                SELECT regexp_extract_all(text, '\S+') AS t
+                FROM documents),
+            grams AS (
+                SELECT array_to_string(t[i:i + 1], ' ') AS gram
+                FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+                WHERE len(t) >= 2)
+            SELECT gram, count(*)::BIGINT AS cnt
+            FROM grams GROUP BY gram
+            ORDER BY cnt DESC, gram LIMIT 100
         """,
         "chunk_documents": r"""
             WITH toks AS (

@@ -454,3 +454,45 @@ def corpus_profile(ds, *, group_cols: tuple = ("lang", "source"),
         })
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def ngram_frequencies(ds, *, n: int = 2, text_col: str = "text",
+                      top_n: int | None = None, min_count: int = 1):
+    """Corpus-wide word n-gram counts -> (gram, cnt): the canonical
+    n-gram LM count job. Same two-phase shape as ``term_frequencies``
+    (per-batch Counter combiner -> one groupby(gram) sum); ``min_count``
+    prunes the long tail AFTER the exact aggregate, ``top_n`` sorts only
+    the post-aggregate distinct-gram table. Grams are space-joined
+    tokens (whitespace tokenization, SQL-oracle parity)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        join = " ".join
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            for i in range(len(toks) - n + 1):
+                g = join(toks[i:i + n])
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table({
+            "gram": pa.array(list(counts.keys()), pa.large_string()),
+            "partial_n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("gram").aggregate(Sum("partial_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "gram": batch.column("gram"),
+            "cnt": pc.cast(batch.column("sum(partial_n)"), pa.int64()),
+        })
+        if min_count > 1:
+            t = t.filter(pc.greater_equal(t.column("cnt"),
+                                          pa.scalar(min_count)))
+        return t
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    if top_n is not None:
+        out = out.sort(["cnt", "gram"], descending=[True, False]).limit(top_n)
+    return out

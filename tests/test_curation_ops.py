@@ -857,3 +857,35 @@ class TestCorpusProfile:
                 r["mean_tokens"]) for r in corpus_profile(ds).take_all()}
         assert got == {("en", "a"): (2, 3, 12, 1.5),
                        ("de", "b"): (1, 3, 15, 3.0)}
+
+
+class TestNgramFrequencies:
+    def test_counts_match_counter(self, ray_session):
+        from collections import Counter
+
+        import ray.data
+
+        from selma_ray.pipelines.corpus import ngram_frequencies
+
+        texts = ["a b a b c", "b c", "x", ""]
+        want = Counter()
+        for t in texts:
+            toks = t.split()
+            want.update(" ".join(toks[i:i + 2])
+                        for i in range(len(toks) - 1))
+        ds = ray.data.from_arrow(pa.table({
+            "text": pa.array(texts)})).repartition(3)
+        got = {r["gram"]: r["cnt"]
+               for r in ngram_frequencies(ds, n=2).take_all()}
+        assert got == dict(want)
+
+    def test_min_count_and_trigram(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import ngram_frequencies
+
+        ds = ray.data.from_arrow(pa.table({
+            "text": pa.array(["p q r p q r p q", "p q r"])}))
+        got = {r["gram"]: r["cnt"] for r in ngram_frequencies(
+            ds, n=3, min_count=2).take_all()}
+        assert got == {"p q r": 3, "q r p": 2, "r p q": 2}
