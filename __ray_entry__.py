@@ -213,6 +213,33 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup_stats(_read(sf_dir, "documents"))
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental dedup of this 'crawl' against a prior snapshot
+    (snapshot := docs with doc_id % 5 == 0, incoming := the rest)."""
+    from selma_ray.pipelines.dedup import dedup_against
+
+    docs = _read(sf_dir, "documents")
+
+    def split(keep_snapshot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mod = pc.equal(
+                pc.subtract(batch.column("doc_id"),
+                            pc.multiply(pc.divide(batch.column("doc_id"), 5),
+                                        5)), 0)
+            return batch.filter(mod if keep_snapshot else pc.invert(mod))
+        return f
+
+    snap = docs.map_batches(split(True), batch_format="pyarrow")
+    incoming = docs.map_batches(split(False), batch_format="pyarrow")
+    return dedup_against(incoming, snap)
+
+
+def _q_passage_dedup(sf_dir: str):
+    from selma_ray.pipelines.dedup import passage_dedup
+
+    return passage_dedup(_read(sf_dir, "documents"), chunk_words=8)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 41 == 0 act as the
     held-out eval set; the rest of the corpus is scored for exact
@@ -711,6 +738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "tokens_by_lang": _q_tokens_by_lang,
         "exact_dedup": _q_exact_dedup,
+        "dedup_incremental": _q_dedup_incremental,
+        "passage_dedup": _q_passage_dedup,
         "decontaminate": _q_decontaminate,
         "strip_common_lines": _q_strip_common_lines,
         "term_frequencies": _q_term_frequencies,
@@ -836,6 +865,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": r"""
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "dedup_incremental": r"""
+            SELECT d.* FROM documents d
+            WHERE d.doc_id % 5 <> 0
+              AND NOT EXISTS (
+                SELECT 1 FROM documents s
+                WHERE s.doc_id % 5 = 0 AND md5(s.text) = md5(d.text))
+        """,
+        "passage_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents),
+            idx AS (
+                SELECT doc_id,
+                       UNNEST(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS i
+                FROM toks),
+            chunks AS (
+                SELECT idx.doc_id, idx.i AS chunk_idx,
+                       array_to_string(t[(idx.i*8+1):(idx.i*8+8)], ' ') AS chunk
+                FROM idx JOIN toks ON idx.doc_id = toks.doc_id),
+            ranked AS (
+                SELECT doc_id, chunk_idx, chunk,
+                       row_number() OVER (PARTITION BY md5(chunk)
+                                          ORDER BY doc_id, chunk_idx) AS rn
+                FROM chunks)
+            SELECT d.doc_id,
+                   coalesce(string_agg(r.chunk, ' ' ORDER BY r.chunk_idx),
+                            '') AS text_dedup,
+                   count(r.chunk)::BIGINT AS n_kept
+            FROM documents d
+            LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (doc_id)
+            GROUP BY d.doc_id
         """,
         "decontaminate": r"""
             WITH toks AS (

@@ -26,6 +26,15 @@ def md5_64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[:8], "little")
 
 
+def md5_64_signed(data: bytes) -> int:
+    """Same 8 bytes as :func:`md5_64`, reinterpreted as signed int64 —
+    use wherever the hash rides an Arrow column through a Ray groupby
+    (uint64 values >= 2^63 trip Ray's block rebuild into a pickled
+    python-object fallback column)."""
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "little",
+                          signed=True)
+
+
 def tokens(text: str) -> list[str]:
     return _WS_RE.findall(text)
 

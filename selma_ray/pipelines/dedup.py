@@ -38,6 +38,8 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import (
     jaccard,
+    md5_64,
+    md5_64_signed,
     minhash_signatures,
     shingle_hashes,
     simhash64,
@@ -640,3 +642,213 @@ def dup_span_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# -- incremental dedup vs a prior snapshot --------------------------------
+
+
+def snapshot_hashes(snapshot_ds, *, text_col: str = "text") -> "np.ndarray":
+    """Sorted uint64 md5 fingerprints of every distinct text in
+    ``snapshot_ds`` — the broadcast side of :func:`dedup_against`.
+
+    Per-batch dedup shrinks the collected payload to distinct hashes; the
+    driver only ever holds 8 bytes per distinct snapshot doc (a 1B-doc
+    snapshot is 8 GB — at that point use ``mode="antijoin"`` instead)."""
+
+    def digest(batch: pa.Table) -> pa.Table:
+        hs = {md5_64((t or "").encode("utf-8", "surrogatepass"))
+              for t in batch.column(text_col).to_pylist()}
+        return pa.table({"h": pa.array(np.fromiter(hs, dtype=np.uint64,
+                                                   count=len(hs)))})
+
+    parts = [b.column("h").to_numpy(zero_copy_only=False)
+             for b in snapshot_ds.map_batches(
+                 digest, batch_format="pyarrow").iter_batches(
+                     batch_size=None, batch_format="pyarrow")]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    out = np.unique(np.concatenate(parts))
+    return out
+
+
+def dedup_against(incoming_ds, snapshot_ds, *, text_col: str = "text",
+                  mode: str = "broadcast", num_partitions: int = 8,
+                  id_col: str = "doc_id"):
+    """Incremental dedup: drop incoming docs whose exact text already
+    exists in a prior corpus snapshot (cross-run dedup — the "don't
+    retrain on last month's crawl" op). Keeps the incoming schema.
+
+    ``mode="broadcast"`` (default): the snapshot collapses to a sorted
+    uint64 md5-fingerprint array, ``ray.put`` once, binary-searched
+    zero-copy inside a map-only filter pass — incoming text never rides
+    a shuffle. Right shape while the snapshot digest array fits the
+    object store (8 bytes/doc). 64-bit fingerprints make a false drop a
+    ~2^-64-per-pair event (the SQL oracle uses full md5; any mismatch at
+    test scale would surface there).
+
+    ``mode="antijoin"``: both sides reduced to (id, hash) / (hash), then
+    a native hash-partitioned ``left_anti`` join keyed on the hash, then
+    a ``left_semi`` join back to the full incoming rows by id — the
+    fact-scale path when the snapshot itself is too big to broadcast.
+    Three slim shuffles; text rides none of them except the final semi
+    probe output.
+    """
+    import ray
+
+    if mode == "broadcast":
+        ref = ray.put(snapshot_hashes(snapshot_ds, text_col=text_col))
+
+        def keep_new(batch: pa.Table) -> pa.Table:
+            snap = ray.get(ref)
+            hs = np.fromiter(
+                (md5_64((t or "").encode("utf-8", "surrogatepass"))
+                 for t in batch.column(text_col).to_pylist()),
+                dtype=np.uint64, count=batch.num_rows)
+            if snap.size:
+                pos = np.searchsorted(snap, hs)
+                pos[pos == snap.size] = 0
+                mask = snap[pos] != hs
+            else:
+                mask = np.ones(len(hs), dtype=bool)
+            return batch.filter(pa.array(mask))
+
+        return incoming_ds.map_batches(keep_new, batch_format="pyarrow")
+
+    if mode != "antijoin":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def slim_in(batch: pa.Table) -> pa.Table:
+        hs = [md5_64_signed((t or "").encode("utf-8", "surrogatepass"))
+              for t in batch.column(text_col).to_pylist()]
+        return pa.table({id_col: batch.column(id_col),
+                         "h": pa.array(hs, pa.int64())})
+
+    def slim_snap(batch: pa.Table) -> pa.Table:
+        hs = {md5_64_signed((t or "").encode("utf-8", "surrogatepass"))
+              for t in batch.column(text_col).to_pylist()}
+        return pa.table({"snap_h": pa.array(sorted(hs), pa.int64())})
+
+    def _with_null_sentinel(ds2, col: str, dtype: pa.DataType):
+        # An all-empty join side leaves Ray's hash-shuffle partitions
+        # schemaless and Acero rejects the key ref; one NULL-keyed row
+        # (null never equals anything in a hash join) pins the schema.
+        sentinel = ray.data.from_arrow(
+            pa.table({col: pa.array([None], dtype)}))
+        return ds2.union(sentinel)
+
+    snap_keys = _with_null_sentinel(
+        snapshot_ds.map_batches(slim_snap, batch_format="pyarrow"),
+        "snap_h", pa.int64())
+    new_ids = incoming_ds.map_batches(slim_in, batch_format="pyarrow") \
+        .join(snap_keys, join_type="left_anti",
+              num_partitions=num_partitions,
+              on=("h",), right_on=("snap_h",))
+    probe = _with_null_sentinel(new_ids.select_columns([id_col]),
+                                id_col, pa.int64())
+    return incoming_ds.join(probe, join_type="left_semi",
+                            num_partitions=num_partitions,
+                            on=(id_col,))
+
+
+# -- global passage-level exact dedup (keep first occurrence) -------------
+#
+# Substring-dedup family (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better") at passage granularity: the corpus is
+# cut into disjoint ``chunk_words``-word passages; every passage that
+# already occurred earlier in corpus order (doc_id, chunk_idx) is
+# removed, and the surviving passages are re-joined per doc. Unlike
+# dup_span_pairs (detection only) this MATERIALIZES the deduped text.
+
+
+def _passage_chunks(text: str, size: int) -> "list[str]":
+    toks = (text or "").split()
+    return [" ".join(toks[i:i + size]) for i in range(0, len(toks), size)]
+
+
+def passage_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  chunk_words: int = 8, num_partitions: int = 8):
+    """Dataset -> (doc_id, text_dedup, n_kept): corpus-wide keep-first
+    exact dedup of disjoint ``chunk_words``-word passages.
+
+    Scale shape — passage TEXT never rides a shuffle:
+      1. map: explode each doc into (h=md5_64(passage), pos) where
+         pos = doc_id * 2^20 + chunk_idx packs the corpus-order rank
+         into one int64 (24 bytes/passage on the wire);
+      2. groupby(h).min(pos): the keep-first winner per distinct passage;
+      3. groupby(doc_id) over winners: sorted surviving chunk indexes
+         per doc (an int64 list, tiny);
+      4. one hash join of the original docs with the keep-lists, then an
+         in-task re-split + re-join of the text.
+    Docs whose every passage lost (or with empty text) survive with
+    ``text_dedup = ''`` via the left_outer join.
+
+    Requires chunk_idx < 2^20 (a 2^20-chunk doc at 8 words/chunk is an
+    ~8M-word single document — reject above that rather than corrupt
+    the packing).
+    """
+    from ray.data.aggregate import Min
+
+    shift = np.int64(1) << np.int64(20)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        hs: list[int] = []
+        pos: list[int] = []
+        for did, t in zip(ids, texts):
+            chunks = _passage_chunks(t, chunk_words)
+            if len(chunks) >= (1 << 20):
+                raise ValueError(
+                    f"doc {did}: {len(chunks)} chunks >= 2^20; raise "
+                    f"chunk_words or split the doc upstream")
+            base = did << 20
+            for i, c in enumerate(chunks):
+                hs.append(md5_64_signed(c.encode("utf-8", "surrogatepass")))
+                pos.append(base + i)
+        return pa.table({"h": pa.array(hs, pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    winners = coalesce_small(
+        ds.map_batches(explode, batch_format="pyarrow")
+    ).groupby("h").aggregate(Min("pos"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pos = batch.column("min(pos)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(pos // shift, pa.int64()),
+            "chunk_idx": pa.array(pos % shift, pa.int64()),
+        })
+
+    def collect(df):
+        # Acero joins reject list-typed payload columns, so the sorted
+        # surviving indexes ride the join as one comma-joined string.
+        return df[[id_col]].iloc[:1].assign(
+            keep_idx=",".join(map(str, sorted(df["chunk_idx"].tolist()))))
+
+    keep_lists = winners.map_batches(unpack, batch_format="pyarrow") \
+        .groupby(id_col).map_groups(collect, batch_format="pandas")
+
+    joined = ds.select_columns([id_col, text_col]).join(
+        keep_lists, join_type="left_outer",
+        num_partitions=num_partitions, on=(id_col,))
+
+    def reassemble(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        keeps = batch.column("keep_idx").to_pylist()
+        out, n_kept = [], []
+        for t, ki in zip(texts, keeps):
+            if not ki:
+                out.append("")
+                n_kept.append(0)
+                continue
+            idx = [int(s) for s in ki.split(",")]
+            chunks = _passage_chunks(t, chunk_words)
+            out.append(" ".join(chunks[i] for i in idx))
+            n_kept.append(len(idx))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text_dedup": pa.array(out, pa.large_string()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+        })
+
+    return joined.map_batches(reassemble, batch_format="pyarrow")

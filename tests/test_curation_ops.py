@@ -889,3 +889,118 @@ class TestNgramFrequencies:
         got = {r["gram"]: r["cnt"] for r in ngram_frequencies(
             ds, n=3, min_count=2).take_all()}
         assert got == {"p q r": 3, "q r p": 2, "r p q": 2}
+
+
+class TestDedupAgainst:
+    def _tables(self):
+        import ray.data
+
+        snap = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["old crawl one", "old crawl two", "shared doc"]),
+        }))
+        incoming = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(["fresh doc a", "shared doc",
+                              "fresh doc b", "old crawl two"]),
+        }))
+        return incoming, snap
+
+    @pytest.mark.parametrize("mode", ["broadcast", "antijoin"])
+    def test_drops_snapshot_texts(self, ray_session, mode):
+        from selma_ray.pipelines.dedup import dedup_against
+
+        incoming, snap = self._tables()
+        out = dedup_against(incoming, snap, mode=mode, num_partitions=2)
+        rows = sorted(r["doc_id"] for r in out.take_all())
+        assert rows == [10, 12]
+
+    @pytest.mark.parametrize("mode", ["broadcast", "antijoin"])
+    def test_empty_snapshot_keeps_everything(self, ray_session, mode):
+        import ray.data
+        from selma_ray.pipelines.dedup import dedup_against
+
+        incoming, _ = self._tables()
+        empty = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string())}))
+        out = dedup_against(incoming, empty, mode=mode, num_partitions=2)
+        assert sorted(r["doc_id"] for r in out.take_all()) == [10, 11, 12, 13]
+
+    def test_schema_preserved(self, ray_session):
+        from selma_ray.pipelines.dedup import dedup_against
+
+        incoming, snap = self._tables()
+        out = dedup_against(incoming, snap).take_all()
+        assert set(out[0].keys()) == {"doc_id", "text"}
+
+
+class TestPassageDedup:
+    def test_keep_first_and_reassembly(self, ray_session):
+        import ray.data
+        from selma_ray.pipelines.dedup import passage_dedup
+
+        # chunk_words=2 -> doc1: [a b][c d]; doc2: [c d][e f];
+        # doc3: [a b]  -- 'c d' and 'a b' lose their later occurrences.
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d", "c d e f", "a b"]),
+        }))
+        got = {r["doc_id"]: (r["text_dedup"], r["n_kept"])
+               for r in passage_dedup(ds, chunk_words=2,
+                                      num_partitions=2).take_all()}
+        assert got == {1: ("a b c d", 2), 2: ("e f", 1), 3: ("", 0)}
+
+    def test_all_unique_is_identity(self, ray_session):
+        import ray.data
+        from selma_ray.pipelines.dedup import passage_dedup
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "text": pa.array(["w x y z", "p q r"]),
+        }))
+        got = {r["doc_id"]: r["text_dedup"]
+               for r in passage_dedup(ds, chunk_words=2).take_all()}
+        assert got == {7: "w x y z", 8: "p q r"}
+
+    def test_empty_text_survives(self, ray_session):
+        import ray.data
+        from selma_ray.pipelines.dedup import passage_dedup
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["", "a b"]),
+        }))
+        got = {r["doc_id"]: (r["text_dedup"], r["n_kept"])
+               for r in passage_dedup(ds, chunk_words=2).take_all()}
+        assert got == {1: ("", 0), 2: ("a b", 1)}
+
+    def test_matches_single_process_reference(self, ray_session):
+        import random
+
+        import ray.data
+        from selma_ray.pipelines.dedup import _passage_chunks, passage_dedup
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40)))
+                 for _ in range(60)]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts),
+        })).repartition(5)
+
+        seen: set[str] = set()
+        want = {}
+        for did, t in enumerate(texts):
+            kept = []
+            for c in _passage_chunks(t, 3):
+                if c not in seen:
+                    seen.add(c)
+                    kept.append(c)
+            want[did] = (" ".join(kept), len(kept))
+
+        got = {r["doc_id"]: (r["text_dedup"], r["n_kept"])
+               for r in passage_dedup(ds, chunk_words=3,
+                                      num_partitions=3).take_all()}
+        assert got == want
