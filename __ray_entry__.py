@@ -240,6 +240,16 @@ def _q_passage_dedup(sf_dir: str):
     return passage_dedup(_read(sf_dir, "documents"), chunk_words=8)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Misra-Gries frequent terms. capacity=4096 >> the per-batch
+    distinct-term count at every test sf, so err_bound is 0 and the
+    counts are exact (the SQL oracle assumes exactly this)."""
+    from selma_ray.pipelines.sketches import heavy_hitters
+
+    return heavy_hitters(_read(sf_dir, "documents"), capacity=4096,
+                         min_count=100)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 41 == 0 act as the
     held-out eval set; the rest of the corpus is scored for exact
@@ -755,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "mixture_sample": _q_mixture_sample,
         "distinct_users_kmv": _q_distinct_users_kmv,
+        "heavy_hitters": _q_heavy_hitters,
         "fingerprint_md5": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -865,6 +876,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": r"""
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "heavy_hitters": r"""
+            WITH tf AS (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents)
+            SELECT term, count(*)::BIGINT AS count, 0::BIGINT AS err_bound
+            FROM tf GROUP BY term HAVING count(*) >= 100
         """,
         "dedup_incremental": r"""
             SELECT d.* FROM documents d

@@ -96,3 +96,89 @@ def kmv_distinct(ds, *, group_col: str, value_col: str, k: int = 64,
                              batch_format="pyarrow")
     return partial.groupby(group_col).map_groups(
         final, batch_format="pandas")
+
+
+# -- Misra-Gries heavy hitters ---------------------------------------------
+
+
+class _PartialMG:
+    """Per-batch combiner: exact in-batch term counts compressed to at
+    most ``capacity`` (term, cnt) rows by one Misra-Gries decrement
+    step, plus one marker row (term='', cnt=0, dec=D) recording the
+    decrement this batch applied ('' is never a token — tokens are \\S+
+    runs). Everything the shuffle carries is bounded by capacity+1 rows
+    per batch regardless of batch size."""
+
+    def __init__(self, text_col: str, capacity: int):
+        self.text_col = text_col
+        self.capacity = capacity
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in batch.column(self.text_col).to_pylist():
+            counts.update((t or "").split())
+        dec = 0
+        if len(counts) > self.capacity:
+            # subtract the (capacity+1)-th largest count from everything;
+            # at most `capacity` strictly-positive counters remain
+            dec = sorted(counts.values(), reverse=True)[self.capacity]
+            counts = Counter({t: c - dec for t, c in counts.items()
+                              if c - dec > 0})
+        terms = list(counts.keys()) + [""]
+        cnts = list(counts.values()) + [0]
+        decs = [0] * (len(terms) - 1) + [dec]
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "cnt": pa.array(cnts, pa.int64()),
+            "dec": pa.array(decs, pa.int64()),
+        })
+
+
+def heavy_hitters(ds, *, text_col: str = "text", capacity: int = 256,
+                  min_count: int = 2):
+    """Dataset -> (term, count, err_bound): corpus-wide frequent terms
+    via a distributed Misra-Gries summary.
+
+    ``count`` is a LOWER bound on the true frequency and
+    ``count <= true <= count + err_bound``, where ``err_bound`` is the
+    sum of the per-batch decrements (0 - i.e. EXACT, and bit-identical
+    to the SQL oracle - whenever no batch holds more than ``capacity``
+    distinct terms). Every term whose true count exceeds ``err_bound``
+    is guaranteed to be reported. Terms are whitespace runs (\\S+).
+
+    Scale shape: the shuffle sees <= (capacity+1) x blocks 16-byte-ish
+    rows - bounded by configuration, independent of corpus size, the
+    point of a mergeable sketch at 100 TB. The post-groupby finalize
+    runs on <= capacity x blocks rows coalesced to one partition (tiny
+    by construction), never on raw data.
+    """
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(_PartialMG(text_col, capacity),
+                         batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("cnt"), Sum("dec"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        cnts = batch.column("sum(cnt)").to_pylist()
+        decs = batch.column("sum(dec)").to_pylist()
+        total_dec = 0
+        rows = []
+        for t, c, d in zip(terms, cnts, decs):
+            if t == "":
+                total_dec += d
+            else:
+                rows.append((t, c))
+        keep = [(t, c) for t, c in rows if c + total_dec >= min_count
+                and c > 0]
+        keep.sort(key=lambda r: (-r[1], r[0]))
+        return pa.table({
+            "term": pa.array([t for t, _ in keep], pa.string()),
+            "count": pa.array([c for _, c in keep], pa.int64()),
+            "err_bound": pa.array([total_dec] * len(keep), pa.int64()),
+        })
+
+    return agg.repartition(1).map_batches(finalize, batch_format="pyarrow",
+                                          batch_size=None)

@@ -1004,3 +1004,57 @@ class TestPassageDedup:
                for r in passage_dedup(ds, chunk_words=3,
                                       num_partitions=3).take_all()}
         assert got == want
+
+
+class TestHeavyHitters:
+    def test_unsaturated_is_exact(self, ray_session):
+        from collections import Counter
+
+        import ray.data
+        from selma_ray.pipelines.sketches import heavy_hitters
+
+        texts = ["a a b c", "b a d", "e f a b", "g", "a b"]
+        ds = ray.data.from_arrow(pa.table({
+            "text": pa.array(texts)})).repartition(3)
+        got = {r["term"]: (r["count"], r["err_bound"])
+               for r in heavy_hitters(ds, capacity=16,
+                                      min_count=2).take_all()}
+        true = Counter(" ".join(texts).split())
+        want = {t: (c, 0) for t, c in true.items() if c >= 2}
+        assert got == want
+
+    def test_merge_invariance_unsaturated(self, ray_session):
+        import ray.data
+        from selma_ray.pipelines.sketches import heavy_hitters
+
+        texts = [f"w{i % 7} w{i % 3}" for i in range(40)]
+        t = pa.table({"text": pa.array(texts)})
+        a = {r["term"]: r["count"] for r in heavy_hitters(
+            ray.data.from_arrow(t).repartition(1), capacity=32).take_all()}
+        b = {r["term"]: r["count"] for r in heavy_hitters(
+            ray.data.from_arrow(t).repartition(8), capacity=32).take_all()}
+        assert a == b
+
+    def test_saturated_bounds_hold(self, ray_session):
+        from collections import Counter
+
+        import ray.data
+        from selma_ray.pipelines.sketches import heavy_hitters
+
+        # skewed stream: 'hot' dominates, long tail forces eviction
+        texts = [("hot " * 5) + f"t{i} t{i+1} t{i+2}" for i in range(50)]
+        ds = ray.data.from_arrow(pa.table({
+            "text": pa.array(texts)})).repartition(5)
+        rows = heavy_hitters(ds, capacity=2, min_count=1).take_all()
+        true = Counter(" ".join(texts).split())
+        assert rows, "saturated sketch must still report the heavy term"
+        err = rows[0]["err_bound"]
+        assert err > 0
+        got = {r["term"]: r["count"] for r in rows}
+        for term, est in got.items():
+            assert est <= true[term], (term, est, true[term])
+            assert true[term] <= est + err, (term, est, err, true[term])
+        # no false negatives: every term with true count > err is present
+        for term, c in true.items():
+            if c > err:
+                assert term in got, (term, c, err)
