@@ -240,6 +240,16 @@ def _q_passage_dedup(sf_dir: str):
     return passage_dedup(_read(sf_dir, "documents"), chunk_words=8)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup over the embeddings table (rows-only: kmeans is not
+    SQL-expressible; verified vs a single-process reference in
+    tests/test_functions.py::test_semantic_dedup_matches_reference)."""
+    from selma_ray.pipelines.clustering import semantic_dedup
+
+    return semantic_dedup(_read(sf_dir, "embeddings"), k=8,
+                          threshold=0.95, iters=6)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries frequent terms. capacity=4096 >> the per-batch
     distinct-term count at every test sf, so err_bound is 0 and the
@@ -780,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "kmeans_embeddings": _q_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         "conversation_assembly": _q_conversation_assembly,
         "conversation_stats": _q_conversation_stats,
         "events_rollup": _q_events_rollup,

@@ -113,3 +113,72 @@ def kmeans(ds, *, k: int = 8, iters: int = 10, id_col: str = "vec_id",
         })
 
     return ds.map_batches(assign, batch_format="pyarrow"), cent
+
+
+def semantic_dedup(ds, *, k: int = 8, threshold: float = 0.95,
+                   iters: int = 10, id_col: str = "vec_id",
+                   emb_col: str = "embedding"):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then within each cluster greedily keep rows
+    (ascending id) whose max cosine similarity to every already-kept
+    row is below ``threshold``. Returns (vec_id, cluster:int32,
+    keep:bool, max_sim:float64) — ``max_sim`` is the similarity to the
+    closest kept earlier row (-1.0 for the first row of a cluster).
+
+    Scale shape: the quadratic pairwise work is confined WITHIN
+    clusters (pick k ~ n / desired-cluster-size so each group fits one
+    task); across clusters it parallelizes embarrassingly via
+    groupby(cluster).map_groups. The assignment pass broadcasts the
+    k x d centroid matrix once and appends a cluster column in-stream,
+    so embeddings ride exactly one shuffle (the cluster groupby).
+
+    Determinism: centroids come from the deterministic kmeans above;
+    within-cluster order is ascending id; BLAS is single-threaded
+    (selma_ray._blas), so the float reduction order is fixed.
+    """
+    import ray
+
+    _, centroids = kmeans(ds, k=k, iters=iters, id_col=id_col,
+                          emb_col=emb_col)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _mat(batch, emb_col)
+        if x.shape[0] == 0:
+            return batch.append_column("cluster",
+                                       pa.array([], pa.int32()))
+        d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ c.T)
+              + (c * c).sum(1)[None, :])
+        return batch.append_column(
+            "cluster", pa.array(d2.argmin(1).astype(np.int32)))
+
+    def prune(df):
+        import pandas as pd
+
+        df = df.sort_values(id_col).reset_index(drop=True)
+        x = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df[emb_col]])
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        x = x / norms[:, None]
+        keep_rows: list[int] = []
+        keep_flag = np.zeros(len(df), dtype=bool)
+        max_sim = np.full(len(df), -1.0)
+        for i in range(len(df)):
+            if keep_rows:
+                sims = x[keep_rows] @ x[i]
+                max_sim[i] = float(sims.max())
+            if max_sim[i] < threshold:
+                keep_flag[i] = True
+                keep_rows.append(i)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": df["cluster"].to_numpy().astype(np.int32),
+            "keep": keep_flag,
+            "max_sim": max_sim,
+        })
+
+    slim = ds.select_columns([id_col, emb_col]) \
+        .map_batches(assign, batch_format="pyarrow")
+    return slim.groupby("cluster").map_groups(prune, batch_format="pandas")

@@ -147,3 +147,48 @@ def test_kmeans_matches_driver_reference(ray_session):
     # blob membership is perfectly recovered
     assert len({got[i] for i in range(30)}) == 1
     assert len({got[i] for i in range(60, 90)}) == 1
+
+
+def test_semantic_dedup_matches_reference(ray_session):
+    """Distributed SemDeDup must match a single-process greedy reference
+    using the same kmeans centroids."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from selma_ray.pipelines.clustering import kmeans, semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, (20, 8))
+    # plant near-duplicates: rows 20..29 are tiny perturbations of 0..9
+    dups = base[:10] + rng.normal(0, 1e-4, (10, 8))
+    X = np.vstack([base, dups]).astype(np.float64)
+    ids = np.arange(len(X))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(X)),
+    })).repartition(4)
+
+    out = semantic_dedup(ds, k=4, threshold=0.99, iters=6).take_all()
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out}
+
+    # reference: same centroids -> same greedy prune
+    _, C = kmeans(ds, k=4, iters=6)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    assign = d2.argmin(1)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = {}
+    for c in range(4):
+        members = [i for i in ids if assign[i] == c]
+        kept = []
+        for i in members:
+            ms = max((float(Xn[j] @ Xn[i]) for j in kept), default=-1.0)
+            keep = ms < 0.99
+            if keep:
+                kept.append(i)
+            want[i] = (c, keep)
+    assert got == want
+    # every planted dup that landed in its original's cluster is dropped
+    dropped = [i for i in range(20, 30) if assign[i] == assign[i - 20]]
+    assert dropped, "test needs at least one co-clustered dup pair"
+    assert all(not got[i][1] for i in dropped)
