@@ -250,6 +250,19 @@ def _q_semantic_dedup(sf_dir: str):
                           threshold=0.95, iters=6)
 
 
+def _q_cap_per_source(sf_dir: str):
+    from selma_ray.pipelines.sampling import cap_per_group
+
+    return cap_per_group(_read(sf_dir, "documents"), group_col="source",
+                         k=5, keep_cols=["lang"])
+
+
+def _q_epoch_shuffle(sf_dir: str):
+    from selma_ray.pipelines.sampling import epoch_shuffle
+
+    return epoch_shuffle(_read(sf_dir, "documents"), seed=7)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries frequent terms. capacity=4096 >> the per-batch
     distinct-term count at every test sf, so err_bound is 0 and the
@@ -814,6 +827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_domains": _q_link_domains,
         "redact_pii": _q_redact_pii,
         "hash_sample": _q_hash_sample,
+        "cap_per_source": _q_cap_per_source,
+        "epoch_shuffle": _q_epoch_shuffle,
         "pack_windows": _q_pack_windows,
         "packed_sequences": _q_packed_sequences,
     }
@@ -887,6 +902,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": r"""
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "cap_per_source": r"""
+            WITH r AS (
+                SELECT doc_id, source, lang,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY md5(text), doc_id) AS rn
+                FROM documents)
+            SELECT source, doc_id, lang FROM r WHERE rn <= 5
+        """,
+        "epoch_shuffle": r"""
+            SELECT doc_id,
+                   (row_number() OVER (
+                        ORDER BY md5('7:' || doc_id), doc_id) - 1)::BIGINT
+                       AS position
+            FROM documents
         """,
         "heavy_hitters": r"""
             WITH tf AS (

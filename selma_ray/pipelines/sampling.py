@@ -265,3 +265,124 @@ def weighted_sample(ds, *, k: int = 25, id_col: str = "doc_id",
 
     return ds.map_batches(prune, batch_format="pyarrow") \
         .sort(["es_key", id_col], descending=[True, False]).limit(k)
+
+
+# -- per-group quota capping ------------------------------------------------
+
+
+def cap_per_group(ds, *, group_col: str, id_col: str = "doc_id",
+                  key_col: str = "text", k: int = 10,
+                  keep_cols: list[str] | None = None):
+    """Quota sampling: keep at most ``k`` rows per ``group_col`` (the
+    'cap documents per domain/source' crawl-curation op), selected
+    deterministically as the k smallest ``md5(key)`` values (ties by
+    ``id_col``) — an unbiased, run-stable k-subset of each group with no
+    RNG state.
+
+    Two-phase like every rollup here: the per-batch combiner prunes each
+    batch to <= k rows per group (hash + id + kept columns only), so the
+    groupby shuffle carries <= k x groups x blocks rows; the final
+    map_groups re-applies the same head-k. SQL-oracle-checkable via
+    row_number() OVER (PARTITION BY group ORDER BY md5(key), id).
+    """
+    import pandas as pd  # noqa: F401
+
+    keep_cols = keep_cols or []
+    cols = list(dict.fromkeys([group_col, id_col] + keep_cols))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode("utf-8", "surrogatepass"))
+              .hexdigest() for t in batch.column(key_col).to_pylist()]
+        df = batch.select(cols).to_pandas()
+        df["__h"] = hs
+        df = df.sort_values([group_col, "__h", id_col])
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k),
+            preserve_index=False)
+
+    def final(group):
+        g = group.sort_values(["__h", id_col]).head(k)
+        return g[cols].reset_index(drop=True)
+
+    return ds.map_batches(prune, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(final, batch_format="pandas")
+
+
+# -- deterministic epoch shuffle --------------------------------------------
+
+
+def epoch_shuffle(ds, *, id_col: str = "doc_id", seed: int = 0,
+                  num_buckets: int = 256):
+    """Assign every row its position in a deterministic, seed-keyed
+    global permutation — the 'shuffle the corpus for epoch N' op, with
+    NO global sort and no RNG state: position = rank of
+    ``md5(f"{seed}:{id}")`` (ties by id).
+
+    Scale shape (the id-range-bucket prefix-sum idiom, same as
+    pack_sequences_global): bucket = first byte of the hash;
+      pass 1: per-batch bucket histograms -> the driver folds
+              ``num_buckets`` int64s into an exclusive scan (broadcast
+              back via ray.put);
+      pass 2: groupby(bucket).map_groups sorts each bucket locally by
+              (hash, id) and emits offset+local_rank.
+    Only (bucket, hash, id) triples ride the shuffle; md5 uniformity
+    keeps buckets balanced at ~n/256 rows regardless of skew in the
+    data. Re-running any partition reproduces identical positions
+    (resumable). Note pass 1 re-executes the (lazy) input — feed a
+    parquet-backed dataset, as with strip_common_lines.
+
+    Returns (id_col, position:int64).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    prefix_len = 2  # hex chars -> 256 buckets
+    assert num_buckets == 256, "bucket count is fixed by the hash prefix"
+
+    def key_of(i) -> str:
+        return hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+
+    def histogram(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(num_buckets, dtype=np.int64)
+        for i in batch.column(id_col).to_pylist():
+            counts[int(key_of(i)[:prefix_len], 16)] += 1
+        return pa.table({
+            "bucket": pa.array(np.arange(num_buckets, dtype=np.int32)),
+            "n": pa.array(counts),
+        })
+
+    from ray.data.aggregate import Sum
+
+    hist = ds.select_columns([id_col]).map_batches(
+        histogram, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n")).take_all()
+    counts = np.zeros(num_buckets, dtype=np.int64)
+    for r in hist:
+        counts[r["bucket"]] = r["sum(n)"]
+    offsets = np.zeros(num_buckets, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    oref = ray.put(offsets)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [key_of(i) for i in ids]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "h": pa.array(keys, pa.string()),
+            "bucket": pa.array([int(kk[:prefix_len], 16) for kk in keys],
+                               pa.int32()),
+        })
+
+    def rank(group: "pd.DataFrame") -> "pd.DataFrame":
+        off = ray.get(oref)
+        g = group.sort_values(["h", id_col]).reset_index(drop=True)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "position": off[int(g["bucket"].iloc[0])]
+            + np.arange(len(g), dtype=np.int64),
+        })
+
+    return ds.select_columns([id_col]) \
+        .map_batches(keyed, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(rank, batch_format="pandas")

@@ -1058,3 +1058,76 @@ class TestHeavyHitters:
         for term, c in true.items():
             if c > err:
                 assert term in got, (term, c, err)
+
+
+class TestCapPerGroup:
+    def test_quota_and_determinism(self, ray_session):
+        import hashlib
+
+        import ray.data
+        from selma_ray.pipelines.sampling import cap_per_group
+
+        n = 40
+        t = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array([f"s{i % 3}" for i in range(n)]),
+            "text": pa.array([f"doc number {i}" for i in range(n)]),
+        })
+        ds = ray.data.from_arrow(t).repartition(5)
+        got = sorted((r["source"], r["doc_id"])
+                     for r in cap_per_group(ds, group_col="source",
+                                            k=4).take_all())
+        # single-process reference: k smallest md5(text) per source
+        by_src: dict = {}
+        for i in range(n):
+            h = hashlib.md5(f"doc number {i}".encode()).hexdigest()
+            by_src.setdefault(f"s{i % 3}", []).append((h, i))
+        want = sorted((s, i) for s, rows in by_src.items()
+                      for _, i in sorted(rows)[:4])
+        assert got == want
+
+    def test_small_groups_kept_whole(self, ray_session):
+        import ray.data
+        from selma_ray.pipelines.sampling import cap_per_group
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "source": pa.array(["a", "b"]),
+            "text": pa.array(["x", "y"]),
+        })
+        out = cap_per_group(ray.data.from_arrow(t), group_col="source",
+                            k=10).take_all()
+        assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+class TestEpochShuffle:
+    def test_is_a_permutation_and_matches_reference(self, ray_session):
+        import hashlib
+
+        import ray.data
+        from selma_ray.pipelines.sampling import epoch_shuffle
+
+        n = 200
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["t"] * n),
+        })).repartition(7)
+        got = {r["doc_id"]: r["position"]
+               for r in epoch_shuffle(ds, seed=3).take_all()}
+        order = sorted(range(n), key=lambda i: (
+            hashlib.md5(f"3:{i}".encode()).hexdigest(), i))
+        want = {i: p for p, i in enumerate(order)}
+        assert got == want
+
+    def test_seed_changes_permutation(self, ray_session):
+        import ray.data
+        from selma_ray.pipelines.sampling import epoch_shuffle
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(50), pa.int64())}))
+        a = {r["doc_id"]: r["position"]
+             for r in epoch_shuffle(ds, seed=1).take_all()}
+        b = {r["doc_id"]: r["position"]
+             for r in epoch_shuffle(ds, seed=2).take_all()}
+        assert a != b
+        assert sorted(a.values()) == list(range(50))
