@@ -41,9 +41,11 @@ def normalize_transcripts(batch: pa.Table) -> pa.Table:
             if pa.types.is_timestamp(field.type) and (
                     pa.types.is_string(col.type)
                     or pa.types.is_large_string(col.type)):
-                # ISO-8601 strings (JSON/CSV) -> timestamp[us]
-                col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S",
-                                  unit="us")
+                # ISO-8601 strings (JSON/CSV) -> timestamp[us]; the
+                # native cast accepts both whole-second and fractional
+                # forms (Arrow strftime's %S emits subseconds for
+                # sub-second units, so round-trips produce the latter)
+                col = pc.cast(col, pa.timestamp("us"))
             cols[field.name] = pc.cast(col, field.type)
         else:
             cols[field.name] = pa.nulls(n, field.type)
@@ -70,7 +72,13 @@ def read_transcripts(path: str, *, format: str = "parquet", **read_kwargs):
 
         first = path
         if os.path.isdir(path):
-            first = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+            found = sorted(
+                glob.glob(os.path.join(path, "*.parquet"))
+                or glob.glob(os.path.join(path, "**", "*.parquet"),
+                             recursive=True))
+            if not found:
+                raise FileNotFoundError(f"no parquet files under {path}")
+            first = found[0]
         avail = set(pq.read_schema(first).names)
         cols = [c for c in _COLUMNS if c in avail]
         ds = ray.data.read_parquet(path, columns=cols, **read_kwargs)
@@ -81,3 +89,42 @@ def read_transcripts(path: str, *, format: str = "parquet", **read_kwargs):
     else:
         raise ValueError(f"unsupported transcript format: {format!r}")
     return ds.map_batches(normalize_transcripts, batch_format="pyarrow")
+
+
+def write_outputs(ds, path: str, *, format: str = "parquet",
+                  partition_cols: list[str] | None = None, **write_kwargs):
+    """Write a Dataset in any supported sink format — the other half of
+    :func:`read_transcripts`.
+
+    format="parquet" is the scale path (columnar, partitionable via
+    ``partition_cols`` so failed runs can skip finished partitions);
+    jsonl/csv are interchange sinks (one file per block, no partition
+    layout — downstream-tool handoff, not the 100 TB path, and large
+    binary columns belong in parquet). Timestamp columns are serialized
+    as ISO strings for jsonl/csv (Arrow JSON writers reject them
+    otherwise).
+    """
+    if format == "parquet":
+        kw = dict(write_kwargs)
+        if partition_cols:
+            kw["partition_cols"] = partition_cols
+        ds.write_parquet(path, **kw)
+        return
+    if partition_cols:
+        raise ValueError(f"partition_cols requires parquet, got {format!r}")
+
+    def stringify_ts(batch: pa.Table) -> pa.Table:
+        for i, f in enumerate(batch.schema):
+            if pa.types.is_timestamp(f.type):
+                batch = batch.set_column(
+                    i, f.name,
+                    pc.strftime(batch.column(f.name), "%Y-%m-%dT%H:%M:%S"))
+        return batch
+
+    flat = ds.map_batches(stringify_ts, batch_format="pyarrow")
+    if format in ("json", "jsonl"):
+        flat.write_json(path, **write_kwargs)
+    elif format == "csv":
+        flat.write_csv(path, **write_kwargs)
+    else:
+        raise ValueError(f"unsupported output format: {format!r}")

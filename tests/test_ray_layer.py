@@ -309,3 +309,39 @@ def test_curate_corpus_decontamination_stage(ray_session, tmp_path):
             == s["stages"]["decontaminate"]["rows_out"])
     assert base["stages"]["dedup"]["rows_out"] \
         == s["stages"]["dedup"]["rows_out"]
+
+
+def test_write_outputs_roundtrip(ray_session, tmp_path):
+    """jsonl and csv sinks round-trip through read_transcripts; parquet
+    sink honors partition_cols."""
+    import ray.data
+
+    from selma_ray.sources.readers import read_transcripts, write_outputs
+    from selma_ray.sources.transcripts import transcript_dataset
+
+    src = transcript_dataset(6)
+    want = sorted((r["conv_id"], r["turn_idx"], r["text"], str(r["ts"]))
+                  for r in src.take_all())
+
+    for fmt in ("jsonl", "csv"):
+        out = str(tmp_path / fmt)
+        write_outputs(transcript_dataset(6), out, format=fmt)
+        back = read_transcripts(out, format=fmt)
+        got = sorted((r["conv_id"], r["turn_idx"], r["text"], str(r["ts"]))
+                     for r in back.take_all())
+        assert got == want, fmt
+
+    pq_out = str(tmp_path / "pq")
+    write_outputs(transcript_dataset(6), pq_out, format="parquet",
+                  partition_cols=["role"])
+    import glob
+    assert glob.glob(f"{pq_out}/role=*"), "partitioned layout expected"
+    back = sorted((r["conv_id"], r["turn_idx"], r["text"], str(r["ts"]))
+                  for r in read_transcripts(pq_out).take_all())
+    assert back == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_outputs(transcript_dataset(2), str(tmp_path / "x"),
+                      format="jsonl", partition_cols=["role"])
