@@ -326,6 +326,15 @@ def _q_term_frequencies(sf_dir: str):
     return term_frequencies(_read(sf_dir, "documents"), top_n=100)
 
 
+def _q_unigram_perplexity(sf_dir: str):
+    """CCNet-style unigram-LM quality signal over documents, self-
+    trained (model corpus == scored corpus, full vocab so the oracle is
+    exactly expressible; at scale pass vocab_top to bound broadcast)."""
+    from selma_ray.pipelines.corpus import unigram_logprob
+
+    return unigram_logprob(_read(sf_dir, "documents"))
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from selma_ray.pipelines.corpus import tfidf_top_terms
 
@@ -776,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "strip_common_lines": _q_strip_common_lines,
         "term_frequencies": _q_term_frequencies,
+        "unigram_perplexity": _q_unigram_perplexity,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
         "bigram_frequencies": _q_bigram_frequencies,
@@ -1020,6 +1030,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY n DESC, term
             LIMIT 100
+        """,
+        "unigram_perplexity": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
+                           AS term
+                FROM documents),
+            counts AS (
+                SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY term),
+            tot AS (
+                SELECT sum(n)::DOUBLE AS n_total, count(*)::DOUBLE AS v
+                FROM counts),
+            lp AS (
+                SELECT term,
+                       ln((n + 0.5) / (n_total + 0.5 * (v + 1))) AS logp
+                FROM counts, tot)
+            SELECT t.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   avg(-lp.logp) AS avg_nll
+            FROM toks t JOIN lp USING (term)
+            GROUP BY t.doc_id
         """,
         "tfidf_top_terms": r"""
             WITH toks AS (

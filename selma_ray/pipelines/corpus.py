@@ -496,3 +496,87 @@ def ngram_frequencies(ds, *, n: int = 2, text_col: str = "text",
     if top_n is not None:
         out = out.sort(["cnt", "gram"], descending=[True, False]).limit(top_n)
     return out
+
+
+def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    model_ds=None, vocab_top: int | None = None,
+                    alpha: float = 0.5):
+    """CCNet-style unigram language-model scoring: train token counts
+    over ``model_ds`` (default: the scored corpus itself), broadcast a
+    (term -> log p) table, and emit per-document mean negative
+    log-probability — the classic LM-perplexity quality signal used to
+    bucket web text against a trusted corpus.
+
+    Output: (id_col, n_tokens:int64, avg_nll:double), one row per
+    document that has >= 1 token. Lower avg_nll = more typical text.
+
+    Model: add-``alpha`` smoothed unigram,
+    ``log((n + alpha) / (N + alpha * (V + 1)))`` with N = total tokens,
+    V = vocabulary size; out-of-vocabulary tokens get the n=0 slot.
+    ``math.log`` on the driver for bit-parity with DuckDB ``ln``.
+
+    Scale shape: the count pass is ``term_frequencies`` (per-batch
+    Arrow combiner, one groupby(term) shuffle of distinct terms). The
+    trained table is materialized ONCE (post-aggregate, distinct terms
+    only) and bounded by ``vocab_top`` — at 100 TB you cap the vocab
+    (e.g. 1e6 rows, ~30 MB broadcast) and the OOV slot absorbs the
+    tail. The scoring pass is map-only: per batch, tokens are exploded
+    vectorized (utf8_split_whitespace -> list_parent_indices), hash-
+    joined against the broadcast vocab (pyarrow Acero join), and
+    collapsed back per doc with one in-batch groupby. No reference
+    equivalent (SURVEY.md §2.5 — training-data addition).
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    tf = term_frequencies(model_ds if model_ds is not None else ds,
+                          text_col=text_col).materialize()
+    stats = tf.aggregate(Sum("n"), Count())
+    n_total = float(stats["sum(n)"])
+    v_size = float(stats["count()"])
+    denom = n_total + alpha * (v_size + 1.0)
+    vocab = tf if vocab_top is None else (
+        tf.sort(["n", "term"], descending=[True, False]).limit(vocab_top))
+    blocks = [b for b in ray.get(vocab.to_arrow_refs()) if b.num_rows]
+    vt = (pa.concat_tables(blocks) if blocks else
+          pa.table({"term": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64())}))
+    logp = pa.array([math.log((float(n) + alpha) / denom)
+                     for n in vt.column("n").to_pylist()], pa.float64())
+    lookup_ref = ray.put(pa.table({"term": pc.cast(vt.column("term"),
+                                                   pa.large_string()),
+                                   "logp": logp}))
+    oov_logp = math.log(alpha / denom)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        toks = batch.column(text_col)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lists = pc.utf8_split_whitespace(toks)
+        flat = pc.cast(pc.list_flatten(lists), pa.large_string())
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, pa.scalar("", pa.large_string()))
+        pairs = pa.table({"row": parent.filter(keep),
+                          "term": flat.filter(keep)})
+        joined = pairs.join(lookup, keys="term", join_type="left outer")
+        filled = pc.fill_null(joined.column("logp"), oov_logp)
+        joined = joined.set_column(
+            joined.schema.get_field_index("logp"), "logp", filled)
+        agg = joined.group_by("row").aggregate(
+            [("logp", "sum"), ("logp", "count")])
+        rows = pc.cast(agg.column("row"), pa.int64()).to_numpy()
+        sums = agg.column("logp_sum").to_numpy(zero_copy_only=False)
+        cnts = agg.column("logp_count").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids.take(pa.array(rows)),
+            "n_tokens": pa.array(cnts.astype("int64")),
+            "avg_nll": pa.array(-sums / cnts, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

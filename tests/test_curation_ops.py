@@ -1131,3 +1131,84 @@ class TestEpochShuffle:
              for r in epoch_shuffle(ds, seed=2).take_all()}
         assert a != b
         assert sorted(a.values()) == list(range(50))
+
+
+class TestUnigramLogprob:
+    TEXTS = ["the cat sat on the mat", "the dog", "", "  ", "zebra zebra qux"]
+
+    def _naive(self, texts, alpha=0.5):
+        import math
+        from collections import Counter
+
+        counts = Counter(" ".join(texts).split())
+        n_total, v = sum(counts.values()), len(counts)
+        denom = n_total + alpha * (v + 1)
+        want = {}
+        for i, t in enumerate(texts):
+            toks = t.split()
+            if not toks:
+                continue
+            nll = [-math.log((counts[w] + alpha) / denom) for w in toks]
+            want[i] = (len(toks), sum(nll) / len(nll))
+        return want
+
+    def test_matches_naive_model(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import unigram_logprob
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(self.TEXTS)), pa.int64()),
+            "text": pa.array(self.TEXTS),
+        }))
+        got = {r["doc_id"]: (r["n_tokens"], r["avg_nll"])
+               for r in unigram_logprob(ds).take_all()}
+        want = self._naive(self.TEXTS)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert abs(got[k][1] - want[k][1]) < 1e-12
+
+    def test_oov_and_vocab_cap(self, ray_session):
+        import math
+
+        import ray.data
+
+        from selma_ray.pipelines.corpus import unigram_logprob
+
+        # model trained on corpus A, scored on corpus B with OOV tokens
+        model = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a a a b", "b c"]),
+        }))
+        score = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array(["a zzz"]),
+        }))
+        alpha = 0.5
+        denom = 6 + alpha * (3 + 1)
+        [row] = unigram_logprob(score, model_ds=model).take_all()
+        want = -(math.log((3 + alpha) / denom)
+                 + math.log(alpha / denom)) / 2.0
+        assert row["n_tokens"] == 2
+        assert abs(row["avg_nll"] - want) < 1e-12
+        # vocab_top=1 keeps only 'a' (n=3); 'b' becomes OOV too
+        [row] = unigram_logprob(
+            score, model_ds=model, vocab_top=1).take_all()
+        assert abs(row["avg_nll"] - want) < 1e-12
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import unigram_logprob
+
+        texts = [f"tok{i % 7} tok{i % 3} filler" for i in range(40)]
+        tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                        "text": pa.array(texts)})
+        a = unigram_logprob(ray.data.from_arrow(tbl)).to_pandas()
+        b = unigram_logprob(
+            ray.data.from_arrow(tbl).repartition(11)).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert (a["n_tokens"] == b["n_tokens"]).all()
+        assert (abs(a["avg_nll"] - b["avg_nll"]) < 1e-12).all()
