@@ -234,6 +234,30 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_against(incoming, snap)
 
 
+def _q_bloom_dedup(sf_dir: str):
+    """Same incremental-dedup split as dedup_incremental, via the
+    constant-size Bloom broadcast path. The oracle is the exact
+    anti-join: with the 8M-bit default filter over a sf0.01 snapshot
+    the false-drop probability is ~1e-32 per doc and the md5-derived
+    probes are deterministic, so the outputs are identical."""
+    from selma_ray.pipelines.dedup import dedup_against
+
+    docs = _read(sf_dir, "documents")
+
+    def split(keep_snapshot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mod = pc.equal(
+                pc.subtract(batch.column("doc_id"),
+                            pc.multiply(pc.divide(batch.column("doc_id"), 5),
+                                        5)), 0)
+            return batch.filter(mod if keep_snapshot else pc.invert(mod))
+        return f
+
+    snap = docs.map_batches(split(True), batch_format="pyarrow")
+    incoming = docs.map_batches(split(False), batch_format="pyarrow")
+    return dedup_against(incoming, snap, mode="bloom")
+
+
 def _q_passage_dedup(sf_dir: str):
     from selma_ray.pipelines.dedup import passage_dedup
 
@@ -781,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_by_lang": _q_tokens_by_lang,
         "exact_dedup": _q_exact_dedup,
         "dedup_incremental": _q_dedup_incremental,
+        "bloom_dedup": _q_bloom_dedup,
         "passage_dedup": _q_passage_dedup,
         "decontaminate": _q_decontaminate,
         "strip_common_lines": _q_strip_common_lines,
@@ -936,6 +961,13 @@ def oracle_sql() -> dict[str, str]:
             FROM tf GROUP BY term HAVING count(*) >= 100
         """,
         "dedup_incremental": r"""
+            SELECT d.* FROM documents d
+            WHERE d.doc_id % 5 <> 0
+              AND NOT EXISTS (
+                SELECT 1 FROM documents s
+                WHERE s.doc_id % 5 = 0 AND md5(s.text) = md5(d.text))
+        """,
+        "bloom_dedup": r"""
             SELECT d.* FROM documents d
             WHERE d.doc_id % 5 <> 0
               AND NOT EXISTS (

@@ -671,9 +671,72 @@ def snapshot_hashes(snapshot_ds, *, text_col: str = "text") -> "np.ndarray":
     return out
 
 
+def _bloom_positions(texts, m_bits) -> "np.ndarray":
+    """(n, k) uint64 bit positions via md5 double hashing:
+    pos_j = (h1 + j*h2) mod m, h1/h2 = the two md5 digest halves
+    (Kirsch-Mitzenmacher: k independent-enough probes from one hash)."""
+    js = np.arange(_BLOOM_K, dtype=np.uint64)
+    out = np.empty((len(texts), _BLOOM_K), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        d = hashlib.md5((t or "").encode("utf-8", "surrogatepass")).digest()
+        h1 = np.uint64(int.from_bytes(d[:8], "little"))
+        h2 = np.uint64(int.from_bytes(d[8:], "little") | 1)
+        out[i] = h1 + js * h2  # uint64 wraparound is part of the hash
+    return out % np.uint64(m_bits)
+
+
+_BLOOM_K = 7
+_BLOOM_SEGMENT_BITS = 1 << 20  # 128 KiB bitmap segment per shuffle group
+
+
+def snapshot_bloom(snapshot_ds, *, text_col: str = "text",
+                   m_bits: int = 1 << 23) -> "np.ndarray":
+    """Distributed Bloom-filter build over a snapshot corpus: a packed
+    uint8 bitmap of ``m_bits`` bits (k=7 probes per doc).
+
+    Scale shape: the corpus pass emits only 8-byte bit POSITIONS
+    (deduped per batch); one groupby(segment) shuffle assembles each
+    128 KiB bitmap segment in its own task (OR-ing happens where the
+    positions land, never on the driver); the driver then concatenates
+    exactly ``m_bits/8`` bytes regardless of snapshot row count. Unlike
+    :func:`snapshot_hashes` the broadcast side is CONSTANT-size (1 MiB
+    default), the trade being a false-drop rate of
+    ``(1 - e^(-k*n/m))^k`` — size ``m_bits`` ~10 bits/doc for ~1%%.
+    """
+    import pandas as pd
+
+    seg_bits = min(m_bits, _BLOOM_SEGMENT_BITS)
+    assert m_bits % seg_bits == 0 and seg_bits % 8 == 0
+
+    def positions(batch: pa.Table) -> pa.Table:
+        pos = np.unique(_bloom_positions(
+            batch.column(text_col).to_pylist(), np.uint64(m_bits)))
+        return pa.table({
+            "seg": pa.array((pos // seg_bits).astype(np.int64)),
+            "pos": pa.array(pos.astype(np.int64)),
+        })
+
+    def build_segment(group: "pd.DataFrame") -> "pd.DataFrame":
+        seg = int(group["seg"].iloc[0])
+        local = group["pos"].to_numpy() - seg * seg_bits
+        bits = np.zeros(seg_bits // 8, dtype=np.uint8)
+        np.bitwise_or.at(bits, local >> 3,
+                         np.uint8(1) << (local & 7).astype(np.uint8))
+        return pd.DataFrame({"seg": [seg], "bits": [bits.tobytes()]})
+
+    segs = snapshot_ds.map_batches(positions, batch_format="pyarrow") \
+        .groupby("seg").map_groups(build_segment)
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in segs.take_all():
+        i = row["seg"] * (seg_bits // 8)
+        out[i:i + seg_bits // 8] = np.frombuffer(row["bits"], dtype=np.uint8)
+    assert len(out) == m_bits // 8
+    return out
+
+
 def dedup_against(incoming_ds, snapshot_ds, *, text_col: str = "text",
                   mode: str = "broadcast", num_partitions: int = 8,
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", bloom_m_bits: int = 1 << 23):
     """Incremental dedup: drop incoming docs whose exact text already
     exists in a prior corpus snapshot (cross-run dedup — the "don't
     retrain on last month's crawl" op). Keeps the incoming schema.
@@ -685,6 +748,14 @@ def dedup_against(incoming_ds, snapshot_ds, *, text_col: str = "text",
     object store (8 bytes/doc). 64-bit fingerprints make a false drop a
     ~2^-64-per-pair event (the SQL oracle uses full md5; any mismatch at
     test scale would surface there).
+
+    ``mode="bloom"``: the snapshot collapses to a CONSTANT-size packed
+    Bloom bitmap (:func:`snapshot_bloom`, 1 MiB default) instead of an
+    8-bytes-per-doc array — the broadcast stays bounded no matter how
+    large the snapshot grows, at the price of a tunable false-DROP rate
+    ``(1-e^(-kn/m))^k`` (never false keeps). Pick this when the
+    snapshot is too big for ``broadcast`` but an occasional extra drop
+    is acceptable (it usually is for training data).
 
     ``mode="antijoin"``: both sides reduced to (id, hash) / (hash), then
     a native hash-partitioned ``left_anti`` join keyed on the hash, then
@@ -713,6 +784,24 @@ def dedup_against(incoming_ds, snapshot_ds, *, text_col: str = "text",
             return batch.filter(pa.array(mask))
 
         return incoming_ds.map_batches(keep_new, batch_format="pyarrow")
+
+    if mode == "bloom":
+        bloom_ref = ray.put(snapshot_bloom(snapshot_ds, text_col=text_col,
+                                           m_bits=bloom_m_bits))
+
+        def keep_probably_new(batch: pa.Table) -> pa.Table:
+            bits = ray.get(bloom_ref)
+            m_bits = np.uint64(bits.size * 8)
+            pos = _bloom_positions(
+                batch.column(text_col).to_pylist(), m_bits)
+            # row is dropped only if ALL k probed bits are set
+            probed = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            hit = (probed & (np.uint8(1) << (pos & np.uint64(7))
+                             .astype(np.uint8))) != 0
+            return batch.filter(pa.array(~hit.all(axis=1)))
+
+        return incoming_ds.map_batches(keep_probably_new,
+                                       batch_format="pyarrow")
 
     if mode != "antijoin":
         raise ValueError(f"unknown mode {mode!r}")

@@ -906,7 +906,7 @@ class TestDedupAgainst:
         }))
         return incoming, snap
 
-    @pytest.mark.parametrize("mode", ["broadcast", "antijoin"])
+    @pytest.mark.parametrize("mode", ["broadcast", "antijoin", "bloom"])
     def test_drops_snapshot_texts(self, ray_session, mode):
         from selma_ray.pipelines.dedup import dedup_against
 
@@ -915,7 +915,7 @@ class TestDedupAgainst:
         rows = sorted(r["doc_id"] for r in out.take_all())
         assert rows == [10, 12]
 
-    @pytest.mark.parametrize("mode", ["broadcast", "antijoin"])
+    @pytest.mark.parametrize("mode", ["broadcast", "antijoin", "bloom"])
     def test_empty_snapshot_keeps_everything(self, ray_session, mode):
         import ray.data
         from selma_ray.pipelines.dedup import dedup_against
@@ -933,6 +933,42 @@ class TestDedupAgainst:
         incoming, snap = self._tables()
         out = dedup_against(incoming, snap).take_all()
         assert set(out[0].keys()) == {"doc_id", "text"}
+
+
+class TestSnapshotBloom:
+    def test_bitmap_matches_single_process(self, ray_session):
+        import numpy as np
+        import ray.data
+        from selma_ray.pipelines.dedup import (_bloom_positions,
+                                               snapshot_bloom)
+
+        texts = [f"snapshot doc {i}" for i in range(50)]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(50), pa.int64()),
+            "text": pa.array(texts)})).repartition(7)
+        got = snapshot_bloom(ds, m_bits=1 << 23)
+        want = np.zeros((1 << 23) // 8, dtype=np.uint8)
+        pos = _bloom_positions(texts, np.uint64(1 << 23)).ravel()
+        np.bitwise_or.at(want, pos >> np.uint64(3),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        assert (got == want).all()
+
+    def test_tiny_filter_never_false_keeps(self, ray_session):
+        """With m crushed to 64 bits every probe collides — duplicates
+        of snapshot texts must STILL always drop (no false keeps)."""
+        import ray.data
+        from selma_ray.pipelines.dedup import dedup_against
+
+        snap_texts = [f"snap {i}" for i in range(30)]
+        snap = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(snap_texts)}))
+        incoming = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(100, 130), pa.int64()),
+            "text": pa.array(snap_texts)}))
+        out = dedup_against(incoming, snap, mode="bloom",
+                            bloom_m_bits=64).take_all()
+        assert out == []
 
 
 class TestPassageDedup:
