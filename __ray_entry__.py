@@ -516,6 +516,19 @@ def _q_language_id(sf_dir: str):
     return out.select_columns(["doc_id", "pred_lang"])
 
 
+def _q_classifier_score(sf_dir: str):
+    """fastText-style hashed-linear quality classifier inference over
+    documents (rows-only: the model's hashed feature space is not
+    SQL-expressible; verified vs a single-process numpy reference in
+    tests/test_curation_ops.py::TestHashedLinearClassifier)."""
+    from selma_ray.stages.classifier import classifier_stage
+
+    out = classifier_stage(_read(sf_dir, "documents"), concurrency=2,
+                           dim=1 << 16, seed=13)
+    return out.select_columns(["doc_id", "quality_prob",
+                               "quality_prob_n_feats"])
+
+
 def _q_quality(sf_dir: str):
     from selma_ray.functions.text import quality_score_batch
 
@@ -832,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": _q_minhash_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "language_id": _q_language_id,
+        "classifier_score": _q_classifier_score,
         "quality_score": _q_quality,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,

@@ -1248,3 +1248,50 @@ class TestUnigramLogprob:
         b = b.sort_values("doc_id").reset_index(drop=True)
         assert (a["n_tokens"] == b["n_tokens"]).all()
         assert (abs(a["avg_nll"] - b["avg_nll"]) < 1e-12).all()
+
+
+class TestHashedLinearClassifier:
+    def test_matches_single_process_reference(self, ray_session):
+        import math
+        import zlib
+
+        import ray.data
+
+        from selma_ray.stages.classifier import classifier_stage
+
+        texts = ["good clean prose here", "spam spam spam buy now",
+                 "", "one"]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts)})).repartition(3)
+        out = {r["doc_id"]: r["quality_prob"]
+               for r in classifier_stage(ds, dim=1 << 10, seed=7,
+                                         concurrency=2).take_all()}
+
+        import numpy as np
+        w = np.random.default_rng(7).standard_normal(1 << 10) * 0.1
+        for i, t in enumerate(texts):
+            toks = t.split()
+            feats = [zlib.crc32(x.encode()) % (1 << 10) for x in toks]
+            feats += [zlib.crc32(f"{a} {b}".encode()) % (1 << 10)
+                      for a, b in zip(toks, toks[1:])]
+            z = float(np.mean([w[j] for j in feats])) if feats else 0.0
+            want = 1.0 / (1.0 + math.exp(-z))
+            assert abs(out[i] - want) < 1e-12, (i, out[i], want)
+
+    def test_weights_path_and_threshold_filter(self, ray_session, tmp_path):
+        import numpy as np
+        import ray.data
+
+        from selma_ray.stages.classifier import classifier_stage
+
+        w = np.zeros(1 << 10)
+        w[:] = -5.0  # every feature strongly "bad"
+        p = tmp_path / "w.npy"
+        np.save(p, w)
+        ds = ray.data.from_arrow(pa.table({
+            "text": pa.array(["any text at all"])}))
+        [row] = classifier_stage(ds, dim=1 << 10,
+                                 weights_path=str(p)).take_all()
+        assert row["quality_prob"] < 0.01
+        assert row["quality_prob_n_feats"] == 7  # 4 tokens + 3 bigrams
