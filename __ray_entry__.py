@@ -767,6 +767,20 @@ def _q_redact_pii(sf_dir: str):
     return out.select_columns(["event_id", "props_redacted", "n_redactions"])
 
 
+def _q_running_totals(sf_dir: str):
+    from selma_ray.pipelines.relational import running_totals
+
+    return running_totals(_read(sf_dir, "events"))
+
+
+def _q_train_val_test_split(sf_dir: str):
+    from selma_ray.pipelines.sampling import train_val_test_split
+
+    out = train_val_test_split(_read(sf_dir, "documents"),
+                               test_frac=0.1, val_frac=0.1)
+    return out.select_columns(["doc_id", "split"])
+
+
 def _q_hash_sample(sf_dir: str):
     from selma_ray.pipelines.sampling import stratified_hash_sample
 
@@ -860,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
         "sessionize_events": _q_sessionize,
+        "running_totals": _q_running_totals,
         "top_customers": _q_top_customers,
         "revenue_by_nation": _q_revenue_by_nation,
         "suppliers_by_region": _q_suppliers_by_region,
@@ -876,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_domains": _q_link_domains,
         "redact_pii": _q_redact_pii,
         "hash_sample": _q_hash_sample,
+        "train_val_test_split": _q_train_val_test_split,
         "cap_per_source": _q_cap_per_source,
         "epoch_shuffle": _q_epoch_shuffle,
         "pack_windows": _q_pack_windows,
@@ -1393,6 +1409,23 @@ def oracle_sql() -> dict[str, str]:
              AND e2.ts >= e1.ts
              AND e2.ts < e1.ts + INTERVAL 300 SECOND
              AND e1.event_id != e2.event_id
+        """,
+        "running_totals": r"""
+            SELECT event_id, user_id, ts,
+                   sum(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                       AS running_value
+            FROM events
+        """,
+        "train_val_test_split": r"""
+            SELECT doc_id,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '19999999' THEN 'test'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '33333333' THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents
         """,
         "sessionize_events": r"""
             WITH g AS (

@@ -871,3 +871,31 @@ def events_quantiles_twopass(events_ds, *, qs: tuple = (0.5, 0.9, 0.99),
     import ray.data
 
     return ray.data.from_arrow(pa.table(cols))
+
+
+def running_totals(events_ds):
+    """Per-user running cumulative sum: emits (event_id, user_id, ts,
+    running_value) where running_value = sum of the user's ``value``
+    over all their events up to and including this one, ordered by
+    (ts, event_id).
+
+    The canonical SQL window function (``SUM(value) OVER (PARTITION BY
+    user ORDER BY ts ROWS UNBOUNDED PRECEDING)``) expressed Ray-Data-
+    first: one groupby(user_id) hash shuffle, then an in-task
+    sort+cumsum per group — prefix state never crosses users. For a
+    single key whose history exceeds one task (no per-user key does
+    here), the bucket-histogram exclusive-scan of
+    ``conversations.pack_sequences_global`` is the fallback shape.
+    """
+    def scan(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        vals = g.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "ts": g.column("ts"),
+            "running_value": pa.array(np.cumsum(vals), pa.float64()),
+        })
+
+    return events_ds.groupby("user_id").map_groups(
+        scan, batch_format="pyarrow")

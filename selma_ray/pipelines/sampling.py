@@ -386,3 +386,28 @@ def epoch_shuffle(ds, *, id_col: str = "doc_id", seed: int = 0,
     return ds.select_columns([id_col]) \
         .map_batches(keyed, batch_format="pyarrow") \
         .groupby("bucket").map_groups(rank, batch_format="pandas")
+
+
+def train_val_test_split(ds, *, key_col: str = "doc_id",
+                         test_frac: float = 0.1, val_frac: float = 0.1,
+                         split_col: str = "split"):
+    """Deterministic train/val/test assignment: the first 8 hex digits
+    of ``md5(str(key))`` place each row on [0,1); rows below
+    ``test_frac`` are 'test', the next ``val_frac`` are 'val', the rest
+    'train'. Map-only (no shuffle), reproducible across runs and
+    cluster sizes, and stable under corpus growth — a row's split never
+    changes when other rows are added, the property that keeps eval
+    sets honest across crawl refreshes. SQL-oracle-checkable."""
+    t_test = rate_to_hex_threshold(test_frac)
+    t_val = rate_to_hex_threshold(test_frac + val_frac)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        splits = []
+        for k in batch.column(key_col).to_pylist():
+            fp8 = hashlib.md5(str(k).encode()).hexdigest()[:8]
+            splits.append("test" if fp8 < t_test
+                          else "val" if fp8 < t_val else "train")
+        return batch.append_column(split_col,
+                                   pa.array(splits, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1295,3 +1295,49 @@ class TestHashedLinearClassifier:
                                  weights_path=str(p)).take_all()
         assert row["quality_prob"] < 0.01
         assert row["quality_prob_n_feats"] == 7  # 4 tokens + 3 bigrams
+
+
+class TestTrainValTestSplit:
+    def test_fractions_and_stability(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.sampling import train_val_test_split
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(2000), pa.int64())}))
+        rows = train_val_test_split(ds).take_all()
+        by = {}
+        for r in rows:
+            by.setdefault(r["split"], set()).add(r["doc_id"])
+        n = len(rows)
+        assert 0.07 < len(by["test"]) / n < 0.13
+        assert 0.07 < len(by["val"]) / n < 0.13
+        # stability: a smaller corpus assigns the same splits to shared ids
+        small = train_val_test_split(ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(500), pa.int64())}))).take_all()
+        for r in small:
+            assert r["doc_id"] in by[r["split"]]
+
+
+class TestRunningTotals:
+    def test_matches_pandas_window(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        import numpy as np
+        ts = pa.array(
+            np.array([10, 5, 7, 1, 99, 3], dtype="int64") * 1_000_000,
+            pa.timestamp("us"))
+        tbl = pa.table({
+            "event_id": pa.array(range(6), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+            "ts": ts,
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0]),
+        })
+        from selma_ray.pipelines.relational import running_totals
+        got = running_totals(ray.data.from_arrow(tbl).repartition(3)) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        df["running_value"] = df.groupby("user_id")["value"].cumsum()
+        want = df.sort_values("event_id").reset_index(drop=True)
+        assert (got["running_value"] == want["running_value"]).all()
