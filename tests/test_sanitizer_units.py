@@ -287,6 +287,13 @@ def test_conditional_comments(relaxed):
         "<!--[if gte IE 4]>\n<script>alert('XSS');</script>\n<![endif]-->") == ""
 
 
+def test_protocol_js_via_embedded_whitespace(relaxed):
+    """malicious_html_test.rb:134-140: a tab smuggled inside the scheme
+    must not resurrect javascript: (scheme scan sees 'jav\tascript')."""
+    assert relaxed.rewrite(
+        "<img src=\"jav\tascript:alert('XSS');\">") == "<img>"
+
+
 def test_malformed_event_attribute(relaxed):
     assert relaxed.rewrite(
         '<html><head></head><body onload!#$%&()*~+-_.,:;?@[/|\\]^`=alert("XSS")></body></html>'
