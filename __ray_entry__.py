@@ -112,6 +112,17 @@ def _q_extract_transcripts(sf_dir: str):
         "hits_unwrap"])
 
 
+def _q_extract_markdown(sf_dir: str):
+    """HTML->Markdown normalization over transcript turns (rows-only:
+    the markdown dialect is not SQL-expressible; golden-pair tests in
+    tests/test_markdown.py verify the converter)."""
+    from selma_ray.stages.extract import markdown_stage
+
+    ds = _transcripts_for(sf_dir)
+    out = markdown_stage(ds, concurrency=2)
+    return out.select_columns(["conv_id", "turn_idx", "markdown"])
+
+
 def _q_sanitize_transcripts(sf_dir: str):
     from selma_ray.stages.sanitize import sanitize_stage
 
@@ -824,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_transcripts": _q_extract_transcripts,
         "sanitize_transcripts": _q_sanitize_transcripts,
+        "extract_markdown": _q_extract_markdown,
         "block_filter": _q_block_filter,
         "curate_corpus": _q_curate_corpus,
         "doc_stats": _q_doc_stats,

@@ -249,3 +249,35 @@ def block_filter_stage(ds, *, text_col: str = "text", min_words: int = 3,
             drop_input_text=drop_input_text, keep_blocks=keep_blocks),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+class ToMarkdown:
+    """Actor: HTML-bearing text column -> Markdown column.
+
+    The MarkdownEngine (compiled '*' selector + handler state) is built
+    once per actor; rows without '<' pass through stripped. Built ON
+    the public handler protocol (engine/markdown.py) — the stage is
+    plumbing only."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "markdown"):
+        from ..engine.markdown import MarkdownEngine
+
+        self.engine = MarkdownEngine()
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        convert = self.engine.convert
+        md = [convert(t or "") for t in
+              batch.column(self.text_col).to_pylist()]
+        return batch.append_column(self.out_col,
+                                   pa.array(md, pa.large_string()))
+
+
+def markdown_stage(ds, *, text_col: str = "text", out_col: str = "markdown",
+                   batch_size: int = 64, concurrency: int | tuple = 4):
+    return ds.map_batches(
+        ToMarkdown,
+        fn_constructor_kwargs=dict(text_col=text_col, out_col=out_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
