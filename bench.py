@@ -57,7 +57,11 @@ def _transcript_input(sf_dir: str) -> tuple[str, int]:
     # meaningful when aggregate engine work dominates the ~10s of fixed
     # per-job overhead (ray.init, actor-pool spinup, plan, drain) —
     # sf0.1 -> 256k convs, ~6.4M turns, ~2200 CPU-seconds of extraction.
-    n_convs = max(24, int(2_560_000 * _sf_of(sf_dir)))
+    # RAY_GRAFT_CONV_MULT scales the corpus further: --scaling uses 2x so
+    # the 32-cpu leg's wall time (~100s) amortizes the fixed overhead the
+    # same way a real multi-hour cluster job would.
+    mult = float(os.environ.get("RAY_GRAFT_CONV_MULT", "1"))
+    n_convs = max(24, int(2_560_000 * _sf_of(sf_dir) * mult))
     path = transcripts_parquet(n_convs)
     n_rows = sum(
         pq.read_metadata(os.path.join(path, f)).num_rows
@@ -155,6 +159,10 @@ def run_scaling(sf_dir: str, repeats: int = 2) -> dict:
     drift in VM conditions hits both levels alike, and the BEST
     throughput per level is used: single runs swing ~±20% on this VM,
     and best-of-k compares the two levels at their least-perturbed."""
+    # 2x corpus for the scaling comparison (see _transcript_input): at
+    # 1x the 32-cpu leg finishes in ~50s and its ~8s of fixed spinup/
+    # drain masquerades as lost scaling; a real cluster job runs hours.
+    os.environ.setdefault("RAY_GRAFT_CONV_MULT", "2")
     # warm the input cache once so no child pays synthesis cost
     _transcript_input(sf_dir)
     samples: dict[int, list] = {8: [], 32: []}

@@ -19,6 +19,8 @@ limit_blas_threads(1)
 
 from . import config
 from .engine import Rewriter, Sanitizer, Selector
+from .engine.markdown import html_to_markdown
 
-__all__ = ["Rewriter", "Sanitizer", "Selector", "config"]
+__all__ = ["Rewriter", "Sanitizer", "Selector", "config",
+           "html_to_markdown"]
 __version__ = "0.1.0"

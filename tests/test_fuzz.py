@@ -138,3 +138,21 @@ def test_block_filter_invariants(doc):
             assert b["words"] >= 2 and b["link_density"] <= 0.5
     assert r["main_text"] == " ".join(
         b["text"] for b in r["blocks"] if b["kept"])
+
+
+_md_engine = None
+
+
+@given(_html_soup)
+@settings(max_examples=300, deadline=None)
+def test_markdown_never_raises_and_resets(s):
+    """The markdown handler must survive arbitrary malformed soup and
+    leave no state behind (a poisoned document must not corrupt the
+    next one — per-actor engines are reused across batches)."""
+    global _md_engine
+    from selma_ray.engine.markdown import MarkdownEngine
+
+    if _md_engine is None:
+        _md_engine = MarkdownEngine()
+    _md_engine.convert(s)
+    assert _md_engine.convert("<h1>ok</h1>") == "# ok"
