@@ -109,7 +109,8 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
              "events_windowed", "events_asof_orders", "pricing_summary",
              "revenue_by_nation", "lines_by_priority", "doc_stats",
              "conversation_assembly", "decontaminate", "term_frequencies",
-             "mixture_sample", "distinct_users_kmv"]
+             "mixture_sample", "distinct_users_kmv", "unigram_perplexity",
+             "bloom_dedup"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in picks:

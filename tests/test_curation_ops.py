@@ -1341,3 +1341,31 @@ class TestRunningTotals:
         df["running_value"] = df.groupby("user_id")["value"].cumsum()
         want = df.sort_values("event_id").reset_index(drop=True)
         assert (got["running_value"] == want["running_value"]).all()
+
+
+class TestBloomBroadcastEquivalence:
+    def test_modes_agree_on_random_corpus(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from selma_ray.pipelines.dedup import dedup_against
+
+        rng = np.random.default_rng(42)
+        vocab = [f"w{i}" for i in range(40)]
+        snap_texts = [" ".join(rng.choice(vocab, size=6)) for _ in range(300)]
+        # incoming: half genuinely new (distinct marker), half snapshot dups
+        inc_texts = ([f"new {i} " + " ".join(rng.choice(vocab, size=5))
+                      for i in range(250)]
+                     + [snap_texts[i * 7 % 300] for i in range(250)])
+        snap = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array(snap_texts)})).repartition(5)
+        inc = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(1000, 1500), pa.int64()),
+            "text": pa.array(inc_texts)})).repartition(7)
+        a = sorted(r["doc_id"] for r in
+                   dedup_against(inc, snap, mode="broadcast").take_all())
+        b = sorted(r["doc_id"] for r in
+                   dedup_against(inc, snap, mode="bloom").take_all())
+        assert a == b
+        assert len(a) <= 250  # every snapshot dup dropped
