@@ -245,6 +245,27 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_against(incoming, snap)
 
 
+def _q_stream_dedup(sf_dir: str):
+    """Streaming first-arrival exact dedup against a live sharded
+    actor index (the raw-actor shared-mutable-state op). The survivor
+    SET of texts is deterministic (= DISTINCT text) even though which
+    duplicate row survives is arrival-order dependent, so the query
+    returns the surviving texts' md5 — exactly DuckDB's DISTINCT."""
+    import hashlib
+
+    from selma_ray.pipelines.streaming_dedup import streaming_exact_dedup
+
+    deduped, _shards = streaming_exact_dedup(_read(sf_dir, "documents"),
+                                             num_shards=4)
+
+    def to_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode("utf-8", "surrogatepass"))
+              .hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"text_hash": pa.array(hs, pa.string())})
+
+    return deduped.map_batches(to_hash, batch_format="pyarrow")
+
+
 def _q_bloom_dedup(sf_dir: str):
     """Same incremental-dedup split as dedup_incremental, via the
     constant-size Bloom broadcast path. The oracle is the exact
@@ -845,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "dedup_incremental": _q_dedup_incremental,
         "bloom_dedup": _q_bloom_dedup,
+        "stream_dedup": _q_stream_dedup,
         "passage_dedup": _q_passage_dedup,
         "decontaminate": _q_decontaminate,
         "strip_common_lines": _q_strip_common_lines,
@@ -1008,6 +1030,9 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (
                 SELECT 1 FROM documents s
                 WHERE s.doc_id % 5 = 0 AND md5(s.text) = md5(d.text))
+        """,
+        "stream_dedup": r"""
+            SELECT DISTINCT md5(text) AS text_hash FROM documents
         """,
         "bloom_dedup": r"""
             SELECT d.* FROM documents d

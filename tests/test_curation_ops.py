@@ -1369,3 +1369,51 @@ class TestBloomBroadcastEquivalence:
                    dedup_against(inc, snap, mode="bloom").take_all())
         assert a == b
         assert len(a) <= 250  # every snapshot dup dropped
+
+
+class TestStreamingExactDedup:
+    def test_survivor_set_is_distinct_texts(self, ray_session):
+        import ray
+        import ray.data
+
+        from selma_ray.pipelines.streaming_dedup import streaming_exact_dedup
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": pa.array([f"doc {i % 31}" for i in range(200)]),
+        })
+        out, shards = streaming_exact_dedup(
+            ray.data.from_arrow(tbl).repartition(9), num_shards=4)
+        rows = out.take_all()
+        assert sorted(r["text"] for r in rows) == sorted(
+            {f"doc {i % 31}" for i in range(200)})
+        # index holds exactly the distinct fingerprints, sharded
+        assert sum(ray.get([s.size.remote() for s in shards])) == 31
+
+    def test_index_persists_across_streams(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.streaming_dedup import streaming_exact_dedup
+
+        first = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a", "b"])}))
+        out1, shards = streaming_exact_dedup(first, num_shards=2)
+        assert len(out1.take_all()) == 2
+        # second stream filtered against the SAME live index: reuse the
+        # shard handles by re-running the map with them (cross-stream)
+        import numpy as np
+        import ray
+
+        from selma_ray.pipelines.streaming_dedup import _fingerprints
+
+        second = ["b", "c", "b"]
+        fps = _fingerprints(second)
+        keep = np.zeros(3, dtype=bool)
+        for k in range(2):
+            sel = np.flatnonzero(fps % np.uint64(2) == k)
+            # offer in order; shard admits only first-ever occurrences
+            if sel.size:
+                keep[sel] = ray.get(
+                    shards[k].check_and_add.remote(fps[sel]))
+        assert [t for t, k in zip(second, keep) if k] == ["c"]
