@@ -637,6 +637,12 @@ def _q_events_range_join(sf_dir: str):
                                   f"{sf_dir}/events.parquet", window_s=300)
 
 
+def _q_daily_active_users(sf_dir: str):
+    from selma_ray.pipelines.relational import daily_active_users
+
+    return daily_active_users(_read(sf_dir, "events"))
+
+
 def _q_sessionize(sf_dir: str):
     from selma_ray.pipelines.relational import sessionize_events
 
@@ -909,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": _q_events_range_join,
         "sessionize_events": _q_sessionize,
         "running_totals": _q_running_totals,
+        "daily_active_users": _q_daily_active_users,
         "top_customers": _q_top_customers,
         "revenue_by_nation": _q_revenue_by_nation,
         "suppliers_by_region": _q_suppliers_by_region,
@@ -1446,6 +1453,11 @@ def oracle_sql() -> dict[str, str]:
              AND e2.ts >= e1.ts
              AND e2.ts < e1.ts + INTERVAL 300 SECOND
              AND e1.event_id != e2.event_id
+        """,
+        "daily_active_users": r"""
+            SELECT date_trunc('day', ts) AS day,
+                   count(DISTINCT user_id)::BIGINT AS dau
+            FROM events GROUP BY day
         """,
         "running_totals": r"""
             SELECT event_id, user_id, ts,

@@ -899,3 +899,50 @@ def running_totals(events_ds):
 
     return events_ds.groupby("user_id").map_groups(
         scan, batch_format="pyarrow")
+
+
+def daily_active_users(events_ds):
+    """(day, dau): the canonical exact count-distinct rollup.
+
+    Two-phase distinct: per-batch dedup collapses each block to its
+    distinct (day, user) pairs (a block shrinks ~events-per-user-day x
+    before anything shuffles), one groupby(day, user) makes the pairs
+    globally unique, a second per-batch combiner counts pairs per day,
+    and the final groupby(day) sums partial counts. Both shuffles carry
+    only (day, user[, count]) rows — never events. For approximate-at-
+    scale, swap phase 2+ for the KMV sketch (`sketches.kmv_distinct`)
+    keyed by day and skip the pair-level shuffle entirely.
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "user_id": batch.column("user_id"),
+        })
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    # .count() (not map_groups) — one vectorized aggregate pass yields
+    # exactly one row per distinct (day, user)
+    uniq = coalesce_small(
+        events_ds.map_batches(pairs, batch_format="pyarrow")) \
+        .groupby(["day", "user_id"]).count()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("day").aggregate([("user_id", "count")])
+        return pa.table({
+            "day": agg.column("day"),
+            "partial_n": pc.cast(agg.column("user_id_count"), pa.int64()),
+        })
+
+    final = coalesce_small(
+        uniq.map_batches(count_partial, batch_format="pyarrow")) \
+        .groupby("day").aggregate(Sum("partial_n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch.column("day"),
+            "dau": pc.cast(batch.column("sum(partial_n)"), pa.int64()),
+        })
+
+    return final.map_batches(rename, batch_format="pyarrow")

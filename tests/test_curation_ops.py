@@ -1417,3 +1417,31 @@ class TestStreamingExactDedup:
                 keep[sel] = ray.get(
                     shards[k].check_and_add.remote(fps[sel]))
         assert [t for t, k in zip(second, keep) if k] == ["c"]
+
+
+class TestDailyActiveUsers:
+    def test_matches_pandas_nunique(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from selma_ray.pipelines.relational import daily_active_users
+
+        rng = np.random.default_rng(3)
+        n = 500
+        ts = pa.array((rng.integers(0, 10, n) * 86_400_000_000
+                       + rng.integers(0, 86_400_000_000, n)).astype("int64"),
+                      pa.timestamp("us"))
+        tbl = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        })
+        got = daily_active_users(
+            ray.data.from_arrow(tbl).repartition(6)).to_pandas()
+        df = tbl.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        want = df.groupby("day")["user_id"].nunique().sort_index()
+        got = got.sort_values("day").reset_index(drop=True)
+        assert list(got["dau"]) == list(want.values)
+        assert [d.to_datetime64() for d in want.index] == list(
+            got["day"].astype("datetime64[ns]"))
