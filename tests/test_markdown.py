@@ -68,3 +68,19 @@ def test_markdown_stage(ray_session):
         markdown_stage(ray.data.from_arrow(tbl), concurrency=2).take_all(),
         key=lambda r: r["doc_id"])
     assert [r["markdown"] for r in rows] == ["# T\n\nb", "no html", ""]
+
+
+def test_realworld_page_converts():
+    """The 29KB real-world fixture page (reference
+    test/fixtures/docs.html) converts without error, drops chrome, and
+    keeps headings/links in markdown form."""
+    with open("/root/reference/test/fixtures/docs.html",
+              encoding="utf-8") as f:
+        html = f.read()
+    md = html_to_markdown(html)
+    # the 29KB page is ~98% chrome (nav/head/script); the surviving
+    # main content is a ~400-char clean article body
+    assert len(md) > 300
+    assert "<script" not in md and "<div" not in md
+    assert "# " in md        # at least one heading
+    assert "](" in md        # at least one resolved link
