@@ -637,6 +637,18 @@ def _q_events_range_join(sf_dir: str):
                                   f"{sf_dir}/events.parquet", window_s=300)
 
 
+def _q_events_json_rollup(sf_dir: str):
+    from selma_ray.pipelines.relational import events_json_rollup
+
+    return events_json_rollup(_read(sf_dir, "events"))
+
+
+def _q_lang_source_crosstab(sf_dir: str):
+    from selma_ray.pipelines.relational import lang_source_crosstab
+
+    return lang_source_crosstab(_read(sf_dir, "documents"))
+
+
 def _q_daily_active_users(sf_dir: str):
     from selma_ray.pipelines.relational import daily_active_users
 
@@ -916,6 +928,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "running_totals": _q_running_totals,
         "daily_active_users": _q_daily_active_users,
+        "events_json_rollup": _q_events_json_rollup,
+        "lang_source_crosstab": _q_lang_source_crosstab,
         "top_customers": _q_top_customers,
         "revenue_by_nation": _q_revenue_by_nation,
         "suppliers_by_region": _q_suppliers_by_region,
@@ -1453,6 +1467,28 @@ def oracle_sql() -> dict[str, str]:
              AND e2.ts >= e1.ts
              AND e2.ts < e1.ts + INTERVAL 300 SECOND
              AND e1.event_id != e2.event_id
+        """,
+        "events_json_rollup": r"""
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+                   sum(json_extract(props, '$.k')::BIGINT)::DOUBLE
+                       / count(*)::DOUBLE AS avg_k
+            FROM events GROUP BY event_type
+        """,
+        "lang_source_crosstab": r"""
+            SELECT source,
+                   sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_de,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_en,
+                   sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_es,
+                   sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_fr,
+                   sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_zh
+            FROM documents GROUP BY source
         """,
         "daily_active_users": r"""
             SELECT date_trunc('day', ts) AS day,

@@ -946,3 +946,89 @@ def daily_active_users(events_ds):
         })
 
     return final.map_batches(rename, batch_format="pyarrow")
+
+
+def events_json_rollup(events_ds, *, key: str = "k"):
+    """Semi-structured extraction + rollup: parse the ``props`` JSON
+    column, pull ``key``, aggregate per event_type -> (event_type,
+    n_events, sum_k, avg_k).
+
+    The schema-on-read op: JSON stays opaque through storage and is
+    parsed VECTORIZED inside map_batches only in the one stage that
+    needs it (never materialized as a parsed column corpus-wide), and
+    the per-batch combiner collapses each block to one row per
+    event_type before the (tiny) groupby shuffle. At 100 TB the parse
+    cost dominates — it rides the embarrassingly-parallel map, while
+    the shuffle carries a few dozen rows per block.
+    """
+    import json
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p)[key] for p in batch.column("props").to_pylist()),
+            dtype=np.int64, count=batch.num_rows)
+        return _partial_sum_by(
+            {"event_type": batch.column("event_type"),
+             "k": pa.array(ks)},
+            ["event_type"], ["k"], "n_partial")
+
+    agg = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("event_type").aggregate(Sum("k"), Sum("n_partial"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("sum(n_partial)"), pa.int64())
+        sk = pc.cast(batch.column("sum(k)"), pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": n,
+            "sum_k": sk,
+            "avg_k": pc.divide(pc.cast(sk, pa.float64()),
+                               pc.cast(n, pa.float64())),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def lang_source_crosstab(docs_ds, *, langs=("de", "en", "es", "fr", "zh")):
+    """Pivot/crosstab: documents -> one row per source with a count
+    column per language (n_de, n_en, ...).
+
+    The reshape op Ray Data lacks natively: a per-batch (source, lang)
+    count combiner feeds one groupby(source) over long-form partials;
+    the wide reshape happens in the post-aggregate map over the
+    already-tiny distinct-source table. Pivot columns must be a KNOWN
+    set (``langs``) — discovering them takes a cheap distinct pass
+    first; an unknown/unbounded pivot domain is a design smell at
+    scale (it turns one column into millions).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["source", "lang"])
+        agg = t.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return pa.table({
+            "source": agg.column("source"),
+            "lang": agg.column("lang"),
+            "partial_n": pc.cast(agg.column("lang_count"), pa.int64()),
+        })
+
+    agg = coalesce_small(
+        docs_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["source", "lang"]).aggregate(Sum("partial_n"))
+
+    def widen(group: pa.Table) -> pa.Table:
+        counts = dict.fromkeys(langs, 0)
+        for lang, n in zip(group.column("lang").to_pylist(),
+                           group.column("sum(partial_n)").to_pylist()):
+            if lang in counts:
+                counts[lang] = n
+        cols = {"source": pa.array([group.column("source")[0].as_py()],
+                                   pa.string())}
+        for lang in langs:
+            cols[f"n_{lang}"] = pa.array([counts[lang]], pa.int64())
+        return pa.table(cols)
+
+    return agg.groupby("source").map_groups(widen, batch_format="pyarrow")

@@ -1445,3 +1445,37 @@ class TestDailyActiveUsers:
         assert list(got["dau"]) == list(want.values)
         assert [d.to_datetime64() for d in want.index] == list(
             got["day"].astype("datetime64[ns]"))
+
+
+class TestJsonAndCrosstab:
+    def test_json_rollup_matches_pandas(self, ray_session):
+        import json
+
+        import ray.data
+
+        from selma_ray.pipelines.relational import events_json_rollup
+
+        tbl = pa.table({
+            "event_type": pa.array(["a", "b", "a", "a"]),
+            "props": pa.array([json.dumps({"k": v})
+                               for v in [10, 20, 30, 2]]),
+        })
+        got = {r["event_type"]: (r["n_events"], r["sum_k"], r["avg_k"])
+               for r in events_json_rollup(
+                   ray.data.from_arrow(tbl).repartition(3)).take_all()}
+        assert got == {"a": (3, 42, 14.0), "b": (1, 20, 20.0)}
+
+    def test_crosstab_counts_and_zero_fill(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.relational import lang_source_crosstab
+
+        tbl = pa.table({
+            "source": pa.array(["s1", "s1", "s2", "s1"]),
+            "lang": pa.array(["en", "de", "en", "en"]),
+        })
+        rows = {r["source"]: r for r in lang_source_crosstab(
+            ray.data.from_arrow(tbl).repartition(2)).take_all()}
+        assert rows["s1"]["n_en"] == 2 and rows["s1"]["n_de"] == 1
+        assert rows["s2"]["n_en"] == 1 and rows["s2"]["n_zh"] == 0
+        assert rows["s1"]["n_fr"] == 0
