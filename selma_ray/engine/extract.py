@@ -229,6 +229,7 @@ class ExtractionEngine:
                 "out_html": text,
                 "extracted_text": text,
                 "title": "",
+                "meta": {},
                 "spans": [],
                 "bytes_in": len(text),
                 "bytes_out": len(text),
@@ -249,6 +250,7 @@ class ExtractionEngine:
             "out_html": out_html,
             "extracted_text": extracted,
             "title": _html.unescape(ex.title).strip(),
+            "meta": dict(ex.meta),
             "spans": (ex.spans if self.raw_spans else [
                 {"selector": s, "tag": t, "start": a, "end": b}
                 for (s, t, a, b) in ex.spans
@@ -596,6 +598,7 @@ class ExtractionEngine:
             "out_html": "".join(out) if need_html else "",
             "extracted_text": extracted,
             "title": _html.unescape(title).strip(),
+            "meta": meta,
             "spans": (spans if self.raw_spans else [
                 {"selector": s, "tag": t, "start": a, "end": b}
                 for (s, t, a, b) in spans

@@ -51,10 +51,14 @@ class ExtractTurns:
                  strip_tags=None, break_tags=None, keep_html: bool = False,
                  keep_spans: bool = True, collapse_whitespace: bool = True,
                  drop_input_text: bool = False,
-                 span_text_runs: bool = False):
+                 span_text_runs: bool = False, keep_meta: bool = False):
         self.text_col = text_col
         self.keep_html = keep_html
         self.keep_spans = keep_spans
+        # keep_meta=True adds a meta:map<string,string> column with the
+        # harvested <meta name=... content=...> pairs (the reference
+        # ContentExtractor's @meta state, maliciousness_test.rb:168-210)
+        self.keep_meta = keep_meta
         # dropping the original HTML column inside the stage halves the
         # output block bytes through the object store and the parquet
         # write — at 100 TB the raw text should never ride along unless
@@ -85,6 +89,7 @@ class ExtractTurns:
         bytes_out = [0] * n
         hits = {k: [0] * n for k in ("strip", "title", "meta", "unwrap")}
         htmls = [None] * n if self.keep_html else None
+        metas = [None] * n if self.keep_meta else None
         # spans flattened: per-row offsets into parallel field arrays —
         # StructArray/ListArray.from_arrays is ~4x cheaper than pa.array
         # over list-of-dicts at this volume
@@ -113,6 +118,8 @@ class ExtractTurns:
                 offsets[i + 1] = len(sp_sel)
             if htmls is not None:
                 htmls[i] = r["out_html"]
+            if metas is not None:
+                metas[i] = list(r["meta"].items())
         out = (batch.drop_columns([self.text_col])
                if self.drop_input_text else batch)
         out = out.append_column(
@@ -136,6 +143,10 @@ class ExtractTurns:
         if htmls is not None:
             out = out.append_column(
                 "out_html", pa.array(htmls, pa.large_string()))
+        if metas is not None:
+            out = out.append_column(
+                "meta", pa.array(metas,
+                                 pa.map_(pa.string(), pa.string())))
         return out
 
 
@@ -143,6 +154,7 @@ def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
                   strip_tags=None, break_tags=None, keep_html: bool = False,
                   keep_spans: bool = True, collapse_whitespace: bool = True,
                   drop_input_text: bool = False, span_text_runs: bool = False,
+                  keep_meta: bool = False,
                   batch_size: int = 64, concurrency=None):
     """Attach the extraction actor-pool stage to a Dataset.
 
@@ -170,7 +182,7 @@ def extract_stage(ds, *, text_col: str = "text", sanitizer_config=None,
             keep_html=keep_html, keep_spans=keep_spans,
             collapse_whitespace=collapse_whitespace,
             drop_input_text=drop_input_text,
-            span_text_runs=span_text_runs),
+            span_text_runs=span_text_runs, keep_meta=keep_meta),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,

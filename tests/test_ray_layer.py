@@ -345,3 +345,25 @@ def test_write_outputs_roundtrip(ray_session, tmp_path):
     with pytest.raises(ValueError):
         write_outputs(transcript_dataset(2), str(tmp_path / "x"),
                       format="jsonl", partition_cols=["role"])
+
+
+def test_extract_keep_meta_column(ray_session):
+    import ray.data
+
+    from selma_ray.stages.extract import extract_stage
+
+    tbl = pa.table({
+        "conv_id": pa.array(["c"] * 2),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "text": pa.array(
+            ['<meta name="robots" content="noindex">'
+             '<meta name="author" content="me"><p>body</p>',
+             "plain turn"]),
+    })
+    rows = sorted(
+        extract_stage(ray.data.from_arrow(tbl), keep_meta=True,
+                      keep_spans=False, concurrency=2).take_all(),
+        key=lambda r: r["turn_idx"])
+    assert dict(rows[0]["meta"]) == {"robots": "noindex", "author": "me"}
+    assert rows[0]["hits_meta"] == 2
+    assert dict(rows[1]["meta"]) == {}
