@@ -637,6 +637,13 @@ def _q_events_range_join(sf_dir: str):
                                   f"{sf_dir}/events.parquet", window_s=300)
 
 
+def _q_profile_columns(sf_dir: str):
+    """Numeric data-quality profile over events.value (describe pass)."""
+    from selma_ray.pipelines.relational import profile_numeric
+
+    return profile_numeric(_read(sf_dir, "events"), ["value"])
+
+
 def _q_events_json_rollup(sf_dir: str):
     from selma_ray.pipelines.relational import events_json_rollup
 
@@ -929,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "daily_active_users": _q_daily_active_users,
         "events_json_rollup": _q_events_json_rollup,
+        "profile_columns": _q_profile_columns,
         "lang_source_crosstab": _q_lang_source_crosstab,
         "top_customers": _q_top_customers,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1467,6 +1475,17 @@ def oracle_sql() -> dict[str, str]:
              AND e2.ts >= e1.ts
              AND e2.ts < e1.ts + INTERVAL 300 SECOND
              AND e1.event_id != e2.event_id
+        """,
+        "profile_columns": r"""
+            SELECT 'value' AS "column",
+                   count(*)::BIGINT AS n_rows,
+                   (count(*) - count(value))::BIGINT AS n_nulls,
+                   min(value)::DOUBLE AS min_v,
+                   max(value)::DOUBLE AS max_v,
+                   sum(round(value * 100))::BIGINT AS sum_cents,
+                   (sum(round(value * 100))::DOUBLE / 100.0)
+                       / count(value)::DOUBLE AS mean_v
+            FROM events
         """,
         "events_json_rollup": r"""
             SELECT event_type,

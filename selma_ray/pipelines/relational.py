@@ -1032,3 +1032,84 @@ def lang_source_crosstab(docs_ds, *, langs=("de", "en", "es", "fr", "zh")):
         return pa.table(cols)
 
     return agg.groupby("source").map_groups(widen, batch_format="pyarrow")
+
+
+def profile_numeric(ds, cols: list[str]):
+    """Data-quality profiling: one row per column with (column, n_rows,
+    n_nulls, min_v, max_v, sum_v, mean_v) — the `describe` pass every
+    ingest pipeline runs before trusting a new drop of data.
+
+    Single streaming pass, no shuffle at all: each batch collapses to
+    one partial row per profiled column (min/max/sum/counts), the
+    driver folds the tiny partial stream (blocks x cols rows of five
+    numbers — folding on the driver is exact and O(cols), not a
+    distributed-aggregate job). Sums accumulate as integer CENTS
+    (round(v*100) in int64) so they are order-independent and exact —
+    a float sum folded in a different order than the SQL oracle's
+    drifts past hash tolerance at ~1e9 magnitudes. Mean is one final
+    division.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        names, mins, maxs, sums, nnull, nrow = [], [], [], [], [], []
+        for c in cols:
+            col = batch.column(c)
+            names.append(c)
+            nrow.append(batch.num_rows)
+            nnull.append(col.null_count)
+            valid = col.drop_null()
+            if len(valid):
+                v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+                mins.append(float(v.min()))
+                maxs.append(float(v.max()))
+                sums.append(int(np.rint(v * 100).astype(np.int64).sum()))
+            else:
+                mins.append(None)
+                maxs.append(None)
+                sums.append(0)
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "p_min": pa.array(mins, pa.float64()),
+            "p_max": pa.array(maxs, pa.float64()),
+            "p_sum": pa.array(sums, pa.int64()),
+            "p_nulls": pa.array(nnull, pa.int64()),
+            "p_rows": pa.array(nrow, pa.int64()),
+        })
+
+    acc: dict[str, list] = {c: [None, None, 0, 0, 0] for c in cols}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for name, mn, mx, sm, nl, nr in zip(
+                b.column("column").to_pylist(), b.column("p_min").to_pylist(),
+                b.column("p_max").to_pylist(), b.column("p_sum").to_pylist(),
+                b.column("p_nulls").to_pylist(),
+                b.column("p_rows").to_pylist()):
+            a = acc[name]
+            if mn is not None:
+                a[0] = mn if a[0] is None else min(a[0], mn)
+                a[1] = mx if a[1] is None else max(a[1], mx)
+            a[2] += sm
+            a[3] += nl
+            a[4] += nr
+    rows = {
+        "column": [], "n_rows": [], "n_nulls": [], "min_v": [],
+        "max_v": [], "sum_v": [], "mean_v": [],
+    }  # sum_v accumulates cents; emitted as sum_cents
+    for c in cols:
+        mn, mx, sm, nl, nr = acc[c]
+        rows["column"].append(c)
+        rows["n_rows"].append(nr)
+        rows["n_nulls"].append(nl)
+        rows["min_v"].append(mn)
+        rows["max_v"].append(mx)
+        rows["sum_v"].append(sm)   # integer cents
+        nv = nr - nl
+        rows["mean_v"].append((sm / 100.0) / nv if nv else None)
+    return pa.table({
+        "column": pa.array(rows["column"], pa.string()),
+        "n_rows": pa.array(rows["n_rows"], pa.int64()),
+        "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+        "min_v": pa.array(rows["min_v"], pa.float64()),
+        "max_v": pa.array(rows["max_v"], pa.float64()),
+        "sum_cents": pa.array(rows["sum_v"], pa.int64()),
+        "mean_v": pa.array(rows["mean_v"], pa.float64()),
+    })

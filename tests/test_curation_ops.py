@@ -1479,3 +1479,24 @@ class TestJsonAndCrosstab:
         assert rows["s1"]["n_en"] == 2 and rows["s1"]["n_de"] == 1
         assert rows["s2"]["n_en"] == 1 and rows["s2"]["n_zh"] == 0
         assert rows["s1"]["n_fr"] == 0
+
+
+class TestProfileNumeric:
+    def test_stats_with_nulls_and_partitions(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.relational import profile_numeric
+
+        tbl = pa.table({
+            "a": pa.array([1.5, None, 3.25, -2.0, None], pa.float64()),
+            "b": pa.array([10.0, 10.0, 10.0, 10.0, 10.0], pa.float64()),
+        })
+        out = profile_numeric(
+            ray.data.from_arrow(tbl).repartition(3), ["a", "b"])
+        rows = {r["column"]: r for r in out.to_pylist()}
+        a = rows["a"]
+        assert (a["n_rows"], a["n_nulls"]) == (5, 2)
+        assert (a["min_v"], a["max_v"]) == (-2.0, 3.25)
+        assert a["sum_cents"] == 275
+        assert abs(a["mean_v"] - (2.75 / 3)) < 1e-15
+        assert rows["b"]["mean_v"] == 10.0
