@@ -637,6 +637,26 @@ def _q_events_range_join(sf_dir: str):
                                   f"{sf_dir}/events.parquet", window_s=300)
 
 
+def _q_union_distinct(sf_dir: str):
+    """Set op: two overlapping slices of documents, ds.union ->
+    keep-first per doc_id (rows in the overlap are identical, so this
+    equals DISTINCT * over the UNION ALL)."""
+    docs = _read(sf_dir, "documents")
+
+    def keep(lo, hi):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            return batch.filter(pc.and_(pc.greater_equal(ids, pa.scalar(lo)),
+                                        pc.less(ids, pa.scalar(hi))))
+        return f
+
+    a = docs.map_batches(keep(0, 300), batch_format="pyarrow")
+    b = docs.map_batches(keep(200, 1 << 40), batch_format="pyarrow")
+    u = a.union(b)
+    return u.groupby("doc_id").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
 def _q_profile_columns(sf_dir: str):
     """Numeric data-quality profile over events.value (describe pass)."""
     from selma_ray.pipelines.relational import profile_numeric
@@ -937,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": _q_daily_active_users,
         "events_json_rollup": _q_events_json_rollup,
         "profile_columns": _q_profile_columns,
+        "union_distinct": _q_union_distinct,
         "lang_source_crosstab": _q_lang_source_crosstab,
         "top_customers": _q_top_customers,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1475,6 +1496,12 @@ def oracle_sql() -> dict[str, str]:
              AND e2.ts >= e1.ts
              AND e2.ts < e1.ts + INTERVAL 300 SECOND
              AND e1.event_id != e2.event_id
+        """,
+        "union_distinct": r"""
+            SELECT DISTINCT * FROM (
+                SELECT * FROM documents WHERE doc_id < 300
+                UNION ALL
+                SELECT * FROM documents WHERE doc_id >= 200)
         """,
         "profile_columns": r"""
             SELECT 'value' AS "column",
