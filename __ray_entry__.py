@@ -266,6 +266,28 @@ def _q_stream_dedup(sf_dir: str):
     return deduped.map_batches(to_hash, batch_format="pyarrow")
 
 
+def _q_near_dedup_incremental(sf_dir: str):
+    """Incremental NEAR-dup dedup vs a prior snapshot (rows-only: LSH
+    band candidacy is not SQL-expressible; verified vs minhash_lsh_pairs
+    semantics in tests/test_curation_ops.py::TestNearDedupAgainst)."""
+    from selma_ray.pipelines.dedup import near_dedup_against
+
+    docs = _read(sf_dir, "documents")
+
+    def split(keep_snapshot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mod = pc.equal(
+                pc.subtract(batch.column("doc_id"),
+                            pc.multiply(pc.divide(batch.column("doc_id"), 5),
+                                        5)), 0)
+            return batch.filter(mod if keep_snapshot else pc.invert(mod))
+        return f
+
+    snap = docs.map_batches(split(True), batch_format="pyarrow")
+    incoming = docs.map_batches(split(False), batch_format="pyarrow")
+    return near_dedup_against(incoming, snap)
+
+
 def _q_bloom_dedup(sf_dir: str):
     """Same incremental-dedup split as dedup_incremental, via the
     constant-size Bloom broadcast path. The oracle is the exact
@@ -911,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "dedup_incremental": _q_dedup_incremental,
         "bloom_dedup": _q_bloom_dedup,
+        "near_dedup_incremental": _q_near_dedup_incremental,
         "stream_dedup": _q_stream_dedup,
         "passage_dedup": _q_passage_dedup,
         "decontaminate": _q_decontaminate,

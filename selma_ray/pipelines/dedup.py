@@ -941,3 +941,82 @@ def passage_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return joined.map_batches(reassemble, batch_format="pyarrow")
+
+
+def near_dedup_against(incoming_ds, snapshot_ds, *, text_col: str = "text",
+                       k: int = 128, bands: int = 16, ngram: int = 3,
+                       m_bits: int = 1 << 23):
+    """Incremental NEAR-dup dedup: drop incoming docs that LSH-collide
+    with ANY doc of a prior snapshot — the cross-crawl counterpart of
+    :func:`minhash_lsh_pairs` ("don't retrain on last month's crawl,
+    including its light rewrites").
+
+    Composition of two existing primitives: the snapshot's MinHash band
+    keys (same signatures as `minhash_lsh_pairs`, so within-corpus and
+    cross-corpus dedup agree on what "near" means) are folded into the
+    CONSTANT-size Bloom bitmap of :func:`snapshot_bloom`'s machinery —
+    the broadcast side stays ``m_bits/8`` bytes no matter how many docs
+    the snapshot accumulates across months. The incoming pass is
+    map-only: band keys per doc, drop on any bloom hit.
+
+    Semantics are LSH-candidate-level (conservative): a collision in
+    one band is enough to drop, matching the pair-candidacy rule of
+    `minhash_lsh_pairs` BEFORE its similarity refinement — plus the
+    bloom's own false-hit rate. Both err toward dropping, never toward
+    keeping a near-dup. Not SQL-expressible; verified against
+    `minhash_lsh_pairs` semantics in tests/test_curation_ops.py.
+    """
+    import ray
+
+    seg_bits = min(m_bits, _BLOOM_SEGMENT_BITS)
+    assert m_bits % seg_bits == 0 and seg_bits % 8 == 0
+
+    def _band_positions(batch: pa.Table, col: str) -> "np.ndarray":
+        banded = _minhash_band_fn(
+            pa.table({"doc_id": pa.array(
+                np.zeros(batch.num_rows, dtype=np.int64)),
+                "text": batch.column(col)}),
+            id_col="doc_id", text_col="text", k=k, bands=bands, ngram=ngram)
+        keys = banded.column("band_key").to_pylist()
+        pos = np.empty(len(keys), dtype=np.uint64)
+        for i, key in enumerate(keys):
+            d = hashlib.md5(key.encode()).digest()
+            pos[i] = int.from_bytes(d[:8], "little")
+        return pos % np.uint64(m_bits)
+
+    def snap_positions(batch: pa.Table) -> pa.Table:
+        pos = np.unique(_band_positions(batch, text_col))
+        return pa.table({
+            "seg": pa.array((pos // seg_bits).astype(np.int64)),
+            "pos": pa.array(pos.astype(np.int64)),
+        })
+
+    def build_segment(group):
+        import pandas as pd
+
+        seg = int(group["seg"].iloc[0])
+        local = group["pos"].to_numpy() - seg * seg_bits
+        bits = np.zeros(seg_bits // 8, dtype=np.uint8)
+        np.bitwise_or.at(bits, local >> 3,
+                         np.uint8(1) << (local & 7).astype(np.uint8))
+        return pd.DataFrame({"seg": [seg], "bits": [bits.tobytes()]})
+
+    segs = snapshot_ds.map_batches(snap_positions, batch_format="pyarrow") \
+        .groupby("seg").map_groups(build_segment)
+    bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in segs.take_all():
+        i = row["seg"] * (seg_bits // 8)
+        bloom[i:i + seg_bits // 8] = np.frombuffer(row["bits"],
+                                                   dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    def keep_far(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        pos = _band_positions(batch, text_col).reshape(
+            batch.num_rows, bands)
+        probed = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        hit = (probed & (np.uint8(1) << (pos & np.uint64(7))
+                         .astype(np.uint8))) != 0
+        return batch.filter(pa.array(~hit.any(axis=1)))
+
+    return incoming_ds.map_batches(keep_far, batch_format="pyarrow")

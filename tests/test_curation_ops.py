@@ -1500,3 +1500,66 @@ class TestProfileNumeric:
         assert a["sum_cents"] == 275
         assert abs(a["mean_v"] - (2.75 / 3)) < 1e-15
         assert rows["b"]["mean_v"] == 10.0
+
+
+class TestNearDedupAgainst:
+    def test_drops_near_and_exact_keeps_unrelated(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.dedup import near_dedup_against
+
+        base = ("the quick brown fox jumps over the lazy dog again and "
+                "again while reciting the entire corpus preamble " * 3)
+        snap = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([base, "completely different snapshot doc "
+                              "about distributed shuffles" * 3]),
+        }))
+        near = base.replace("lazy dog", "sleepy dog")
+        incoming = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array([
+                base,                       # exact copy -> dropped
+                near,                       # near-dup -> dropped
+                "an unrelated fresh document describing bloom filter "
+                "mathematics and actor pools in depth" * 3,  # kept
+            ]),
+        }))
+        out = near_dedup_against(incoming, snap)
+        assert [r["doc_id"] for r in out.take_all()] == [12]
+
+    def test_consistent_with_lsh_pair_candidacy(self, ray_session):
+        """A doc dropped by near_dedup_against must band-collide with
+        some snapshot doc under the SAME signature parameters (i.e.
+        appear as an LSH candidate pair in the unioned corpus)."""
+        import ray.data
+
+        from selma_ray.pipelines.dedup import (minhash_lsh_pairs,
+                                               near_dedup_against)
+
+        texts = [f"document number {i} with shared filler words "
+                 f"common across the corpus body {i % 3}" * 2
+                 for i in range(20)]
+        snap = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(texts)}))
+        inc_texts = [t.replace("document", "doc") for t in texts[:5]] \
+            + [texts[5]]
+        incoming = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(100, 106), pa.int64()),
+            "text": pa.array(inc_texts)}))
+        kept = {r["doc_id"] for r in
+                near_dedup_against(incoming, snap).take_all()}
+        dropped = set(range(100, 106)) - kept
+        # the exact copy (105) must always drop
+        assert 105 in dropped
+        # every dropped doc is a candidate pair with some snapshot doc
+        both = snap.union(incoming)
+        cand = minhash_lsh_pairs(both, threshold=0.0)
+        pairs = {(r["id_a"], r["id_b"]) for r in cand.take_all()}
+        partners = {b for a, b in pairs if a < 100} | {
+            a for a, b in pairs if b >= 100}
+        for d in dropped:
+            assert any((a, d) in pairs or (d, b) in pairs
+                       for a in range(20) for b in range(20)) or \
+                d in partners
