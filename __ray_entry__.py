@@ -823,6 +823,37 @@ def _q_conversation_stats(sf_dir: str):
     return conversation_stats(_docs_as_conv_turns(sf_dir))
 
 
+def _q_turn_pairs(sf_dir: str):
+    """Adjacent-turn SFT pair mining: role derived deterministically
+    from (doc_id // 20) parity — sources stride doc_id by 20, so roles
+    alternate user/assistant along each conversation and DuckDB can
+    mirror the pairing with a LEAD window."""
+    from selma_ray.pipelines.conversations import turn_pairs
+
+    def shape(batch: pa.Table) -> pa.Table:
+        parity = pc.bit_wise_and(
+            pc.divide(batch.column("doc_id"), pa.scalar(20, pa.int64())),
+            pa.scalar(1, pa.int64()))
+        return pa.table({
+            "conv_id": batch.column("source"),
+            "turn_idx": pc.cast(batch.column("doc_id"), pa.int32()),
+            "role": pc.if_else(pc.equal(parity, pa.scalar(0, pa.int64())),
+                               pa.scalar("user"), pa.scalar("assistant")),
+            "text": batch.column("text"),
+        })
+
+    ds = _read(sf_dir, "documents").map_batches(shape,
+                                                batch_format="pyarrow")
+    return turn_pairs(ds)
+
+
+def _q_rank_docs(sf_dir: str):
+    from selma_ray.pipelines.relational import rank_rows
+
+    return rank_rows(_read(sf_dir, "documents"),
+                     key_col="n_chars", id_col="doc_id", ntile_k=8)
+
+
 def _docs_with_links(sf_dir: str):
     """Embed deterministic anchors in the documents text: one absolute
     link per doc, plus a relative link when doc_id % 3 == 0 — SQL can
@@ -971,6 +1002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "conversation_assembly": _q_conversation_assembly,
         "conversation_stats": _q_conversation_stats,
+        "turn_pairs": _q_turn_pairs,
+        "rank_docs": _q_rank_docs,
         "events_rollup": _q_events_rollup,
         "events_windowed": _q_events_windowed,
         "events_asof_orders": _q_events_asof_orders,
@@ -1694,6 +1727,36 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id)::BIGINT AS last_turn,
                    sum(length(text))::BIGINT AS total_chars
             FROM documents GROUP BY source
+        """,
+        "turn_pairs": r"""
+            WITH t AS (
+                SELECT source AS conv_id, doc_id,
+                       CASE WHEN (doc_id // 20) % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       text
+                FROM documents),
+            w AS (
+                SELECT conv_id, doc_id, role, text,
+                       LEAD(role) OVER (PARTITION BY conv_id
+                                        ORDER BY doc_id) AS next_role,
+                       LEAD(text) OVER (PARTITION BY conv_id
+                                        ORDER BY doc_id) AS next_text,
+                       LEAD(doc_id) OVER (PARTITION BY conv_id
+                                          ORDER BY doc_id) AS next_id
+                FROM t)
+            SELECT conv_id, doc_id::BIGINT AS prompt_idx,
+                   next_id::BIGINT AS response_idx,
+                   text AS prompt, next_text AS response
+            FROM w WHERE role = 'user' AND next_role = 'assistant'
+        """,
+        "rank_docs": r"""
+            SELECT doc_id, n_chars,
+                   rank() OVER (ORDER BY n_chars)::BIGINT AS rnk,
+                   row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT
+                       AS row_num,
+                   ntile(8) OVER (ORDER BY n_chars, doc_id)::BIGINT
+                       AS tile
+            FROM documents
         """,
         # quality_score uses only IEEE basic ops (+ - * / abs min max) in
         # the same evaluation order as the numpy code, so values match

@@ -217,6 +217,50 @@ def packed_sequences(ds, *, budget: int = 128, text_col: str = "text",
                                             batch_format="pandas")
 
 
+def turn_pairs(ds, *, user_role: str = "user",
+               assistant_role: str = "assistant", text_col: str = "text"):
+    """Adjacent-turn instruction-pair mining: for every ``user_role``
+    turn immediately followed (in turn_idx order) by an
+    ``assistant_role`` turn in the same conversation, emit one
+    (prompt, response) row — the SFT-pair extraction op, i.e. a
+    LEAD(...) OVER (PARTITION BY conv_id ORDER BY turn_idx) window.
+
+    Shuffle shape: ONE groupby(conv_id); pairing is a neighbor
+    operation so the turn text must co-locate per conversation (same
+    bound as packed_sequences — skew cap is the largest single
+    conversation; pathological conversations should be length-capped
+    upstream). Everything inside the group task is a vectorized
+    sort + shift, O(turns of that conversation).
+
+    Returns (conv_id, prompt_idx:int64, response_idx:int64,
+    prompt, response).
+    """
+    import pandas as pd
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("turn_idx").reset_index(drop=True)
+        nxt_role = g["role"].shift(-1)
+        keep = (g["role"] == user_role) & (nxt_role == assistant_role)
+        out = pd.DataFrame({
+            "conv_id": g.loc[keep, "conv_id"],
+            "prompt_idx": g.loc[keep, "turn_idx"].astype("int64"),
+            "response_idx": g["turn_idx"].shift(-1)[keep].astype("int64"),
+            "prompt": g.loc[keep, text_col],
+            "response": g[text_col].shift(-1)[keep],
+        })
+        if out.empty:
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype="object"),
+                "prompt_idx": pd.Series([], dtype="int64"),
+                "response_idx": pd.Series([], dtype="int64"),
+                "prompt": pd.Series([], dtype="object"),
+                "response": pd.Series([], dtype="object"),
+            })
+        return out
+
+    return ds.groupby("conv_id").map_groups(pairs, batch_format="pandas")
+
+
 def _token_bucket_partials(batch: pa.Table, *, id_col: str, text_col: str,
                            bucket_width: int) -> pa.Table:
     """Per-batch combiner for global packing pass 1: partial token sums

@@ -1113,3 +1113,82 @@ def profile_numeric(ds, cols: list[str]):
         "sum_cents": pa.array(rows["sum_v"], pa.int64()),
         "mean_v": pa.array(rows["mean_v"], pa.float64()),
     })
+
+
+def rank_rows(ds, *, key_col: str = "n_chars", id_col: str = "doc_id",
+              ntile_k: int = 8):
+    """Distributed exact RANK / ROW_NUMBER / NTILE over (key, id) with
+    NO global sort — the order-statistics window family
+    (``rank() OVER (ORDER BY key)``, ``row_number()/ntile(k) OVER
+    (ORDER BY key, id)``) Ray Data lacks natively.
+
+    Scale shape (value-histogram prefix-sum idiom, same family as
+    length_percentile_filter / epoch_shuffle):
+      pass 1: per-batch value-count combiner -> one tiny groupby(key)
+          -> the driver sorts the O(distinct keys) histogram and takes
+          an exclusive scan: each key value's global offset. Discrete
+          keys (lengths, scores, dates) keep this driver-sized; for
+          continuous keys quantize to range buckets first.
+      pass 2: groupby(key).map_groups — each value group sorts its own
+          rows by ``id_col`` and emits offset + local position. Only
+          (key, id) pairs ride the shuffle. Skew note: one hot key
+          value = one group task; sub-bucket by id range inside the
+          value (pack_sequences_global-style) if a single key dominates.
+
+    rank  = value offset + 1 (ties share it, SQL RANK semantics);
+    ntile = standard SQL split of n rows into k tiles where the first
+    n % k tiles get one extra row, over the (key, id) total order.
+
+    Returns (id_col, key_col, rnk:int64, row_num:int64, tile:int64).
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select([key_col]).group_by(key_col) \
+            .aggregate([(key_col, "count")])
+        return pa.table({
+            key_col: agg.column(key_col),
+            "partial_n": pc.cast(agg.column(f"{key_col}_count"), pa.int64()),
+        })
+
+    hist = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(key_col).aggregate(Sum("partial_n")).take_all()
+    pairs = sorted((r[key_col], r["sum(partial_n)"]) for r in hist)
+    n_total = sum(c for _, c in pairs)
+    offsets: dict = {}
+    cum = 0
+    for v, c in pairs:
+        offsets[v] = cum
+        cum += c
+    oref = ray.put(offsets)
+    q, r = divmod(n_total, ntile_k)
+
+    def number(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[group[key_col].iloc[0]]
+        g = group.sort_values(id_col).reset_index(drop=True)
+        row_num = off + 1 + np.arange(len(g), dtype=np.int64)
+        big = q + 1
+        in_big = row_num <= r * big
+        tile = np.where(
+            in_big,
+            (row_num - 1) // big + 1,
+            # q > 0 whenever any row falls past the first r big tiles
+            r + (row_num - r * big - 1) // max(q, 1) + 1,
+        )
+        return pd.DataFrame({
+            id_col: g[id_col],
+            key_col: g[key_col],
+            "rnk": np.full(len(g), off + 1, dtype=np.int64),
+            "row_num": row_num,
+            "tile": tile.astype(np.int64),
+        })
+
+    return ds.select_columns([id_col, key_col]) \
+        .groupby(key_col).map_groups(number, batch_format="pandas")

@@ -144,3 +144,63 @@ class TestPackSequencesGlobal:
         toks = [10, 70, 10]
         got = self._run(toks, ray_session, budget=32)
         assert got == [(0, 10, 0, 0), (1, 70, 0, 10), (2, 10, 2, 16)]
+
+
+def test_turn_pairs_lead_window(ray_session):
+    """turn_pairs == pandas groupby-shift LEAD reference, including
+    conversations that yield zero pairs."""
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.conversations import turn_pairs
+
+    rows = []
+    # conv a: alternating, out-of-order idx insertion; conv b: all user
+    for conv, seq in [("a", [(0, "user"), (1, "assistant"), (2, "user"),
+                             (3, "assistant"), (4, "user")]),
+                      ("b", [(0, "user"), (1, "user")]),
+                      ("c", [(5, "assistant"), (7, "user"),
+                             (9, "assistant")])]:
+        for idx, role in seq:
+            rows.append({"conv_id": conv, "turn_idx": idx, "role": role,
+                         "text": f"{conv}-{idx}"})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    got = turn_pairs(ds).to_pandas() \
+        .sort_values(["conv_id", "prompt_idx"]).reset_index(drop=True)
+
+    assert list(got["conv_id"]) == ["a", "a", "c"]
+    assert list(got["prompt_idx"]) == [0, 2, 7]
+    assert list(got["response_idx"]) == [1, 3, 9]
+    assert list(got["prompt"]) == ["a-0", "a-2", "c-7"]
+    assert list(got["response"]) == ["a-1", "a-3", "c-9"]
+
+
+def test_rank_rows_matches_pandas_window(ray_session):
+    """rank_rows == pandas rank/row_number/ntile reference with ties."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.relational import rank_rows
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "doc_id": np.arange(101, dtype=np.int64),
+        "n_chars": rng.randint(0, 12, size=101).astype(np.int64),  # ties
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = rank_rows(ds, key_col="n_chars", id_col="doc_id", ntile_k=7) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    ref = df.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    ref["row_num"] = np.arange(1, len(ref) + 1, dtype=np.int64)
+    ref["rnk"] = ref.groupby("n_chars")["row_num"].transform("min")
+    n, k = len(ref), 7
+    q, r = divmod(n, k)
+    tiles = np.concatenate(
+        [np.full(q + (1 if t < r else 0), t + 1) for t in range(k)])
+    ref["tile"] = tiles
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+
+    for col in ("n_chars", "rnk", "row_num", "tile"):
+        assert list(got[col]) == list(ref[col]), col
