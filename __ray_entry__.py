@@ -432,6 +432,13 @@ def _q_bigram_frequencies(sf_dir: str):
     return ngram_frequencies(_read(sf_dir, "documents"), n=2, top_n=100)
 
 
+def _q_pmi_collocations(sf_dir: str):
+    from selma_ray.pipelines.corpus import pmi_collocations
+
+    return pmi_collocations(_read(sf_dir, "documents"), min_count=2,
+                            top_n=100)
+
+
 def _q_chunk_documents(sf_dir: str):
     from selma_ray.pipelines.corpus import chunk_documents
 
@@ -643,6 +650,12 @@ def _q_events_windowed(sf_dir: str):
     from selma_ray.pipelines.relational import events_windowed
 
     return events_windowed(_read(sf_dir, "events"), window="hour")
+
+
+def _q_events_rollup_sets(sf_dir: str):
+    from selma_ray.pipelines.relational import events_rollup_sets
+
+    return events_rollup_sets(_read(sf_dir, "events"))
 
 
 def _q_events_asof_orders(sf_dir: str):
@@ -974,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
         "bigram_frequencies": _q_bigram_frequencies,
+        "pmi_collocations": _q_pmi_collocations,
         "chunk_documents": _q_chunk_documents,
         "corpus_profile": _q_corpus_profile,
         "weighted_sample": _q_weighted_sample,
@@ -1006,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_docs": _q_rank_docs,
         "events_rollup": _q_events_rollup,
         "events_windowed": _q_events_windowed,
+        "events_rollup_sets": _q_events_rollup_sets,
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
         "sessionize_events": _q_sessionize,
@@ -1302,6 +1317,32 @@ def oracle_sql() -> dict[str, str]:
             FROM grams GROUP BY gram
             ORDER BY cnt DESC, gram LIMIT 100
         """,
+        "pmi_collocations": r"""
+            WITH toks AS (
+                SELECT regexp_extract_all(text, '\S+') AS t
+                FROM documents),
+            grams AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2,
+                       array_to_string(t[i:i + 1], ' ') AS gram
+                FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+                WHERE len(t) >= 2),
+            big AS (
+                SELECT gram, min(w1) AS w1, min(w2) AS w2,
+                       count(*)::BIGINT AS cnt
+                FROM grams GROUP BY gram HAVING count(*) >= 2),
+            uni AS (
+                SELECT u AS term, count(*)::BIGINT AS n
+                FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u),
+            tot AS (
+                SELECT (SELECT sum(n) FROM uni)::BIGINT AS n1,
+                       (SELECT count(*) FROM grams)::BIGINT AS n2)
+            SELECT b.gram, b.cnt,
+                   ln((b.cnt::DOUBLE * tot.n1 * tot.n1) /
+                      ((u1.n::DOUBLE * u2.n) * tot.n2)) AS pmi
+            FROM big b, tot, uni u1, uni u2
+            WHERE u1.term = b.w1 AND u2.term = b.w2
+            ORDER BY pmi DESC, b.gram LIMIT 100
+        """,
         "chunk_documents": r"""
             WITH toks AS (
                 SELECT doc_id, regexp_extract_all(text, '\S+') AS t
@@ -1516,6 +1557,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "events_rollup_sets": r"""
+            SELECT coalesce(event_type, '') AS event_type,
+                   coalesce(d, TIMESTAMP '1970-01-01') AS day,
+                   n_events, sum_value_cents
+            FROM (
+                SELECT event_type,
+                       date_trunc('day', ts)::TIMESTAMP AS d,
+                       count(*)::BIGINT AS n_events,
+                       sum(round(value * 100)::BIGINT)::BIGINT
+                           AS sum_value_cents
+                FROM events GROUP BY ROLLUP(event_type, d))
         """,
         "events_windowed": r"""
             SELECT date_trunc('hour', ts) AS window_start,

@@ -580,3 +580,84 @@ def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 2,
+                     top_n: int | None = None, num_partitions: int = 8):
+    """Pointwise-mutual-information collocation mining over word
+    bigrams -> (gram, cnt, pmi): the classic phrase-discovery signal
+    (Mikolov et al. 2013 word2phrase uses the same count ratio).
+
+    pmi(x,y) = ln( p(x,y) / (p(x) p(y)) ) with p(x,y) = c_xy / N2 and
+    p(x) = c_x / N1, evaluated as
+    ``ln((c_xy * N1 * N1) / (c_x * c_y * N2))`` in IEEE double with a
+    fixed association order, so the score is bit-identical to a DuckDB
+    ``ln`` oracle writing the same expression.
+
+    Scale shape: two exact count passes (``term_frequencies`` +
+    ``ngram_frequencies``: per-batch combiners, one distinct-key groupby
+    each); both post-aggregate tables are vocabulary-sized and are
+    materialized once. The bigram table then picks up c_x / c_y via two
+    native hash joins on the split words; ``min_count`` prunes rare
+    bigrams BEFORE the joins (Zipf tail never rides them). N1/N2 are
+    driver-side sums of the post-aggregate tables.
+    """
+    import math
+
+    big_all = ngram_frequencies(ds, n=2, text_col=text_col).materialize()
+    uni = term_frequencies(ds, text_col=text_col).materialize()
+    n1 = uni.sum("n") or 0
+    n2 = big_all.sum("cnt") or 0
+    # size the join shuffle to the vocabulary: sparse key sets leave
+    # hash partitions empty, which Acero's join rejects (schemaless
+    # concat); vocab-sized sides need few partitions anyway
+    n_terms = uni.count()
+    num_partitions = max(1, min(num_partitions, n_terms // 50_000 + 1))
+
+    def split(batch: pa.Table) -> pa.Table:
+        parts = pc.utf8_split_whitespace(batch.column("gram"))
+        return pa.table({
+            "gram": batch.column("gram"),
+            "cnt": batch.column("cnt"),
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+        })
+
+    big = big_all.filter(
+        expr=f"cnt >= {min_count}") if min_count > 1 else big_all
+    # coalesce_small also folds away empty (schemaless) blocks the
+    # aggregate can emit on sparse partitions — Acero joins reject them
+    big = coalesce_small(big.map_batches(split, batch_format="pyarrow"))
+
+    def as_side(col: str):
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table({col: batch.column("term"),
+                             f"n_{col}": batch.column("n")})
+        return rename
+
+    j1 = big.join(
+        coalesce_small(uni.map_batches(as_side("w1"),
+                                       batch_format="pyarrow")),
+        join_type="inner", num_partitions=num_partitions, on=("w1",))
+    j2 = j1.join(
+        coalesce_small(uni.map_batches(as_side("w2"),
+                                       batch_format="pyarrow")),
+        join_type="inner", num_partitions=num_partitions, on=("w2",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cnts = batch.column("cnt").to_pylist()
+        cxs = batch.column("n_w1").to_pylist()
+        cys = batch.column("n_w2").to_pylist()
+        pmi = [math.log((float(c) * n1 * n1) / ((float(cx) * cy) * n2))
+               for c, cx, cy in zip(cnts, cxs, cys)]
+        return pa.table({
+            "gram": batch.column("gram"),
+            "cnt": pc.cast(batch.column("cnt"), pa.int64()),
+            "pmi": pa.array(pmi, pa.float64()),
+        })
+
+    out = j2.map_batches(score, batch_format="pyarrow")
+    if top_n is not None:
+        out = out.sort(["pmi", "gram"], descending=[True, False]) \
+            .limit(top_n)
+    return out

@@ -1192,3 +1192,72 @@ def rank_rows(ds, *, key_col: str = "n_chars", id_col: str = "doc_id",
 
     return ds.select_columns([id_col, key_col]) \
         .groupby(key_col).map_groups(number, batch_format="pandas")
+
+
+def events_rollup_sets(ds):
+    """GROUP BY ROLLUP(event_type, day): the grouping-sets aggregate —
+    (event_type, day) detail rows plus per-event_type subtotals plus
+    one grand total. Rolled-up key slots are coalesced to sentinels
+    ('' / epoch) rather than SQL NULL so downstream exact comparison
+    (and Parquet predicate pushdown on the key columns) stays trivial;
+    the (sentinel, sentinel) pattern is the GROUPING id.
+
+    Scale shape: exactly ONE shuffle, at the finest grain (per-block
+    cents combiner -> groupby(event_type, day)); the coarser levels are
+    derived from the finest aggregate, whose size is the key domain
+    (types x days), not the row count — it is pulled to the driver and
+    re-summed in exact integer arithmetic. For huge key domains, swap
+    the driver fold for two more tiny groupbys over the same aggregate
+    table; the input is still read once either way.
+
+    Returns (event_type, day, n_events:int64, sum_value_cents:int64).
+    """
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        return _partial_sum_by(
+            {"event_type": batch.column("event_type"), "day": day,
+             "v": _cents(batch.column("value"))},
+            ["event_type", "day"], ["v"], "n_partial")
+
+    finest = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["event_type", "day"]).aggregate(Sum("v"), Sum("n_partial")) \
+        .take_all()
+
+    types, days, ns, sums = [], [], [], []
+    by_type: dict = {}
+    tot_n = tot_s = 0
+    for r in finest:
+        n, s = int(r["sum(n_partial)"]), int(r["sum(v)"])
+        types.append(r["event_type"])
+        days.append(r["day"])
+        ns.append(n)
+        sums.append(s)
+        a = by_type.setdefault(r["event_type"], [0, 0])
+        a[0] += n
+        a[1] += s
+        tot_n += n
+        tot_s += s
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    for t in sorted(by_type):
+        types.append(t)
+        days.append(epoch)
+        ns.append(by_type[t][0])
+        sums.append(by_type[t][1])
+    if finest:
+        types.append("")
+        days.append(epoch)
+        ns.append(tot_n)
+        sums.append(tot_s)
+
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "day": pa.array(days, pa.timestamp("us")),
+        "n_events": pa.array(ns, pa.int64()),
+        "sum_value_cents": pa.array(sums, pa.int64()),
+    }))

@@ -1563,3 +1563,95 @@ class TestNearDedupAgainst:
             assert any((a, d) in pairs or (d, b) in pairs
                        for a in range(20) for b in range(20)) or \
                 d in partners
+
+
+class TestPmiCollocations:
+    DOCS = [
+        "new york new york city",
+        "san francisco bay",
+        "new york is a city",
+        "the bay the bay",
+    ]
+
+    def _ref(self, min_count=2):
+        import math
+        from collections import Counter
+
+        uni, big = Counter(), Counter()
+        for d in self.DOCS:
+            toks = d.split()
+            uni.update(toks)
+            big.update(" ".join(toks[i:i + 2])
+                       for i in range(len(toks) - 1))
+        n1, n2 = sum(uni.values()), sum(big.values())
+        out = {}
+        for g, c in big.items():
+            if c < min_count:
+                continue
+            w1, w2 = g.split()
+            out[g] = (c, math.log((float(c) * n1 * n1)
+                                  / ((float(uni[w1]) * uni[w2]) * n2)))
+        return out
+
+    def test_matches_counter_reference(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.corpus import pmi_collocations
+
+        ds = ray.data.from_items(
+            [{"text": t} for t in self.DOCS]).repartition(3)
+        got = {r["gram"]: (r["cnt"], r["pmi"])
+               for r in pmi_collocations(ds, min_count=2).take_all()}
+        want = self._ref()
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g][0] == want[g][0]
+            assert got[g][1] == pytest.approx(want[g][1], abs=1e-12)
+
+
+class TestEventsRollupSets:
+    def test_three_levels(self, ray_session):
+        import datetime
+
+        import pandas as pd
+        import ray.data
+
+        from selma_ray.pipelines.relational import events_rollup_sets
+
+        base = datetime.datetime(2024, 3, 1)
+        rows = []
+        for i in range(40):
+            rows.append({
+                "event_id": i,
+                "ts": base + datetime.timedelta(hours=i * 7),
+                "user_id": i % 5,
+                "event_type": "click" if i % 3 else "view",
+                "value": round(i * 0.25, 2),
+                "props": "{}",
+            })
+        df = pd.DataFrame(rows)
+        got = events_rollup_sets(
+            ray.data.from_pandas(df).repartition(4)).to_pandas()
+
+        detail = got[(got["event_type"] != "") &
+                     (got["day"] != pd.Timestamp("1970-01-01"))]
+        df["day"] = df["ts"].dt.floor("D")
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        want = df.groupby(["event_type", "day"]).agg(
+            n_events=("event_id", "size"),
+            sum_value_cents=("cents", "sum")).reset_index()
+        merged = detail.merge(want, on=["event_type", "day"],
+                              suffixes=("", "_w"))
+        assert len(merged) == len(want) == len(detail)
+        assert (merged["n_events"] == merged["n_events_w"]).all()
+        assert (merged["sum_value_cents"]
+                == merged["sum_value_cents_w"]).all()
+
+        sub = got[(got["event_type"] != "") &
+                  (got["day"] == pd.Timestamp("1970-01-01"))]
+        assert sorted(sub["event_type"]) == ["click", "view"]
+        assert sub["n_events"].sum() == 40
+        grand = got[got["event_type"] == ""]
+        assert len(grand) == 1
+        assert int(grand["n_events"].iloc[0]) == 40
+        assert int(grand["sum_value_cents"].iloc[0]) == int(df["cents"].sum())
