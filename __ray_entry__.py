@@ -867,6 +867,43 @@ def _q_rank_docs(sf_dir: str):
                      key_col="n_chars", id_col="doc_id", ntile_k=8)
 
 
+def _docs_with_structure(sf_dir: str):
+    """Inject deterministic heading/table structure around the doc text
+    so DuckDB can reconstruct the engine-extracted rows exactly: one
+    <h1>, (doc_id % 3)+1 <h2>s, and one table of (doc_id % 3)+1 rows x
+    2 cells per document."""
+    def shape(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            m = (d % 3) + 1
+            parts = [f"<h1>Doc {d}</h1><p>{t}</p>"]
+            for k in range(m):
+                parts.append(f"<h2>Part {d}-{k}</h2>")
+            rows = "".join(
+                f"<tr><td>c{d}-{r}-0</td><td>c{d}-{r}-1</td></tr>"
+                for r in range(m))
+            parts.append(f"<table>{rows}</table>")
+            out.append("".join(parts))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.large_string())})
+    return _read(sf_dir, "documents").map_batches(shape,
+                                                  batch_format="pyarrow")
+
+
+def _q_extract_tables(sf_dir: str):
+    from selma_ray.pipelines.structure import extract_tables
+
+    return extract_tables(_docs_with_structure(sf_dir))
+
+
+def _q_extract_outline(sf_dir: str):
+    from selma_ray.pipelines.structure import extract_outline
+
+    return extract_outline(_docs_with_structure(sf_dir))
+
+
 def _docs_with_links(sf_dir: str):
     """Embed deterministic anchors in the documents text: one absolute
     link per doc, plus a relative link when doc_id % 3 == 0 — SQL can
@@ -1042,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_scalable": _q_events_quantiles_twopass,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
+        "extract_tables": _q_extract_tables,
+        "extract_outline": _q_extract_outline,
         "extract_links": _q_extract_links,
         "link_domains": _q_link_domains,
         "redact_pii": _q_redact_pii,
@@ -1780,6 +1819,32 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id)::BIGINT AS last_turn,
                    sum(length(text))::BIGINT AS total_chars
             FROM documents GROUP BY source
+        """,
+        "extract_tables": r"""
+            WITH n AS (SELECT doc_id, (doc_id % 3) + 1 AS m
+                       FROM documents),
+            cells AS (
+                SELECT doc_id, m, unnest(range(0, m)) AS r FROM n)
+            SELECT doc_id,
+                   1::BIGINT AS n_tables,
+                   any_value(m)::BIGINT AS n_rows,
+                   (2 * any_value(m))::BIGINT AS n_cells,
+                   '[[' || string_agg(
+                       '["c' || doc_id || '-' || r || '-0","c'
+                           || doc_id || '-' || r || '-1"]',
+                       ',' ORDER BY r) || ']]' AS tables_json
+            FROM cells GROUP BY doc_id
+        """,
+        "extract_outline": r"""
+            WITH n AS (SELECT doc_id, (doc_id % 3) + 1 AS m
+                       FROM documents)
+            SELECT doc_id, 0::BIGINT AS ord, 1::BIGINT AS level,
+                   'Doc ' || doc_id AS heading
+            FROM n
+            UNION ALL
+            SELECT doc_id, (k + 1)::BIGINT AS ord, 2::BIGINT AS level,
+                   'Part ' || doc_id || '-' || k AS heading
+            FROM (SELECT doc_id, unnest(range(0, m)) AS k FROM n)
         """,
         "turn_pairs": r"""
             WITH t AS (
