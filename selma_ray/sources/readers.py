@@ -52,6 +52,64 @@ def normalize_transcripts(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def read_orc(path, *, columns: list[str] | None = None, **read_kwargs):
+    """ORC reader (Ray Data ships none): a FileBasedDatasource that
+    streams one block per ORC stripe, with column projection pushed
+    into the stripe read — only requested columns are decoded, the
+    ORC analogue of ``read_parquet(columns=...)`` pruning. Stripes are
+    the parallelism unit, so a multi-stripe file fans out like parquet
+    row groups."""
+    import ray.data
+    from ray.data.datasource import FileBasedDatasource
+
+    class OrcDatasource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["orc"]
+
+        def __init__(self, paths, *, columns=None, **kw):
+            super().__init__(paths, **kw)
+            self._columns = columns
+
+        def _open_input_source(self, filesystem, path, **open_args):
+            # ORC footers require random access, not a byte stream
+            return filesystem.open_input_file(path)
+
+        def _read_stream(self, f, path):
+            import pyarrow.orc as orc
+
+            reader = orc.ORCFile(f)
+            cols = self._columns
+            if cols is not None:
+                avail = set(reader.schema.names)
+                cols = [c for c in cols if c in avail]
+            for i in range(reader.nstripes):
+                stripe = reader.read_stripe(i, columns=cols)
+                if isinstance(stripe, pa.RecordBatch):
+                    yield pa.Table.from_batches([stripe])
+                else:
+                    yield stripe
+
+    return ray.data.read_datasource(OrcDatasource(path, columns=columns),
+                                    **read_kwargs)
+
+
+def write_orc(ds, path: str, **write_kwargs):
+    """ORC sink: one file per block via BlockBasedFileDatasink (same
+    resumable file-per-block layout as the jsonl/csv sinks); ORC keeps
+    timestamps natively, so no lossy stringification."""
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    class OrcDatasink(BlockBasedFileDatasink):
+        def __init__(self, p, **kw):
+            super().__init__(p, file_format="orc", **kw)
+
+        def write_block_to_file(self, block, file):
+            import pyarrow.orc as orc
+
+            orc.write_table(block.to_arrow(), file)
+
+    ds.write_datasink(OrcDatasink(path, **write_kwargs))
+
+
 def read_transcripts(path: str, *, format: str = "parquet", **read_kwargs):
     """Read a transcript corpus in any supported format, normalized.
 
@@ -86,6 +144,8 @@ def read_transcripts(path: str, *, format: str = "parquet", **read_kwargs):
         ds = ray.data.read_json(path, **read_kwargs)
     elif format == "csv":
         ds = ray.data.read_csv(path, **read_kwargs)
+    elif format == "orc":
+        ds = read_orc(path, columns=_COLUMNS, **read_kwargs)
     else:
         raise ValueError(f"unsupported transcript format: {format!r}")
     return ds.map_batches(normalize_transcripts, batch_format="pyarrow")
@@ -112,6 +172,9 @@ def write_outputs(ds, path: str, *, format: str = "parquet",
         return
     if partition_cols:
         raise ValueError(f"partition_cols requires parquet, got {format!r}")
+    if format == "orc":
+        write_orc(ds, path, **write_kwargs)
+        return
 
     def stringify_ts(batch: pa.Table) -> pa.Table:
         for i, f in enumerate(batch.schema):

@@ -367,3 +367,41 @@ def test_extract_keep_meta_column(ray_session):
     assert dict(rows[0]["meta"]) == {"robots": "noindex", "author": "me"}
     assert rows[0]["hits_meta"] == 2
     assert dict(rows[1]["meta"]) == {}
+
+
+def test_orc_round_trip(ray_session, tmp_path):
+    """write_outputs(orc) -> read_transcripts(orc): values, timestamps
+    and column projection survive the round trip."""
+    import ray.data
+
+    from selma_ray.sources.readers import (
+        TRANSCRIPT_SCHEMA,
+        read_orc,
+        read_transcripts,
+        write_outputs,
+    )
+
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2"], pa.string()),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "role": pa.array(["user", "assistant", "user"], pa.string()),
+        "text": pa.array(["<p>hi</p>", "plain", "x"], pa.large_string()),
+        "tool": pa.array(["", "search", ""], pa.string()),
+        "ts": pa.array([1704164645000000, 1704164706000000,
+                        1704164800000000], pa.timestamp("us")),
+        "extra": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = tmp_path / "orc_out"
+    write_outputs(ray.data.from_arrow(t), str(out), format="orc")
+
+    ds = read_transcripts(str(out), format="orc")
+    assert ds.schema().base_schema == TRANSCRIPT_SCHEMA
+    got = sorted(ds.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
+    assert [r["text"] for r in got] == ["<p>hi</p>", "plain", "x"]
+    assert got[0]["ts"].year == 2024
+    assert "extra" not in got[0]  # projection pruned it
+
+    # raw reader honors explicit column projection
+    slim = read_orc(str(out), columns=["conv_id", "extra"])
+    assert set(slim.schema().names) == {"conv_id", "extra"}
+    assert sorted(r["extra"] for r in slim.take_all()) == [1, 2, 3]
