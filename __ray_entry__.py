@@ -867,6 +867,19 @@ def _q_rank_docs(sf_dir: str):
                      key_col="n_chars", id_col="doc_id", ntile_k=8)
 
 
+def _q_fuzzy_pairs(sf_dir: str):
+    from selma_ray.pipelines.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(_read(sf_dir, "part"), col="p_name")
+
+
+def _q_explode_embeddings(sf_dir: str):
+    from selma_ray.pipelines.relational import explode_list
+
+    return explode_list(_read(sf_dir, "embeddings"),
+                        id_col="vec_id", list_col="embedding")
+
+
 def _docs_with_structure(sf_dir: str):
     """Inject deterministic heading/table structure around the doc text
     so DuckDB can reconstruct the engine-extracted rows exactly: one
@@ -1055,6 +1068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_stats": _q_conversation_stats,
         "turn_pairs": _q_turn_pairs,
         "rank_docs": _q_rank_docs,
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "explode_embeddings": _q_explode_embeddings,
         "events_rollup": _q_events_rollup,
         "events_windowed": _q_events_windowed,
         "events_rollup_sets": _q_events_rollup_sets,
@@ -1875,6 +1890,20 @@ def oracle_sql() -> dict[str, str]:
                    ntile(8) OVER (ORDER BY n_chars, doc_id)::BIGINT
                        AS tile
             FROM documents
+        """,
+        "fuzzy_pairs": r"""
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   1::BIGINT AS dist
+            FROM n a, n b
+            WHERE a.p_name < b.p_name
+              AND levenshtein(a.p_name, b.p_name) = 1
+        """,
+        "explode_embeddings": r"""
+            SELECT vec_id,
+                   (generate_subscripts(embedding, 1) - 1)::BIGINT AS idx,
+                   unnest(embedding) AS val
+            FROM embeddings
         """,
         # quality_score uses only IEEE basic ops (+ - * / abs min max) in
         # the same evaluation order as the numpy code, so values match

@@ -1020,3 +1020,87 @@ def near_dedup_against(incoming_ds, snapshot_ds, *, text_col: str = "text",
         return batch.filter(pa.array(~hit.any(axis=1)))
 
     return incoming_ds.map_batches(keep_far, batch_format="pyarrow")
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance <= 1 check (no DP table needed)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_pairs(ds, *, col: str = "p_name"):
+    """Edit-distance-1 string-pair mining (typo-dedup candidates) via
+    SymSpell-style deletion-neighborhood hashing -> one row per
+    unordered DISTINCT-string pair with levenshtein == 1.
+
+    Completeness: two strings at distance 1 always share a key in
+    {s} U Del1(s) (substitutions collide on a common deletion;
+    insert/delete pairs collide on the shorter string itself), so
+    bucketing on those keys misses nothing; every candidate is then
+    VERIFIED with an exact distance check in-task — no false positives
+    either.
+
+    Scale shape: corpus rows collapse to distinct strings first
+    (per-batch unique combiner -> one groupby), so only the distinct-
+    string neighborhood (|s|+1 keys per string) rides the candidate
+    shuffle; bucket fan-in is the neighborhood collision count, tiny
+    for natural-language strings. Skew note: very short strings make
+    hot buckets (e.g. every 1-char string shares the '' key) — length-
+    filter or cap buckets for corpora of short tokens. Output pairs
+    are deduped by a final (name_a, name_b) groupby.
+    """
+    from ..stages.util import coalesce_small
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"name": pc.unique(batch.column(col))})
+
+    distinct = coalesce_small(
+        ds.map_batches(batch_distinct, batch_format="pyarrow")) \
+        .groupby("name").map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        keys, names = [], []
+        for s in batch.column("name").to_pylist():
+            for v in {s} | {s[:i] + s[i + 1:] for i in range(len(s))}:
+                keys.append(v)
+                names.append(s)
+        return pa.table({"k": pa.array(keys, pa.large_string()),
+                         "name": pa.array(names, pa.large_string())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        names = sorted(set(group.column("name").to_pylist()))
+        a_out, b_out = [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                if _ed_le1(names[i], names[j]):
+                    a_out.append(names[i])
+                    b_out.append(names[j])
+        return pa.table({"name_a": pa.array(a_out, pa.large_string()),
+                         "name_b": pa.array(b_out, pa.large_string())})
+
+    cand = coalesce_small(
+        distinct.map_batches(expand, batch_format="pyarrow")) \
+        .groupby("k").map_groups(bucket_pairs, batch_format="pyarrow")
+
+    def finish(group: pa.Table) -> pa.Table:
+        g = group.slice(0, 1)
+        return pa.table({
+            "name_a": g.column("name_a"),
+            "name_b": g.column("name_b"),
+            "dist": pa.array([1], pa.int64()),
+        })
+
+    return coalesce_small(cand).groupby(["name_a", "name_b"]) \
+        .map_groups(finish, batch_format="pyarrow")

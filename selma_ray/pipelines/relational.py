@@ -1261,3 +1261,33 @@ def events_rollup_sets(ds):
         "n_events": pa.array(ns, pa.int64()),
         "sum_value_cents": pa.array(sums, pa.int64()),
     }))
+
+
+def explode_list(ds, *, id_col: str, list_col: str, val_name: str = "val"):
+    """UNNEST WITH ORDINALITY over a list column -> one row per element
+    (id, idx:int64 0-based, val). Pure in-batch fan-out, fully Arrow-
+    vectorized (list_flatten + list_parent_indices; ordinals from one
+    arange minus repeated starts) — no shuffle, streams at any scale.
+    """
+    import numpy as np
+
+    def fan(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat = pc.list_flatten(col)
+        parent = pc.list_parent_indices(col)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        idx = np.arange(int(lens.sum()), dtype=np.int64) - starts
+        return pa.table({
+            id_col: ids.take(parent),
+            "idx": pa.array(idx, pa.int64()),
+            val_name: flat,
+        })
+
+    return ds.map_batches(fan, batch_format="pyarrow")

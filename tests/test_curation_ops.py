@@ -1655,3 +1655,54 @@ class TestEventsRollupSets:
         assert len(grand) == 1
         assert int(grand["n_events"].iloc[0]) == 40
         assert int(grand["sum_value_cents"].iloc[0]) == int(df["cents"].sum())
+
+
+class TestFuzzyPairs:
+    def test_candidates_verified_exactly(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.dedup import fuzzy_pairs
+
+        names = [
+            "kitten", "sitten",   # substitution (ed 1)
+            "hot gear", "hot gears",  # insertion (ed 1)
+            "widget", "widgt",    # deletion (ed 1)
+            "ab", "ba",           # share deletion keys but ed 2 -> out
+            "zzz",                # isolated
+            "kitten", "kitten",   # corpus dups: distinct first, no pair
+        ]
+        ds = ray.data.from_items(
+            [{"p_name": n} for n in names]).repartition(3)
+        got = sorted((r["name_a"], r["name_b"])
+                     for r in fuzzy_pairs(ds, col="p_name").take_all())
+        assert got == [("hot gear", "hot gears"), ("kitten", "sitten"),
+                       ("widget", "widgt")]
+
+    def test_ed_le1_helper(self):
+        from selma_ray.pipelines.dedup import _ed_le1
+
+        assert _ed_le1("abc", "abc")
+        assert _ed_le1("abc", "abd")
+        assert _ed_le1("abc", "ab")
+        assert _ed_le1("abc", "xabc")
+        assert not _ed_le1("abc", "cba")
+        assert not _ed_le1("abc", "a")
+        assert not _ed_le1("ab", "ba")
+
+
+def test_explode_list(ray_session):
+    import pyarrow as pa_
+    import ray.data
+
+    from selma_ray.pipelines.relational import explode_list
+
+    t = pa_.table({
+        "vec_id": pa_.array([10, 11, 12], pa_.int64()),
+        "embedding": pa_.array([[1.5, 2.5], [], [7.0]],
+                               pa_.list_(pa_.float32())),
+    })
+    got = sorted(
+        (r["vec_id"], r["idx"], r["val"])
+        for r in explode_list(ray.data.from_arrow(t), id_col="vec_id",
+                              list_col="embedding").take_all())
+    assert got == [(10, 0, 1.5), (10, 1, 2.5), (12, 0, 7.0)]
