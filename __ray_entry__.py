@@ -658,6 +658,25 @@ def _q_events_rollup_sets(sf_dir: str):
     return events_rollup_sets(_read(sf_dir, "events"))
 
 
+def _q_value_histogram(sf_dir: str):
+    from selma_ray.pipelines.relational import value_histogram
+
+    return value_histogram(_read(sf_dir, "events"), width_cents=500)
+
+
+def _q_quantity_price_corr(sf_dir: str):
+    from selma_ray.pipelines.relational import pearson_corr
+
+    return pearson_corr(_read(sf_dir, "lineitem"),
+                        x_col="l_quantity", y_col="l_extendedprice")
+
+
+def _q_mad_outliers(sf_dir: str):
+    from selma_ray.pipelines.relational import mad_outliers
+
+    return mad_outliers(_read(sf_dir, "events"), k=3)
+
+
 def _q_events_asof_orders(sf_dir: str):
     from selma_ray.pipelines.relational import events_asof_orders
 
@@ -1073,6 +1092,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "events_windowed": _q_events_windowed,
         "events_rollup_sets": _q_events_rollup_sets,
+        "value_histogram": _q_value_histogram,
+        "quantity_price_corr": _q_quantity_price_corr,
+        "mad_outliers": _q_mad_outliers,
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
         "sessionize_events": _q_sessionize,
@@ -1611,6 +1633,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "value_histogram": r"""
+            SELECT (floor(round(value * 100)::BIGINT::DOUBLE / 500)
+                        ::BIGINT * 500)::BIGINT AS bin_start_cents,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1
+        """,
+        "quantity_price_corr": r"""
+            WITH c AS (
+                SELECT round(l_quantity * 100)::BIGINT AS x,
+                       round(l_extendedprice * 100)::BIGINT AS y
+                FROM lineitem),
+            m AS (
+                SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM c)
+            SELECT n,
+                   ((n * sxy - sx * sy)::DOUBLE) /
+                   (sqrt((n * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n * syy - sy * sy)::DOUBLE)) AS corr
+            FROM m
+        """,
+        "mad_outliers": r"""
+            WITH c AS (
+                SELECT event_id, user_id,
+                       round(value * 100)::BIGINT AS v
+                FROM events),
+            m AS (
+                SELECT user_id, quantile_disc(v, 0.5) AS med
+                FROM c GROUP BY user_id),
+            d AS (
+                SELECT c.event_id, c.user_id, c.v, m.med,
+                       abs(c.v - m.med) AS ad
+                FROM c JOIN m USING (user_id)),
+            a AS (
+                SELECT user_id, quantile_disc(ad, 0.5) AS mad
+                FROM d GROUP BY user_id)
+            SELECT d.event_id, d.user_id, d.v AS value_cents,
+                   d.med AS med_cents, a.mad AS mad_cents,
+                   (d.ad > 3 * a.mad) AS is_outlier
+            FROM d JOIN a USING (user_id)
         """,
         "events_rollup_sets": r"""
             SELECT coalesce(event_type, '') AS event_type,

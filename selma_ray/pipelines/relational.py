@@ -1291,3 +1291,132 @@ def explode_list(ds, *, id_col: str, list_col: str, val_name: str = "val"):
         })
 
     return ds.map_batches(fan, batch_format="pyarrow")
+
+
+def value_histogram(ds, *, col: str = "value", width_cents: int = 500):
+    """Fixed-width value histogram -> (bin_start_cents:int64, n:int64).
+
+    Per-block bin-count combiner -> one groupby(bin): the shuffle
+    carries O(bins x blocks) rows. Bins are floor(cents / width) so
+    negative values land in the correct bucket (floor, not
+    truncate-toward-zero division).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column(col)).to_numpy()
+        bins = np.floor_divide(cents, width_cents)
+        t = pa.table({"b": pa.array(bins, pa.int64())})
+        g = t.group_by("b").aggregate([("b", "count")])
+        return pa.table({
+            "b": g.column("b"),
+            "partial_n": pc.cast(g.column("b_count"), pa.int64()),
+        })
+
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("b").aggregate(Sum("partial_n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bin_start_cents": pc.multiply(
+                pc.cast(batch.column("b"), pa.int64()),
+                pa.scalar(width_cents, pa.int64())),
+            "n": pc.cast(batch.column("sum(partial_n)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def pearson_corr(ds, *, x_col: str, y_col: str):
+    """Distributed EXACT Pearson correlation of two numeric columns in
+    one pass -> a single (n, corr) row.
+
+    Values are scaled to integer cents; each block emits exact int64
+    partial moments (n, sx, sy, sxx, syy, sxy) — block sums stay well
+    under 2^63 — and the driver folds them in arbitrary-precision
+    Python ints, so the final
+        corr = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+    is computed from EXACT integer moments with one fixed float
+    expression, bit-identical to a SQL oracle writing the same formula
+    over HUGEINT sums. No shuffle at all: the per-block moment rows
+    stream straight to the driver fold (6 ints per block).
+    """
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column(x_col)).to_numpy().astype(object)
+        y = _cents(batch.column(y_col)).to_numpy().astype(object)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(sum(x))], pa.int64()),
+            "sy": pa.array([int(sum(y))], pa.int64()),
+            "sxx": pa.array([int(sum(xx * xx for xx in x))], pa.int64()),
+            "syy": pa.array([int(sum(yy * yy for yy in y))], pa.int64()),
+            "sxy": pa.array([int(sum(xx * yy for xx, yy in zip(x, y)))],
+                            pa.int64()),
+        })
+
+    import ray.data
+
+    # cap batch rows so int64 block partials can't overflow:
+    # 8192 * (1e7 cents)^2 ~ 8e17 << 2^63
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=8192).take_all()
+    n = sx = sy = sxx = syy = sxy = 0
+    for r in rows:
+        n += r["n"]
+        sx += r["sx"]
+        sy += r["sy"]
+        sxx += r["sxx"]
+        syy += r["syy"]
+        sxy += r["sxy"]
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx)) \
+        * math.sqrt(float(n * syy - sy * sy))
+    corr = num / den if den else None
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "corr": pa.array([corr], pa.float64()),
+    }))
+
+
+def mad_outliers(events_ds, *, k: int = 3):
+    """Robust per-user anomaly flags via median / MAD (median absolute
+    deviation) in EXACT integer cents -> (event_id, user_id,
+    value_cents, med_cents, mad_cents, is_outlier).
+
+    Median uses the discrete-quantile rule (element at ceil(q*n)-1 of
+    the sorted values — quantile_disc semantics), so med/MAD are actual
+    data elements and the whole result is bit-exact against a SQL
+    oracle; no float statistics anywhere. Mean/stddev z-scores are NOT
+    order-reproducible in floating point, which is why the robust
+    variant is the one that ships.
+
+    Shuffle shape: ONE groupby(user_id); per-group work is two sorts of
+    that user's values (in-task numpy). Groups are per-entity sized; if
+    a single entity outgrows a task, swap the in-task sort for the
+    histogram-refine pass used by events_quantiles_scalable.
+    """
+    import math
+
+    import pandas as pd
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(group["value"].to_numpy(dtype=np.float64)
+                    * 100).astype(np.int64)
+        n = len(v)
+        qi = max(0, math.ceil(0.5 * n) - 1)
+        med = int(np.sort(v)[qi])
+        ad = np.abs(v - med)
+        mad = int(np.sort(ad)[qi])
+        return pd.DataFrame({
+            "event_id": group["event_id"].astype("int64"),
+            "user_id": group["user_id"].astype("int64"),
+            "value_cents": v,
+            "med_cents": np.full(n, med, dtype=np.int64),
+            "mad_cents": np.full(n, mad, dtype=np.int64),
+            "is_outlier": ad > k * mad,
+        })
+
+    return events_ds.select_columns(["event_id", "user_id", "value"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")

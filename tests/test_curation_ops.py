@@ -1706,3 +1706,56 @@ def test_explode_list(ray_session):
         for r in explode_list(ray.data.from_arrow(t), id_col="vec_id",
                               list_col="embedding").take_all())
     assert got == [(10, 0, 1.5), (10, 1, 2.5), (12, 0, 7.0)]
+
+
+class TestDistributedStats:
+    def test_value_histogram_floors_negatives(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from selma_ray.pipelines.relational import value_histogram
+
+        df = pd.DataFrame({"value": [-7.5, -0.01, 0.0, 4.99, 5.0, 12.34]})
+        got = {r["bin_start_cents"]: r["n"] for r in value_histogram(
+            ray.data.from_pandas(df).repartition(3),
+            width_cents=500).take_all()}
+        # cents -750,-1,0,499,500,1234 -> bins -1000,-500,0,0,500,1000
+        assert got == {-1000: 1, -500: 1, 0: 2, 500: 1, 1000: 1}
+
+    def test_pearson_matches_numpy(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from selma_ray.pipelines.relational import pearson_corr
+
+        rng = np.random.RandomState(3)
+        x = np.round(rng.uniform(0, 50, 500), 2)
+        y = np.round(3 * x + rng.normal(0, 5, 500), 2)
+        df = pd.DataFrame({"l_quantity": x, "l_extendedprice": y})
+        row = pearson_corr(ray.data.from_pandas(df).repartition(7),
+                           x_col="l_quantity",
+                           y_col="l_extendedprice").take_all()[0]
+        xc = np.rint(x * 100)
+        yc = np.rint(y * 100)
+        want = np.corrcoef(xc, yc)[0, 1]
+        assert row["n"] == 500
+        assert row["corr"] == pytest.approx(want, abs=1e-9)
+
+    def test_mad_outliers_flags_spike(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from selma_ray.pipelines.relational import mad_outliers
+
+        rows = []
+        for i in range(21):
+            rows.append({"event_id": i, "user_id": 1,
+                         "value": 10.0 + (i % 3) * 0.5})
+        rows.append({"event_id": 99, "user_id": 1, "value": 500.0})
+        got = mad_outliers(
+            ray.data.from_pandas(pd.DataFrame(rows)).repartition(3),
+            k=3).to_pandas().set_index("event_id")
+        assert bool(got.loc[99, "is_outlier"])
+        assert not got.drop(index=99)["is_outlier"].any()
+        assert (got["med_cents"] == got["med_cents"].iloc[0]).all()
