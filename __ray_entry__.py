@@ -899,6 +899,37 @@ def _q_explode_embeddings(sf_dir: str):
                         id_col="vec_id", list_col="embedding")
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Diff a deterministically mutated 'new crawl' against the stored
+    corpus: drop doc_id % 11 == 0, edit text where % 7 == 0, add fresh
+    ids (+1000000) where % 13 == 0."""
+    from selma_ray.pipelines.dedup import corpus_diff
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids, out_texts = [], []
+        for d, t in zip(ids, texts):
+            if d % 11 != 0:
+                out_ids.append(d)
+                out_texts.append(t + "!" if d % 7 == 0 else t)
+            if d % 13 == 0:
+                out_ids.append(d + 1_000_000)
+                out_texts.append(t)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_texts, pa.large_string())})
+
+    new_ds = _read(sf_dir, "documents").map_batches(mutate,
+                                                    batch_format="pyarrow")
+    return corpus_diff(new_ds, _read(sf_dir, "documents"))
+
+
+def _q_label_centroids(sf_dir: str):
+    from selma_ray.pipelines.clustering import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings"))
+
+
 def _docs_with_structure(sf_dir: str):
     """Inject deterministic heading/table structure around the doc text
     so DuckDB can reconstruct the engine-extracted rows exactly: one
@@ -1089,6 +1120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_docs": _q_rank_docs,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "explode_embeddings": _q_explode_embeddings,
+        "corpus_diff": _q_corpus_diff,
+        "label_centroids": _q_label_centroids,
         "events_rollup": _q_events_rollup,
         "events_windowed": _q_events_windowed,
         "events_rollup_sets": _q_events_rollup_sets,
@@ -1968,6 +2001,34 @@ def oracle_sql() -> dict[str, str]:
                    (generate_subscripts(embedding, 1) - 1)::BIGINT AS idx,
                    unnest(embedding) AS val
             FROM embeddings
+        """,
+        "corpus_diff": r"""
+            WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+            new AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 7 = 0 THEN text || '!'
+                                ELSE text END) AS fp
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, md5(text)
+                FROM documents WHERE doc_id % 13 = 0)
+            SELECT coalesce(n.doc_id, o.doc_id)::BIGINT AS doc_id,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'removed'
+                        WHEN n.fp = o.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM new n FULL OUTER JOIN old o ON n.doc_id = o.doc_id
+        """,
+        "label_centroids": r"""
+            WITH e AS (
+                SELECT label,
+                       (generate_subscripts(embedding, 1) - 1)::BIGINT
+                           AS idx,
+                       unnest(embedding) AS val
+                FROM embeddings)
+            SELECT label::BIGINT AS label, idx,
+                   (sum(val::DOUBLE) / count(*))::DOUBLE AS mean_val
+            FROM e GROUP BY label, idx
         """,
         # quality_score uses only IEEE basic ops (+ - * / abs min max) in
         # the same evaluation order as the numpy code, so values match

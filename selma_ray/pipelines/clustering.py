@@ -182,3 +182,53 @@ def semantic_dedup(ds, *, k: int = 8, threshold: float = 0.95,
     slim = ds.select_columns([id_col, emb_col]) \
         .map_batches(assign, batch_format="pyarrow")
     return slim.groupby("cluster").map_groups(prune, batch_format="pandas")
+
+
+def label_centroids(ds, *, label_col: str = "label",
+                    vec_col: str = "embedding"):
+    """Per-label mean embedding in long form -> (label, idx:int64,
+    mean_val:float64) — the group-wise VECTOR aggregate (class
+    centroids / per-source embedding profiles).
+
+    Scale shape: each block emits one partial (label, idx, psum, pn)
+    row set (labels x dim rows, vectors never leave their block as
+    raw rows); one groupby((label, idx)) sums the partials and a final
+    map divides. Identical discipline to the kmeans update step, but
+    keyed by a data column instead of the assigned cluster.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _mat(batch, vec_col).astype(np.float64)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        dim = m.shape[1] if len(m) else 0
+        labs, idxs, sums, ns = [], [], [], []
+        for lb in np.unique(labels):
+            sel = m[labels == lb]
+            s = sel.sum(axis=0)
+            labs.extend([int(lb)] * dim)
+            idxs.extend(range(dim))
+            sums.extend(float(x) for x in s)
+            ns.extend([len(sel)] * dim)
+        return pa.table({
+            "label": pa.array(labs, pa.int64()),
+            "idx": pa.array(idxs, pa.int64()),
+            "psum": pa.array(sums, pa.float64()),
+            "pn": pa.array(ns, pa.int64()),
+        })
+
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["label", "idx"]).aggregate(Sum("psum"), Sum("pn"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": pc.cast(batch.column("label"), pa.int64()),
+            "idx": pc.cast(batch.column("idx"), pa.int64()),
+            "mean_val": pc.divide(
+                batch.column("sum(psum)"),
+                pc.cast(batch.column("sum(pn)"), pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1759,3 +1759,51 @@ class TestDistributedStats:
         assert bool(got.loc[99, "is_outlier"])
         assert not got.drop(index=99)["is_outlier"].any()
         assert (got["med_cents"] == got["med_cents"].iloc[0]).all()
+
+
+class TestCorpusDiff:
+    def test_all_four_statuses(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from selma_ray.pipelines.dedup import corpus_diff
+
+        old = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a", "b", "c", "d"],
+        })
+        new = pd.DataFrame({
+            "doc_id": [1, 2, 5],
+            "text": ["a", "B", "e"],   # 1 same, 2 changed, 5 added
+        })
+        got = {r["doc_id"]: r["status"] for r in corpus_diff(
+            ray.data.from_pandas(new).repartition(2),
+            ray.data.from_pandas(old).repartition(3),
+            num_partitions=1).take_all()}
+        assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                       4: "removed", 5: "added"}
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data
+
+    from selma_ray.pipelines.clustering import label_centroids
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 5).astype(np.float32)
+    labels = rng.randint(0, 3, 60)
+    t = pa_.table({
+        "vec_id": pa_.array(range(60), pa_.int64()),
+        "embedding": pa_.array([list(map(float, v)) for v in vecs],
+                               pa_.list_(pa_.float32())),
+        "label": pa_.array(labels, pa_.int32()),
+    })
+    got = label_centroids(
+        ray.data.from_arrow(t).repartition(4)).to_pandas() \
+        .sort_values(["label", "idx"]).reset_index(drop=True)
+    for lb in range(3):
+        want = vecs[labels == lb].astype(np.float64).mean(axis=0)
+        sub = got[got["label"] == lb]["mean_val"].to_numpy()
+        assert np.allclose(sub, want, atol=1e-9)
