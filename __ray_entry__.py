@@ -671,6 +671,24 @@ def _q_quantity_price_corr(sf_dir: str):
                         x_col="l_quantity", y_col="l_extendedprice")
 
 
+def _q_urgent_lines_semi(sf_dir: str):
+    """Bloom-prefiltered exact semi join: lineitem rows whose order is
+    1-URGENT; projection pushed below everything."""
+    from selma_ray.pipelines.relational import bloom_semi_join
+
+    fact = _read(sf_dir, "lineitem").map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": pc.cast(b.column("l_linenumber"), pa.int64()),
+            "qty_cents": pc.cast(pc.round(pc.multiply(
+                b.column("l_quantity"), pa.scalar(100.0))), pa.int64()),
+        }), batch_format="pyarrow")
+    dim = _read(sf_dir, "orders").filter(
+        expr="o_orderpriority == '1-URGENT'")
+    return bloom_semi_join(fact, dim, fact_key="l_orderkey",
+                           dim_key="o_orderkey")
+
+
 def _q_mad_outliers(sf_dir: str):
     from selma_ray.pipelines.relational import mad_outliers
 
@@ -1128,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
+        "urgent_lines_semi": _q_urgent_lines_semi,
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
         "sessionize_events": _q_sessionize,
@@ -1688,6 +1707,13 @@ def oracle_sql() -> dict[str, str]:
                    (sqrt((n * sxx - sx * sx)::DOUBLE)
                     * sqrt((n * syy - sy * sy)::DOUBLE)) AS corr
             FROM m
+        """,
+        "urgent_lines_semi": r"""
+            SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                   round(l_quantity * 100)::BIGINT AS qty_cents
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
         """,
         "mad_outliers": r"""
             WITH c AS (

@@ -1420,3 +1420,54 @@ def mad_outliers(events_ds, *, k: int = 3):
 
     return events_ds.select_columns(["event_id", "user_id", "value"]) \
         .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def bloom_semi_join(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
+                    m_bits: int = 1 << 20, num_partitions: int = 8):
+    """Exact semi join with a CONSTANT-size Bloom prefilter pushed
+    below the shuffle: keep fact rows whose key appears in dim.
+
+    The classic 100 TB join optimization — the dim side's keys fold
+    into a packed Bloom bitmap (distributed build, driver holds
+    m_bits/8 bytes; see dedup.snapshot_bloom), every fact task drops
+    non-matching rows map-side (no false negatives, ~1% false
+    positives at 10 bits/key), and only the surviving sliver rides the
+    native hash-partitioned left_semi join that removes the false
+    positives. Result is EXACT; the Bloom only shrinks the exchange.
+    """
+    import ray
+
+    from ..pipelines.dedup import _bloom_positions, snapshot_bloom
+    from ..stages.util import coalesce_small
+
+    def keys_as_text(batch: pa.Table) -> pa.Table:
+        ks = batch.column(dim_key).to_pylist()
+        return pa.table({"k": pa.array([str(k) for k in ks],
+                                       pa.large_string())})
+
+    bits_ref = ray.put(snapshot_bloom(
+        dim_ds.select_columns([dim_key]).map_batches(
+            keys_as_text, batch_format="pyarrow"),
+        text_col="k", m_bits=m_bits))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        ks = [str(k) for k in batch.column(fact_key).to_pylist()]
+        pos = _bloom_positions(ks, np.uint64(m_bits))
+        hit = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) \
+            .all(axis=1)
+        return batch.filter(pa.array(hit))
+
+    def dim_slim(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column(dim_key))
+        return pa.table({fact_key: u})
+
+    survivors = coalesce_small(
+        fact_ds.map_batches(prefilter, batch_format="pyarrow"))
+    dim_keys = coalesce_small(
+        dim_ds.select_columns([dim_key]).map_batches(
+            dim_slim, batch_format="pyarrow")) \
+        .groupby(fact_key).map_groups(lambda g: g.slice(0, 1),
+                                      batch_format="pyarrow")
+    return survivors.join(dim_keys, join_type="left_semi",
+                          num_partitions=num_partitions, on=(fact_key,))

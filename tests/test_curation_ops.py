@@ -1807,3 +1807,24 @@ def test_label_centroids_matches_numpy(ray_session):
         want = vecs[labels == lb].astype(np.float64).mean(axis=0)
         sub = got[got["label"] == lb]["mean_val"].to_numpy()
         assert np.allclose(sub, want, atol=1e-9)
+
+
+def test_bloom_semi_join_exact(ray_session):
+    """Bloom prefilter never loses matches; exact join kills false
+    positives — result equals a plain set-membership filter."""
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.relational import bloom_semi_join
+
+    fact = pd.DataFrame({"k": list(range(200)) * 2,
+                         "payload": list(range(400))})
+    dim = pd.DataFrame({"d": [3, 7, 7, 42, 199, 500]})
+    got = bloom_semi_join(
+        ray.data.from_pandas(fact).repartition(4),
+        ray.data.from_pandas(dim).repartition(2),
+        fact_key="k", dim_key="d", m_bits=1 << 10,  # tiny -> forces FPs
+        num_partitions=1).to_pandas()
+    want = fact[fact["k"].isin({3, 7, 42, 199})]
+    assert sorted(map(tuple, got[["k", "payload"]].to_numpy())) \
+        == sorted(map(tuple, want[["k", "payload"]].to_numpy()))
