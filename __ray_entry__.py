@@ -432,6 +432,16 @@ def _q_bigram_frequencies(sf_dir: str):
     return ngram_frequencies(_read(sf_dir, "documents"), n=2, top_n=100)
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (rows-only: the rolling-hash cut rule
+    is not SQL-expressible; shift-invariance and boundary determinism
+    are verified in tests/test_curation_ops.py)."""
+    from selma_ray.pipelines.corpus import cdc_chunks
+
+    return cdc_chunks(_read(sf_dir, "documents"), min_size=32,
+                      max_size=256, mask_bits=6)
+
+
 def _q_pmi_collocations(sf_dir: str):
     from selma_ray.pipelines.corpus import pmi_collocations
 
@@ -1106,6 +1116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "bigram_frequencies": _q_bigram_frequencies,
         "pmi_collocations": _q_pmi_collocations,
+        "cdc_chunks": _q_cdc_chunks,
         "chunk_documents": _q_chunk_documents,
         "corpus_profile": _q_corpus_profile,
         "weighted_sample": _q_weighted_sample,

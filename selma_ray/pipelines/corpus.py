@@ -661,3 +661,87 @@ def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 2,
         out = out.sort(["pmi", "gram"], descending=[True, False]) \
             .limit(top_n)
     return out
+
+
+_CDC_B = np.uint64(0x100000001B3)          # odd -> invertible mod 2^64
+_CDC_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _cdc_boundaries(data: bytes, *, window: int, mask: int,
+                    min_size: int, max_size: int) -> list[int]:
+    """Content-defined cut points (end offsets) for one document.
+
+    Fully vectorized Karp-Rabin: with prefix sums
+    S_i = sum_j c_j * B^-j (uint64 wraparound), the hash of window
+    [i-w, i) is (S_i - S_{i-w}) * B^i — three numpy passes, no Python
+    byte loop. A position is a candidate cut when the low ``mask``
+    bits are all set (expected gap = mask+1 bytes); min/max sizes are
+    then enforced with a walk over the sparse candidate list only.
+    """
+    n = len(data)
+    if n == 0:
+        return []
+    if n <= min_size:
+        return [n]
+    c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    binv_pow = np.multiply.accumulate(np.full(n, _CDC_BINV, np.uint64))
+    b_pow = np.multiply.accumulate(np.full(n, _CDC_B, np.uint64))
+    s = np.cumsum(c * binv_pow)
+    w = np.empty(n, np.uint64)
+    w[:window] = np.uint64(0)
+    w[window:] = (s[window:] - s[:-window]) * b_pow[window:]
+    m = np.uint64(mask)
+    cand = np.nonzero((w & m) == m)[0] + 1   # cut AFTER position i
+    cuts, cur, ci = [], 0, 0
+    while cur < n:
+        lo, hi = cur + min_size, min(cur + max_size, n)
+        while ci < len(cand) and cand[ci] < lo:
+            ci += 1
+        cut = int(cand[ci]) if ci < len(cand) and cand[ci] < hi else hi
+        cuts.append(cut)
+        cur = cut
+    return cuts
+
+
+def cdc_chunks(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               window: int = 16, mask_bits: int = 8, min_size: int = 64,
+               max_size: int = 1024):
+    """Content-defined chunking (Rabin/FastCDC family) -> one row per
+    chunk: (id, chunk_idx, start:int64, length:int64, chunk_md5).
+
+    Cut points depend only on local content, so an insertion near the
+    head re-chunks O(1) chunks and every later chunk keeps its hash —
+    the property that makes CDC the storage/dedup-friendly splitter
+    (vs fixed-size chunks, where one inserted byte shifts every
+    boundary). Expected chunk ~= 2^mask_bits bytes between min/max.
+
+    Map-only in-batch fan-out — no shuffle; pair with a
+    groupby(chunk_md5) for corpus-wide chunk-level dedup (the
+    passage_dedup shape).
+    """
+    mask = (1 << mask_bits) - 1
+
+    def fan(batch: pa.Table) -> pa.Table:
+        ids, cidx, starts, lens, hashes = [], [], [], [], []
+        for rid, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            data = (t or "").encode("utf-8", "surrogatepass")
+            prev = 0
+            for k, cut in enumerate(_cdc_boundaries(
+                    data, window=window, mask=mask,
+                    min_size=min_size, max_size=max_size)):
+                ids.append(rid)
+                cidx.append(k)
+                starts.append(prev)
+                lens.append(cut - prev)
+                hashes.append(md5(data[prev:cut]).hexdigest())
+                prev = cut
+        return pa.table({
+            id_col: pa.array(ids, batch.column(id_col).type),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "start": pa.array(starts, pa.int64()),
+            "length": pa.array(lens, pa.int64()),
+            "chunk_md5": pa.array(hashes, pa.string()),
+        })
+
+    return ds.map_batches(fan, batch_format="pyarrow")

@@ -1828,3 +1828,52 @@ def test_bloom_semi_join_exact(ray_session):
     want = fact[fact["k"].isin({3, 7, 42, 199})]
     assert sorted(map(tuple, got[["k", "payload"]].to_numpy())) \
         == sorted(map(tuple, want[["k", "payload"]].to_numpy()))
+
+
+class TestCdcChunks:
+    def test_boundaries_cover_and_respect_limits(self, ray_session):
+        import random
+
+        import ray.data
+
+        from selma_ray.pipelines.corpus import cdc_chunks
+
+        random.seed(9)
+        docs = ["".join(random.choice("abcdefgh ") for _ in range(2000))
+                for _ in range(5)] + ["", "tiny"]
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+        rows = cdc_chunks(ds, min_size=32, max_size=256,
+                          mask_bits=6).take_all()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert 5 not in by_doc            # empty doc -> no chunks
+        assert len(by_doc[6]) == 1        # tiny doc -> one chunk
+        for d, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["chunk_idx"])
+            pos = 0
+            for c in chunks:
+                assert c["start"] == pos
+                pos += c["length"]
+                assert c["length"] <= 256
+            assert pos == len(docs[d].encode())
+            for c in chunks[:-1]:
+                if len(chunks) > 1:
+                    assert c["length"] >= 32
+
+    def test_shift_invariance(self):
+        import random
+
+        from selma_ray.pipelines.corpus import _cdc_boundaries
+
+        random.seed(5)
+        text = "".join(random.choice("abcdefgh ")
+                       for _ in range(5000)).encode()
+        kw = dict(window=16, mask=255, min_size=64, max_size=1024)
+        c1 = _cdc_boundaries(text, **kw)
+        c2 = _cdc_boundaries(b"XYZ123" + text, **kw)
+        h1 = {text[a:b] for a, b in zip([0] + c1, c1)}
+        h2 = {(b"XYZ123" + text)[a:b] for a, b in zip([0] + c2, c2)}
+        # content-defined: almost every chunk survives a head insertion
+        assert len(h1 & h2) >= len(h1) - 2
