@@ -871,6 +871,54 @@ def _docs_as_conv_turns(sf_dir: str):
         shape, batch_format="pyarrow")
 
 
+def _q_conversation_near_dups(sf_dir: str):
+    """Conversation-level near-dup mining (rows-only: LSH banding).
+    Near-dup pairs are planted deterministically: every conversation
+    gets a '-v2' copy with every 5th turn dropped."""
+    from selma_ray.pipelines.conversations import conversation_near_dups
+
+    def plant(batch: pa.Table) -> pa.Table:
+        convs = batch.column("conv_id").to_pylist()
+        turns = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        oc, ot, otx = list(convs), list(turns), list(texts)
+        for c, t, x in zip(convs, turns, texts):
+            if t % 5 != 0:
+                oc.append(c + "-v2")
+                ot.append(t)
+                otx.append(x)
+        return pa.table({
+            "conv_id": pa.array(oc, pa.string()),
+            "turn_idx": pa.array(ot, pa.int32()),
+            "text": pa.array(otx, pa.large_string()),
+        })
+
+    ds = _docs_as_conv_turns(sf_dir).map_batches(plant,
+                                                 batch_format="pyarrow")
+    return conversation_near_dups(ds, threshold=0.5)
+
+
+def _q_train_quality_classifier(sf_dir: str):
+    """Distributed full-batch logistic regression on the Gopher-rule
+    features/label (rows-only: iterative trainer; parity vs a
+    single-process reference is tested in tests)."""
+    from selma_ray.functions.text import quality_filter_batch
+    from selma_ray.pipelines.train import train_logreg
+
+    feats = _read(sf_dir, "documents").map_batches(
+        quality_filter_batch, batch_format="pyarrow").materialize()
+    model = train_logreg(
+        feats, feature_cols=["n_words", "mean_word_len", "alpha_ratio"],
+        label_col="keep", iters=40, lr=1.0)
+    names = (["w_n_words", "w_mean_word_len", "w_alpha_ratio", "bias",
+              "train_acc", "final_loss", "n"])
+    vals = (list(model["weights"]) + [model["bias"], model["train_acc"],
+                                      model["loss"][-1],
+                                      float(model["n"])])
+    return pa.table({"param": pa.array(names, pa.string()),
+                     "value": pa.array(vals, pa.float64())})
+
+
 def _q_conversation_assembly(sf_dir: str):
     from selma_ray.pipelines.conversations import assemble_conversations
 
@@ -1146,6 +1194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_assembly": _q_conversation_assembly,
         "conversation_stats": _q_conversation_stats,
         "turn_pairs": _q_turn_pairs,
+        "conversation_near_dups": _q_conversation_near_dups,
+        "train_quality_classifier": _q_train_quality_classifier,
         "rank_docs": _q_rank_docs,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "explode_embeddings": _q_explode_embeddings,

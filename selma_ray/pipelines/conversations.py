@@ -353,3 +353,40 @@ def pack_sequences_global(ds, *, budget: int = 512, id_col: str = "doc_id",
 
     return ds.map_batches(slim, batch_format="pyarrow") \
         .groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
+def conversation_near_dups(ds, *, threshold: float = 0.7, bands: int = 16,
+                           k: int = 128, text_col: str = "text"):
+    """Conversation-level near-duplicate candidate pairs — the
+    transcript-dedup op (re-recorded sessions, retried agent runs):
+    (conv_a, conv_b, est_jaccard >= threshold).
+
+    Each conversation first collapses to the SEQUENCE of its per-turn
+    md5 fingerprints (hex tokens, turn order, space-joined) via the
+    skew-safe two-phase assembly — ~33 bytes/turn ride that shuffle,
+    never the turn text. The standard MinHash-LSH pass then runs over
+    turn-BIGRAM shingles of that pseudo-document, so two conversations
+    match when they share most consecutive-turn pairs: order-sensitive,
+    tolerant to a few inserted/edited/dropped turns, blind to
+    whitespace-level noise inside turns (any single-character edit
+    changes that turn's fingerprint — pair with text-level near-dup for
+    fuzzier matching).
+    """
+    from hashlib import md5
+
+    from .dedup import minhash_lsh_pairs
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [md5((t or "").encode("utf-8", "surrogatepass")).hexdigest()
+               for t in batch.column(text_col).to_pylist()]
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "text": pa.array(fps, pa.large_string()),
+        })
+
+    pseudo = assemble_conversations(
+        ds.map_batches(fp, batch_format="pyarrow"), sep=" ")
+    return minhash_lsh_pairs(pseudo, id_col="conv_id", text_col="text",
+                             k=k, bands=bands, ngram=2,
+                             threshold=threshold)

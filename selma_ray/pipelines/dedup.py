@@ -54,8 +54,12 @@ PAIR_SCHEMA = pa.schema([
 ])
 
 
-def _empty_pairs() -> pa.Table:
-    return PAIR_SCHEMA.empty_table()
+def _empty_pairs(id_type=pa.int64()) -> pa.Table:
+    if pa.types.is_int64(id_type):
+        return PAIR_SCHEMA.empty_table()
+    return pa.schema([("id_a", id_type), ("id_b", id_type),
+                      ("similarity", pa.float64()),
+                      ("method", pa.string())]).empty_table()
 
 
 # -- exact ---------------------------------------------------------------
@@ -167,7 +171,7 @@ class MinHashBandStage:
                 out_sig.append(sig_bytes)
         return pa.table({
             "band_key": pa.array(out_key, pa.string()),
-            "id": pa.array(out_id, pa.int64()),
+            "id": pa.array(out_id, batch.column(self.id_col).type),
             "sig": pa.array(out_sig, pa.binary()),
         })
 
@@ -197,8 +201,9 @@ def _simhash_band_fn(batch: pa.Table, **kw) -> pa.Table:
 def _bucket_pairs_fn(k: int, threshold: float, max_bucket: int):
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
+        id_type = group.column("id").type
         if n < 2:
-            return _empty_pairs()
+            return _empty_pairs(id_type)
         order = pc.sort_indices(group.column("id"))
         ids = pc.take(group.column("id"), order).to_pylist()
         sig_col = pc.take(group.column("sig"), order).to_pylist()
@@ -211,9 +216,9 @@ def _bucket_pairs_fn(k: int, threshold: float, max_bucket: int):
             est = (sigs[1:] == sigs[0]).mean(axis=1)
             mask = est >= threshold
             return pa.table({
-                "id_a": pa.array([ids[0]] * int(mask.sum()), pa.int64()),
+                "id_a": pa.array([ids[0]] * int(mask.sum()), id_type),
                 "id_b": pa.array([i for i, m in zip(ids[1:], mask) if m],
-                                 pa.int64()),
+                                 id_type),
                 "similarity": pa.array(est[mask], pa.float64()),
                 "method": pa.array(["minhash_lsh"] * int(mask.sum())),
             })
@@ -226,8 +231,8 @@ def _bucket_pairs_fn(k: int, threshold: float, max_bucket: int):
                 b_out.append(ids[i + 1 + j])
                 s_out.append(float(est[j]))
         return pa.table({
-            "id_a": pa.array(a_out, pa.int64()),
-            "id_b": pa.array(b_out, pa.int64()),
+            "id_a": pa.array(a_out, id_type),
+            "id_b": pa.array(b_out, id_type),
             "similarity": pa.array(s_out, pa.float64()),
             "method": pa.array(["minhash_lsh"] * len(a_out)),
         })
@@ -342,8 +347,9 @@ class SimHashBandStage:
 def _simhash_bucket_pairs(max_dist: int, max_bucket: int):
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
+        id_type = group.column("id").type
         if n < 2:
-            return _empty_pairs()
+            return _empty_pairs(id_type)
         order = pc.sort_indices(group.column("id"))
         ids = np.asarray(pc.take(group.column("id"), order))
         sims = np.asarray(pc.take(group.column("simhash"), order))

@@ -204,3 +204,56 @@ def test_rank_rows_matches_pandas_window(ray_session):
 
     for col in ("n_chars", "rnk", "row_num", "tile"):
         assert list(got[col]) == list(ref[col]), col
+
+
+def test_conversation_near_dups(ray_session):
+    """A conversation and its lightly-edited copy pair up; unrelated
+    conversations don't."""
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.conversations import conversation_near_dups
+
+    rows = []
+    for t in range(40):
+        rows.append({"conv_id": "a", "turn_idx": t, "text": f"turn {t}"})
+        if t % 10 != 0:  # near-dup of a: 4 turns dropped
+            rows.append({"conv_id": "a2", "turn_idx": t,
+                         "text": f"turn {t}"})
+        rows.append({"conv_id": "b", "turn_idx": t,
+                     "text": f"other {t * 7}"})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in conversation_near_dups(ds, threshold=0.5).take_all()}
+    assert ("a", "a2") in pairs
+    assert all("b" not in p for p in pairs)
+
+
+def test_train_logreg_matches_single_process(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.train import train_logreg
+
+    rng = np.random.RandomState(1)
+    n = 400
+    x = rng.randn(n, 2)
+    y = (x[:, 0] + 2 * x[:, 1] + 0.1 * rng.randn(n) > 0).astype(float)
+    df = pd.DataFrame({"f0": x[:, 0], "f1": x[:, 1], "keep": y})
+    model = train_logreg(
+        ray.data.from_pandas(df).repartition(5).materialize(),
+        feature_cols=["f0", "f1"], label_col="keep", iters=50, lr=1.0)
+
+    # single-process reference: identical standardization + GD schedule
+    mu, sd = x.mean(axis=0), x.std(axis=0)
+    xs = (x - mu) / sd
+    w = np.zeros(2)
+    b = 0.0
+    for _ in range(50):
+        p = 1 / (1 + np.exp(-(xs @ w + b)))
+        w -= 1.0 * (xs.T @ (p - y)) / n
+        b -= 1.0 * (p - y).sum() / n
+    assert np.allclose(model["weights"], w, atol=1e-6)
+    assert abs(model["bias"] - b) < 1e-6
+    assert model["train_acc"] > 0.9
