@@ -784,6 +784,14 @@ def _q_revenue_by_nation(sf_dir: str):
                              f"{sf_dir}/nation.parquet")
 
 
+def _q_revenue_share(sf_dir: str):
+    from selma_ray.pipelines.relational import revenue_share_by_nation
+
+    return revenue_share_by_nation(_read(sf_dir, "orders"),
+                                   f"{sf_dir}/customer.parquet",
+                                   f"{sf_dir}/nation.parquet")
+
+
 def _q_suppliers_by_region(sf_dir: str):
     from selma_ray.pipelines.relational import suppliers_by_region
 
@@ -1219,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_crosstab": _q_lang_source_crosstab,
         "top_customers": _q_top_customers,
         "revenue_by_nation": _q_revenue_by_nation,
+        "revenue_share": _q_revenue_share,
         "suppliers_by_region": _q_suppliers_by_region,
         "parts_by_brand": _q_parts_by_brand,
         "lines_by_priority": _q_lines_by_priority,
@@ -1937,6 +1946,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "revenue_share": r"""
+            WITH r AS (
+                SELECT n_name,
+                       sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                           AS revenue_cents
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name)
+            SELECT n_name, revenue_cents,
+                   (revenue_cents::DOUBLE /
+                    (SELECT sum(revenue_cents) FROM r)::DOUBLE) AS share
+            FROM r
         """,
         "suppliers_by_region": r"""
             SELECT r_name,

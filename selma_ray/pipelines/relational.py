@@ -1471,3 +1471,29 @@ def bloom_semi_join(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
                                       batch_format="pyarrow")
     return survivors.join(dim_keys, join_type="left_semi",
                           num_partitions=num_partitions, on=(fact_key,))
+
+
+def revenue_share_by_nation(orders_ds, customer_path: str,
+                            nation_path: str):
+    """Ratio-to-report: each nation's share of total revenue ->
+    (n_name, revenue_cents, share) — the ``sum(x) OVER () /
+    percent-of-total`` window family.
+
+    Built ON the already-reduced revenue_by_nation aggregate (nation
+    cardinality), so the share step is a driver-side exact-integer
+    total + one map over ~25 rows; the single int/int division makes
+    the float bit-exact against the SQL oracle.
+    """
+    import ray.data
+
+    rows = revenue_by_nation(orders_ds, customer_path,
+                             nation_path).take_all()
+    total = sum(r["revenue_cents"] for r in rows)
+    rows.sort(key=lambda r: r["n_name"])
+    return ray.data.from_arrow(pa.table({
+        "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+        "revenue_cents": pa.array([r["revenue_cents"] for r in rows],
+                                  pa.int64()),
+        "share": pa.array([r["revenue_cents"] / total for r in rows]
+                          if total else [], pa.float64()),
+    }))
