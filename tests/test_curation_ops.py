@@ -1877,3 +1877,52 @@ class TestCdcChunks:
         h2 = {(b"XYZ123" + text)[a:b] for a, b in zip([0] + c2, c2)}
         # content-defined: almost every chunk survives a head insertion
         assert len(h1 & h2) >= len(h1) - 2
+
+
+class TestFuzzyPairsProperty:
+    def test_matches_brute_force_on_random_corpora(self, ray_session):
+        """Deletion-neighborhood candidates + exact verify == brute-force
+        O(n^2) levenshtein<=1 pairs, across random short-string corpora
+        (the regime where neighborhood collisions are densest)."""
+        import random
+
+        import ray.data
+
+        from selma_ray.pipelines.dedup import _ed_le1, fuzzy_pairs
+
+        rng = random.Random(42)
+        for trial in range(3):
+            words = ["".join(rng.choice("ab") for _ in range(
+                rng.randint(2, 5))) for _ in range(30)]
+            ds = ray.data.from_items(
+                [{"p_name": w} for w in words]).repartition(3)
+            got = sorted((r["name_a"], r["name_b"])
+                         for r in fuzzy_pairs(ds).take_all())
+            uniq = sorted(set(words))
+            want = sorted(
+                (a, b)
+                for i, a in enumerate(uniq) for b in uniq[i + 1:]
+                if a != b and _ed_le1(a, b))
+            assert got == want, f"trial {trial}"
+
+    def test_ed_le1_against_full_levenshtein(self):
+        import itertools
+        import random
+
+        from selma_ray.pipelines.dedup import _ed_le1
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1,
+                        prev + (ca != cb))
+            return dp[-1]
+
+        rng = random.Random(7)
+        pool = ["".join(rng.choice("abc") for _ in range(
+            rng.randint(0, 6))) for _ in range(40)]
+        for a, b in itertools.combinations(pool, 2):
+            assert _ed_le1(a, b) == (lev(a, b) <= 1), (a, b)
