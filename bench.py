@@ -110,7 +110,8 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
              "revenue_by_nation", "lines_by_priority", "doc_stats",
              "conversation_assembly", "decontaminate", "term_frequencies",
              "mixture_sample", "distinct_users_kmv", "unigram_perplexity",
-             "bloom_dedup"]
+             "bloom_dedup", "rank_docs", "turn_pairs", "corpus_diff",
+             "pmi_collocations", "urgent_lines_semi", "cdc_chunks"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in picks:
