@@ -432,6 +432,20 @@ def _q_bigram_frequencies(sf_dir: str):
     return ngram_frequencies(_read(sf_dir, "documents"), n=2, top_n=100)
 
 
+def _q_ngram_overlap(sf_dir: str):
+    from selma_ray.pipelines.corpus import ngram_overlap
+
+    return ngram_overlap(_read(sf_dir, "documents"), n=3)
+
+
+def _q_char_entropy(sf_dir: str):
+    from selma_ray.functions.text import char_entropy_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        char_entropy_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_chars_calc", "entropy"])
+
+
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (rows-only: the rolling-hash cut rule
     is not SQL-expressible; shift-invariance and boundary determinism
@@ -1173,6 +1187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_frequencies": _q_bigram_frequencies,
         "pmi_collocations": _q_pmi_collocations,
         "cdc_chunks": _q_cdc_chunks,
+        "char_entropy": _q_char_entropy,
+        "ngram_overlap": _q_ngram_overlap,
         "chunk_documents": _q_chunk_documents,
         "corpus_profile": _q_corpus_profile,
         "weighted_sample": _q_weighted_sample,
@@ -1514,6 +1530,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, count(*)::BIGINT AS cnt
             FROM grams GROUP BY gram
             ORDER BY cnt DESC, gram LIMIT 100
+        """,
+        "ngram_overlap": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i:i + 2], ' ') AS gram
+                FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                      FROM toks)
+                WHERE len(t) >= 3),
+            df AS (SELECT gram, count(*)::BIGINT AS df
+                   FROM g GROUP BY gram)
+            SELECT g.doc_id,
+                   count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_shared,
+                   (sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*)::DOUBLE) AS shared_frac
+            FROM g JOIN df USING (gram)
+            GROUP BY g.doc_id
+        """,
+        "char_entropy": r"""
+            WITH cnt AS (
+                SELECT doc_id, c, count(*)::BIGINT AS k
+                FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                      FROM documents)
+                GROUP BY doc_id, c),
+            tot AS (
+                SELECT doc_id, sum(k)::BIGINT AS n
+                FROM cnt GROUP BY doc_id)
+            SELECT cnt.doc_id,
+                   any_value(tot.n)::BIGINT AS n_chars_calc,
+                   -sum((k::DOUBLE / tot.n) * ln(k::DOUBLE / tot.n))
+                       AS entropy
+            FROM cnt JOIN tot USING (doc_id)
+            GROUP BY cnt.doc_id
         """,
         "pmi_collocations": r"""
             WITH toks AS (

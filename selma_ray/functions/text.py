@@ -240,3 +240,37 @@ def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
         b = (t or "").encode("utf-8", "surrogatepass")
         vals.append(len(zlib.compress(b, level)) / max(1, len(b)))
     return batch.append_column(out_col, pa.array(vals, pa.float64()))
+
+
+def char_entropy_batch(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Per-document character-distribution Shannon entropy (nats) ->
+    (id, n_chars, entropy) — the gibberish/low-diversity quality signal
+    complementing the zlib compression-ratio proxy: entropy is
+    model-free and exactly reproducible, where zlib depends on the
+    compressor build.
+
+    Map-only; per-doc work is one Counter pass over its characters.
+    Empty docs get entropy 0.0.
+    """
+    from collections import Counter
+    from math import log
+
+    ids = batch.column(id_col).to_pylist()
+    out_n, out_e = [], []
+    for t in batch.column(text_col).to_pylist():
+        t = t or ""
+        n = len(t)
+        if n == 0:
+            out_n.append(0)
+            out_e.append(0.0)
+            continue
+        ent = -sum((k / n) * log(k / n)
+                   for k in Counter(t).values())
+        out_n.append(n)
+        out_e.append(ent)
+    return pa.table({
+        id_col: pa.array(ids, batch.column(id_col).type),
+        "n_chars_calc": pa.array(out_n, pa.int64()),
+        "entropy": pa.array(out_e, pa.float64()),
+    })

@@ -745,3 +745,96 @@ def cdc_chunks(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(fan, batch_format="pyarrow")
+
+
+def ngram_overlap(ds, *, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text", num_partitions: int = 8):
+    """Per-document n-gram overlap with the REST of the corpus ->
+    (id, n_grams, n_shared, shared_frac): the fraction of a doc's
+    distinct word n-grams that appear in at least one other document —
+    the novelty / near-boilerplate / memorization-risk score
+    (decontaminate's corpus-internal sibling).
+
+    Scale shape: docs explode to DISTINCT (id, gram) pairs in-batch;
+    one groupby(gram) count gives document frequencies; a native hash
+    join ships each pair its df; a per-batch combiner + groupby(id)
+    folds the per-doc fractions. Gram strings ride the shuffles here
+    for SQL-oracle parity — at 100 TB swap them for 8-byte digests
+    (functions/hashing.md5_64) on both explode and df sides, which
+    changes nothing structurally. Docs with < n tokens emit no rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, grams = [], []
+        join = " ".join
+        for rid, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            seen = {join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+            ids_out.extend([rid] * len(seen))
+            grams.extend(seen)
+        return pa.table({
+            id_col: pa.array(ids_out, batch.column(id_col).type),
+            "gram": pa.array(grams, pa.large_string()),
+        })
+
+    ex = coalesce_small(ds.map_batches(explode, batch_format="pyarrow"))
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["gram"]).group_by("gram").aggregate(
+            [("gram", "count")])
+        return pa.table({
+            "gram": g.column("gram"),
+            "pdf": pc.cast(g.column("gram_count"), pa.int64()),
+        })
+
+    df_tbl = coalesce_small(
+        ex.map_batches(df_partial, batch_format="pyarrow")) \
+        .groupby("gram").aggregate(Sum("pdf"))
+
+    def df_rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            # the shuffle can narrow large_string -> string; re-widen so
+            # the join key types agree with the exploded side
+            "gram": pc.cast(batch.column("gram"), pa.large_string()),
+            "df": pc.cast(batch.column("sum(pdf)"), pa.int64()),
+        })
+
+    joined = ex.join(
+        coalesce_small(df_tbl.map_batches(df_rename,
+                                          batch_format="pyarrow")),
+        join_type="inner", num_partitions=num_partitions, on=("gram",))
+
+    def fold_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch.column(id_col),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "sh": pc.cast(pc.greater_equal(batch.column("df"),
+                                           pa.scalar(2, pa.int64())),
+                          pa.int64()),
+        })
+        g = t.group_by(id_col).aggregate([("one", "sum"), ("sh", "sum")])
+        return pa.table({
+            id_col: g.column(id_col),
+            "pn": pc.cast(g.column("one_sum"), pa.int64()),
+            "psh": pc.cast(g.column("sh_sum"), pa.int64()),
+        })
+
+    agg = coalesce_small(
+        joined.map_batches(fold_partial, batch_format="pyarrow")) \
+        .groupby(id_col).aggregate(Sum("pn"), Sum("psh"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ng = pc.cast(batch.column("sum(pn)"), pa.int64())
+        sh = pc.cast(batch.column("sum(psh)"), pa.int64())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_grams": ng,
+            "n_shared": sh,
+            "shared_frac": pc.divide(pc.cast(sh, pa.float64()),
+                                     pc.cast(ng, pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1926,3 +1926,44 @@ class TestFuzzyPairsProperty:
             rng.randint(0, 6))) for _ in range(40)]
         for a, b in itertools.combinations(pool, 2):
             assert _ed_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_ngram_overlap_counts(ray_session):
+    import ray.data
+
+    from selma_ray.pipelines.corpus import ngram_overlap
+
+    docs = {
+        1: "the quick brown fox jumps",     # shares "the quick brown"
+        2: "the quick brown cat sleeps",
+        3: "completely different text here",
+        4: "hi",                            # < 3 tokens -> no row
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in docs.items()]).repartition(2)
+    got = {r["doc_id"]: r for r in ngram_overlap(
+        ds, n=3, num_partitions=1).take_all()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_grams"] == 3 and got[1]["n_shared"] == 1
+    assert got[2]["n_grams"] == 3 and got[2]["n_shared"] == 1
+    assert got[3]["n_shared"] == 0
+    assert got[1]["shared_frac"] == pytest.approx(1 / 3)
+
+
+def test_char_entropy_values():
+    import math
+
+    import pyarrow as pa_
+
+    from selma_ray.functions.text import char_entropy_batch
+
+    batch = pa_.table({
+        "doc_id": pa_.array([1, 2, 3], pa_.int64()),
+        "text": pa_.array(["aaaa", "ab", ""], pa_.string()),
+    })
+    out = char_entropy_batch(batch)
+    ents = out.column("entropy").to_pylist()
+    assert ents[0] == 0.0
+    assert ents[1] == pytest.approx(math.log(2))
+    assert ents[2] == 0.0
+    assert out.column("n_chars_calc").to_pylist() == [4, 2, 0]
