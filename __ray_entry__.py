@@ -432,6 +432,27 @@ def _q_bigram_frequencies(sf_dir: str):
     return ngram_frequencies(_read(sf_dir, "documents"), n=2, top_n=100)
 
 
+def _q_pagerank(sf_dir: str):
+    """PageRank over a deterministic doc-citation graph (rows-only:
+    iterative float op; parity vs single-process power iteration is
+    tested in tests/test_curation_ops.py). Each doc cites 3 others."""
+    from selma_ray.pipelines.graph import pagerank
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        src, dst = [], []
+        for d in ids:
+            for k in (7, 13, 29):
+                src.append(d)
+                dst.append((d * k + 1) % 500)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    e = _read(sf_dir, "documents").map_batches(edges,
+                                               batch_format="pyarrow")
+    return pagerank(e, iters=10)
+
+
 def _q_ngram_overlap(sf_dir: str):
     from selma_ray.pipelines.corpus import ngram_overlap
 
@@ -1189,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _q_cdc_chunks,
         "char_entropy": _q_char_entropy,
         "ngram_overlap": _q_ngram_overlap,
+        "pagerank": _q_pagerank,
         "chunk_documents": _q_chunk_documents,
         "corpus_profile": _q_corpus_profile,
         "weighted_sample": _q_weighted_sample,

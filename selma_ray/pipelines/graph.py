@@ -1,0 +1,138 @@
+"""Graph analytics over edge Datasets: PageRank by iterated
+join + groupby rounds (the same iterative-wide-op discipline as the
+Hash-Min connected-components pass in pipelines/dedup.py).
+
+Scale shape per round: ONE hash join (edges x node-sized rank table,
+join key = src) and ONE groupby(dst) sum — the edge table streams
+through both; the rank table is node-cardinality and is re-materialized
+each round (it is the only state). Dangling-node mass (nodes without
+out-edges) is folded driver-side from the already-reduced rank table
+and redistributed uniformly, so ranks sum to 1 every round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.util import coalesce_small
+
+
+def _distinct_int(ds, col: str, out_name: str):
+    def per_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            out_name: pc.unique(pc.cast(batch.column(col), pa.int64()))})
+
+    return coalesce_small(
+        ds.map_batches(per_batch, batch_format="pyarrow")) \
+        .groupby(out_name).map_groups(lambda g: g.slice(0, 1),
+                                      batch_format="pyarrow")
+
+
+def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
+             damping: float = 0.85, iters: int = 20,
+             num_partitions: int = 8):
+    """Edge Dataset (src:int64, dst:int64) -> (node:int64, rank:float64).
+
+    Standard PageRank with uniform teleport and uniform dangling-mass
+    redistribution; duplicate edges count as parallel edges. The edge
+    table should be parquet-backed / materialized — each round streams
+    it once.
+    """
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    edges = edges_ds.map_batches(
+        lambda b: pa.table({
+            "src": pc.cast(b.column(src_col), pa.int64()),
+            "dst": pc.cast(b.column(dst_col), pa.int64()),
+        }), batch_format="pyarrow").materialize()
+
+    nodes = _distinct_int(edges, "src", "node") \
+        .union(_distinct_int(edges, "dst", "node")) \
+        .groupby("node").map_groups(lambda g: g.slice(0, 1),
+                                    batch_format="pyarrow").materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({"node": pa.array([], pa.int64()),
+                                "rank": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["src"]).group_by("src").aggregate(
+            [("src", "count")])
+        return pa.table({
+            "node": g.column("src"),
+            "pdeg": pc.cast(g.column("src_count"), pa.int64()),
+        })
+
+    outdeg = coalesce_small(
+        edges.map_batches(deg_partial, batch_format="pyarrow")) \
+        .groupby("node").aggregate(Sum("pdeg"))
+
+    # rank table: (node, rank, outdeg) — outdeg 0 marks dangling nodes
+    ranks = nodes.join(
+        coalesce_small(outdeg.map_batches(
+            lambda b: pa.table({
+                "node": pc.cast(b.column("node"), pa.int64()),
+                "outdeg": pc.cast(b.column("sum(pdeg)"), pa.int64()),
+            }), batch_format="pyarrow")),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("node",)).map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "outdeg": pc.fill_null(b.column("outdeg"),
+                                   pa.scalar(0, pa.int64())),
+            "rank": pa.array(np.full(b.num_rows, 1.0 / n)),
+        }), batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        dangling = ranks.filter(expr="outdeg == 0").sum("rank") or 0.0
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        contrib_src = ranks.filter(expr="outdeg > 0").map_batches(
+            lambda b: pa.table({
+                "src": b.column("node"),
+                "share": pc.divide(
+                    b.column("rank"),
+                    pc.cast(b.column("outdeg"), pa.float64())),
+            }), batch_format="pyarrow")
+        hits = edges.join(coalesce_small(contrib_src),
+                          join_type="inner",
+                          num_partitions=num_partitions, on=("src",))
+
+        def in_partial(batch: pa.Table) -> pa.Table:
+            g = pa.table({"node": batch.column("dst"),
+                          "share": batch.column("share")}) \
+                .group_by("node").aggregate([("share", "sum")])
+            return pa.table({
+                "node": g.column("node"),
+                "psum": g.column("share_sum"),
+            })
+
+        insum = coalesce_small(
+            hits.map_batches(in_partial, batch_format="pyarrow")) \
+            .groupby("node").aggregate(Sum("psum"))
+
+        ranks = ranks.select_columns(["node", "outdeg"]).join(
+            coalesce_small(insum.map_batches(
+                lambda b: pa.table({
+                    "node": pc.cast(b.column("node"), pa.int64()),
+                    "insum": b.column("sum(psum)"),
+                }), batch_format="pyarrow")),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node",)).map_batches(
+            lambda b, *, _base=base: pa.table({
+                "node": b.column("node"),
+                "outdeg": b.column("outdeg"),
+                "rank": pc.add(
+                    pa.scalar(_base),
+                    pc.multiply(pa.scalar(damping),
+                                pc.fill_null(b.column("insum"),
+                                             pa.scalar(0.0)))),
+            }), batch_format="pyarrow").materialize()
+
+    return ranks.select_columns(["node", "rank"])

@@ -1967,3 +1967,42 @@ def test_char_entropy_values():
     assert ents[1] == pytest.approx(math.log(2))
     assert ents[2] == 0.0
     assert out.column("n_chars_calc").to_pylist() == [4, 2, 0]
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.graph import pagerank
+
+    rng = np.random.RandomState(2)
+    n = 25
+    edges = [(int(s), int(rng.randint(0, n)))
+             for s in rng.randint(0, n, 80)]
+    # node n-1 dangling unless it appears as src; force one dangling
+    edges = [(s, d) for s, d in edges if s != n - 1]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(
+        ray.data.from_pandas(df).repartition(4), iters=15,
+        num_partitions=1).take_all()}
+
+    # reference power iteration with uniform dangling redistribution
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    out = np.zeros(m)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(m, 1.0 / m)
+    d = 0.85
+    for _ in range(15):
+        dang = r[out == 0].sum()
+        base = (1 - d) / m + d * dang / m
+        nxt = np.full(m, base)
+        for s, t in edges:
+            nxt[idx[t]] += d * r[idx[s]] / out[idx[s]]
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
