@@ -703,6 +703,13 @@ def _q_events_rollup_sets(sf_dir: str):
     return events_rollup_sets(_read(sf_dir, "events"))
 
 
+def _q_user_skew_report(sf_dir: str):
+    from selma_ray.pipelines.relational import key_skew_report
+
+    return key_skew_report(_read(sf_dir, "events"), key_col="user_id",
+                           top_k=20)
+
+
 def _q_value_histogram(sf_dir: str):
     from selma_ray.pipelines.relational import value_histogram
 
@@ -1251,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_rollup_sets": _q_events_rollup_sets,
         "value_histogram": _q_value_histogram,
+        "user_skew_report": _q_user_skew_report,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
         "urgent_lines_semi": _q_urgent_lines_semi,
@@ -1830,6 +1838,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "user_skew_report": r"""
+            WITH c AS (SELECT user_id, count(*)::BIGINT AS n
+                       FROM events GROUP BY user_id),
+            t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+            SELECT user_id, n, (n::DOUBLE / tot::DOUBLE) AS frac
+            FROM c, t ORDER BY n DESC, user_id LIMIT 20
         """,
         "value_histogram": r"""
             SELECT (floor(round(value * 100)::BIGINT::DOUBLE / 500)

@@ -1497,3 +1497,40 @@ def revenue_share_by_nation(orders_ds, customer_path: str,
         "share": pa.array([r["revenue_cents"] / total for r in rows]
                           if total else [], pa.float64()),
     }))
+
+
+def key_skew_report(ds, *, key_col: str, top_k: int = 20):
+    """Hot-key diagnostic for shuffle planning -> the ``top_k``
+    heaviest keys as (key, n, frac of all rows). Run this BEFORE
+    keying a groupby/join on a column at scale: a key with frac >>
+    1/num_partitions is the straggler — salt it (see
+    conversations.py's block-salted assembly) or broadcast it.
+
+    Shape: per-batch count combiner -> one groupby(key); total and the
+    sort+limit run on the already-reduced distinct-key table.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_col]).group_by(key_col).aggregate(
+            [(key_col, "count")])
+        return pa.table({
+            key_col: g.column(key_col),
+            "pn": pc.cast(g.column(f"{key_col}_count"), pa.int64()),
+        })
+
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(key_col).aggregate(Sum("pn")).materialize()
+    total = agg.sum("sum(pn)") or 0
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("sum(pn)"), pa.int64())
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n": n,
+            "frac": pc.divide(pc.cast(n, pa.float64()),
+                              pa.scalar(float(total))),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["n", key_col], descending=[True, False]).limit(top_k)
