@@ -703,6 +703,12 @@ def _q_events_rollup_sets(sf_dir: str):
     return events_rollup_sets(_read(sf_dir, "events"))
 
 
+def _q_rolling_avg(sf_dir: str):
+    from selma_ray.pipelines.relational import rolling_avg_events
+
+    return rolling_avg_events(_read(sf_dir, "events"), window_rows=5)
+
+
 def _q_user_skew_report(sf_dir: str):
     from selma_ray.pipelines.relational import key_skew_report
 
@@ -1259,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_sets": _q_events_rollup_sets,
         "value_histogram": _q_value_histogram,
         "user_skew_report": _q_user_skew_report,
+        "rolling_avg": _q_rolling_avg,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
         "urgent_lines_semi": _q_urgent_lines_semi,
@@ -1838,6 +1845,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "rolling_avg": r"""
+            SELECT event_id, user_id, ts,
+                   (sum(round(value * 100)::BIGINT) OVER w)::DOUBLE
+                       / (count(*) OVER w)::DOUBLE AS avg_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "user_skew_report": r"""
             WITH c AS (SELECT user_id, count(*)::BIGINT AS n

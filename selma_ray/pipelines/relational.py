@@ -1534,3 +1534,36 @@ def key_skew_report(ds, *, key_col: str, top_k: int = 20):
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort(["n", key_col], descending=[True, False]).limit(top_k)
+
+
+def rolling_avg_events(events_ds, *, window_rows: int = 5):
+    """Per-user moving average over the last ``window_rows`` events ->
+    (event_id, user_id, ts, avg_cents:float64) — the ROWS-frame window
+    aggregate (``AVG(...) OVER (PARTITION BY user ORDER BY ts ROWS
+    BETWEEN k-1 PRECEDING AND CURRENT ROW)``).
+
+    ONE groupby(user_id); in-task pandas rolling sum over exact int64
+    cents with a single final division, so every value is bit-exact
+    against the SQL oracle (never rolling-mean floats directly —
+    incremental float means drift). Same per-entity group-size bound
+    as running_totals.
+    """
+    import pandas as pd
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cents = np.rint(g["value"].to_numpy(dtype=np.float64)
+                        * 100).astype(np.int64)
+        s = pd.Series(cents)
+        wsum = s.rolling(window_rows, min_periods=1).sum().to_numpy()
+        wcnt = s.rolling(window_rows, min_periods=1).count().to_numpy()
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "ts": g["ts"],
+            "avg_cents": wsum / wcnt,
+        })
+
+    return events_ds.select_columns(
+        ["event_id", "user_id", "ts", "value"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
