@@ -703,6 +703,14 @@ def _q_events_rollup_sets(sf_dir: str):
     return events_rollup_sets(_read(sf_dir, "events"))
 
 
+def _q_compact_latest(sf_dir: str):
+    from selma_ray.pipelines.relational import compact_latest
+
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "event_type", "ts"])
+    return compact_latest(ds, key_cols=["user_id", "event_type"])
+
+
 def _q_rolling_avg(sf_dir: str):
     from selma_ray.pipelines.relational import rolling_avg_events
 
@@ -1266,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "user_skew_report": _q_user_skew_report,
         "rolling_avg": _q_rolling_avg,
+        "compact_latest": _q_compact_latest,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
         "urgent_lines_semi": _q_urgent_lines_semi,
@@ -1845,6 +1854,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "compact_latest": r"""
+            SELECT event_id, user_id, event_type, ts FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) = 1
         """,
         "rolling_avg": r"""
             SELECT event_id, user_id, ts,

@@ -1567,3 +1567,26 @@ def rolling_avg_events(events_ds, *, window_rows: int = 5):
     return events_ds.select_columns(
         ["event_id", "user_id", "ts", "value"]) \
         .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def compact_latest(events_ds, *, key_cols: list[str],
+                   order_col: str = "ts", tie_col: str = "event_id"):
+    """Log compaction / upsert semantics: keep only the LATEST row per
+    key, ordered by (order_col, tie_col) -> the changelog-to-snapshot
+    op (Kafka compacted topics, CDC table materialization).
+
+    Two-level argmax: a per-batch combiner keeps one candidate row per
+    key per block (so the shuffle carries keys x blocks rows, not the
+    log), then one groupby(keys) picks the global winner with the same
+    deterministic (order_col DESC, tie_col DESC) rule.
+    """
+    import pandas as pd
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values([order_col, tie_col],
+                              ascending=[False, False]) \
+            .drop_duplicates(subset=key_cols, keep="first")
+
+    combined = events_ds.map_batches(keep_latest, batch_format="pandas")
+    return coalesce_small(combined).groupby(key_cols) \
+        .map_groups(keep_latest, batch_format="pandas")
