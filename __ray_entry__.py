@@ -703,6 +703,22 @@ def _q_events_rollup_sets(sf_dir: str):
     return events_rollup_sets(_read(sf_dir, "events"))
 
 
+def _q_union_by_name(sf_dir: str):
+    """Schema-evolution union: two projections of documents with
+    different column sets, aligned by name (missing -> nulls)."""
+    from selma_ray.sources.readers import union_by_name
+
+    a = _read(sf_dir, "documents").map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "lang": b.column("lang")}),
+        batch_format="pyarrow")
+    b = _read(sf_dir, "documents").map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "source": t.column("source")}),
+        batch_format="pyarrow")
+    return union_by_name([a, b])
+
+
 def _q_compact_latest(sf_dir: str):
     from selma_ray.pipelines.relational import compact_latest
 
@@ -1275,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_skew_report": _q_user_skew_report,
         "rolling_avg": _q_rolling_avg,
         "compact_latest": _q_compact_latest,
+        "union_by_name": _q_union_by_name,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
         "urgent_lines_semi": _q_urgent_lines_semi,
@@ -1854,6 +1871,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "union_by_name": r"""
+            SELECT doc_id, lang, NULL::VARCHAR AS source FROM documents
+            UNION ALL
+            SELECT doc_id, NULL::VARCHAR AS lang, source FROM documents
         """,
         "compact_latest": r"""
             SELECT event_id, user_id, event_type, ts FROM events

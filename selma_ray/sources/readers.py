@@ -191,3 +191,43 @@ def write_outputs(ds, path: str, *, format: str = "parquet",
         flat.write_csv(path, **write_kwargs)
     else:
         raise ValueError(f"unsupported output format: {format!r}")
+
+
+def union_by_name(dss: list):
+    """UNION ALL BY NAME across Datasets with differing schemas —
+    Ray's ``Dataset.union`` requires identical schemas, so this aligns
+    first: the union schema is the name-keyed union of all input
+    schemas (type from the first dataset that has the column; later
+    conflicting types are cast to it), missing columns materialize as
+    typed nulls. The align step is map-only; the union itself is a
+    zero-copy block concatenation.
+
+    The schema-evolution reader: crawls/exports accumulated over time
+    rarely share an exact schema.
+    """
+    if not dss:
+        raise ValueError("union_by_name needs at least one dataset")
+    fields: dict = {}
+    for ds in dss:
+        s = ds.schema()
+        for name, t in zip(s.names, s.types):
+            fields.setdefault(name, t)
+
+    def align(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        names = set(batch.column_names)
+        cols = {}
+        for name, t in fields.items():
+            if name in names:
+                col = batch.column(name)
+                cols[name] = col if col.type == t else pc.cast(col, t)
+            else:
+                cols[name] = pa.nulls(n, t)
+        return pa.table(cols)
+
+    aligned = [ds.map_batches(align, batch_format="pyarrow")
+               for ds in dss]
+    out = aligned[0]
+    for a in aligned[1:]:
+        out = out.union(a)
+    return out

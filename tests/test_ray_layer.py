@@ -405,3 +405,25 @@ def test_orc_round_trip(ray_session, tmp_path):
     slim = read_orc(str(out), columns=["conv_id", "extra"])
     assert set(slim.schema().names) == {"conv_id", "extra"}
     assert sorted(r["extra"] for r in slim.take_all()) == [1, 2, 3]
+
+
+def test_union_by_name_aligns_and_casts(ray_session):
+    import pyarrow as pa_
+    import ray.data
+
+    from selma_ray.sources.readers import union_by_name
+
+    a = ray.data.from_arrow(pa_.table({
+        "id": pa_.array([1, 2], pa_.int64()),
+        "x": pa_.array(["a", "b"], pa_.string()),
+    }))
+    b = ray.data.from_arrow(pa_.table({
+        "id": pa_.array([3], pa_.int32()),      # narrower type -> cast
+        "y": pa_.array([9.5], pa_.float64()),
+    }))
+    got = union_by_name([a, b]).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    assert list(got.columns) == ["id", "x", "y"]
+    assert list(got["id"]) == [1, 2, 3]
+    assert got["x"].tolist()[:2] == ["a", "b"] and got["x"][2] is None
+    assert got["y"].isna().tolist() == [True, True, False]
