@@ -1080,6 +1080,12 @@ def _q_corpus_diff(sf_dir: str):
     return corpus_diff(new_ds, _read(sf_dir, "documents"))
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    from selma_ray.pipelines.similarity import quantize_embeddings
+
+    return quantize_embeddings(_read(sf_dir, "embeddings"))
+
+
 def _q_label_centroids(sf_dir: str):
     from selma_ray.pipelines.clustering import label_centroids
 
@@ -1284,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_embeddings": _q_explode_embeddings,
         "corpus_diff": _q_corpus_diff,
         "label_centroids": _q_label_centroids,
+        "quantize_embeddings": _q_quantize_embeddings,
         "events_rollup": _q_events_rollup,
         "events_windowed": _q_events_windowed,
         "events_rollup_sets": _q_events_rollup_sets,

@@ -419,3 +419,39 @@ def embedding_near_dup_pairs(ds, *, id_col: str = "vec_id",
         })
 
     return ds.map_batches(pairs_fn, batch_format="pyarrow", batch_size=4096)
+
+
+def quantize_embeddings(ds, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Symmetric per-vector int8 quantization -> (id, scale:float64,
+    q:binary of d int8 bytes): the 4x storage shrink applied before
+    parking 100 TB of embeddings in parquet. scale = max|x| / 127;
+    dequant = q * scale. Map-only, fully vectorized per batch.
+
+    Pair with ``dequantize_embeddings_batch`` on the read side; recall
+    loss for cosine top-k at int8 is typically < 1% (verify per corpus
+    with the ann_topk oracle before committing a corpus to it).
+    """
+    def quant(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col).astype(np.float64)
+        amax = np.abs(m).max(axis=1)
+        scale = np.where(amax > 0, amax / 127.0, 1.0)
+        q = np.clip(np.rint(m / scale[:, None]), -127, 127) \
+            .astype(np.int8)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "scale": pa.array(scale, pa.float64()),
+            "q": pa.array([row.tobytes() for row in q], pa.binary()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def dequantize_embeddings_batch(batch: pa.Table, *,
+                                vec_col: str = "q") -> np.ndarray:
+    """(scale, q) batch -> float32 matrix (the inverse of
+    :func:`quantize_embeddings`), for use inside downstream stages."""
+    raw = np.stack([np.frombuffer(b, dtype=np.int8)
+                    for b in batch.column(vec_col).to_pylist()])
+    scale = batch.column("scale").to_numpy(zero_copy_only=False)
+    return (raw.astype(np.float32) * scale[:, None].astype(np.float32))

@@ -2006,3 +2006,43 @@ def test_pagerank_matches_power_iteration(ray_session):
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-9, v
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data
+
+    from selma_ray.pipelines.similarity import (
+        dequantize_embeddings_batch,
+        quantize_embeddings,
+    )
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(50, 16).astype(np.float32)
+    vecs[7] = 0.0  # zero vector edge case
+    t = pa_.table({
+        "vec_id": pa_.array(range(50), pa_.int64()),
+        "embedding": pa_.array([list(map(float, v)) for v in vecs],
+                               pa_.list_(pa_.float32())),
+    })
+    out = quantize_embeddings(
+        ray.data.from_arrow(t).repartition(3)).take_all()
+    assert len(out) == 50
+    rows = sorted(out, key=lambda r: r["vec_id"])
+    qt = pa_.table({
+        "vec_id": pa_.array([r["vec_id"] for r in rows], pa_.int64()),
+        "scale": pa_.array([r["scale"] for r in rows], pa_.float64()),
+        "q": pa_.array([r["q"] for r in rows], pa_.binary()),
+    })
+    deq = dequantize_embeddings_batch(qt)
+    # max abs error bounded by scale/2 per component
+    scales = qt.column("scale").to_numpy()
+    err = np.abs(deq - vecs)
+    assert (err <= scales[:, None] / 2 + 1e-6).all()
+    assert np.allclose(deq[7], 0.0)
+    # cosine similarity preserved to ~1%
+    for i in (0, 13, 49):
+        a, b = vecs[i], deq[i]
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99
