@@ -2046,3 +2046,55 @@ def test_quantize_embeddings_roundtrip(ray_session):
         a, b = vecs[i], deq[i]
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.99
+
+
+def test_rolling_avg_events(ray_session):
+    import datetime
+
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.relational import rolling_avg_events
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    for i in range(12):
+        rows.append({"event_id": i, "user_id": i % 2,
+                     "ts": base + datetime.timedelta(minutes=i),
+                     "value": float(i)})
+    got = rolling_avg_events(
+        ray.data.from_pandas(pd.DataFrame(rows)).repartition(3),
+        window_rows=3).to_pandas().set_index("event_id")
+    # user 0 events: 0,2,4,... values 0,2,4...; window 3 averages
+    assert got.loc[0, "avg_cents"] == 0.0
+    assert got.loc[2, "avg_cents"] == 100.0          # (0+200)/2
+    assert got.loc[4, "avg_cents"] == 200.0          # (0+200+400)/3
+    assert got.loc[10, "avg_cents"] == 800.0         # (600+800+1000)/3
+
+
+def test_compact_latest(ray_session):
+    import datetime
+
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.relational import compact_latest
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        {"event_id": 1, "user_id": 1, "event_type": "a",
+         "ts": base + datetime.timedelta(hours=1)},
+        {"event_id": 2, "user_id": 1, "event_type": "a",
+         "ts": base + datetime.timedelta(hours=3)},
+        {"event_id": 3, "user_id": 1, "event_type": "a",
+         "ts": base + datetime.timedelta(hours=3)},  # tie -> higher id
+        {"event_id": 4, "user_id": 1, "event_type": "b",
+         "ts": base},
+        {"event_id": 5, "user_id": 2, "event_type": "a",
+         "ts": base},
+    ]
+    got = compact_latest(
+        ray.data.from_pandas(pd.DataFrame(rows)).repartition(4),
+        key_cols=["user_id", "event_type"]).to_pandas()
+    kept = sorted(got["event_id"])
+    assert kept == [3, 4, 5]
