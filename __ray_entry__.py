@@ -703,6 +703,12 @@ def _q_events_rollup_sets(sf_dir: str):
     return events_rollup_sets(_read(sf_dir, "events"))
 
 
+def _q_user_first_last(sf_dir: str):
+    from selma_ray.pipelines.relational import user_first_last
+
+    return user_first_last(_read(sf_dir, "events"))
+
+
 def _q_union_by_name(sf_dir: str):
     """Schema-evolution union: two projections of documents with
     different column sets, aligned by name (missing -> nulls)."""
@@ -1299,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_avg": _q_rolling_avg,
         "compact_latest": _q_compact_latest,
         "union_by_name": _q_union_by_name,
+        "user_first_last": _q_user_first_last,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
         "urgent_lines_semi": _q_urgent_lines_semi,
@@ -1878,6 +1885,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "user_first_last": r"""
+            SELECT user_id,
+                   first(event_id ORDER BY ts, event_id)::BIGINT
+                       AS first_event,
+                   min(ts) AS first_ts,
+                   last(event_id ORDER BY ts, event_id)::BIGINT
+                       AS last_event,
+                   max(ts) AS last_ts
+            FROM events GROUP BY user_id
         """,
         "union_by_name": r"""
             SELECT doc_id, lang, NULL::VARCHAR AS source FROM documents

@@ -1590,3 +1590,46 @@ def compact_latest(events_ds, *, key_cols: list[str],
     combined = events_ds.map_batches(keep_latest, batch_format="pandas")
     return coalesce_small(combined).groupby(key_cols) \
         .map_groups(keep_latest, batch_format="pandas")
+
+
+def user_first_last(events_ds):
+    """Per-entity FIRST/LAST event (the arg_min/arg_max aggregate) ->
+    (user_id, first_event:int64, first_ts, last_event:int64, last_ts).
+
+    Two-level argmin/argmax: each block keeps one candidate row per
+    user (vectorized pandas idxmin/idxmax over the (ts, event_id)
+    order), the groupby folds candidates with the same rule — the
+    shuffle carries 2 x users x blocks rows. Ties on ts break by
+    event_id, so the result is deterministic and SQL-mirrorable with
+    ordered first()/last() aggregates.
+    """
+    import pandas as pd
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["ts", "event_id"])
+        first = g.drop_duplicates("user_id", keep="first")
+        last = g.drop_duplicates("user_id", keep="last")
+        m = first.merge(last, on="user_id", suffixes=("_f", "_l"))
+        return pd.DataFrame({
+            "user_id": m["user_id"].astype("int64"),
+            "first_event": m["event_id_f"].astype("int64"),
+            "first_ts": m["ts_f"],
+            "last_event": m["event_id_l"].astype("int64"),
+            "last_ts": m["ts_l"],
+        })
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        f = group.sort_values(["first_ts", "first_event"]).iloc[0]
+        l = group.sort_values(["last_ts", "last_event"]).iloc[-1]
+        return pd.DataFrame({
+            "user_id": [int(group["user_id"].iloc[0])],
+            "first_event": [int(f["first_event"])],
+            "first_ts": [f["first_ts"]],
+            "last_event": [int(l["last_event"])],
+            "last_ts": [l["last_ts"]],
+        })
+
+    combined = events_ds.select_columns(["event_id", "user_id", "ts"]) \
+        .map_batches(ends, batch_format="pandas")
+    return coalesce_small(combined).groupby("user_id") \
+        .map_groups(fold, batch_format="pandas")
