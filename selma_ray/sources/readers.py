@@ -231,3 +231,80 @@ def union_by_name(dss: list):
     for a in aligned[1:]:
         out = out.union(a)
     return out
+
+
+def write_clustered(ds, out_dir: str, *, key_col: str,
+                    num_ranges: int = 16):
+    """CLUSTER BY layout: write parquet range-partitioned AND sorted on
+    ``key_col`` -> one ``range=K`` directory per key range, rows inside
+    each file in key order. Readers then get partition pruning on the
+    key range AND row-group skipping within files — the layout that
+    makes a 100 TB corpus cheap to point-query / merge-join later.
+
+    Shape: pass 1 builds the key-value histogram (per-batch value
+    counts -> tiny groupby, the rank_rows idiom) and the driver picks
+    ~equal-row boundaries; pass 2 assigns range ids map-side and ONE
+    groupby(range) sorts + writes each range in its own task (file name
+    deterministic per range -> idempotent on retry). Returns a manifest
+    Dataset (range_id, n_rows, key_min, key_max, path).
+    """
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select([key_col]).group_by(key_col).aggregate(
+            [(key_col, "count")])
+        return pa.table({
+            key_col: agg.column(key_col),
+            "pn": pc.cast(agg.column(f"{key_col}_count"), pa.int64()),
+        })
+
+    hist = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(key_col).aggregate(Sum("pn")).take_all()
+    pairs = sorted((r[key_col], r["sum(pn)"]) for r in hist)
+    total = sum(c for _, c in pairs)
+    per_range = max(1, total // num_ranges)
+    bounds = []          # upper-inclusive key bound per range
+    cum = 0
+    for v, c in pairs:
+        cum += c
+        if cum >= (len(bounds) + 1) * per_range \
+                and len(bounds) < num_ranges - 1:
+            bounds.append(v)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        rid = np.searchsorted(np.array(bounds), keys, side="left") \
+            if bounds else np.zeros(len(keys), dtype=np.int64)
+        return batch.append_column("range_id",
+                                   pa.array(rid.astype("int64")))
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_range(group: pd.DataFrame) -> pd.DataFrame:
+        rid = int(group["range_id"].iloc[0])
+        g = group.sort_values(key_col).drop(columns=["range_id"])
+        d = os.path.join(out_dir, f"range={rid}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part-0.parquet")
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                       path)
+        return pd.DataFrame({
+            "range_id": [rid],
+            "n_rows": [len(g)],
+            "key_min": [g[key_col].iloc[0]],
+            "key_max": [g[key_col].iloc[-1]],
+            "path": [path],
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("range_id").map_groups(write_range,
+                                        batch_format="pandas")

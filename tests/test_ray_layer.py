@@ -427,3 +427,37 @@ def test_union_by_name_aligns_and_casts(ray_session):
     assert list(got["id"]) == [1, 2, 3]
     assert got["x"].tolist()[:2] == ["a", "b"] and got["x"][2] is None
     assert got["y"].isna().tolist() == [True, True, False]
+
+
+def test_write_clustered_layout(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from selma_ray.sources.readers import write_clustered
+
+    rng_rows = pd.DataFrame({
+        "k": [((i * 37) % 100) for i in range(400)],
+        "payload": list(range(400)),
+    })
+    out = str(tmp_path / "clustered")
+    manifest = write_clustered(
+        ray.data.from_pandas(rng_rows).repartition(5),
+        out, key_col="k", num_ranges=4).to_pandas() \
+        .sort_values("range_id").reset_index(drop=True)
+
+    assert manifest["n_rows"].sum() == 400
+    # ranges are key-disjoint and ordered
+    for i in range(1, len(manifest)):
+        assert manifest.loc[i - 1, "key_max"] < manifest.loc[i, "key_min"]
+    # each file exists and is sorted on k; union reproduces the input
+    seen = []
+    for _, row in manifest.iterrows():
+        assert os.path.exists(row["path"])
+        t = pq.read_table(row["path"])
+        ks = t.column("k").to_pylist()
+        assert ks == sorted(ks)
+        seen.extend(t.column("payload").to_pylist())
+    assert sorted(seen) == list(range(400))
