@@ -233,8 +233,40 @@ def union_by_name(dss: list):
     return out
 
 
+def cluster_bounds(ds, *, key_col: str, num_ranges: int = 16) -> list:
+    """Equal-row range boundaries (upper-inclusive keys) for
+    :func:`write_clustered` — compute ONCE per corpus family and pass
+    to every table you want co-partitioned (shared boundaries are what
+    make :func:`clustered_merge_join` exchange-free)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select([key_col]).group_by(key_col).aggregate(
+            [(key_col, "count")])
+        return pa.table({
+            key_col: agg.column(key_col),
+            "pn": pc.cast(agg.column(f"{key_col}_count"), pa.int64()),
+        })
+
+    hist = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(key_col).aggregate(Sum("pn")).take_all()
+    pairs = sorted((r[key_col], r["sum(pn)"]) for r in hist)
+    total = sum(c for _, c in pairs)
+    per_range = max(1, total // num_ranges)
+    bounds: list = []
+    cum = 0
+    for v, c in pairs:
+        cum += c
+        if cum >= (len(bounds) + 1) * per_range \
+                and len(bounds) < num_ranges - 1:
+            bounds.append(v)
+    return bounds
+
+
 def write_clustered(ds, out_dir: str, *, key_col: str,
-                    num_ranges: int = 16):
+                    num_ranges: int = 16, bounds: list | None = None):
     """CLUSTER BY layout: write parquet range-partitioned AND sorted on
     ``key_col`` -> one ``range=K`` directory per key range, rows inside
     each file in key order. Readers then get partition pruning on the
@@ -253,30 +285,9 @@ def write_clustered(ds, out_dir: str, *, key_col: str,
     import pandas as pd
     import pyarrow.parquet as pq
 
-    from ray.data.aggregate import Sum
-
-    from ..stages.util import coalesce_small
-
-    def partial(batch: pa.Table) -> pa.Table:
-        agg = batch.select([key_col]).group_by(key_col).aggregate(
-            [(key_col, "count")])
-        return pa.table({
-            key_col: agg.column(key_col),
-            "pn": pc.cast(agg.column(f"{key_col}_count"), pa.int64()),
-        })
-
-    hist = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
-        .groupby(key_col).aggregate(Sum("pn")).take_all()
-    pairs = sorted((r[key_col], r["sum(pn)"]) for r in hist)
-    total = sum(c for _, c in pairs)
-    per_range = max(1, total // num_ranges)
-    bounds = []          # upper-inclusive key bound per range
-    cum = 0
-    for v, c in pairs:
-        cum += c
-        if cum >= (len(bounds) + 1) * per_range \
-                and len(bounds) < num_ranges - 1:
-            bounds.append(v)
+    if bounds is None:
+        bounds = cluster_bounds(ds, key_col=key_col,
+                                num_ranges=num_ranges)
 
     def assign(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -308,3 +319,52 @@ def write_clustered(ds, out_dir: str, *, key_col: str,
     return ds.map_batches(assign, batch_format="pyarrow") \
         .groupby("range_id").map_groups(write_range,
                                         batch_format="pandas")
+
+
+def clustered_merge_join(dir_a: str, dir_b: str, *, key_col: str,
+                         suffix_b: str = "_b"):
+    """Partition-aligned inner join over two :func:`write_clustered`
+    layouts with the SAME key boundaries -> joined Dataset, NO shuffle:
+    range K of A only ever joins range K of B, so each range pair is
+    one independent task reading two locally-sorted files and doing an
+    in-task merge join. This is the payoff of clustering: co-partitioned
+    joins at 100 TB cost zero exchange.
+
+    Both layouts must have been written with identical ``num_ranges``
+    and key distribution (same corpus snapshot family); ranges missing
+    on either side contribute nothing (inner semantics).
+    """
+    import glob
+    import os
+
+    import ray.data
+
+    def ranges_of(d: str) -> dict[int, str]:
+        out = {}
+        for p in glob.glob(os.path.join(d, "range=*", "*.parquet")):
+            rid = int(os.path.basename(os.path.dirname(p)).split("=")[1])
+            out[rid] = p
+        return out
+
+    ra, rb = ranges_of(dir_a), ranges_of(dir_b)
+    common = sorted(set(ra) & set(rb))
+
+    def join_range(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for rid in batch.column("rid").to_pylist():
+            a = pq.read_table(ra[rid])
+            b = pq.read_table(rb[rid])
+            b = b.rename_columns([
+                c if c == key_col else c + suffix_b
+                for c in b.column_names])
+            outs.append(a.join(b, keys=key_col, join_type="inner"))
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    return ray.data.from_items(
+        [{"rid": r} for r in common],
+        override_num_blocks=max(1, len(common))) \
+        .map_batches(join_range, batch_size=1, batch_format="pyarrow")

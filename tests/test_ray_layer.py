@@ -461,3 +461,36 @@ def test_write_clustered_layout(ray_session, tmp_path):
         assert ks == sorted(ks)
         seen.extend(t.column("payload").to_pylist())
     assert sorted(seen) == list(range(400))
+
+
+def test_clustered_merge_join(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.sources.readers import clustered_merge_join, \
+        write_clustered
+
+    left = pd.DataFrame({"k": list(range(100)),
+                         "a_val": [i * 2 for i in range(100)]})
+    right = pd.DataFrame({"k": list(range(0, 100, 2)),
+                          "b_val": [i * 3 for i in range(0, 100, 2)]})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    from selma_ray.sources.readers import cluster_bounds
+    bounds = cluster_bounds(ray.data.from_pandas(left),
+                            key_col="k", num_ranges=4)
+    write_clustered(ray.data.from_pandas(left).repartition(3), da,
+                    key_col="k", bounds=bounds).materialize()
+    write_clustered(ray.data.from_pandas(right).repartition(2), db,
+                    key_col="k", bounds=bounds).materialize()
+
+    got = clustered_merge_join(da, db, key_col="k").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = left.merge(right, on="k").sort_values("k") \
+        .rename(columns={"b_val": "b_val_b"}).reset_index(drop=True)
+    # shared bounds co-partition both layouts, so the range-local
+    # joins reproduce the full join
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    assert (got["k"] == want["k"]).all()
+    assert (got["a_val"] == want["a_val"]).all()
+    assert (got["b_val_b"] == want["b_val_b"]).all()
