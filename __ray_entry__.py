@@ -459,6 +459,41 @@ def _q_ngram_overlap(sf_dir: str):
     return ngram_overlap(_read(sf_dir, "documents"), n=3)
 
 
+def _q_english_docs_pushdown(sf_dir: str):
+    """Predicate + projection pushdown at the READ: only the lang/
+    source/n_chars columns leave storage and the lang filter prunes at
+    row-group granularity (prune-at-the-read, not filter-after-load)."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "n_chars"],
+        filter=(pc.field("lang") == "en"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({
+            "source": batch.column("source"),
+            "pc_": pc.cast(batch.column("n_chars"), pa.int64()),
+        }).group_by("source").aggregate([("pc_", "sum"),
+                                         ("pc_", "count")])
+        return pa.table({
+            "source": g.column("source"),
+            "pchars": pc.cast(g.column("pc__sum"), pa.int64()),
+            "pn": pc.cast(g.column("pc__count"), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("pchars"), Sum("pn"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source": b.column("source"),
+            "n_docs": pc.cast(b.column("sum(pn)"), pa.int64()),
+            "total_chars": pc.cast(b.column("sum(pchars)"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def _q_char_entropy(sf_dir: str):
     from selma_ray.functions.text import char_entropy_batch
 
@@ -1258,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "cdc_chunks": _q_cdc_chunks,
         "char_entropy": _q_char_entropy,
+        "english_docs_pushdown": _q_english_docs_pushdown,
         "ngram_overlap": _q_ngram_overlap,
         "pagerank": _q_pagerank,
         "chunk_documents": _q_chunk_documents,
@@ -1628,6 +1664,11 @@ def oracle_sql() -> dict[str, str]:
                     / count(*)::DOUBLE) AS shared_frac
             FROM g JOIN df USING (gram)
             GROUP BY g.doc_id
+        """,
+        "english_docs_pushdown": r"""
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM documents WHERE lang = 'en' GROUP BY source
         """,
         "char_entropy": r"""
             WITH cnt AS (
