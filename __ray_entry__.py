@@ -1096,6 +1096,29 @@ def _q_explode_embeddings(sf_dir: str):
                         id_col="vec_id", list_col="embedding")
 
 
+def _q_cross_corpus_pairs(sf_dir: str):
+    """Cross-corpus near-dup mining (rows-only: LSH banding): corpus B
+    is every 4th document with its last word dropped — those rows must
+    pair with their A originals."""
+    from selma_ray.pipelines.dedup import cross_corpus_pairs
+
+    a = _read(sf_dir, "documents")
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % 4 == 0:
+                ids.append(d + 500_000)
+                texts.append(" ".join((t or "").split()[:-1]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.large_string())})
+
+    b = _read(sf_dir, "documents").map_batches(mutate,
+                                               batch_format="pyarrow")
+    return cross_corpus_pairs(a, b, threshold=0.6)
+
+
 def _q_corpus_diff(sf_dir: str):
     """Diff a deterministically mutated 'new crawl' against the stored
     corpus: drop doc_id % 11 == 0, edit text where % 7 == 0, add fresh
@@ -1331,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "explode_embeddings": _q_explode_embeddings,
         "corpus_diff": _q_corpus_diff,
+        "cross_corpus_pairs": _q_cross_corpus_pairs,
         "label_centroids": _q_label_centroids,
         "quantize_embeddings": _q_quantize_embeddings,
         "events_rollup": _q_events_rollup,

@@ -1154,3 +1154,72 @@ def corpus_diff(new_ds, old_ds, *, id_col: str = "doc_id",
         return pa.table({id_col: batch.column(id_col), "status": status})
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def cross_corpus_pairs(ds_a, ds_b, *, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 128,
+                       bands: int = 16, ngram: int = 3,
+                       threshold: float = 0.7, max_bucket: int = 2000):
+    """MinHash-LSH near-duplicate pairs ACROSS two corpora (id_a from
+    A, id_b from B, est-Jaccard >= threshold) — the cross-crawl /
+    cross-snapshot duplication analysis where within-corpus pairs are
+    noise and only A-x-B matches matter.
+
+    Same banding machinery as minhash_lsh_pairs; each side is tagged
+    map-side and each band bucket compares only across the tag, so a
+    bucket of n_a + n_b members costs n_a*n_b signature compares, not
+    (n_a+n_b)^2/2. Shuffle shape is one groupby(band_key) over both
+    banded streams plus the final pair-dedupe groupby.
+    """
+    kwargs = dict(id_col=id_col, text_col=text_col, k=k, bands=bands,
+                  ngram=ngram)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side, np.int8)))
+        return f
+
+    banded = ds_a.map_batches(_minhash_band_fn, fn_kwargs=kwargs,
+                              batch_format="pyarrow") \
+        .map_batches(tag(0), batch_format="pyarrow").union(
+            ds_b.map_batches(_minhash_band_fn, fn_kwargs=kwargs,
+                             batch_format="pyarrow")
+            .map_batches(tag(1), batch_format="pyarrow"))
+
+    def bucket_cross(group: pa.Table) -> pa.Table:
+        sides = group.column("side").to_numpy(zero_copy_only=False)
+        n = group.num_rows
+        id_type = group.column("id").type
+        if n < 2 or sides.min() == sides.max():
+            return pa.schema([("id_a", id_type), ("id_b", id_type),
+                              ("similarity", pa.float64()),
+                              ("method", pa.string())]).empty_table()
+        if n > max_bucket:
+            group = group.slice(0, max_bucket)
+            sides = sides[:max_bucket]
+            n = max_bucket
+        ids = group.column("id").to_pylist()
+        sigs = np.frombuffer(
+            b"".join(group.column("sig").to_pylist()),
+            dtype=np.uint64).reshape(n, k)
+        a_idx = np.nonzero(sides == 0)[0]
+        b_idx = np.nonzero(sides == 1)[0]
+        a_out, b_out, s_out = [], [], []
+        for i in a_idx:
+            est = (sigs[b_idx] == sigs[i]).mean(axis=1)
+            for j in np.nonzero(est >= threshold)[0]:
+                a_out.append(ids[i])
+                b_out.append(ids[b_idx[j]])
+                s_out.append(float(est[j]))
+        return pa.table({
+            "id_a": pa.array(a_out, id_type),
+            "id_b": pa.array(b_out, id_type),
+            "similarity": pa.array(s_out, pa.float64()),
+            "method": pa.array(["minhash_cross"] * len(a_out)),
+        })
+
+    pairs = coalesce_small(banded, target_rows=16384) \
+        .groupby("band_key").map_groups(bucket_cross,
+                                        batch_format="pyarrow")
+    return _dedup_pairs(pairs, "minhash_cross")

@@ -2098,3 +2098,29 @@ def test_compact_latest(ray_session):
         key_cols=["user_id", "event_type"]).to_pandas()
     kept = sorted(got["event_id"])
     assert kept == [3, 4, 5]
+
+
+def test_cross_corpus_pairs(ray_session):
+    """Only A-x-B matches surface; within-corpus dups are ignored."""
+    import ray.data
+
+    from selma_ray.pipelines.dedup import cross_corpus_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again with many words repeated here").split()
+    doc = " ".join(base * 3)
+    near = " ".join((base * 3)[:-2])        # drop 2 words -> near-dup
+    a = ray.data.from_items([
+        {"doc_id": 1, "text": doc},
+        {"doc_id": 2, "text": doc},         # within-A dup: must NOT pair
+        {"doc_id": 3, "text": "totally different content here folks"},
+    ]).repartition(2)
+    b = ray.data.from_items([
+        {"doc_id": 101, "text": near},
+        {"doc_id": 102, "text": "unrelated words in corpus b entirely"},
+    ]).repartition(2)
+    got = {(r["id_a"], r["id_b"])
+           for r in cross_corpus_pairs(a, b, threshold=0.5).take_all()}
+    assert (1, 101) in got and (2, 101) in got
+    assert all(ia in (1, 2, 3) and ib in (101, 102) for ia, ib in got)
+    assert (3, 102) not in got
