@@ -512,6 +512,12 @@ def _q_cdc_chunks(sf_dir: str):
                       max_size=256, mask_bits=6)
 
 
+def _q_source_vocab_overlap(sf_dir: str):
+    from selma_ray.pipelines.corpus import source_vocab_overlap
+
+    return source_vocab_overlap(_read(sf_dir, "documents"))
+
+
 def _q_pmi_collocations(sf_dir: str):
     from selma_ray.pipelines.corpus import pmi_collocations
 
@@ -1314,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "bigram_frequencies": _q_bigram_frequencies,
         "pmi_collocations": _q_pmi_collocations,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         "cdc_chunks": _q_cdc_chunks,
         "char_entropy": _q_char_entropy,
         "english_docs_pushdown": _q_english_docs_pushdown,
@@ -1709,6 +1716,27 @@ def oracle_sql() -> dict[str, str]:
                        AS entropy
             FROM cnt JOIN tot USING (doc_id)
             GROUP BY cnt.doc_id
+        """,
+        "source_vocab_overlap": r"""
+            WITH v AS (
+                SELECT DISTINCT source, u AS term
+                FROM (SELECT source,
+                             unnest(regexp_extract_all(text, '\S+')) AS u
+                      FROM documents)),
+            sz AS (SELECT source, count(*)::BIGINT AS n
+                   FROM v GROUP BY source),
+            inter AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       count(*)::BIGINT AS n_common
+                FROM v a JOIN v b
+                  ON a.term = b.term AND a.source < b.source
+                GROUP BY a.source, b.source)
+            SELECT i.src_a, i.src_b, i.n_common,
+                   (i.n_common::DOUBLE
+                    / (sa.n + sb.n - i.n_common)::DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.source = i.src_a
+            JOIN sz sb ON sb.source = i.src_b
         """,
         "pmi_collocations": r"""
             WITH toks AS (

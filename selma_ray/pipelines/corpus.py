@@ -838,3 +838,95 @@ def ngram_overlap(ds, *, n: int = 3, id_col: str = "doc_id",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_vocab_overlap(ds, *, group_col: str = "source",
+                         text_col: str = "text",
+                         num_partitions: int = 8):
+    """Pairwise vocabulary Jaccard between groups (sources, crawls,
+    snapshots) -> (src_a, src_b, n_common:int64, jaccard:float64) for
+    every unordered group pair sharing >= 1 term — the corpus-drift /
+    domain-similarity matrix.
+
+    Scale shape: the corpus collapses to DISTINCT (group, term) pairs
+    (per-batch set combiner -> one groupby de-dupe); intersections come
+    from a native self-join on term (fan-out per term is #groups²
+    worst-case — bounded by the GROUP count, not the corpus); group
+    vocabulary sizes are a driver-sized broadcast (one int per group).
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|), exact ints -> one division,
+    bit-exact vs SQL.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for w in set((t or "").split()):
+                seen.add((g, w))
+        gs, ws = zip(*seen) if seen else ((), ())
+        return pa.table({
+            "grp": pa.array(list(gs), pa.string()),
+            "term": pa.array(list(ws), pa.large_string()),
+        })
+
+    distinct = coalesce_small(
+        ds.map_batches(pairs, batch_format="pyarrow")) \
+        .groupby(["grp", "term"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow") \
+        .materialize()
+
+    # per-group vocab sizes: tiny (one row per group) -> broadcast
+    sizes = {}
+    def size_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["grp"]).group_by("grp").aggregate(
+            [("grp", "count")])
+        return pa.table({
+            "grp": g.column("grp"),
+            "pn": pc.cast(g.column("grp_count"), pa.int64()),
+        })
+    for r in coalesce_small(distinct.map_batches(
+            size_partial, batch_format="pyarrow")) \
+            .groupby("grp").aggregate(Sum("pn")).take_all():
+        sizes[r["grp"]] = r["sum(pn)"]
+    size_ref = ray.put(sizes)
+
+    side_b = distinct.map_batches(
+        lambda b: pa.table({"grp_b": b.column("grp"),
+                            "term": b.column("term")}),
+        batch_format="pyarrow")
+    joined = distinct.join(side_b, join_type="inner",
+                           num_partitions=num_partitions, on=("term",))
+
+    def inter_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch.column("grp"),
+                                 batch.column("grp_b")))
+        g = t.select(["grp", "grp_b"]).group_by(["grp", "grp_b"]) \
+            .aggregate([("grp", "count")])
+        return pa.table({
+            "src_a": g.column("grp"),
+            "src_b": g.column("grp_b"),
+            "pn": pc.cast(g.column("grp_count"), pa.int64()),
+        })
+
+    agg = coalesce_small(
+        joined.map_batches(inter_partial, batch_format="pyarrow")) \
+        .groupby(["src_a", "src_b"]).aggregate(Sum("pn"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sz = ray.get(size_ref)
+        a = batch.column("src_a").to_pylist()
+        b = batch.column("src_b").to_pylist()
+        inter = pc.cast(batch.column("sum(pn)"), pa.int64()).to_pylist()
+        jac = [i / (sz[x] + sz[y] - i)
+               for x, y, i in zip(a, b, inter)]
+        return pa.table({
+            "src_a": pa.array(a, pa.string()),
+            "src_b": pa.array(b, pa.string()),
+            "n_common": pa.array(inter, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
