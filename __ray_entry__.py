@@ -719,6 +719,12 @@ def _q_kmeans(sf_dir: str):
     return out
 
 
+def _q_cluster_exemplars(sf_dir: str):
+    from selma_ray.pipelines.clustering import cluster_exemplars
+
+    return cluster_exemplars(_read(sf_dir, "embeddings"), k=8, iters=10)
+
+
 def _q_embedding_near_dup(sf_dir: str):
     from selma_ray.pipelines.similarity import embedding_near_dup_pairs
 
@@ -1351,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "kmeans_embeddings": _q_kmeans,
+        "cluster_exemplars": _q_cluster_exemplars,
         "semantic_dedup": _q_semantic_dedup,
         "conversation_assembly": _q_conversation_assembly,
         "conversation_stats": _q_conversation_stats,

@@ -232,3 +232,56 @@ def label_centroids(ds, *, label_col: str = "label",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cluster_exemplars(ds, *, k: int = 8, iters: int = 10,
+                      id_col: str = "vec_id", emb_col: str = "embedding"):
+    """k-means cluster EXEMPLARS: for each cluster, the real vector
+    closest to its centroid -> (cluster:int64, vec_id:int64,
+    dist:float64) — the 'show me what each cluster looks like'
+    inspection op (medoid-style, but against the kmeans centroid).
+
+    Runs the distributed Lloyd's pass first, then ONE more map pass
+    where each block emits its per-cluster argmin candidate (distance
+    to the broadcast centroids); a tiny groupby(cluster) picks the
+    global winner. Vectors never leave their blocks; ties break by
+    vec_id for determinism.
+    """
+    import ray
+
+    from ray.data.aggregate import Min
+
+    import pandas as pd
+
+    _, centroids = kmeans(ds, k=k, iters=iters, id_col=id_col,
+                          emb_col=emb_col)
+    ref = ray.put(centroids)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _mat(batch, emb_col).astype(np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        rows = {"cluster": [], id_col: [], "dist": []}
+        for cl in np.unique(assign):
+            sel = np.nonzero(assign == cl)[0]
+            dist = np.sqrt(d2[sel, cl])
+            # deterministic argmin: (dist, vec_id)
+            order = np.lexsort((ids[sel], dist))
+            best = sel[order[0]]
+            rows["cluster"].append(int(cl))
+            rows[id_col].append(int(ids[best]))
+            rows["dist"].append(float(np.sqrt(d2[best, cl])))
+        return pa.table({
+            "cluster": pa.array(rows["cluster"], pa.int64()),
+            id_col: pa.array(rows[id_col], pa.int64()),
+            "dist": pa.array(rows["dist"], pa.float64()),
+        })
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist", id_col]).iloc[:1]
+        return g.reset_index(drop=True)
+
+    return ds.map_batches(candidates, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(pick, batch_format="pandas")

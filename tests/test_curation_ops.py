@@ -2124,3 +2124,37 @@ def test_cross_corpus_pairs(ray_session):
     assert (1, 101) in got and (2, 101) in got
     assert all(ia in (1, 2, 3) and ib in (101, 102) for ia, ib in got)
     assert (3, 102) not in got
+
+
+def test_cluster_exemplars(ray_session):
+    """The exemplar per cluster is the globally closest vector to that
+    cluster's centroid (verified against a single-process recompute)."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data
+
+    from selma_ray.pipelines.clustering import cluster_exemplars, kmeans
+
+    rng = np.random.RandomState(6)
+    centers = rng.randn(3, 8) * 5
+    vecs = np.vstack([c + rng.randn(30, 8) * 0.3 for c in centers]) \
+        .astype(np.float32)
+    t = pa_.table({
+        "vec_id": pa_.array(range(90), pa_.int64()),
+        "embedding": pa_.array([list(map(float, v)) for v in vecs],
+                               pa_.list_(pa_.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = {r["cluster"]: (r["vec_id"], r["dist"])
+           for r in cluster_exemplars(ds, k=3, iters=8).take_all()}
+    _, centroids = kmeans(ds, k=3, iters=8)
+    m = vecs.astype(np.float64)
+    d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    for cl in range(3):
+        sel = np.nonzero(assign == cl)[0]
+        dist = np.sqrt(d2[sel, cl])
+        best = sel[np.lexsort((sel, dist))[0]]
+        assert got[cl][0] == best
+        assert got[cl][1] == pytest.approx(np.sqrt(d2[best, cl]),
+                                           abs=1e-9)
