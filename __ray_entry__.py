@@ -1156,6 +1156,12 @@ def _q_corpus_diff(sf_dir: str):
     return corpus_diff(new_ds, _read(sf_dir, "documents"))
 
 
+def _q_top_similar_pairs(sf_dir: str):
+    from selma_ray.pipelines.similarity import top_similar_pairs
+
+    return top_similar_pairs(_read(sf_dir, "embeddings"), k_pairs=50)
+
+
 def _q_quantize_embeddings(sf_dir: str):
     from selma_ray.pipelines.similarity import quantize_embeddings
 
@@ -1371,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_pairs": _q_cross_corpus_pairs,
         "label_centroids": _q_label_centroids,
         "quantize_embeddings": _q_quantize_embeddings,
+        "top_similar_pairs": _q_top_similar_pairs,
         "events_rollup": _q_events_rollup,
         "events_windowed": _q_events_windowed,
         "events_rollup_sets": _q_events_rollup_sets,

@@ -455,3 +455,61 @@ def dequantize_embeddings_batch(batch: pa.Table, *,
                     for b in batch.column(vec_col).to_pylist()])
     scale = batch.column("scale").to_numpy(zero_copy_only=False)
     return (raw.astype(np.float32) * scale[:, None].astype(np.float32))
+
+
+def top_similar_pairs(ds, *, k_pairs: int = 50, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      max_broadcast_rows: int = 200_000):
+    """The ``k_pairs`` globally most-similar cosine pairs (id_a < id_b)
+    — threshold-free near-dup triage ("show me the closest pairs").
+
+    Same broadcast-self matmul as embedding_near_dup_pairs, but each
+    block k-prunes to its own top ``k_pairs`` candidates (np.argpartition,
+    no per-block full sort) and the final exact sort+limit runs over at
+    most k_pairs x blocks rows — never the full pair matrix. Ties break
+    by (id_a, id_b) for determinism. Same broadcast-fit bound as the
+    threshold variant; LSH-bucket beyond it.
+    """
+    import ray
+
+    def to_mat(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": pa.compute.cast(batch.column(id_col), pa.int64()),
+            "emb": batch.column(emb_col),
+        })
+
+    slim = ds.map_batches(to_mat, batch_format="pyarrow")
+    id_parts, mat_parts, n_rows = [], [], 0
+    for b in slim.iter_batches(batch_format="pyarrow", batch_size=8192):
+        n_rows += b.num_rows
+        if n_rows > max_broadcast_rows:
+            raise ValueError("corpus too large to broadcast; "
+                             "use the LSH-bucketed path")
+        id_parts.append(b.column("id").to_numpy(zero_copy_only=False))
+        mat_parts.append(_batch_matrix(b, "emb"))
+    all_ids = np.concatenate(id_parts).astype(np.int64)
+    M = _normalize(np.vstack(mat_parts))
+    ref = ray.put((all_ids, M))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids_all, mat = ray.get(ref)
+        ids = pa.compute.cast(batch.column(id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        E = _normalize(_batch_matrix(batch, emb_col))
+        sims = E @ mat.T                      # (b, N)
+        mask = ids[:, None] < ids_all[None, :]  # pair once, no self
+        sims = np.where(mask, sims, -np.inf)
+        flat = sims.ravel()
+        k = min(k_pairs, flat.size)
+        idx = np.argpartition(-flat, k - 1)[:k]
+        idx = idx[np.isfinite(flat[idx])]
+        r, c = np.unravel_index(idx, sims.shape)
+        return pa.table({
+            "id_a": pa.array(ids[r], pa.int64()),
+            "id_b": pa.array(ids_all[c], pa.int64()),
+            "similarity": pa.array(flat[idx], pa.float64()),
+        })
+
+    cand = ds.map_batches(block_topk, batch_format="pyarrow")
+    return cand.sort(["similarity", "id_a", "id_b"],
+                     descending=[True, False, False]).limit(k_pairs)

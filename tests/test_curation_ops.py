@@ -2158,3 +2158,34 @@ def test_cluster_exemplars(ray_session):
         assert got[cl][0] == best
         assert got[cl][1] == pytest.approx(np.sqrt(d2[best, cl]),
                                            abs=1e-9)
+
+
+def test_top_similar_pairs_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data
+
+    from selma_ray.pipelines.similarity import top_similar_pairs
+
+    rng = np.random.RandomState(12)
+    vecs = rng.randn(60, 10).astype(np.float32)
+    vecs[41] = vecs[3] + 0.01 * rng.randn(10)   # planted closest pair
+    t = pa_.table({
+        "vec_id": pa_.array(range(60), pa_.int64()),
+        "embedding": pa_.array([list(map(float, v)) for v in vecs],
+                               pa_.list_(pa_.float32())),
+    })
+    got = top_similar_pairs(ray.data.from_arrow(t).repartition(4),
+                            k_pairs=10).take_all()
+    # reference: full pair matrix
+    M = vecs.astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    pairs = [(S[i, j], i, j) for i in range(60) for j in range(i + 1, 60)]
+    pairs.sort(key=lambda p: (-p[0], p[1], p[2]))
+    want = pairs[:10]
+    assert len(got) == 10
+    assert (got[0]["id_a"], got[0]["id_b"]) == (3, 41)
+    for g, (s, i, j) in zip(got, want):
+        assert (g["id_a"], g["id_b"]) == (i, j)
+        assert g["similarity"] == pytest.approx(s, abs=1e-9)
