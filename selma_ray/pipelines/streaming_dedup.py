@@ -74,6 +74,26 @@ class _HashShard:
     def size(self) -> int:
         return len(self.seen)
 
+    def dump(self, path: str) -> int:
+        """Checkpoint this shard's fingerprints to one parquet file
+        (sorted -> deterministic bytes; idempotent overwrite)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arr = np.fromiter(self.seen, dtype=np.uint64,
+                          count=len(self.seen))
+        arr.sort()
+        pq.write_table(pa.table({"fp": pa.array(arr, pa.uint64())}), path)
+        return len(arr)
+
+    def load(self, path: str) -> int:
+        """Restore (merge) fingerprints from a checkpoint file."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["fp"])
+        self.seen.update(t.column("fp").to_numpy().tolist())
+        return len(self.seen)
+
 
 def streaming_exact_dedup(ds, *, text_col: str = "text",
                           num_shards: int = 8):
@@ -109,3 +129,41 @@ def streaming_exact_dedup(ds, *, text_col: str = "text",
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(filter_new, batch_format="pyarrow"), shards
+
+
+def checkpoint_index(shards, out_dir: str) -> int:
+    """Persist the live dedup index: every shard dumps its slice to
+    ``out_dir/shard-K.parquet`` IN PARALLEL (sorted fingerprints ->
+    deterministic, idempotent files). Returns total fingerprints.
+
+    With this, streaming ingest becomes restartable: checkpoint after
+    each ingest batch/epoch, and on restart ``restore_index`` rebuilds
+    the exact membership state before new data flows — the shared-
+    mutable-state complement of the per-partition output manifest.
+    """
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    refs = [s.dump.remote(os.path.join(out_dir, f"shard-{k}.parquet"))
+            for k, s in enumerate(shards)]
+    return sum(ray.get(refs))
+
+
+def restore_index(shards, out_dir: str) -> int:
+    """Load a :func:`checkpoint_index` directory back into live shards
+    (merging with anything already present). Shard count must match
+    the checkpoint's (fingerprints are sharded by hash % num_shards)."""
+    import glob
+    import os
+
+    import ray
+
+    paths = sorted(glob.glob(os.path.join(out_dir, "shard-*.parquet")))
+    if len(paths) != len(shards):
+        raise ValueError(
+            f"checkpoint has {len(paths)} shards, index has "
+            f"{len(shards)} — shard count must match")
+    refs = [s.load.remote(p) for s, p in zip(shards, paths)]
+    return sum(ray.get(refs))

@@ -2189,3 +2189,33 @@ def test_top_similar_pairs_exact(ray_session):
     for g, (s, i, j) in zip(got, want):
         assert (g["id_a"], g["id_b"]) == (i, j)
         assert g["similarity"] == pytest.approx(s, abs=1e-9)
+
+
+def test_streaming_dedup_checkpoint_restore(ray_session, tmp_path):
+    """checkpoint_index -> fresh shards -> restore_index: previously
+    admitted texts are rejected after restart, new ones admitted."""
+    import ray
+    import ray.data
+
+    from selma_ray.pipelines.streaming_dedup import (
+        checkpoint_index,
+        restore_index,
+        streaming_exact_dedup,
+    )
+
+    a = ray.data.from_items(
+        [{"text": f"doc {i % 6}"} for i in range(30)])
+    out, shards = streaming_exact_dedup(a, num_shards=4)
+    assert out.count() == 6
+    ckpt = str(tmp_path / "dedup_index")
+    total = checkpoint_index(shards, ckpt)
+    assert total == 6
+
+    # simulate restart: brand-new shard actors, restore state
+    b = ray.data.from_items(
+        [{"text": t} for t in
+         ["doc 0", "doc 5", "brand new", "brand new", "doc 3"]])
+    out2, shards2 = streaming_exact_dedup(b, num_shards=4)
+    restore_index(shards2, ckpt)
+    kept = [r["text"] for r in out2.take_all()]
+    assert kept == ["brand new"]
