@@ -786,6 +786,12 @@ def _q_rolling_avg(sf_dir: str):
     return rolling_avg_events(_read(sf_dir, "events"), window_rows=5)
 
 
+def _q_sample_exact(sf_dir: str):
+    from selma_ray.pipelines.sampling import sample_exact_n
+
+    return sample_exact_n(_read(sf_dir, "documents"), n=100, seed=7)
+
+
 def _q_user_skew_report(sf_dir: str):
     from selma_ray.pipelines.relational import key_skew_report
 
@@ -1384,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "user_skew_report": _q_user_skew_report,
         "rolling_avg": _q_rolling_avg,
+        "sample_exact": _q_sample_exact,
         "compact_latest": _q_compact_latest,
         "union_by_name": _q_union_by_name,
         "user_first_last": _q_user_first_last,
@@ -2013,6 +2020,15 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id, event_type
                 ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "sample_exact": r"""
+            WITH r AS (
+                SELECT doc_id,
+                       (row_number() OVER (
+                            ORDER BY md5('7:' || doc_id), doc_id)
+                        - 1)::BIGINT AS position
+                FROM documents)
+            SELECT doc_id, position FROM r WHERE position < 100
         """,
         "rolling_avg": r"""
             SELECT event_id, user_id, ts,

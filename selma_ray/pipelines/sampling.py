@@ -411,3 +411,21 @@ def train_val_test_split(ds, *, key_col: str = "doc_id",
                                    pa.array(splits, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sample_exact_n(ds, *, n: int, id_col: str = "doc_id", seed: int = 0):
+    """EXACTLY-n uniform sample without replacement, deterministic and
+    seed-keyed: keep the rows whose position in the epoch_shuffle
+    permutation (rank of md5(f"{seed}:{id}"), ties by id) is < n —
+    ``ds.random_sample`` gives only an approximate fraction and no
+    seed-stable membership; this gives a reproducible exact-count
+    sample any worker can recompute.
+
+    Shuffle shape = epoch_shuffle (bucket histogram + per-bucket local
+    rank; only (bucket, hash, id) triples move), then a broadcast-free
+    map-only filter on position.
+    """
+    pos = epoch_shuffle(ds, id_col=id_col, seed=seed)
+    keep = pos.filter(expr=f"position < {n}") \
+        .select_columns([id_col, "position"])
+    return keep

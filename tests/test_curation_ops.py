@@ -1168,6 +1168,23 @@ class TestEpochShuffle:
         assert a != b
         assert sorted(a.values()) == list(range(50))
 
+    def test_sample_exact_n_matches_permutation_prefix(self, ray_session):
+        import hashlib
+
+        import ray.data
+        from selma_ray.pipelines.sampling import sample_exact_n
+
+        n, k = 120, 17
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+        })).repartition(5)
+        out = sample_exact_n(ds, n=k, seed=7).take_all()
+        assert len(out) == k
+        order = sorted(range(n), key=lambda i: (
+            hashlib.md5(f"7:{i}".encode()).hexdigest(), i))
+        want = {i: p for p, i in enumerate(order[:k])}
+        assert {r["doc_id"]: r["position"] for r in out} == want
+
 
 class TestUnigramLogprob:
     TEXTS = ["the cat sat on the mat", "the dog", "", "  ", "zebra zebra qux"]
