@@ -756,6 +756,13 @@ def _q_user_first_last(sf_dir: str):
     return user_first_last(_read(sf_dir, "events"))
 
 
+def _q_funnel_steps(sf_dir: str):
+    from selma_ray.pipelines.relational import funnel_steps
+
+    return funnel_steps(_read(sf_dir, "events"),
+                        steps=["view", "click", "purchase"])
+
+
 def _q_union_by_name(sf_dir: str):
     """Schema-evolution union: two projections of documents with
     different column sets, aligned by name (missing -> nulls)."""
@@ -1394,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_latest": _q_compact_latest,
         "union_by_name": _q_union_by_name,
         "user_first_last": _q_user_first_last,
+        "funnel_steps": _q_funnel_steps,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
         "urgent_lines_semi": _q_urgent_lines_semi,
@@ -1999,6 +2007,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "funnel_steps": r"""
+            WITH f1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), f2 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), f3 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT 1::BIGINT AS step_idx, 'view' AS event_type,
+                   (SELECT count(*) FROM f1)::BIGINT AS n_users
+            UNION ALL
+            SELECT 2::BIGINT, 'click', (SELECT count(*) FROM f2)::BIGINT
+            UNION ALL
+            SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM f3)::BIGINT
         """,
         "user_first_last": r"""
             SELECT user_id,

@@ -1633,3 +1633,82 @@ def user_first_last(events_ds):
         .map_batches(ends, batch_format="pandas")
     return coalesce_small(combined).groupby("user_id") \
         .map_groups(fold, batch_format="pandas")
+
+
+def funnel_steps(events_ds, steps: list[str]):
+    """Sequential funnel conversion over an ordered event-type path ->
+    (step_idx:int64, event_type, n_users:int64), where n_users counts
+    the users who completed steps[0..i] IN TIMESTAMP ORDER: step i+1
+    must occur strictly after the user's earliest valid completion of
+    step i (the classic t2 = min ts(step2) with ts > t1 recurrence).
+
+    Scale shape: the read is pruned to (user_id, event_type, ts) and
+    filtered to the funnel's event types BEFORE the only shuffle, so
+    non-funnel events never leave the scan. groupby(user_id).map_groups
+    replays each user's slim event list with a vectorized per-step
+    min-over-threshold scan (per-group state never crosses users); the
+    per-user depths collapse through a per-block histogram combiner so
+    the final groupby carries at most len(steps)+1 rows per block.
+    Mirrors the nested min-filter SQL formulation (no window functions
+    needed; reference semantics: selector chains fire in document
+    order, rewriter.rs:356-440 — same earliest-match-then-advance
+    discipline applied to event streams).
+    """
+    from ray.data.aggregate import Sum
+
+    step_of = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def depth(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sidx = np.array([step_of[t] for t in
+                         group.column("event_type").to_pylist()],
+                        dtype=np.int64)
+        prev = -np.inf
+        d = 0
+        for i in range(n_steps):
+            cand = ts[(sidx == i) & (ts > prev)]
+            if len(cand) == 0:
+                break
+            prev = cand.min()
+            d += 1
+        return pa.table({"depth": pa.array([d], pa.int64()),
+                         "n_partial": pa.array([1], pa.int64())})
+
+    def hist(batch: pa.Table) -> pa.Table:
+        return _partial_sum_by(
+            {"depth": batch.column("depth"),
+             "n": batch.column("n_partial")},
+            ["depth"], ["n"], "n_rows")
+
+    step_set = pa.array(steps, pa.string())
+
+    def keep_steps(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("event_type"),
+                                     value_set=step_set))
+
+    slim = events_ds.select_columns(["user_id", "event_type", "ts"]) \
+        .map_batches(keep_steps, batch_format="pyarrow")
+    depths = slim.groupby("user_id").map_groups(
+        depth, batch_format="pyarrow")
+    agg = coalesce_small(depths.map_batches(hist, batch_format="pyarrow")) \
+        .groupby("depth").aggregate(Sum("n")).take_all()
+
+    reached = [0] * (n_steps + 1)
+    for r in agg:
+        reached[int(r["depth"])] = int(r["sum(n)"])
+    # users at depth >= i completed step i
+    cum = 0
+    n_at_least = [0] * (n_steps + 1)
+    for d in range(n_steps, -1, -1):
+        cum += reached[d]
+        n_at_least[d] = cum
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "step_idx": pa.array(range(1, n_steps + 1), pa.int64()),
+        "event_type": pa.array(steps, pa.string()),
+        "n_users": pa.array([n_at_least[i] for i in range(1, n_steps + 1)],
+                            pa.int64()),
+    }))

@@ -2236,3 +2236,42 @@ def test_streaming_dedup_checkpoint_restore(ray_session, tmp_path):
     restore_index(shards2, ckpt)
     kept = [r["text"] for r in out2.take_all()]
     assert kept == ["brand new"]
+
+
+def test_funnel_steps_sequential_order(ray_session):
+    import datetime
+
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.relational import funnel_steps
+
+    base = datetime.datetime(2024, 5, 1)
+
+    def ev(i, u, t, m):
+        return {"event_id": i, "user_id": u, "event_type": t,
+                "ts": base + datetime.timedelta(minutes=m)}
+
+    rows = [
+        # user 1: full funnel in order
+        ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 1, "purchase", 9),
+        # user 2: click BEFORE view -> depth 1 only (order matters)
+        ev(4, 2, "click", 0), ev(5, 2, "view", 5),
+        # user 3: view then purchase (no click) -> depth 1
+        ev(6, 3, "view", 0), ev(7, 3, "purchase", 2),
+        # user 4: no funnel events at all
+        ev(8, 4, "error", 0),
+        # user 5: view, click, click, purchase with a decoy early purchase
+        ev(9, 5, "purchase", 0), ev(10, 5, "view", 1), ev(11, 5, "click", 2),
+        ev(12, 5, "purchase", 3),
+        # user 6: simultaneous view+click (strict > excludes the tie)
+        ev(13, 6, "view", 0), ev(14, 6, "click", 0),
+    ]
+    got = funnel_steps(
+        ray.data.from_pandas(pd.DataFrame(rows)).repartition(4),
+        steps=["view", "click", "purchase"]).to_pandas() \
+        .set_index("step_idx")
+    assert got.loc[1, "n_users"] == 5      # users 1,2,3,5,6 saw a view
+    assert got.loc[2, "n_users"] == 2      # users 1,5 clicked after view
+    assert got.loc[3, "n_users"] == 2      # users 1,5 purchased after click
+    assert list(got["event_type"]) == ["view", "click", "purchase"]
