@@ -763,6 +763,12 @@ def _q_funnel_steps(sf_dir: str):
                         steps=["view", "click", "purchase"])
 
 
+def _q_cohort_retention(sf_dir: str):
+    from selma_ray.pipelines.relational import cohort_retention
+
+    return cohort_retention(_read(sf_dir, "events"))
+
+
 def _q_union_by_name(sf_dir: str):
     """Schema-evolution union: two projections of documents with
     different column sets, aligned by name (missing -> nulls)."""
@@ -1402,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_by_name": _q_union_by_name,
         "user_first_last": _q_user_first_last,
         "funnel_steps": _q_funnel_steps,
+        "cohort_retention": _q_cohort_retention,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
         "urgent_lines_semi": _q_urgent_lines_semi,
@@ -2007,6 +2014,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "cohort_retention": r"""
+            WITH acts AS (
+                SELECT DISTINCT user_id,
+                       (epoch_us(ts) // 604800000000)::BIGINT AS w
+                FROM events
+            ), firsts AS (
+                SELECT user_id, min(w) AS cw FROM acts GROUP BY user_id
+            )
+            SELECT cw AS cohort_week, (w - cw)::BIGINT AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM acts JOIN firsts USING (user_id)
+            GROUP BY cw, w - cw
         """,
         "funnel_steps": r"""
             WITH f1 AS (

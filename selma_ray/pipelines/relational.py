@@ -1712,3 +1712,66 @@ def funnel_steps(events_ds, steps: list[str]):
         "n_users": pa.array([n_at_least[i] for i in range(1, n_steps + 1)],
                             pa.int64()),
     }))
+
+
+def cohort_retention(events_ds):
+    """Weekly cohort retention matrix -> (cohort_week:int64,
+    week_offset:int64, n_users:int64): users are assigned to the epoch
+    week of their first-ever event, and n_users counts how many of a
+    cohort's users were active again week_offset weeks later.
+
+    Scale shape: blocks collapse to DISTINCT (user_id, epoch_week)
+    pairs before anything shuffles (activity within a week dedupes in
+    place), so only 16-byte pairs ride the per-user groupby. The
+    cohort week is just min(week) inside each user's group — no join
+    back to a firsts table and no broadcast of a user-sized side. The
+    emitted (cohort_week, week_offset) labels then collapse through
+    the standard per-block histogram combiner into the final tiny
+    groupby whose size is the week-domain squared, not the row count.
+    """
+    from ray.data.aggregate import Sum
+
+    WEEK_US = 604_800_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        key = np.stack([uid, us // WEEK_US], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({"user_id": pa.array(uniq[:, 0], pa.int64()),
+                         "week": pa.array(uniq[:, 1], pa.int64())})
+
+    def offsets(group: pa.Table) -> pa.Table:
+        weeks = np.unique(group.column("week").to_numpy(
+            zero_copy_only=False))
+        cohort = weeks.min()
+        n = len(weeks)
+        return pa.table({
+            "cohort_week": pa.array(np.full(n, cohort), pa.int64()),
+            "week_offset": pa.array(weeks - cohort, pa.int64()),
+            "n": pa.array(np.ones(n, dtype=np.int64), pa.int64()),
+        })
+
+    def hist(batch: pa.Table) -> pa.Table:
+        return _partial_sum_by(
+            {"cohort_week": batch.column("cohort_week"),
+             "week_offset": batch.column("week_offset"),
+             "n": batch.column("n")},
+            ["cohort_week", "week_offset"], ["n"], "n_rows")
+
+    acted = events_ds.select_columns(["user_id", "ts"]) \
+        .map_batches(pairs, batch_format="pyarrow")
+    labeled = acted.groupby("user_id").map_groups(
+        offsets, batch_format="pyarrow")
+    agg = coalesce_small(labeled.map_batches(hist, batch_format="pyarrow")) \
+        .groupby(["cohort_week", "week_offset"]).aggregate(Sum("n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": batch.column("cohort_week"),
+            "week_offset": batch.column("week_offset"),
+            "n_users": batch.column("sum(n)"),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")

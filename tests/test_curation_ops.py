@@ -2275,3 +2275,41 @@ def test_funnel_steps_sequential_order(ray_session):
     assert got.loc[2, "n_users"] == 2      # users 1,5 clicked after view
     assert got.loc[3, "n_users"] == 2      # users 1,5 purchased after click
     assert list(got["event_type"]) == ["view", "click", "purchase"]
+
+
+def test_cohort_retention_matrix(ray_session):
+    import datetime
+
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.relational import cohort_retention
+
+    # epoch week boundary: 1970-01-01 was a Thursday; use raw 7-day bins
+    w0 = datetime.datetime(2024, 1, 4)    # some week W
+    wk = datetime.timedelta(days=7)
+    rows = []
+    eid = 0
+
+    def ev(u, t):
+        nonlocal eid
+        eid += 1
+        rows.append({"event_id": eid, "user_id": u, "ts": t})
+
+    ev(1, w0); ev(1, w0 + datetime.timedelta(hours=5))   # same week, dedup
+    ev(1, w0 + 2 * wk)                                    # back at offset 2
+    ev(2, w0); ev(2, w0 + wk)                             # offsets 0,1
+    ev(3, w0 + wk)                                        # later cohort
+    got = cohort_retention(
+        ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)) \
+        .to_pandas().set_index(["cohort_week", "week_offset"]) \
+        .sort_index()
+    W = int((w0 - datetime.datetime(1970, 1, 1)).total_seconds()
+            * 1_000_000) // 604_800_000_000
+    W1 = int(((w0 + wk) - datetime.datetime(1970, 1, 1)).total_seconds()
+             * 1_000_000) // 604_800_000_000
+    assert got.loc[(W, 0), "n_users"] == 2        # users 1,2 start week W
+    assert got.loc[(W, 1), "n_users"] == 1        # user 2 returns
+    assert got.loc[(W, 2), "n_users"] == 1        # user 1 returns
+    assert got.loc[(W1 if W1 != W else W, 0), "n_users"] >= 1
+    assert len(got) == 4
