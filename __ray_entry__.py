@@ -763,6 +763,12 @@ def _q_funnel_steps(sf_dir: str):
                         steps=["view", "click", "purchase"])
 
 
+def _q_events_cube(sf_dir: str):
+    from selma_ray.pipelines.relational import events_cube
+
+    return events_cube(_read(sf_dir, "events"))
+
+
 def _q_cohort_retention(sf_dir: str):
     from selma_ray.pipelines.relational import cohort_retention
 
@@ -1409,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": _q_user_first_last,
         "funnel_steps": _q_funnel_steps,
         "cohort_retention": _q_cohort_retention,
+        "events_cube": _q_events_cube,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
         "urgent_lines_semi": _q_urgent_lines_semi,
@@ -2014,6 +2021,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "events_cube": r"""
+            SELECT COALESCE(event_type, '') AS event_type,
+                   COALESCE(weekday, -1)::BIGINT AS weekday,
+                   n_events, sum_value_cents
+            FROM (
+                SELECT event_type, weekday,
+                       count(*)::BIGINT AS n_events,
+                       sum(cents)::BIGINT AS sum_value_cents
+                FROM (
+                    SELECT event_type,
+                           ((epoch_us(ts) // 86400000000) % 7)::BIGINT
+                               AS weekday,
+                           round(value * 100)::BIGINT AS cents
+                    FROM events
+                )
+                GROUP BY CUBE(event_type, weekday)
+            )
         """,
         "cohort_retention": r"""
             WITH acts AS (

@@ -1775,3 +1775,68 @@ def cohort_retention(events_ds):
         })
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def events_cube(ds):
+    """GROUP BY CUBE(event_type, weekday): all four grouping sets —
+    (type, weekday) detail, per-type totals, per-weekday totals, and
+    the grand total — as one table (event_type, weekday:int64,
+    n_events:int64, sum_value_cents:int64). Rolled-up slots carry
+    sentinels ('' / -1) instead of SQL NULL, same convention as
+    events_rollup_sets. weekday is epoch-day mod 7 (0 = Thursday), a
+    pure integer derivation with no timezone/locale semantics.
+
+    Scale shape: exactly ONE shuffle at the finest grain (per-block
+    cents combiner -> groupby(event_type, weekday)); the three coarser
+    sets are folded from that aggregate, whose size is the key domain
+    (types x 7), in exact integer arithmetic on the driver.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        weekday = pa.array((us // DAY_US) % 7, pa.int64())
+        return _partial_sum_by(
+            {"event_type": batch.column("event_type"),
+             "weekday": weekday, "v": _cents(batch.column("value"))},
+            ["event_type", "weekday"], ["v"], "n_partial")
+
+    finest = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["event_type", "weekday"]) \
+        .aggregate(Sum("v"), Sum("n_partial")).take_all()
+
+    types, wdays, ns, sums = [], [], [], []
+    by_type: dict = {}
+    by_wday: dict = {}
+    tot_n = tot_s = 0
+    for r in finest:
+        n, s = int(r["sum(n_partial)"]), int(r["sum(v)"])
+        types.append(r["event_type"])
+        wdays.append(int(r["weekday"]))
+        ns.append(n)
+        sums.append(s)
+        for d, k in ((by_type, r["event_type"]), (by_wday, int(r["weekday"]))):
+            a = d.setdefault(k, [0, 0])
+            a[0] += n
+            a[1] += s
+        tot_n += n
+        tot_s += s
+    for t in sorted(by_type):
+        types.append(t); wdays.append(-1)
+        ns.append(by_type[t][0]); sums.append(by_type[t][1])
+    for w in sorted(by_wday):
+        types.append(""); wdays.append(w)
+        ns.append(by_wday[w][0]); sums.append(by_wday[w][1])
+    if finest:
+        types.append(""); wdays.append(-1)
+        ns.append(tot_n); sums.append(tot_s)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "weekday": pa.array(wdays, pa.int64()),
+        "n_events": pa.array(ns, pa.int64()),
+        "sum_value_cents": pa.array(sums, pa.int64()),
+    }))

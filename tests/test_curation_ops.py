@@ -2313,3 +2313,37 @@ def test_cohort_retention_matrix(ray_session):
     assert got.loc[(W, 2), "n_users"] == 1        # user 1 returns
     assert got.loc[(W1 if W1 != W else W, 0), "n_users"] >= 1
     assert len(got) == 4
+
+
+def test_events_cube_grouping_sets(ray_session):
+    import datetime
+
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.relational import events_cube
+
+    base = datetime.datetime(2024, 1, 4)   # a Thursday -> epoch-day%7 == 0
+    rows = [
+        {"event_id": 1, "event_type": "a", "ts": base, "value": 1.0},
+        {"event_id": 2, "event_type": "a",
+         "ts": base + datetime.timedelta(days=1), "value": 2.0},
+        {"event_id": 3, "event_type": "b", "ts": base, "value": 4.0},
+    ]
+    got = events_cube(
+        ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)) \
+        .to_pandas().set_index(["event_type", "weekday"]).sort_index()
+    # detail cells
+    assert got.loc[("a", 0), "sum_value_cents"] == 100
+    assert got.loc[("a", 1), "sum_value_cents"] == 200
+    assert got.loc[("b", 0), "sum_value_cents"] == 400
+    # per-type totals (weekday sentinel -1)
+    assert got.loc[("a", -1), "n_events"] == 2
+    assert got.loc[("b", -1), "n_events"] == 1
+    # per-weekday totals (type sentinel '')
+    assert got.loc[("", 0), "sum_value_cents"] == 500
+    assert got.loc[("", 1), "sum_value_cents"] == 200
+    # grand total
+    assert got.loc[("", -1), "n_events"] == 3
+    assert got.loc[("", -1), "sum_value_cents"] == 700
+    assert len(got) == 3 + 2 + 2 + 1
