@@ -763,6 +763,16 @@ def _q_funnel_steps(sf_dir: str):
                         steps=["view", "click", "purchase"])
 
 
+def _q_pca_embeddings(sf_dir: str):
+    """Distributed PCA projection (rows-only: eigendecomposition is not
+    SQL-expressible; parity vs single-process numpy PCA is tested in
+    tests/test_curation_ops.py)."""
+    from selma_ray.pipelines.clustering import pca_project
+
+    proj, _w, _m = pca_project(_read(sf_dir, "embeddings"), k=8)
+    return proj
+
+
 def _q_events_cube(sf_dir: str):
     from selma_ray.pipelines.relational import events_cube
 
@@ -1416,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_steps": _q_funnel_steps,
         "cohort_retention": _q_cohort_retention,
         "events_cube": _q_events_cube,
+        "pca_embeddings": _q_pca_embeddings,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
         "urgent_lines_semi": _q_urgent_lines_semi,

@@ -285,3 +285,71 @@ def cluster_exemplars(ds, *, k: int = 8, iters: int = 10,
 
     return ds.map_batches(candidates, batch_format="pyarrow") \
         .groupby("cluster").map_groups(pick, batch_format="pandas")
+
+
+def pca_project(ds, *, k: int = 8, id_col: str = "vec_id",
+                emb_col: str = "embedding"):
+    """Distributed PCA: project each embedding onto the top-k principal
+    components of the corpus. Returns (proj_ds, components, mean) where
+    proj_ds has (vec_id:int64, proj:list<double> length k) and
+    components is the (k, d) eigenvector matrix (descending eigenvalue
+    order, sign-fixed so each component's largest-|w| coordinate is
+    positive — deterministic across runs).
+
+    Scale shape: one shuffle-free moment pass — every block emits a
+    SINGLE partial row (n, sum_x[d], flattened X^T X [d*d]); the driver
+    folds the ~(d^2+d+1)-float partials and runs the d x d eigh
+    locally (d is embedding width, not corpus size). The projection
+    pass broadcasts (mean, W) once via ray.put and is map-only; vectors
+    never leave their blocks and nothing corpus-sized shuffles. For
+    d in the thousands, swap the dense d^2 partial for a randomized
+    sketch (d x (k+p) range finder) — same two-pass structure.
+    """
+    import ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        X = _mat(batch, emb_col)
+        if not X.size:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.list_(pa.float64())),
+                             "xtx": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "sx": pa.array([X.sum(axis=0).tolist()],
+                           pa.list_(pa.float64())),
+            "xtx": pa.array([(X.T @ X).ravel().tolist()],
+                            pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(int(p["n"]) for p in parts)
+    if n == 0:
+        raise ValueError("pca_project: empty dataset")
+    d = len(parts[0]["sx"])
+    sx = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for p in parts:
+        sx += np.asarray(p["sx"])
+        xtx += np.asarray(p["xtx"]).reshape(d, d)
+    mean = sx / n
+    cov = xtx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order].T                      # (k, d)
+    for i in range(W.shape[0]):               # deterministic sign
+        j = int(np.argmax(np.abs(W[i])))
+        if W[i, j] < 0:
+            W[i] = -W[i]
+    ref = ray.put((mean, W))
+
+    def project(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        m, comp = ray.get(_ref)
+        X = _mat(batch, emb_col)
+        P = (X - m) @ comp.T if X.size else np.zeros((0, comp.shape[0]))
+        ids = batch.column(id_col)
+        return pa.table({
+            id_col: ids,
+            "proj": pa.array(P.tolist(), pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow"), W, mean

@@ -2347,3 +2347,43 @@ def test_events_cube_grouping_sets(ray_session):
     assert got.loc[("", -1), "n_events"] == 3
     assert got.loc[("", -1), "sum_value_cents"] == 700
     assert len(got) == 3 + 2 + 2 + 1
+
+
+def test_pca_project_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from selma_ray.pipelines.clustering import pca_project
+
+    rng = np.random.default_rng(11)
+    d, n, k = 12, 400, 4
+    # anisotropic data so the spectrum is well separated
+    scales = np.linspace(5.0, 0.1, d)
+    X = rng.normal(size=(n, d)) * scales + rng.normal(size=d)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    proj_ds, W, mean = pca_project(ds, k=k)
+
+    # single-process reference
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / n
+    vals, vecs = np.linalg.eigh(cov)
+    Wr = vecs[:, np.argsort(vals)[::-1][:k]].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(Wr[i])))
+        if Wr[i, j] < 0:
+            Wr[i] = -Wr[i]
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(W, Wr, atol=1e-7)
+
+    got = proj_ds.to_pandas().set_index("vec_id").sort_index()
+    P = np.stack(got["proj"].to_numpy())
+    assert np.allclose(P, (X - mu) @ Wr.T, atol=1e-6)
+    # projection decorrelates: off-diagonal covariance ~ 0
+    pc_cov = P.T @ P / n
+    off = pc_cov - np.diag(np.diag(pc_cov))
+    assert np.abs(off).max() < 1e-6
