@@ -763,6 +763,27 @@ def _q_funnel_steps(sf_dir: str):
                         steps=["view", "click", "purchase"])
 
 
+def _q_bpe_merges(sf_dir: str):
+    """BPE vocabulary training (rows-only: the merge loop is iterative;
+    parity vs a naive full-recount reference is tested in
+    tests/test_curation_ops.py::TestBpe)."""
+    from selma_ray.pipelines.bpe import train_bpe
+
+    merges_ds, _ = train_bpe(_read(sf_dir, "documents"), n_merges=100,
+                             vocab_top=5000)
+    return merges_ds
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    """Per-doc BPE token counts under a vocab learned on the same
+    corpus (rows-only; deterministic end-to-end test in TestBpe)."""
+    from selma_ray.pipelines.bpe import bpe_token_counts, train_bpe
+
+    docs = _read(sf_dir, "documents")
+    _, merges = train_bpe(docs, n_merges=100, vocab_top=5000)
+    return bpe_token_counts(docs, merges, concurrency=2)
+
+
 def _q_pca_embeddings(sf_dir: str):
     """Distributed PCA projection (rows-only: eigendecomposition is not
     SQL-expressible; parity vs single-process numpy PCA is tested in
@@ -1427,6 +1448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "events_cube": _q_events_cube,
         "pca_embeddings": _q_pca_embeddings,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
         "urgent_lines_semi": _q_urgent_lines_semi,

@@ -2387,3 +2387,78 @@ def test_pca_project_matches_numpy(ray_session):
     pc_cov = P.T @ P / n
     off = pc_cov - np.diag(np.diag(pc_cov))
     assert np.abs(off).max() < 1e-6
+
+
+class TestBpe:
+    def _naive_learn(self, hist, n_merges):
+        # straightforward reference: full recount every iteration
+        from selma_ray.pipelines.bpe import END, _merge_word
+        words = {i: tuple(w) + (END,) for i, (w, _) in enumerate(hist)}
+        counts = {i: c for i, (_, c) in enumerate(hist)}
+        merges = []
+        for _ in range(n_merges):
+            stats = {}
+            for i, w in words.items():
+                for p in zip(w, w[1:]):
+                    stats[p] = stats.get(p, 0) + counts[i]
+            if not stats:
+                break
+            best = min(stats, key=lambda p: (-stats[p], p))
+            if stats[best] <= 0:
+                break
+            merges.append(best)
+            glued = best[0] + best[1]
+            words = {i: _merge_word(w, best, glued)
+                     for i, w in words.items()}
+        return merges
+
+    def test_incremental_matches_naive(self):
+        import random
+
+        from selma_ray.pipelines.bpe import learn_bpe_from_histogram
+
+        rng = random.Random(3)
+        vocab = ["".join(rng.choice("abcdef")
+                         for _ in range(rng.randint(1, 8)))
+                 for _ in range(120)]
+        hist = [(w, rng.randint(1, 50)) for w in sorted(set(vocab))]
+        got = learn_bpe_from_histogram(hist, 60)
+        want = self._naive_learn(hist, 60)
+        assert got == want
+
+    def test_encode_equals_sequential_merge_application(self):
+        from selma_ray.pipelines.bpe import (END, _merge_word, encode_word,
+                                             learn_bpe_from_histogram)
+
+        hist = [("lower", 5), ("low", 7), ("newest", 6), ("widest", 3)]
+        merges = learn_bpe_from_histogram(hist, 12)
+        ranks = {m: i for i, m in enumerate(merges)}
+        for w, _ in hist + [("lowest", 1), ("wide", 1), ("zzz", 1)]:
+            seq = tuple(w) + (END,)
+            for m in merges:
+                seq = _merge_word(seq, m, m[0] + m[1])
+            assert encode_word(w, ranks) == list(seq), w
+
+    def test_train_and_count_end_to_end(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from selma_ray.pipelines.bpe import (bpe_token_counts, encode_word,
+                                             train_bpe)
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["low lower lowest", "newest new news",
+                     "wide wider widest low"],
+        })
+        ds = ray.data.from_pandas(docs).repartition(2)
+        merges_ds, merges = train_bpe(ds, n_merges=30, vocab_top=100)
+        assert merges_ds.count() == len(merges) > 0
+        ranks = {m: i for i, m in enumerate(merges)}
+        got = bpe_token_counts(ds, merges, concurrency=2) \
+            .to_pandas().set_index("doc_id").sort_index()
+        for _, row in docs.iterrows():
+            words = row["text"].split()
+            want = sum(len(encode_word(w, ranks)) for w in words)
+            assert got.loc[row["doc_id"], "n_bpe_tokens"] == want
+            assert got.loc[row["doc_id"], "n_words"] == len(words)
