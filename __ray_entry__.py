@@ -763,6 +763,19 @@ def _q_funnel_steps(sf_dir: str):
                         steps=["view", "click", "purchase"])
 
 
+def _q_temperature_sample(sf_dir: str):
+    from selma_ray.pipelines.sampling import temperature_sample
+
+    return temperature_sample(_read(sf_dir, "documents"),
+                              alpha=0.5, coeff=2.0)
+
+
+def _q_zscore_by_type(sf_dir: str):
+    from selma_ray.pipelines.relational import zscore_by_type
+
+    return zscore_by_type(_read(sf_dir, "events"))
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE vocabulary training (rows-only: the merge loop is iterative;
     parity vs a naive full-recount reference is tested in
@@ -1449,6 +1462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": _q_events_cube,
         "pca_embeddings": _q_pca_embeddings,
         "bpe_merges": _q_bpe_merges,
+        "temperature_sample": _q_temperature_sample,
+        "zscore_by_type": _q_zscore_by_type,
         "bpe_token_counts": _q_bpe_token_counts,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
@@ -2055,6 +2070,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "temperature_sample": r"""
+            WITH n AS (
+                SELECT source, count(*)::BIGINT AS c
+                FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, md5(d.text) AS fp
+            FROM documents d JOIN n ON d.source = n.source
+            WHERE substr(md5(d.text), 1, 8) <
+                CASE WHEN floor(least(1.0, 2.0 * pow(n.c, -0.5))
+                           * 4294967296) >= 4294967296 THEN 'g'
+                     ELSE printf('%08x',
+                          CAST(floor(least(1.0, 2.0 * pow(n.c, -0.5))
+                               * 4294967296) AS BIGINT)) END
+        """,
+        "zscore_by_type": r"""
+            WITH c AS (
+                SELECT event_id, event_type,
+                       round(value * 100)::BIGINT AS cents
+                FROM events
+            ), m AS (
+                SELECT event_type, count(*)::BIGINT AS n,
+                       sum(cents)::BIGINT AS s,
+                       sum(cents * cents)::BIGINT AS ss
+                FROM c GROUP BY event_type
+            )
+            SELECT c.event_id, c.event_type,
+                   (c.cents - (m.s / m.n))
+                       / sqrt(m.ss / m.n - (m.s / m.n) * (m.s / m.n)) AS z
+            FROM c JOIN m ON c.event_type = m.event_type
         """,
         "events_cube": r"""
             SELECT COALESCE(event_type, '') AS event_type,

@@ -1840,3 +1840,56 @@ def events_cube(ds):
         "n_events": pa.array(ns, pa.int64()),
         "sum_value_cents": pa.array(sums, pa.int64()),
     }))
+
+
+def zscore_by_type(events_ds):
+    """Per-type standardization: z = (cents - mean) / std over each
+    event_type's value distribution -> (event_id:int64, event_type,
+    z:float64). Population std from EXACT integer moments (sum and
+    sum-of-squares of cents), so the float result is a deterministic
+    function of the data, not of reduce order — the same property the
+    corpus_profile / pearson_corr ops rely on.
+
+    Scale shape: one tiny groupby over per-block (n, S, SS) integer
+    partials (key domain = event types), stats broadcast back as a
+    plain dict closure, then a map-only vectorized scoring pass.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "s": pa.array(c, pa.int64()),
+                      "ss": pa.array(c * c, pa.int64())})
+        return _partial_sum_by(
+            {"event_type": t.column("event_type"), "s": t.column("s"),
+             "ss": t.column("ss")},
+            ["event_type"], ["s", "ss"], "n_partial")
+
+    stats_rows = coalesce_small(
+        events_ds.select_columns(["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")) \
+        .groupby("event_type") \
+        .aggregate(Sum("s"), Sum("ss"), Sum("n_partial")).take_all()
+    stats = {}
+    for r in stats_rows:
+        n = int(r["sum(n_partial)"])
+        S = int(r["sum(s)"])
+        SS = int(r["sum(ss)"])
+        mean = S / n
+        var = SS / n - mean * mean
+        stats[r["event_type"]] = (mean, var ** 0.5)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        types = batch.column("event_type").to_pylist()
+        means = np.array([stats[t][0] for t in types])
+        stds = np.array([stats[t][1] for t in types])
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "z": pa.array((c - means) / stds, pa.float64()),
+        })
+
+    return events_ds.select_columns(["event_id", "event_type", "value"]) \
+        .map_batches(score, batch_format="pyarrow")

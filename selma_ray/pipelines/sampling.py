@@ -429,3 +429,38 @@ def sample_exact_n(ds, *, n: int, id_col: str = "doc_id", seed: int = 0):
     keep = pos.filter(expr=f"position < {n}") \
         .select_columns([id_col, "position"])
     return keep
+
+
+def temperature_sample(ds, *, alpha: float = 0.5, coeff: float = 2.0,
+                       key_col: str = "text", strat_col: str = "source",
+                       id_col: str = "doc_id"):
+    """Temperature-flattened mixture resampling: each stratum keeps a
+    deterministic md5 fraction  rate_s = min(1, coeff * n_s^(alpha-1)),
+    the per-source keep-rate shape of sampling sources proportional to
+    n^alpha (the usual multilingual/data-mixing temperature trick —
+    alpha<1 upweights small sources; the normalizer is folded into
+    ``coeff`` so the rate is a pure per-source expression with no
+    cross-source float sum, keeping the math bit-mirrorable in SQL).
+
+    Scale shape: stratum sizes come from one tiny groupby(count); the
+    sample itself is the map-only md5-threshold filter (membership is
+    stable under corpus growth for fixed rates, same as hash_sample).
+    Returns (id_col, strat_col, fp).
+    """
+    import math
+
+    sizes = ds.groupby(strat_col).count().take_all()
+    rates = {r[strat_col]: min(1.0, coeff * math.pow(r["count()"],
+                                                     alpha - 1.0))
+             for r in sizes}
+    slim = ds.select_columns([id_col, strat_col, key_col])
+    kept = slim.map_batches(
+        hash_sample_batch,
+        fn_kwargs=dict(key_col=key_col, strat_col=strat_col,
+                       rates=rates, default_rate=0.0),
+        batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, strat_col, "fp"])
+
+    return kept.map_batches(project, batch_format="pyarrow")

@@ -2462,3 +2462,66 @@ class TestBpe:
             want = sum(len(encode_word(w, ranks)) for w in words)
             assert got.loc[row["doc_id"], "n_bpe_tokens"] == want
             assert got.loc[row["doc_id"], "n_words"] == len(words)
+
+
+def test_temperature_sample_flattens_mixture(ray_session):
+    import hashlib
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.sampling import temperature_sample
+
+    rows = []
+    for i in range(400):
+        rows.append({"doc_id": i, "source": "big", "text": f"big doc {i}"})
+    for i in range(400, 420):
+        rows.append({"doc_id": i, "source": "small",
+                     "text": f"small doc {i}"})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    got = temperature_sample(ds, alpha=0.5, coeff=2.0) \
+        .to_pandas().set_index("doc_id").sort_index()
+
+    # exact membership: md5 threshold per source
+    for src, n in (("big", 400), ("small", 20)):
+        rate = min(1.0, 2.0 * math.pow(n, -0.5))
+        thresh = format(int(rate * 16**8), "08x") if rate < 1.0 else "g"
+        for r in rows:
+            if r["source"] != src:
+                continue
+            keep = hashlib.md5(r["text"].encode()).hexdigest()[:8] < thresh
+            assert (r["doc_id"] in got.index) == keep
+    # the small source keeps a much larger fraction (rate 0.447 vs 0.1)
+    frac_big = (got["source"] == "big").sum() / 400
+    frac_small = (got["source"] == "small").sum() / 20
+    assert frac_small > frac_big
+
+
+def test_zscore_by_type_exact_moments(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.relational import zscore_by_type
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "event_id": range(300),
+        "event_type": [("a", "b", "c")[i % 3] for i in range(300)],
+        "value": np.round(rng.normal(10, 3, 300), 2),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = zscore_by_type(ds).to_pandas().set_index("event_id").sort_index()
+    cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    for t in "abc":
+        m = df["event_type"] == t
+        c = cents[m.to_numpy()]
+        mean, std = c.mean(), c.std()          # population
+        want = (c - mean) / std
+        np.testing.assert_allclose(
+            got.loc[m[m].index, "z"].to_numpy(), want, atol=1e-9)
+    # standardized: per-type mean ~0, std ~1
+    for t in "abc":
+        zs = got.loc[(df["event_type"] == t)[lambda s: s].index, "z"]
+        assert abs(zs.mean()) < 1e-9 and abs(zs.std(ddof=0) - 1) < 1e-9
