@@ -763,6 +763,34 @@ def _q_funnel_steps(sf_dir: str):
                         steps=["view", "click", "purchase"])
 
 
+def _q_zorder_box(sf_dir: str):
+    """Z-order layout + pruned 2-D box read: events are laid out by the
+    Morton key of (user_id, epoch_day); the box query opens only the
+    range files whose zkey interval intersects the box's code interval,
+    then applies the exact in-task filter."""
+    import tempfile
+
+    from selma_ray.sources.readers import write_zordered, zordered_box_read
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+        })
+
+    slim = _read(sf_dir, "events").map_batches(prep, batch_format="pyarrow")
+    out = tempfile.mkdtemp(prefix="zorder_", dir="/tmp")
+    manifest = write_zordered(slim, out, x_col="user_id", y_col="day",
+                              num_ranges=8)
+    ds, _read_n, _tot = zordered_box_read(
+        out, manifest, x_col="user_id", y_col="day",
+        x_range=(10, 60), y_range=(19723, 19738))
+    return ds.select_columns(["event_id", "user_id", "day"])
+
+
 def _q_temperature_sample(sf_dir: str):
     from selma_ray.pipelines.sampling import temperature_sample
 
@@ -1463,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": _q_pca_embeddings,
         "bpe_merges": _q_bpe_merges,
         "temperature_sample": _q_temperature_sample,
+        "zorder_box_query": _q_zorder_box,
         "zscore_by_type": _q_zscore_by_type,
         "bpe_token_counts": _q_bpe_token_counts,
         "quantity_price_corr": _q_quantity_price_corr,
@@ -2070,6 +2099,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "zorder_box_query": r"""
+            SELECT event_id, user_id,
+                   (epoch_us(ts) // 86400000000)::BIGINT AS day
+            FROM events
+            WHERE user_id BETWEEN 10 AND 60
+              AND (epoch_us(ts) // 86400000000) BETWEEN 19723 AND 19738
         """,
         "temperature_sample": r"""
             WITH n AS (

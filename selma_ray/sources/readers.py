@@ -368,3 +368,91 @@ def clustered_merge_join(dir_a: str, dir_b: str, *, key_col: str,
         [{"rid": r} for r in common],
         override_num_blocks=max(1, len(common))) \
         .map_batches(join_range, batch_size=1, batch_format="pyarrow")
+
+
+def _part1by1(x: "np.ndarray") -> "np.ndarray":
+    """Spread the low 32 bits of each uint64 into even bit positions."""
+    import numpy as np
+
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def morton_key(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+    """Vectorized 2-D Morton (Z-order) code: interleaves the bits of two
+    non-negative int columns (< 2^31 each) into an int64 that is
+    monotone in BOTH coordinates — so any axis-aligned box's codes lie
+    inside [morton(x_min,y_min), morton(x_max,y_max)], which is what
+    makes conservative file pruning on the code interval sound."""
+    import numpy as np
+
+    if len(x) and (int(x.min()) < 0 or int(y.min()) < 0
+                   or int(x.max()) >= 2**31 or int(y.max()) >= 2**31):
+        raise ValueError("morton_key needs 0 <= values < 2^31")
+    z = _part1by1(x.astype(np.uint64)) | \
+        (_part1by1(y.astype(np.uint64)) << np.uint64(1))
+    return z.astype(np.int64)
+
+
+def write_zordered(ds, out_dir: str, *, x_col: str, y_col: str,
+                   num_ranges: int = 16):
+    """Z-ORDER BY (x_col, y_col) layout: append a Morton ``zkey`` column
+    map-side and reuse :func:`write_clustered` on it, giving range
+    directories whose [key_min, key_max] intervals carve the 2-D key
+    space into locality-preserving tiles. Multi-column point/box reads
+    then prune files on ONE sortable key instead of needing a layout
+    per column — the standard lakehouse trick for two-dimensional
+    access patterns. Returns the manifest Dataset."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return batch.append_column("zkey", pa.array(morton_key(x, y),
+                                                    pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return write_clustered(keyed, out_dir, key_col="zkey",
+                           num_ranges=num_ranges)
+
+
+def zordered_box_read(out_dir: str, manifest, *, x_col: str, y_col: str,
+                      x_range: tuple, y_range: tuple):
+    """Box query over a :func:`write_zordered` layout: files whose
+    [key_min, key_max] interval misses [morton(lo), morton(hi)] are
+    never opened (the manifest is the prune index); survivors get an
+    exact vectorized in-task filter. Returns (dataset, n_files_read,
+    n_files_total)."""
+    import numpy as np
+    import ray.data
+
+    lo = int(morton_key(np.array([x_range[0]]), np.array([y_range[0]]))[0])
+    hi = int(morton_key(np.array([x_range[1]]), np.array([y_range[1]]))[0])
+    rows = manifest.take_all() if hasattr(manifest, "take_all") else manifest
+    paths = [r["path"] for r in rows
+             if not (int(r["key_max"]) < lo or int(r["key_min"]) > hi)]
+
+    def exact(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        keep = (x >= x_range[0]) & (x <= x_range[1]) & \
+               (y >= y_range[0]) & (y <= y_range[1])
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    if not paths:
+        empty = ray.data.from_arrow(pa.table({x_col: pa.array([], pa.int64()),
+                                              y_col: pa.array([], pa.int64())}))
+        return empty, 0, len(rows)
+    ds = ray.data.read_parquet(paths).map_batches(
+        exact, batch_format="pyarrow")
+    return ds, len(paths), len(rows)

@@ -494,3 +494,53 @@ def test_clustered_merge_join(ray_session, tmp_path):
     assert (got["k"] == want["k"]).all()
     assert (got["a_val"] == want["a_val"]).all()
     assert (got["b_val_b"] == want["b_val_b"]).all()
+
+
+def test_zorder_layout_box_query(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.sources.readers import (morton_key, write_zordered,
+                                           zordered_box_read)
+
+    # bit-loop reference for the vectorized morton encode
+    def ref_morton(x, y):
+        z = 0
+        for b in range(32):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    xs = np.array([0, 1, 5, 1023, 2**31 - 1, 77])
+    ys = np.array([0, 1, 9, 4095, 2**31 - 1, 13])
+    got = morton_key(xs, ys)
+    for x, y, z in zip(xs, ys, got):
+        assert int(z) == ref_morton(int(x), int(y))
+    # monotone componentwise
+    assert morton_key(np.array([5]), np.array([9]))[0] < \
+        morton_key(np.array([6]), np.array([9]))[0]
+    assert morton_key(np.array([5]), np.array([9]))[0] < \
+        morton_key(np.array([5]), np.array([10]))[0]
+
+    # 64x64 grid -> 16 z-tiles; a small box must touch few files
+    n = 64
+    g = pd.DataFrame({
+        "x": np.repeat(np.arange(n), n),
+        "y": np.tile(np.arange(n), n),
+    })
+    g["payload"] = g["x"] * 1000 + g["y"]
+    out = str(tmp_path / "zord")
+    manifest = write_zordered(
+        ray.data.from_pandas(g).repartition(6), out,
+        x_col="x", y_col="y", num_ranges=16)
+
+    ds, n_read, n_total = zordered_box_read(
+        out, manifest, x_col="x", y_col="y",
+        x_range=(3, 10), y_range=(5, 12))
+    got_rows = ds.to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    want = g[(g.x.between(3, 10)) & (g.y.between(5, 12))] \
+        .sort_values(["x", "y"]).reset_index(drop=True)
+    assert got_rows["payload"].tolist() == want["payload"].tolist()
+    assert n_total == 16
+    assert n_read < n_total  # pruning actually skipped files
