@@ -763,6 +763,16 @@ def _q_funnel_steps(sf_dir: str):
                         steps=["view", "click", "purchase"])
 
 
+def _q_events_customer_skew_join(sf_dir: str):
+    from selma_ray.pipelines.relational import skew_safe_join
+
+    fact = _read(sf_dir, "events").select_columns(["event_id", "user_id"])
+    dim = _read(sf_dir, "customer")
+    return skew_safe_join(fact, dim, fact_key="user_id",
+                          dim_key="c_custkey", dim_col="c_mktsegment",
+                          hot_top_k=10)
+
+
 def _q_zorder_box(sf_dir: str):
     """Z-order layout + pruned 2-D box read: events are laid out by the
     Morton key of (user_id, epoch_day); the box query opens only the
@@ -1492,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "temperature_sample": _q_temperature_sample,
         "zorder_box_query": _q_zorder_box,
+        "events_customer_skew_join": _q_events_customer_skew_join,
         "zscore_by_type": _q_zscore_by_type,
         "bpe_token_counts": _q_bpe_token_counts,
         "quantity_price_corr": _q_quantity_price_corr,
@@ -2099,6 +2110,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "events_customer_skew_join": r"""
+            SELECT e.event_id, e.user_id, c.c_mktsegment
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
         """,
         "zorder_box_query": r"""
             SELECT event_id, user_id,

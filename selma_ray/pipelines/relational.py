@@ -1893,3 +1893,84 @@ def zscore_by_type(events_ds):
 
     return events_ds.select_columns(["event_id", "event_type", "value"]) \
         .map_batches(score, batch_format="pyarrow")
+
+
+def skew_safe_join(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
+                   dim_col: str, dim_type=pa.string(),
+                   hot_top_k: int = 16, num_partitions: int = 16):
+    """Inner fact ⋈ dim join that survives pathological key skew: the
+    ``hot_top_k`` heaviest fact keys take a BROADCAST path (their dim
+    rows ride a tiny ray.put dict, joined map-side with zero shuffle),
+    while the cold tail takes the native hash-partitioned join. A hot
+    key that would pin one aggregator actor at 100 TB never enters the
+    exchange at all — this is the broadcast-the-hot-side alternative to
+    salting (conversations.py's block-salted assembly is the other).
+
+    Returns fact columns + ``dim_col``. dim must be unique per key
+    (dimension semantics). The hot-key set comes from the same
+    reduced histogram key_skew_report uses, so the extra pass costs one
+    tiny groupby over per-block count partials.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select([fact_key]).group_by(fact_key).aggregate(
+            [(fact_key, "count")])
+        return pa.table({
+            fact_key: g.column(fact_key),
+            "pn": pc.cast(g.column(f"{fact_key}_count"), pa.int64()),
+        })
+
+    hot_rows = coalesce_small(
+        fact_ds.map_batches(key_counts, batch_format="pyarrow")) \
+        .groupby(fact_key).aggregate(Sum("pn")) \
+        .sort(["sum(pn)", fact_key], descending=[True, False]) \
+        .limit(hot_top_k).take_all()
+    hot_keys = [r[fact_key] for r in hot_rows]
+    hot_arr = pa.array(hot_keys)
+
+    def prune_dim(batch: pa.Table) -> pa.Table:
+        return batch.select([dim_key, dim_col])
+
+    dim_slim = dim_ds.map_batches(prune_dim, batch_format="pyarrow")
+
+    def dim_hot_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(dim_key),
+                                     value_set=hot_arr))
+
+    hot_dim = dim_slim.map_batches(dim_hot_only,
+                                   batch_format="pyarrow").take_all()
+    lookup = {r[dim_key]: r[dim_col] for r in hot_dim}
+    ref = ray.put(lookup)
+
+    def fact_hot(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch.column(fact_key),
+                                  value_set=hot_arr))
+        t = _broadcast_lookup_fn(t, mapping_ref=ref, key_col=fact_key,
+                                 out_col=dim_col, out_type=dim_type)
+        # inner semantics: hot keys absent from dim drop out
+        return t.filter(pc.is_valid(t.column(dim_col)))
+
+    def fact_cold(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch.column(fact_key),
+                                               value_set=hot_arr)))
+
+    def dim_cold(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch.column(dim_key),
+                                               value_set=hot_arr)))
+
+    hot_out = fact_ds.map_batches(fact_hot, batch_format="pyarrow")
+    cold_join = coalesce_small(
+        fact_ds.map_batches(fact_cold, batch_format="pyarrow")) \
+        .join(coalesce_small(dim_slim.map_batches(
+            dim_cold, batch_format="pyarrow")),
+            join_type="inner", num_partitions=num_partitions,
+            on=(fact_key,), right_on=(dim_key,))
+    out_cols = [c for c in fact_ds.schema().names] + [dim_col]
+
+    def align(batch: pa.Table) -> pa.Table:
+        return batch.select(out_cols)
+
+    return hot_out.map_batches(align, batch_format="pyarrow").union(
+        cold_join.map_batches(align, batch_format="pyarrow"))

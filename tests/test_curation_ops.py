@@ -2525,3 +2525,33 @@ def test_zscore_by_type_exact_moments(ray_session):
     for t in "abc":
         zs = got.loc[(df["event_type"] == t)[lambda s: s].index, "z"]
         assert abs(zs.mean()) < 1e-9 and abs(zs.std(ddof=0) - 1) < 1e-9
+
+
+def test_skew_safe_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.relational import skew_safe_join
+
+    # key 7 is pathologically hot (80% of fact rows); key 99 has no dim row
+    fact = pd.DataFrame({
+        "event_id": range(500),
+        "user_id": [7] * 400 + [99] * 20 + [i % 10 for i in range(80)],
+    })
+    dim = pd.DataFrame({
+        "c_custkey": list(range(10)) + [42],
+        "c_mktsegment": [f"seg{i}" for i in range(10)] + ["segX"],
+    })
+    got = skew_safe_join(
+        ray.data.from_pandas(fact).repartition(4),
+        ray.data.from_pandas(dim).repartition(2),
+        fact_key="user_id", dim_key="c_custkey",
+        dim_col="c_mktsegment", hot_top_k=2, num_partitions=4) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = fact.merge(dim, left_on="user_id", right_on="c_custkey") \
+        [["event_id", "user_id", "c_mktsegment"]] \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # the hot key's rows are present (broadcast path) and 99's are not
+    assert (got["user_id"] == 7).sum() == 408   # 400 hot + 8 from the tail
+    assert (got["user_id"] == 99).sum() == 0
