@@ -763,6 +763,12 @@ def _q_funnel_steps(sf_dir: str):
                         steps=["view", "click", "purchase"])
 
 
+def _q_winsorized_mean(sf_dir: str):
+    from selma_ray.pipelines.relational import winsorized_mean
+
+    return winsorized_mean(_read(sf_dir, "events"), p=0.1)
+
+
 def _q_events_customer_skew_join(sf_dir: str):
     from selma_ray.pipelines.relational import skew_safe_join
 
@@ -1503,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "zorder_box_query": _q_zorder_box,
         "events_customer_skew_join": _q_events_customer_skew_join,
+        "winsorized_mean": _q_winsorized_mean,
         "zscore_by_type": _q_zscore_by_type,
         "bpe_token_counts": _q_bpe_token_counts,
         "quantity_price_corr": _q_quantity_price_corr,
@@ -2110,6 +2117,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type
+        """,
+        "winsorized_mean": r"""
+            WITH c AS (
+                SELECT event_type, round(value * 100)::BIGINT AS cents
+                FROM events
+            ), q AS (
+                SELECT event_type,
+                       quantile_disc(cents, 0.1)::BIGINT AS lo,
+                       quantile_disc(cents, 0.9)::BIGINT AS hi
+                FROM c GROUP BY event_type
+            )
+            SELECT c.event_type, q.lo AS lo_cents, q.hi AS hi_cents,
+                   sum(least(greatest(c.cents, q.lo), q.hi))::BIGINT
+                       / count(*) AS wmean_cents
+            FROM c JOIN q USING (event_type)
+            GROUP BY c.event_type, q.lo, q.hi
         """,
         "events_customer_skew_join": r"""
             SELECT e.event_id, e.user_id, c.c_mktsegment

@@ -1974,3 +1974,57 @@ def skew_safe_join(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
 
     return hot_out.map_batches(align, batch_format="pyarrow").union(
         cold_join.map_batches(align, batch_format="pyarrow"))
+
+
+def winsorized_mean(events_ds, *, p: float = 0.1):
+    """Per-type winsorized mean: values clamped to the [p, 1-p]
+    discrete quantiles before averaging -> (event_type, lo_cents:int64,
+    hi_cents:int64, wmean_cents:float64). The robust-mean alternative
+    to mad_outliers when you want a summary, not row flags.
+
+    Scale shape: rows collapse to the (type, cents)->count histogram
+    via the per-block combiner (the value_histogram idiom), so both the
+    quantile walk and the clamped sum run over distinct VALUES, not
+    rows — per-group work is O(distinct cents), never O(corpus).
+    quantile_disc semantics (element at ceil(q*n)-1) keep it
+    bit-mirrorable in SQL; the mean is an exact int64 sum divided once.
+    """
+    import math
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _partial_sum_by(
+            {"event_type": batch.column("event_type"),
+             "cents": _cents(batch.column("value"))},
+            ["event_type", "cents"], [], "n_partial")
+
+    hist = coalesce_small(
+        events_ds.select_columns(["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["event_type", "cents"]).aggregate(Sum("n_partial"))
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("cents")
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        counts = g["sum(n_partial)"].to_numpy(dtype=np.int64)
+        n = int(counts.sum())
+        cum = np.cumsum(counts)
+
+        def qdisc(q: float) -> int:
+            target = max(1, math.ceil(q * n))
+            return int(cents[np.searchsorted(cum, target)])
+
+        lo, hi = qdisc(p), qdisc(1.0 - p)
+        clamped = np.clip(cents, lo, hi)
+        s = int((clamped * counts).sum())
+        return pd.DataFrame([{
+            "event_type": group["event_type"].iloc[0],
+            "lo_cents": lo, "hi_cents": hi,
+            "wmean_cents": s / n,
+        }])
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pandas")

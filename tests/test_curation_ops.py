@@ -2555,3 +2555,30 @@ def test_skew_safe_join_matches_pandas(ray_session):
     # the hot key's rows are present (broadcast path) and 99's are not
     assert (got["user_id"] == 7).sum() == 408   # 400 hot + 8 from the tail
     assert (got["user_id"] == 99).sum() == 0
+
+
+def test_winsorized_mean_clamps_tails(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from selma_ray.pipelines.relational import winsorized_mean
+
+    # type 'a': 1..10 with outlier 1000; type 'b': constant
+    vals_a = list(range(1, 11)) + [1000]
+    df = pd.DataFrame({
+        "event_id": range(len(vals_a) + 4),
+        "event_type": ["a"] * len(vals_a) + ["b"] * 4,
+        "value": [float(v) for v in vals_a] + [5.0] * 4,
+    })
+    got = winsorized_mean(
+        ray.data.from_pandas(df).repartition(3), p=0.1) \
+        .to_pandas().set_index("event_type")
+    # n=11: lo = ceil(0.1*11)=2nd smallest = 200c, hi = ceil(0.9*11)=10th = 1000c
+    assert got.loc["a", "lo_cents"] == 200
+    assert got.loc["a", "hi_cents"] == 1000
+    cents = np.array(vals_a) * 100
+    want = np.clip(cents, 200, 1000).sum() / 11
+    assert got.loc["a", "wmean_cents"] == want      # outlier clamped
+    assert got.loc["b", "wmean_cents"] == 500.0
+    assert got.loc["b", "lo_cents"] == got.loc["b", "hi_cents"] == 500
