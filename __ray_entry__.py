@@ -1098,6 +1098,16 @@ def _q_events_quantiles_twopass(sf_dir: str):
     return events_quantiles_twopass(_read(sf_dir, "events"))
 
 
+def _q_kll_quantiles(sf_dir: str):
+    """One-pass mergeable KLL-style quantile sketch; approximate
+    (rank error ~1/k), so checked rows-only — the exact oracles are
+    events_quantiles / events_quantiles_scalable."""
+    from selma_ray.pipelines.sketches import kll_quantiles
+
+    return kll_quantiles(_read(sf_dir, "events"), value_col="value",
+                         qs=(0.1, 0.5, 0.9, 0.99), k=400)
+
+
 def _q_pricing_summary(sf_dir: str):
     from selma_ray.pipelines.relational import lineitem_pricing_summary
 
@@ -1535,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_quantiles": _q_events_quantiles,
         "events_quantiles_scalable": _q_events_quantiles_twopass,
+        "kll_quantiles": _q_kll_quantiles,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "extract_tables": _q_extract_tables,

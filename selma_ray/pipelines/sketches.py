@@ -182,3 +182,150 @@ def heavy_hitters(ds, *, text_col: str = "text", capacity: int = 256,
 
     return agg.repartition(1).map_batches(finalize, batch_format="pyarrow",
                                           batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch (deterministic compaction variant)
+# ---------------------------------------------------------------------------
+
+class KllSketch:
+    """One-pass mergeable quantile summary (Karnin-Lang-Liberty shape:
+    weighted compactor levels, level i items carry weight 2^i).
+
+    Deviation from the paper: compaction keeps alternating parities via
+    a per-level counter instead of a random coin, so the sketch is a
+    DETERMINISTIC function of (input order, k). That trades the
+    randomized rank-error guarantee for reproducibility — the right
+    trade for a data-validation pass that must be stable run-to-run;
+    the observed error on smooth distributions stays ~1/k. Use the
+    exact histogram-refine path (events_quantiles_scalable) when you
+    need guarantees.
+    """
+
+    def __init__(self, k: int = 200):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.flips: list[int] = [0]
+
+    def _cap(self, lvl: int) -> int:
+        # geometrically shrinking capacities, floor of k/2^(depth-lvl)
+        depth = len(self.levels)
+        c = int(self.k * (2.0 / 3.0) ** (depth - 1 - lvl))
+        return max(c, 8)
+
+    def _compact(self) -> None:
+        for i in range(len(self.levels)):
+            if len(self.levels[i]) <= self._cap(i):
+                continue
+            v = np.sort(self.levels[i])
+            parity = self.flips[i] & 1
+            self.flips[i] += 1
+            if len(v) & 1:
+                # odd length: leave one item behind so total weight is
+                # preserved exactly; alternate which end to avoid bias
+                if parity:
+                    leftover, v = v[:1], v[1:]
+                else:
+                    leftover, v = v[-1:], v[:-1]
+            else:
+                leftover = v[:0]
+            keep = v[parity::2]
+            self.levels[i] = leftover
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+                self.flips.append(0)
+            self.levels[i + 1] = np.concatenate(
+                [self.levels[i + 1], keep])
+
+    def add(self, values: np.ndarray) -> "KllSketch":
+        values = np.asarray(values, np.float64)
+        cap = self._cap(0)
+        for start in range(0, len(values), cap):
+            self.levels[0] = np.concatenate(
+                [self.levels[0], values[start:start + cap]])
+            self._compact()
+        return self
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        for i, lv in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+                self.flips.append(0)
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compact()
+        return self
+
+    def items(self) -> tuple[np.ndarray, np.ndarray]:
+        """(values, weights), unsorted."""
+        vals = [lv for lv in self.levels if len(lv)]
+        wts = [np.full(len(lv), 1 << i, np.int64)
+               for i, lv in enumerate(self.levels) if len(lv)]
+        if not vals:
+            return np.empty(0, np.float64), np.empty(0, np.int64)
+        return np.concatenate(vals), np.concatenate(wts)
+
+    def n(self) -> int:
+        v, w = self.items()
+        return int(w.sum())
+
+    def quantile(self, q: float) -> float:
+        v, w = self.items()
+        if not len(v):
+            raise ValueError("empty sketch")
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        target = max(1, int(np.ceil(q * cum[-1])))
+        return float(v[np.searchsorted(cum, target)])
+
+    def to_row(self) -> dict:
+        return {"levels": [lv.tolist() for lv in self.levels],
+                "flips": list(self.flips)}
+
+    @classmethod
+    def from_row(cls, row: dict, k: int) -> "KllSketch":
+        s = cls(k)
+        s.levels = [np.asarray(lv, np.float64) for lv in row["levels"]]
+        s.flips = list(row["flips"])
+        if not s.levels:
+            s.levels = [np.empty(0, np.float64)]
+            s.flips = [0]
+        return s
+
+
+def kll_quantiles(ds, *, value_col: str, qs: tuple = (0.1, 0.5, 0.9, 0.99),
+                  k: int = 200):
+    """One-pass approximate quantiles of a numeric column ->
+    (q:float64, value:float64) Dataset.
+
+    Scale shape: every block reduces to ONE sketch row of <= ~2k
+    floats regardless of block size — that is all that leaves the
+    task; the driver folds block sketches in block order and answers
+    every quantile from the final ~2k-item summary. No shuffle at all
+    (vs. the exact histogram-refine path's one tiny groupby). Error is
+    ~1/k in rank on smooth data; the sketch is deterministic for a
+    fixed partitioning.
+    """
+    import ray.data
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        s = KllSketch(k).add(v)
+        row = s.to_row()
+        return pa.table({
+            "levels": pa.array([row["levels"]],
+                               pa.list_(pa.list_(pa.float64()))),
+            "flips": pa.array([row["flips"]], pa.list_(pa.int64())),
+        })
+
+    parts = ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    acc = KllSketch(k)
+    for row in parts:
+        acc.merge(KllSketch.from_row(row, k))
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(list(qs), pa.float64()),
+        "value": pa.array([acc.quantile(q) for q in qs], pa.float64()),
+    }))

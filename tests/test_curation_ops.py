@@ -2582,3 +2582,66 @@ def test_winsorized_mean_clamps_tails(ray_session):
     assert got.loc["a", "wmean_cents"] == want      # outlier clamped
     assert got.loc["b", "wmean_cents"] == 500.0
     assert got.loc["b", "lo_cents"] == got.loc["b", "hi_cents"] == 500
+
+
+class TestKllQuantiles:
+    def test_rank_error_bound_smooth(self):
+        import numpy as np
+
+        from selma_ray.pipelines.sketches import KllSketch
+
+        rng = np.random.default_rng(2)
+        data = rng.normal(50, 10, 100_000)
+        s = KllSketch(200).add(data)
+        srt = np.sort(data)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            est = s.quantile(q)
+            # rank of the estimate vs target rank
+            rank = np.searchsorted(srt, est) / len(srt)
+            assert abs(rank - q) < 0.02, (q, rank)
+
+    def test_merge_preserves_total_weight_and_accuracy(self):
+        import numpy as np
+
+        from selma_ray.pipelines.sketches import KllSketch
+
+        rng = np.random.default_rng(7)
+        chunks = [rng.uniform(0, 1000, 20_000) for _ in range(6)]
+        merged = KllSketch(200)
+        for c in chunks:
+            merged.merge(KllSketch(200).add(c))
+        allv = np.concatenate(chunks)
+        assert merged.n() == len(allv)
+        srt = np.sort(allv)
+        for q in (0.1, 0.5, 0.9):
+            rank = np.searchsorted(srt, merged.quantile(q)) / len(srt)
+            assert abs(rank - q) < 0.025, (q, rank)
+
+    def test_small_input_exact(self):
+        import numpy as np
+
+        from selma_ray.pipelines.sketches import KllSketch
+
+        v = np.arange(100, dtype=np.float64)
+        s = KllSketch(200).add(v)     # fits level 0: no compaction
+        assert s.quantile(0.5) == 49.0   # ceil(0.5*100)-1 = index 49
+        assert s.quantile(0.01) == 0.0
+        assert s.quantile(1.0) == 99.0
+
+    def test_dataset_path(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from selma_ray.pipelines.sketches import kll_quantiles
+
+        rng = np.random.default_rng(9)
+        vals = rng.exponential(100, 50_000)
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"value": vals})).repartition(8)
+        got = kll_quantiles(ds, value_col="value",
+                            qs=(0.5, 0.9), k=200).to_pandas()
+        srt = np.sort(vals)
+        for _, r in got.iterrows():
+            rank = np.searchsorted(srt, r["value"]) / len(srt)
+            assert abs(rank - r["q"]) < 0.03
