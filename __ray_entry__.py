@@ -1108,6 +1108,56 @@ def _q_kll_quantiles(sf_dir: str):
                          qs=(0.1, 0.5, 0.9, 0.99), k=400)
 
 
+def _q_kll_quantiles_by_type(sf_dir: str):
+    """Fully distributed per-group KLL: sketch rows shuffle on the
+    group key, merge+finalize in the group task. Approximate ->
+    rows-only; exact oracle path is events_quantiles."""
+    from selma_ray.pipelines.sketches import kll_quantiles_by_group
+
+    return kll_quantiles_by_group(_read(sf_dir, "events"),
+                                  key_col="event_type", value_col="value",
+                                  qs=(0.5, 0.9, 0.99), k=400)
+
+
+def _q_lag_deltas(sf_dir: str):
+    """LAG window deltas: one groupby(user_id) shuffle + in-task
+    sort/shift; mirrors LAG(...) OVER (PARTITION BY user_id ORDER BY
+    ts, event_id)."""
+    from selma_ray.pipelines.relational import lag_deltas
+
+    return lag_deltas(_read(sf_dir, "events"))
+
+
+def _q_role_transitions(sf_dir: str):
+    """Turn-role Markov counts over the doc-derived turn stream (same
+    role derivation as turn_pairs: (doc_id // 20) parity)."""
+    from selma_ray.pipelines.conversations import role_transitions
+
+    def shape(batch: pa.Table) -> pa.Table:
+        parity = pc.bit_wise_and(
+            pc.divide(batch.column("doc_id"), pa.scalar(20, pa.int64())),
+            pa.scalar(1, pa.int64()))
+        return pa.table({
+            "conv_id": batch.column("source"),
+            "turn_idx": batch.column("doc_id"),
+            "role": pc.if_else(pc.equal(parity, pa.scalar(0, pa.int64())),
+                               pa.scalar("user"), pa.scalar("assistant")),
+        })
+
+    turns = _read(sf_dir, "documents").map_batches(
+        shape, batch_format="pyarrow")
+    return role_transitions(turns)
+
+
+def _q_interleave_sources(sf_dir: str):
+    """Round-robin source interleave via the bucket-histogram
+    distributed per-source rank (no per-source map_groups)."""
+    from selma_ray.pipelines.sampling import interleave_sources
+
+    return interleave_sources(_read(sf_dir, "documents"),
+                              bucket_width=4096)
+
+
 def _q_pricing_summary(sf_dir: str):
     from selma_ray.pipelines.relational import lineitem_pricing_summary
 
@@ -1546,6 +1596,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _q_events_quantiles,
         "events_quantiles_scalable": _q_events_quantiles_twopass,
         "kll_quantiles": _q_kll_quantiles,
+        "kll_quantiles_by_type": _q_kll_quantiles_by_type,
+        "lag_deltas": _q_lag_deltas,
+        "role_transitions": _q_role_transitions,
+        "interleave_sources": _q_interleave_sources,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "extract_tables": _q_extract_tables,
@@ -2516,6 +2570,47 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY lang
                            ORDER BY n_chars DESC, doc_id) AS rn
                 FROM documents) WHERE rn <= 3
+        """,
+        "lag_deltas": r"""
+            WITH w AS (
+                SELECT event_id, user_id, ts, value,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pts,
+                       LAG(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS pv
+                FROM events)
+            SELECT event_id, user_id, ts,
+                   (date_diff('microsecond', pts, ts) / 1000000.0)
+                       AS secs_since_prev,
+                   (value - pv) AS value_delta
+            FROM w WHERE pts IS NOT NULL
+        """,
+        "role_transitions": r"""
+            WITH t AS (
+                SELECT source AS conv_id, doc_id,
+                       CASE WHEN (doc_id // 20) % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role
+                FROM documents),
+            w AS (
+                SELECT conv_id, role,
+                       LAG(role) OVER (PARTITION BY conv_id
+                                       ORDER BY doc_id) AS prev_role
+                FROM t)
+            SELECT prev_role, role, count(*)::BIGINT AS n
+            FROM w WHERE prev_role IS NOT NULL
+            GROUP BY prev_role, role
+        """,
+        "interleave_sources": r"""
+            WITH r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) - 1 AS rnk,
+                       dense_rank() OVER (ORDER BY source) - 1 AS srank
+                FROM documents),
+            n AS (SELECT count(DISTINCT source) AS ns FROM documents)
+            SELECT doc_id, source,
+                   (rnk * n.ns + srank)::BIGINT AS global_pos
+            FROM r, n
         """,
         "events_quantiles": r"""
             SELECT event_type,

@@ -390,3 +390,56 @@ def conversation_near_dups(ds, *, threshold: float = 0.7, bands: int = 16,
     return minhash_lsh_pairs(pseudo, id_col="conv_id", text_col="text",
                              k=k, bands=bands, ngram=2,
                              threshold=threshold)
+
+
+def role_transitions(turns_ds, *, conv_col: str = "conv_id",
+                     idx_col: str = "turn_idx", role_col: str = "role"):
+    """Corpus-wide turn-role transition counts: (prev_role, role, n) —
+    the Markov matrix of who-speaks-after-whom, a standard sanity check
+    on chat-formatted training data (user/assistant strict alternation
+    shows up as zero user->user / assistant->assistant mass).
+
+    Shape: adjacency needs turns of one conversation co-located, so one
+    groupby(conv_id) shuffle carries ONLY (conv_id, turn_idx, role) —
+    never text. Each group sorts by turn_idx and collapses to at most
+    |roles|^2 partial-count rows; the final groupby(prev_role, role)
+    sum is over #convs x |roles|^2 tiny rows.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select([conv_col, idx_col, role_col])
+
+    def transitions(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(idx_col, "ascending")])
+        roles = g.column(role_col).to_pylist()
+        if len(roles) < 2:
+            return pa.table({"prev_role": pa.array([], pa.string()),
+                             "role": pa.array([], pa.string()),
+                             "partial_n": pa.array([], pa.int64())})
+        prev = np.asarray(roles[:-1], dtype=object)
+        cur = np.asarray(roles[1:], dtype=object)
+        t = pa.table({"prev_role": pa.array(prev, pa.string()),
+                      "role": pa.array(cur, pa.string())})
+        agg = t.group_by(["prev_role", "role"]).aggregate([([], "count_all")])
+        return pa.table({"prev_role": agg.column("prev_role"),
+                         "role": agg.column("role"),
+                         "partial_n": pc.cast(agg.column("count_all"),
+                                              pa.int64())})
+
+    partial = turns_ds.map_batches(slim, batch_format="pyarrow") \
+        .groupby(conv_col).map_groups(transitions, batch_format="pyarrow")
+
+    agg = coalesce_small(partial).groupby(["prev_role", "role"]) \
+        .aggregate(Sum("partial_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "prev_role": batch.column("prev_role"),
+            "role": batch.column("role"),
+            "n": pc.cast(batch.column("sum(partial_n)"), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

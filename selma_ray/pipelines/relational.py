@@ -2028,3 +2028,40 @@ def winsorized_mean(events_ds, *, p: float = 0.1):
 
     return hist.groupby("event_type").map_groups(
         finish, batch_format="pandas")
+
+
+def lag_deltas(events_ds):
+    """Per-user event-to-event deltas: (event_id, user_id, ts,
+    secs_since_prev, value_delta) for every event that HAS a previous
+    event from the same user, ordered by (ts, event_id) within user.
+
+    The SQL window shape (``LAG(...) OVER (PARTITION BY user ORDER BY
+    ts, event_id)``) expressed Ray-Data-first: one groupby(user_id)
+    hash shuffle, then a vectorized in-task sort + shift per group —
+    the lag never crosses users, so no ordered global pass is needed.
+    First events per user are dropped (their lag is undefined); the
+    oracle filters the same way, so no NULL-sentinel coordination.
+    """
+    def scan(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = g.column("value").to_numpy(zero_copy_only=False)
+        if len(ts) < 2:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], g.schema.field("ts").type),
+                "secs_since_prev": pa.array([], pa.float64()),
+                "value_delta": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "event_id": g.column("event_id").slice(1),
+            "user_id": g.column("user_id").slice(1),
+            "ts": g.column("ts").slice(1),
+            "secs_since_prev": pa.array((ts[1:] - ts[:-1]) / 1e6,
+                                        pa.float64()),
+            "value_delta": pa.array(vals[1:] - vals[:-1], pa.float64()),
+        })
+
+    return events_ds.groupby("user_id").map_groups(
+        scan, batch_format="pyarrow")

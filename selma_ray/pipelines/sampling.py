@@ -464,3 +464,103 @@ def temperature_sample(ds, *, alpha: float = 0.5, coeff: float = 2.0,
         return batch.select([id_col, strat_col, "fp"])
 
     return kept.map_batches(project, batch_format="pyarrow")
+
+
+def interleave_sources(ds, *, id_col: str = "doc_id",
+                       source_col: str = "source",
+                       bucket_width: int = 4096):
+    """Deterministic round-robin source interleaving for training
+    mixes: (id, source, global_pos) where ordering by ``global_pos``
+    reads the corpus one-source-at-a-time in rotation —
+    ``global_pos = per_source_rank * num_sources + source_rank`` (a
+    strict total order; when sources are unequal sizes the exhausted
+    sources just leave gaps, which preserves the rotation for the
+    rest).
+
+    A per-source ORDERED RANK is the hard part at 100 TB: a
+    groupby(source).map_groups would land an entire source in one task.
+    Instead, the pack_sequences_global bucket-histogram shape, keyed by
+    (source, id-range bucket):
+
+    - pass 1: per-batch count per (source, bucket) -> one tiny groupby
+      -> driver exclusive scan per source gives every (source, bucket)
+      its starting rank (n_buckets x n_sources driver rows).
+    - pass 2: only (id, source, bucket) triples shuffle on bucket; each
+      group sorts by (source, id), local-cumsums within its source
+      runs, adds the broadcast offsets. Group size <= bucket_width
+      regardless of source skew.
+    """
+    import numpy as np
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        t = pa.table({
+            source_col: batch.column(source_col),
+            "bucket": pc.cast(
+                pc.divide(ids, pa.scalar(bucket_width, pa.int64())),
+                pa.int64()),
+        })
+        agg = t.group_by([source_col, "bucket"]).aggregate([([], "count_all")])
+        return pa.table({
+            source_col: agg.column(source_col),
+            "bucket": agg.column("bucket"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    hist = coalesce_small(
+        ds.map_batches(hist_partial, batch_format="pyarrow")) \
+        .groupby([source_col, "bucket"]).aggregate(Sum("partial_n")) \
+        .take_all()
+
+    sources = sorted({r[source_col] for r in hist})
+    srank = {s: i for i, s in enumerate(sources)}
+    nsrc = len(sources)
+    offsets: dict[tuple, int] = {}
+    cum: dict[str, int] = {s: 0 for s in sources}
+    for r in sorted(hist, key=lambda r: (r[source_col], r["bucket"])):
+        offsets[(r[source_col], r["bucket"])] = cum[r[source_col]]
+        cum[r[source_col]] += r["sum(partial_n)"]
+    bc = ray.put((offsets, srank, nsrc))
+
+    def slim(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids,
+            source_col: batch.column(source_col),
+            "bucket": pc.cast(
+                pc.divide(ids, pa.scalar(bucket_width, pa.int64())),
+                pa.int64()),
+        })
+
+    def rank(group: pa.Table) -> pa.Table:
+        offs, sr, n = ray.get(bc)
+        g = group.sort_by([(source_col, "ascending"), (id_col, "ascending")])
+        srcs = np.asarray(g.column(source_col).to_pylist(), dtype=object)
+        bucket = int(g.column("bucket")[0].as_py())
+        # per-source local rank within this bucket
+        _, starts = np.unique(srcs, return_index=True)
+        seg_start = np.zeros(len(srcs), np.int64)
+        seg_start[starts] = starts
+        seg_start = np.maximum.accumulate(seg_start)
+        local = np.arange(len(srcs), dtype=np.int64) - seg_start
+        base = np.array([offs[(s, bucket)] for s in srcs], np.int64)
+        sranks = np.array([sr[s] for s in srcs], np.int64)
+        gpos = (base + local) * n + sranks
+        return pa.table({
+            id_col: g.column(id_col),
+            source_col: g.column(source_col),
+            "global_pos": pa.array(gpos, pa.int64()),
+        })
+
+    return ds.map_batches(slim, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(rank, batch_format="pyarrow")

@@ -2645,3 +2645,158 @@ class TestKllQuantiles:
         for _, r in got.iterrows():
             rank = np.searchsorted(srt, r["value"]) / len(srt)
             assert abs(rank - r["q"]) < 0.03
+
+
+class TestLagDeltas:
+    def test_deltas_match_manual(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import lag_deltas
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 9, 8], pa.int64()),
+            "ts": pa.array([base,
+                            base + dt.timedelta(seconds=10),
+                            base + dt.timedelta(seconds=25),
+                            base + dt.timedelta(seconds=1),
+                            base + dt.timedelta(seconds=2)],
+                           pa.timestamp("us")),
+            "value": pa.array([1.0, 4.0, 2.5, 9.0, 3.0], pa.float64()),
+        })
+        got = lag_deltas(ray.data.from_arrow(t)).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        # users 9 and 8 have one event each -> dropped entirely
+        assert got["event_id"].tolist() == [2, 3]
+        assert got["secs_since_prev"].tolist() == [10.0, 15.0]
+        assert got["value_delta"].tolist() == [3.0, -1.5]
+
+    def test_orders_by_ts_then_event_id(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import lag_deltas
+
+        base = dt.datetime(2024, 1, 1)
+        # tie on ts: event_id breaks it
+        t = pa.table({
+            "event_id": pa.array([2, 1], pa.int64()),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([base, base], pa.timestamp("us")),
+            "value": pa.array([5.0, 3.0], pa.float64()),
+        })
+        got = lag_deltas(ray.data.from_arrow(t)).to_pandas()
+        assert got["event_id"].tolist() == [2]
+        assert got["value_delta"].tolist() == [2.0]
+
+
+class TestRoleTransitions:
+    def test_counts_known_matrix(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.conversations import role_transitions
+
+        t = pa.table({
+            "conv_id": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "turn_idx": pa.array([0, 1, 2, 0, 1, 0], pa.int64()),
+            "role": pa.array(["user", "assistant", "user",
+                              "user", "user", "assistant"]),
+        })
+        got = role_transitions(ray.data.from_arrow(t)).to_pandas() \
+            .set_index(["prev_role", "role"])["n"].to_dict()
+        # conv a: u->a, a->u; conv b: u->u; conv c: no transition
+        assert got == {("user", "assistant"): 1,
+                       ("assistant", "user"): 1,
+                       ("user", "user"): 1}
+
+    def test_adjacency_respects_turn_order_not_input_order(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.conversations import role_transitions
+
+        t = pa.table({
+            "conv_id": pa.array(["x", "x", "x"]),
+            "turn_idx": pa.array([2, 0, 1], pa.int64()),
+            "role": pa.array(["user", "user", "assistant"]),
+        })
+        got = role_transitions(ray.data.from_arrow(t)).to_pandas() \
+            .set_index(["prev_role", "role"])["n"].to_dict()
+        assert got == {("user", "assistant"): 1, ("assistant", "user"): 1}
+
+
+class TestKllByGroup:
+    def test_exact_below_saturation(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sketches import kll_quantiles_by_group
+
+        rng = np.random.default_rng(3)
+        ka = rng.permutation(np.arange(100.0))
+        kb = rng.permutation(np.arange(0.0, 1000.0, 10.0))
+        t = pa.table({
+            "k": pa.array(["a"] * 100 + ["b"] * 100),
+            "v": pa.array(np.concatenate([ka, kb]), pa.float64()),
+        })
+        got = kll_quantiles_by_group(
+            ray.data.from_arrow(t), key_col="k", value_col="v",
+            qs=(0.5, 0.9), k=400).to_pandas() \
+            .set_index(["k", "q"])["value"].to_dict()
+        # below level-0 capacity the sketch is exact quantile_disc
+        assert got[("a", 0.5)] == 49.0
+        assert got[("a", 0.9)] == 89.0
+        assert got[("b", 0.5)] == 490.0
+        assert got[("b", 0.9)] == 890.0
+
+
+class TestInterleaveSources:
+    def test_round_robin_order_unequal_sources(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sampling import interleave_sources
+
+        # src0 docs 0,2,4,6 ; src1 docs 1,3  (unequal)
+        t = pa.table({
+            "doc_id": pa.array([0, 2, 4, 6, 1, 3], pa.int64()),
+            "source": pa.array(["s0", "s0", "s0", "s0", "s1", "s1"]),
+        })
+        got = interleave_sources(ray.data.from_arrow(t),
+                                 bucket_width=4).to_pandas() \
+            .sort_values("global_pos")
+        assert got["doc_id"].tolist() == [0, 1, 2, 3, 4, 6]
+        assert got["source"].tolist() == ["s0", "s1", "s0", "s1",
+                                          "s0", "s0"]
+        # strict total order, no collisions
+        assert got["global_pos"].is_unique
+
+    def test_matches_rank_formula_across_buckets(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sampling import interleave_sources
+
+        ids = list(range(20))
+        srcs = ["s%d" % (i % 3) for i in ids]
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "source": pa.array(srcs)})
+        got = interleave_sources(ray.data.from_arrow(t), bucket_width=4) \
+            .to_pandas().set_index("doc_id")["global_pos"].to_dict()
+        # brute-force oracle
+        import collections
+        seen = collections.Counter()
+        srank = {"s0": 0, "s1": 1, "s2": 2}
+        for i in ids:   # doc_id order == per-source rank order
+            s = srcs[i]
+            want = seen[s] * 3 + srank[s]
+            assert got[i] == want, (i, got[i], want)
+            seen[s] += 1
