@@ -1149,6 +1149,50 @@ def _q_role_transitions(sf_dir: str):
     return role_transitions(turns)
 
 
+def _q_user_event_sequences(sf_dir: str):
+    """Distributed string_agg(... ORDER BY ts, event_id) per user."""
+    from selma_ray.pipelines.relational import user_event_sequences
+
+    return user_event_sequences(_read(sf_dir, "events"))
+
+
+def _q_debounce_events(sf_dir: str):
+    """Gap-based event dedupe: drop repeats of the same (user, type)
+    within 1h of the previous raw event (LAG formulation)."""
+    from selma_ray.pipelines.relational import debounce_events
+
+    return debounce_events(_read(sf_dir, "events"), gap_secs=3600.0)
+
+
+def _q_user_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix."""
+    from selma_ray.pipelines.relational import user_event_entropy
+
+    return user_event_entropy(_read(sf_dir, "events"))
+
+
+def _q_corpus_overlap_kmv(sf_dir: str):
+    """Distinct-user overlap of two event slices via KMV set algebra;
+    k=16384 >> 150 distinct users at sf0.01, so the estimate is exact
+    and the SQL oracle matches bit-for-bit (the sketch path is what
+    runs at 100 TB: <= k 8-byte hashes per block leave each task)."""
+    from selma_ray.pipelines.sketches import kmv_overlap
+
+    ev = _read(sf_dir, "events")
+
+    def half(m: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("event_id")
+            mm = pa.scalar(m, pa.int64())
+            mod = pc.subtract(ids, pc.multiply(pc.divide(ids, mm), mm))
+            return batch.filter(pc.equal(mod, pa.scalar(0, pa.int64())))
+        return f
+
+    a = ev.map_batches(half(2), batch_format="pyarrow")
+    b = ev.map_batches(half(3), batch_format="pyarrow")
+    return kmv_overlap(a, b, value_col="user_id", k=16384)
+
+
 def _q_interleave_sources(sf_dir: str):
     """Round-robin source interleave via the bucket-histogram
     distributed per-source rank (no per-source map_groups)."""
@@ -1600,6 +1644,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_deltas": _q_lag_deltas,
         "role_transitions": _q_role_transitions,
         "interleave_sources": _q_interleave_sources,
+        "user_event_sequences": _q_user_event_sequences,
+        "debounce_events": _q_debounce_events,
+        "user_event_entropy": _q_user_event_entropy,
+        "corpus_overlap_kmv": _q_corpus_overlap_kmv,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "extract_tables": _q_extract_tables,
@@ -2570,6 +2618,49 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY lang
                            ORDER BY n_chars DESC, doc_id) AS rn
                 FROM documents) WHERE rn <= 3
+        """,
+        "user_event_sequences": r"""
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   string_agg(event_type, '>'
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        """,
+        "debounce_events": r"""
+            WITH w AS (
+                SELECT event_id, user_id, event_type, ts, value,
+                       LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS pts
+                FROM events)
+            SELECT event_id, user_id, event_type, ts, value
+            FROM w
+            WHERE pts IS NULL
+               OR date_diff('microsecond', pts, ts) > 3600000000
+        """,
+        "user_event_entropy": r"""
+            WITH c AS (
+                SELECT user_id, event_type, count(*)::DOUBLE AS c
+                FROM events GROUP BY user_id, event_type),
+            t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY user_id)
+            SELECT c.user_id, t.n::BIGINT AS n_events,
+                   -sum((c.c / t.n) * ln(c.c / t.n)) AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id, t.n
+        """,
+        "corpus_overlap_kmv": r"""
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_id % 2 = 0),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_id % 3 = 0),
+                 u AS (SELECT user_id FROM a UNION
+                       SELECT user_id FROM b),
+                 i AS (SELECT user_id FROM a INTERSECT
+                       SELECT user_id FROM b)
+            SELECT (SELECT count(*) FROM a)::DOUBLE AS est_a,
+                   (SELECT count(*) FROM b)::DOUBLE AS est_b,
+                   (SELECT count(*) FROM u)::DOUBLE AS est_union,
+                   (SELECT count(*) FROM i)::DOUBLE AS est_intersection,
+                   (SELECT count(*) FROM i)::DOUBLE
+                       / (SELECT count(*) FROM u) AS jaccard
         """,
         "lag_deltas": r"""
             WITH w AS (

@@ -2065,3 +2065,100 @@ def lag_deltas(events_ds):
 
     return events_ds.groupby("user_id").map_groups(
         scan, batch_format="pyarrow")
+
+
+def user_event_sequences(events_ds, *, sep: str = ">"):
+    """Per-user ordered event-type trail: (user_id, n_events, seq)
+    where seq = event types joined by ``sep`` in (ts, event_id) order —
+    the SQL ``string_agg(event_type, sep ORDER BY ts, event_id)``.
+
+    One groupby(user_id) shuffle carrying only (user_id, ts, event_id,
+    event_type); the join happens in the group task. seq length is
+    bounded by events-per-user — for a pathological user, pre-combine
+    per block into ordered segment rows first (the
+    conversation-assembly two-phase shape in conversations.py).
+    """
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select(["user_id", "ts", "event_id", "event_type"])
+
+    def assemble(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        types = g.column("event_type").to_pylist()
+        return pa.table({
+            "user_id": pa.array([g.column("user_id")[0].as_py()],
+                                pa.int64()),
+            "n_events": pa.array([len(types)], pa.int64()),
+            "seq": pa.array([sep.join(types)], pa.string()),
+        })
+
+    return events_ds.map_batches(slim, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(assemble, batch_format="pyarrow")
+
+
+def debounce_events(events_ds, *, gap_secs: float = 3600.0):
+    """Drop an event when the SAME user fired the SAME event type less
+    than ``gap_secs`` earlier (vs the previous RAW event, i.e. the
+    LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts,
+    event_id) formulation — deliberately, so an exact SQL oracle
+    exists; a compare-to-last-KEPT debounce is the same in-task scan
+    with a running keep-timestamp instead of the shift).
+
+    One groupby(user_id, event_type) hash shuffle, vectorized in-task
+    sort + shifted-diff filter. Keeps (event_id, user_id, event_type,
+    ts, value).
+    """
+    gap_us = int(gap_secs * 1e6)
+
+    def scan(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ts), bool)
+        keep[1:] = (ts[1:] - ts[:-1]) > gap_us
+        return g.select(["event_id", "user_id", "event_type", "ts",
+                         "value"]).filter(pa.array(keep))
+
+    return events_ds.groupby(["user_id", "event_type"]).map_groups(
+        scan, batch_format="pyarrow")
+
+
+def user_event_entropy(events_ds):
+    """Per-user Shannon entropy (nats) of the event-type mix:
+    (user_id, n_events, entropy) — behavioral-diversity scoring, the
+    events-table analogue of the documents char_entropy op.
+
+    Two-phase: per-batch (user, type) count combiner -> groupby sum
+    (one row per user x type survives) -> groupby(user_id) map_groups
+    computes H = -sum(p ln p) over the handful of type rows. Only
+    count rows ride either shuffle. ln via np.log for DuckDB parity.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["user_id", "event_type"]) \
+            .group_by(["user_id", "event_type"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "user_id": agg.column("user_id"),
+            "event_type": agg.column("event_type"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    counts = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["user_id", "event_type"]).aggregate(Sum("partial_n"))
+
+    def finish(group: pa.Table) -> pa.Table:
+        c = np.asarray(group.column("sum(partial_n)").to_pylist(),
+                       np.float64)
+        n = c.sum()
+        p = c / n
+        return pa.table({
+            "user_id": pa.array([group.column("user_id")[0].as_py()],
+                                pa.int64()),
+            "n_events": pa.array([int(n)], pa.int64()),
+            "entropy": pa.array([float(-(p * np.log(p)).sum())],
+                                pa.float64()),
+        })
+
+    return counts.groupby("user_id").map_groups(
+        finish, batch_format="pyarrow")

@@ -384,3 +384,60 @@ def kll_quantiles_by_group(ds, *, key_col: str, value_col: str,
 
     return ds.map_batches(summarize, batch_format="pyarrow") \
         .groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def _kmin_hashes(ds, *, value_col: str, k: int) -> np.ndarray:
+    """Distributed k smallest distinct md5-low-64 hashes of a column:
+    per-batch combiners prune to <= k hashes each (8 bytes apiece is
+    all that leaves a task); the driver folds the <= k x blocks
+    partials. Sorted uint64 array, length <= k."""
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = pc.unique(batch.column(value_col)).to_pylist()
+        hs = sorted({kmv_hash64(v) for v in vals})[:k]
+        return pa.table({"h": pa.array(np.array(hs, np.uint64),
+                                       pa.uint64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.unique(np.array([r["h"] for r in parts], np.uint64))
+    return merged[:k]
+
+
+def kmv_overlap(ds_a, ds_b, *, value_col: str, k: int = 16384):
+    """Distinct-set overlap of one column across two datasets ->
+    single row (est_a, est_b, est_union, est_intersection, jaccard),
+    all float64.
+
+    The KMV set-operation estimator: the k smallest hashes of A∪B are
+    a uniform sample of the union, so jaccard ≈ matches/|U| and
+    est_intersection = jaccard * est_union. Below saturation (fewer
+    than k distinct values in the union) every quantity is EXACT and
+    the SQL oracle reproduces it bit-for-bit — the corpus-overlap
+    audit ("how many users/docs do these two slices share?") without
+    ever shuffling raw values: each side ships <= k 8-byte hashes per
+    block, nothing else.
+    """
+    import ray.data
+
+    sa = _kmin_hashes(ds_a, value_col=value_col, k=k)
+    sb = _kmin_hashes(ds_b, value_col=value_col, k=k)
+
+    def est(s: np.ndarray) -> float:
+        return float(len(s)) if len(s) < k \
+            else (k - 1) * _TWO64 / float(s[k - 1])
+
+    union = np.unique(np.concatenate([sa, sb]))[:k]
+    matches = np.intersect1d(union, np.intersect1d(sa, sb)).size
+    if len(union) < k:
+        est_union = float(len(union))
+        est_inter = float(matches)
+    else:
+        est_union = (k - 1) * _TWO64 / float(union[k - 1])
+        est_inter = (matches / float(len(union))) * est_union
+    jacc = (est_inter / est_union) if est_union else 0.0
+    return ray.data.from_arrow(pa.table({
+        "est_a": pa.array([est(sa)], pa.float64()),
+        "est_b": pa.array([est(sb)], pa.float64()),
+        "est_union": pa.array([est_union], pa.float64()),
+        "est_intersection": pa.array([est_inter], pa.float64()),
+        "jaccard": pa.array([jacc], pa.float64()),
+    }))

@@ -2800,3 +2800,107 @@ class TestInterleaveSources:
             want = seen[s] * 3 + srank[s]
             assert got[i] == want, (i, got[i], want)
             seen[s] += 1
+
+
+class TestUserEventSequences:
+    def test_ordered_trail(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import user_event_sequences
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table({
+            "event_id": pa.array([3, 1, 2], pa.int64()),
+            "user_id": pa.array([5, 5, 5], pa.int64()),
+            "ts": pa.array([base + dt.timedelta(seconds=s)
+                            for s in (9, 1, 5)], pa.timestamp("us")),
+            "event_type": pa.array(["c", "a", "b"]),
+        })
+        got = user_event_sequences(ray.data.from_arrow(t)).to_pandas()
+        assert got["seq"].tolist() == ["a>b>c"]
+        assert got["n_events"].tolist() == [3]
+
+
+class TestDebounceEvents:
+    def test_drops_within_gap_keeps_across_types(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import debounce_events
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "event_type": pa.array(["x", "x", "y", "x"]),
+            "ts": pa.array([base,
+                            base + dt.timedelta(seconds=30),   # < gap: drop
+                            base + dt.timedelta(seconds=31),   # other type
+                            base + dt.timedelta(seconds=120)], # > gap from 2
+                           pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        })
+        got = debounce_events(ray.data.from_arrow(t), gap_secs=60.0) \
+            .to_pandas().sort_values("event_id")
+        # event 4 is 90s after event 2 (the previous RAW x), so kept
+        assert got["event_id"].tolist() == [1, 3, 4]
+
+
+class TestUserEventEntropy:
+    def test_uniform_and_degenerate(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import user_event_entropy
+
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "b", "z", "z"]),
+        })
+        got = user_event_entropy(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("user_id")
+        assert abs(got.loc[1, "entropy"] - math.log(2)) < 1e-12
+        assert got.loc[2, "entropy"] == 0.0
+        assert got.loc[1, "n_events"] == 4
+
+
+class TestKmvOverlap:
+    def test_exact_below_saturation(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sketches import kmv_overlap
+
+        a = ray.data.from_arrow(pa.table(
+            {"v": pa.array(list(range(100)), pa.int64())}))
+        b = ray.data.from_arrow(pa.table(
+            {"v": pa.array(list(range(60, 160)), pa.int64())}))
+        got = kmv_overlap(a, b, value_col="v", k=1024).to_pandas().iloc[0]
+        assert got["est_a"] == 100.0
+        assert got["est_b"] == 100.0
+        assert got["est_union"] == 160.0
+        assert got["est_intersection"] == 40.0
+        assert got["jaccard"] == 40.0 / 160.0
+
+    def test_saturated_estimate_close(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sketches import kmv_overlap
+
+        n = 20_000
+        a = ray.data.from_arrow(pa.table(
+            {"v": pa.array(list(range(n)), pa.int64())}))
+        b = ray.data.from_arrow(pa.table(
+            {"v": pa.array(list(range(n // 2, n + n // 2)), pa.int64())}))
+        got = kmv_overlap(a, b, value_col="v", k=512).to_pandas().iloc[0]
+        # true: union = 1.5n, inter = 0.5n, jaccard = 1/3
+        assert abs(got["est_union"] - 1.5 * n) / (1.5 * n) < 0.15
+        assert abs(got["jaccard"] - 1 / 3) < 0.1
