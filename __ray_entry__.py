@@ -1193,6 +1193,14 @@ def _q_corpus_overlap_kmv(sf_dir: str):
     return kmv_overlap(a, b, value_col="user_id", k=16384)
 
 
+def _q_percent_rank_by_type(sf_dir: str):
+    """Per-group PERCENT_RANK/CUME_DIST with a map-only assign pass
+    (broadcast rank lookup; no row-level shuffle)."""
+    from selma_ray.pipelines.relational import percent_rank_by_group
+
+    return percent_rank_by_group(_read(sf_dir, "events"))
+
+
 def _q_interleave_sources(sf_dir: str):
     """Round-robin source interleave via the bucket-histogram
     distributed per-source rank (no per-source map_groups)."""
@@ -1648,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce_events": _q_debounce_events,
         "user_event_entropy": _q_user_event_entropy,
         "corpus_overlap_kmv": _q_corpus_overlap_kmv,
+        "percent_rank_by_type": _q_percent_rank_by_type,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "extract_tables": _q_extract_tables,
@@ -2618,6 +2627,14 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY lang
                            ORDER BY n_chars DESC, doc_id) AS rn
                 FROM documents) WHERE rn <= 3
+        """,
+        "percent_rank_by_type": r"""
+            SELECT event_id, event_type, value,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS pct_rank,
+                   cume_dist() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS cume_dist
+            FROM events
         """,
         "user_event_sequences": r"""
             SELECT user_id, count(*)::BIGINT AS n_events,

@@ -2162,3 +2162,79 @@ def user_event_entropy(events_ds):
 
     return counts.groupby("user_id").map_groups(
         finish, batch_format="pyarrow")
+
+
+def percent_rank_by_group(events_ds, *, group_col: str = "event_type",
+                          value_col: str = "value",
+                          id_col: str = "event_id"):
+    """Exact PERCENT_RANK() OVER (PARTITION BY group ORDER BY value)
+    (and CUME_DIST) for every row -> (id, group, value, pct_rank,
+    cume_dist), both float64.
+
+    rank_rows' histogram idiom, upgraded to a per-group window and a
+    MAP-ONLY second pass: because percent_rank is a function of the
+    VALUE (ties share a rank), no row ever needs a per-row position —
+    pass 1 builds the (group, cents) histogram (one tiny groupby),
+    the driver's per-group exclusive scan yields rank-1 per distinct
+    value, and pass 2 is a broadcast lookup inside map_batches: zero
+    row-level shuffle. Driver state is O(distinct (group, quantized
+    value)) — values here are exact 2-decimal so cents quantization is
+    order-isomorphic; for truly continuous keys coarsen the bucket and
+    refine per-bucket (length_percentile_filter-style).
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def cents(col) -> pa.Array:
+        return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))),
+                       pa.int64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch.column(group_col),
+                      "c": cents(batch.column(value_col))})
+        agg = t.group_by([group_col, "c"]).aggregate([([], "count_all")])
+        return pa.table({
+            group_col: agg.column(group_col),
+            "c": agg.column("c"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    hist = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby([group_col, "c"]).aggregate(Sum("partial_n")).take_all()
+
+    ranks: dict = {}      # (group, cents) -> rows strictly below
+    cume: dict = {}       # (group, cents) -> rows at-or-below
+    totals: dict = {}
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r[group_col], []).append(
+            (r["c"], r["sum(partial_n)"]))
+    for g, pairs in by_group.items():
+        cum = 0
+        for c, n in sorted(pairs):
+            ranks[(g, c)] = cum
+            cum += n
+            cume[(g, c)] = cum
+        totals[g] = cum
+    bc = ray.put((ranks, cume, totals))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        rk, cm, tot = ray.get(bc)
+        gs = batch.column(group_col).to_pylist()
+        cs = cents(batch.column(value_col)).to_pylist()
+        pct = np.array(
+            [rk[(g, c)] / max(tot[g] - 1, 1) for g, c in zip(gs, cs)],
+            np.float64)
+        cd = np.array(
+            [cm[(g, c)] / tot[g] for g, c in zip(gs, cs)], np.float64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            group_col: batch.column(group_col),
+            value_col: batch.column(value_col),
+            "pct_rank": pa.array(pct, pa.float64()),
+            "cume_dist": pa.array(cd, pa.float64()),
+        })
+
+    return events_ds.map_batches(assign, batch_format="pyarrow")

@@ -2904,3 +2904,31 @@ class TestKmvOverlap:
         # true: union = 1.5n, inter = 0.5n, jaccard = 1/3
         assert abs(got["est_union"] - 1.5 * n) / (1.5 * n) < 0.15
         assert abs(got["jaccard"] - 1 / 3) < 0.1
+
+
+class TestPercentRankByGroup:
+    def test_matches_window_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import percent_rank_by_group
+
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "a", "b", "b"]),
+            # group a: values 1,2,2,9 ; group b: 5,5 (all ties)
+            "value": pa.array([1.0, 2.0, 2.0, 9.0, 5.0, 5.0], pa.float64()),
+        })
+        got = percent_rank_by_group(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("event_id")
+        # PERCENT_RANK = (rank-1)/(n-1); ties share rank
+        assert got.loc[1, "pct_rank"] == 0.0
+        assert got.loc[2, "pct_rank"] == 1 / 3
+        assert got.loc[3, "pct_rank"] == 1 / 3
+        assert got.loc[4, "pct_rank"] == 1.0
+        assert got.loc[5, "pct_rank"] == 0.0   # single-value group -> 0
+        # CUME_DIST = rows at-or-below / n
+        assert got.loc[1, "cume_dist"] == 0.25
+        assert got.loc[3, "cume_dist"] == 0.75
+        assert got.loc[4, "cume_dist"] == 1.0
+        assert got.loc[5, "cume_dist"] == 1.0
