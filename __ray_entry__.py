@@ -1201,6 +1201,16 @@ def _q_percent_rank_by_type(sf_dir: str):
     return percent_rank_by_group(_read(sf_dir, "events"))
 
 
+def _q_kcenter_select(sf_dir: str):
+    """Greedy k-center diversity coreset over embeddings (Gonzalez
+    farthest-point); deterministic, rows-only (no SQL window
+    equivalent — exactness is covered by the line-geometry unit
+    test)."""
+    from selma_ray.pipelines.clustering import kcenter_select
+
+    return kcenter_select(_read(sf_dir, "embeddings"), k=16)
+
+
 def _q_interleave_sources(sf_dir: str):
     """Round-robin source interleave via the bucket-histogram
     distributed per-source rank (no per-source map_groups)."""
@@ -1657,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": _q_user_event_entropy,
         "corpus_overlap_kmv": _q_corpus_overlap_kmv,
         "percent_rank_by_type": _q_percent_rank_by_type,
+        "kcenter_select": _q_kcenter_select,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "extract_tables": _q_extract_tables,

@@ -353,3 +353,79 @@ def pca_project(ds, *, k: int = 8, id_col: str = "vec_id",
         })
 
     return ds.map_batches(project, batch_format="pyarrow"), W, mean
+
+
+def kcenter_select(ds, *, k: int = 16, id_col: str = "vec_id",
+                   emb_col: str = "embedding"):
+    """Greedy k-center (Gonzalez 2-approx) coreset selection over an
+    embedding column -> (order:int64, vec_id:int64, radius:float64):
+    the k most mutually-distant vectors, picked farthest-point-first —
+    diversity sampling for training-data curation (radius is the
+    corpus covering radius when the row was chosen, so the curve
+    doubles as a coverage report).
+
+    Deterministic: seed = lowest vec_id; ties broken by lowest id.
+
+    Round structure (k rounds, like kmeans iters): centers-so-far are
+    broadcast via ray.put, every block computes its min-distance-to-
+    centers and reduces to ONE (id, dist, vec) candidate row, the
+    driver picks the global argmax — per round only #blocks candidate
+    rows leave the cluster. Each round recomputes distances to all r
+    centers from the source (stateless tasks, O(k^2 N d) total work,
+    nothing materialized); at very large k, flip to the incremental
+    shape — persist a running min-dist column (one materialize per
+    round) and compute against only the newest center.
+    """
+    import ray
+
+    def seed_pass(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: pa.array([], batch.schema
+                                               .field(emb_col).type)})
+        i = pc.index(ids, pc.min(ids))
+        return batch.select([id_col, emb_col]).slice(i.as_py(), 1)
+
+    seeds = ds.map_batches(seed_pass, batch_format="pyarrow").take_all()
+    seed = min(seeds, key=lambda r: r[id_col])
+    centers = [np.asarray(seed[emb_col], np.float64)]
+    chosen = [(0, int(seed[id_col]), 0.0)]
+
+    for rnd in range(1, k):
+        cref = ray.put(np.stack(centers))
+
+        def far_pass(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)                       # (r, d)
+            x = _mat(batch, emb_col)                # (n, d)
+            if x.shape[0] == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.float64()),
+                                 "vec": pa.array([], pa.list_(
+                                     pa.float64()))})
+            # squared euclidean via the expansion; min over centers
+            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) \
+                + (c * c).sum(1)[None, :]
+            mind = d2.min(1)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            # block-top candidate, ties -> lowest id
+            best = np.lexsort((ids, -mind))[0]
+            return pa.table({
+                id_col: pa.array([int(ids[best])], pa.int64()),
+                "dist": pa.array([float(mind[best])], pa.float64()),
+                "vec": pa.array([x[best].tolist()],
+                                pa.list_(pa.float64())),
+            })
+
+        cands = ds.map_batches(far_pass, batch_format="pyarrow").take_all()
+        top = max(cands, key=lambda r: (r["dist"], -r[id_col]))
+        centers.append(np.asarray(top["vec"], np.float64))
+        chosen.append((rnd, int(top[id_col]),
+                       float(np.sqrt(top["dist"]))))
+
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "order": pa.array([c[0] for c in chosen], pa.int64()),
+        id_col: pa.array([c[1] for c in chosen], pa.int64()),
+        "radius": pa.array([c[2] for c in chosen], pa.float64()),
+    }))

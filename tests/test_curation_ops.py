@@ -2932,3 +2932,39 @@ class TestPercentRankByGroup:
         assert got.loc[3, "cume_dist"] == 0.75
         assert got.loc[4, "cume_dist"] == 1.0
         assert got.loc[5, "cume_dist"] == 1.0
+
+
+class TestKcenterSelect:
+    def test_farthest_point_order_on_a_line(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.clustering import kcenter_select
+
+        # points on a line: 0, 1, 2, 10, 11
+        pos = {1: 0.0, 2: 1.0, 3: 2.0, 4: 10.0, 5: 11.0}
+        t = pa.table({
+            "vec_id": pa.array(list(pos), pa.int64()),
+            "embedding": pa.array([[p, 0.0] for p in pos.values()],
+                                  pa.list_(pa.float32())),
+        })
+        got = kcenter_select(ray.data.from_arrow(t), k=4).to_pandas()
+        # seed = lowest id (pos 0); farthest-first: 11, then 2;
+        # round 4 ties at dist 1 (pos 1 and pos 10) -> lowest id (2)
+        assert got["vec_id"].tolist() == [1, 5, 3, 2]
+        assert got["radius"].tolist() == [0.0, 11.0, 2.0, 1.0]
+
+    def test_tie_breaks_to_lowest_id(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.clustering import kcenter_select
+
+        # two symmetric farthest candidates -> lowest id wins
+        t = pa.table({
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array([[0.0], [5.0], [-5.0]],
+                                  pa.list_(pa.float32())),
+        })
+        got = kcenter_select(ray.data.from_arrow(t), k=2).to_pandas()
+        assert got["vec_id"].tolist() == [1, 2]
