@@ -433,9 +433,10 @@ def _q_bigram_frequencies(sf_dir: str):
 
 
 def _q_pagerank(sf_dir: str):
-    """PageRank over a deterministic doc-citation graph (rows-only:
-    iterative float op; parity vs single-process power iteration is
-    tested in tests/test_curation_ops.py). Each doc cites 3 others."""
+    """PageRank over a deterministic doc-citation graph; SQL-checked
+    against a 10-iteration unrolled-CTE DuckDB oracle (plus parity vs
+    single-process power iteration in tests). Each doc cites 3
+    others."""
     from selma_ray.pipelines.graph import pagerank
 
     def edges(batch: pa.Table) -> pa.Table:
@@ -1688,6 +1689,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracles (DuckDB SQL on the registered views)
 # --------------------------------------------------------------------------
 
+def _pagerank_oracle() -> str:
+    """Unrolled 10-iteration PageRank as a CTE chain (DuckDB recursive
+    CTEs restrict aggregates over the recursive table, so the fixed
+    iteration count is simply unrolled — same float math as the Ray
+    rounds to within reassociation, covered by the checker's atol)."""
+    head = """
+        WITH edges AS MATERIALIZED (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % 500 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 1) % 500 FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * 29 + 1) % 500 FROM documents),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges)),
+        deg AS (SELECT src AS node, count(*)::DOUBLE AS outdeg
+                FROM edges GROUP BY src),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        r0 AS MATERIALIZED (
+            SELECT nodes.node, COALESCE(deg.outdeg, 0) AS outdeg,
+                   1.0 / (SELECT n FROM nn) AS rank
+            FROM nodes LEFT JOIN deg USING (node))"""
+    step = """,
+        r{next} AS MATERIALIZED (
+            SELECT r.node, r.outdeg,
+               (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * (SELECT COALESCE(sum(CASE WHEN outdeg = 0
+                                              THEN rank END), 0)
+                         FROM r{cur}) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(s.insum, 0) AS rank
+            FROM r{cur} r LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / r.outdeg) AS insum
+                FROM edges e JOIN r{cur} r
+                  ON e.src = r.node AND r.outdeg > 0
+                GROUP BY e.dst) s USING (node))"""
+    body = "".join(step.format(cur=i, next=i + 1) for i in range(10))
+    return head + body + "\n        SELECT node, rank FROM r10"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats": r"""
@@ -2639,6 +2681,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY n_chars DESC, doc_id) AS rn
                 FROM documents) WHERE rn <= 3
         """,
+        "pagerank": _pagerank_oracle(),
         "percent_rank_by_type": r"""
             SELECT event_id, event_type, value,
                    percent_rank() OVER (PARTITION BY event_type
