@@ -1393,15 +1393,63 @@ def _q_corpus_diff(sf_dir: str):
 
 
 def _q_top_similar_pairs(sf_dir: str):
+    """Top-50 cosine pairs, reported at 4-decimal similarity so an
+    exact SQL oracle exists: mine a 4x margin by raw similarity, then
+    re-rank by (rounded sim desc, id_a, id_b) — the margin guarantees
+    the rounded top-50 is inside the raw top-200 unless >150 pairs tie
+    at the boundary value. Rounding is floor(x*1e4+0.5)/1e4 on BOTH
+    sides (numpy round is half-even, DuckDB round half-away)."""
+    import numpy as np
+
     from selma_ray.pipelines.similarity import top_similar_pairs
 
-    return top_similar_pairs(_read(sf_dir, "embeddings"), k_pairs=50)
+    cand = top_similar_pairs(_read(sf_dir, "embeddings"), k_pairs=200)
+
+    def r4(batch: pa.Table) -> pa.Table:
+        s = batch.column("similarity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "sim_r4": pa.array(np.floor(s * 1e4 + 0.5) / 1e4,
+                               pa.float64()),
+        })
+
+    return cand.map_batches(r4, batch_format="pyarrow") \
+        .sort(["sim_r4", "id_a", "id_b"],
+              descending=[True, False, False]).limit(50)
 
 
 def _q_quantize_embeddings(sf_dir: str):
+    """int8 quantization, reported EXPLODED as (vec_id, dim, scale,
+    qv) so the SQL oracle can compare per-code (the production shape —
+    packed binary, 1/4 the bytes — is covered by the round-trip
+    test). Rounding is half-away-from-zero on both sides."""
+    import numpy as np
+
     from selma_ray.pipelines.similarity import quantize_embeddings
 
-    return quantize_embeddings(_read(sf_dir, "embeddings"))
+    q = quantize_embeddings(_read(sf_dir, "embeddings"))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        blobs = batch.column("q").to_pylist()
+        if not blobs:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "scale": pa.array([], pa.float64()),
+                             "qv": pa.array([], pa.int32())})
+        mat = np.stack([np.frombuffer(b, dtype=np.int8) for b in blobs])
+        n, d = mat.shape
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        scale = batch.column("scale").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n),
+                            pa.int64()),
+            "scale": pa.array(np.repeat(scale, d), pa.float64()),
+            "qv": pa.array(mat.ravel().astype(np.int32), pa.int32()),
+        })
+
+    return q.map_batches(explode, batch_format="pyarrow")
 
 
 def _q_label_centroids(sf_dir: str):
@@ -2682,6 +2730,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "quantize_embeddings": r"""
+            WITH s AS (
+                SELECT vec_id,
+                       list_max(list_transform(embedding::DOUBLE[],
+                                               x -> abs(x))) AS amax,
+                       embedding::DOUBLE[] AS e
+                FROM embeddings),
+            t AS (
+                SELECT vec_id, e,
+                       CASE WHEN amax > 0 THEN amax / 127.0
+                            ELSE 1.0 END AS scale
+                FROM s)
+            SELECT vec_id,
+                   unnest(range(len(e)))::BIGINT AS dim,
+                   scale,
+                   greatest(-127, least(127,
+                       round(unnest(e) / scale)))::INTEGER AS qv
+            FROM t
+        """,
+        "top_similar_pairs": r"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   floor(list_cosine_similarity(
+                             a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) * 10000 + 0.5)
+                       / 10000 AS sim_r4
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ORDER BY sim_r4 DESC, id_a, id_b LIMIT 50
+        """,
         "percent_rank_by_type": r"""
             SELECT event_id, event_type, value,
                    percent_rank() OVER (PARTITION BY event_type

@@ -436,8 +436,12 @@ def quantize_embeddings(ds, *, id_col: str = "vec_id",
         m = _batch_matrix(batch, vec_col).astype(np.float64)
         amax = np.abs(m).max(axis=1)
         scale = np.where(amax > 0, amax / 127.0, 1.0)
-        q = np.clip(np.rint(m / scale[:, None]), -127, 127) \
-            .astype(np.int8)
+        # round half-away-from-zero (sign*floor(|x|+0.5)): the common
+        # symmetric-quant convention, and what SQL round() does — so
+        # the DuckDB oracle reproduces every code exactly
+        x = m / scale[:, None]
+        q = np.clip(np.sign(x) * np.floor(np.abs(x) + 0.5),
+                    -127, 127).astype(np.int8)
         return pa.table({
             id_col: batch.column(id_col),
             "scale": pa.array(scale, pa.float64()),
