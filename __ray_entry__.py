@@ -1212,6 +1212,24 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_psi_drift(sf_dir: str):
+    """PSI drift per source: reference slice = even doc_ids, candidate
+    = odd (a stand-in for two corpus snapshots)."""
+    from selma_ray.pipelines.relational import psi_drift
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        two = pa.scalar(2, pa.int64())
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, two), two))
+        return batch.append_column(
+            "side", pc.if_else(pc.equal(mod, pa.scalar(0, pa.int64())),
+                               pa.scalar("a"), pa.scalar("b")))
+
+    docs = _read(sf_dir, "documents").map_batches(tag,
+                                                  batch_format="pyarrow")
+    return psi_drift(docs)
+
+
 def _q_interleave_sources(sf_dir: str):
     """Round-robin source interleave via the bucket-histogram
     distributed per-source rank (no per-source map_groups)."""
@@ -1717,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_overlap_kmv": _q_corpus_overlap_kmv,
         "percent_rank_by_type": _q_percent_rank_by_type,
         "kcenter_select": _q_kcenter_select,
+        "psi_drift": _q_psi_drift,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "extract_tables": _q_extract_tables,
@@ -2730,6 +2749,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "psi_drift": r"""
+            WITH c AS (
+                SELECT source,
+                       CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+                           AS side,
+                       least(n_chars // 128, 15) AS bin,
+                       count(*)::BIGINT AS n
+                FROM documents GROUP BY 1, 2, 3),
+            tot AS (SELECT source, side, sum(n) AS tn
+                    FROM c GROUP BY source, side),
+            grid AS (
+                SELECT b.source, s.side, g.bin
+                FROM (SELECT DISTINCT source FROM documents) b,
+                     (SELECT unnest(range(16)) AS bin) g,
+                     (VALUES ('a'), ('b')) s(side)),
+            p AS (
+                SELECT g.source, g.side, g.bin,
+                       (COALESCE(c.n, 0) + 1.0)
+                           / (COALESCE(t.tn, 0) + 16.0) AS p
+                FROM grid g
+                LEFT JOIN c ON c.source = g.source AND c.side = g.side
+                           AND c.bin = g.bin
+                LEFT JOIN tot t ON t.source = g.source
+                               AND t.side = g.side),
+            w AS (
+                SELECT a.source, (a.p - b.p) * ln(a.p / b.p) AS term
+                FROM p a JOIN p b
+                  ON a.source = b.source AND a.bin = b.bin
+                WHERE a.side = 'a' AND b.side = 'b')
+            SELECT source, sum(term) AS psi FROM w GROUP BY source
+        """,
         "quantize_embeddings": r"""
             WITH s AS (
                 SELECT vec_id,

@@ -2238,3 +2238,66 @@ def percent_rank_by_group(events_ds, *, group_col: str = "event_type",
         })
 
     return events_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def psi_drift(ds, *, group_col: str = "source", side_col: str = "side",
+              value_col: str = "n_chars", bin_width: int = 128,
+              n_bins: int = 16):
+    """Population Stability Index per group between two labeled slices
+    -> (group, psi float64): the standard distribution-drift monitor
+    (psi < 0.1 stable, > 0.25 drifted) run per corpus source when a
+    new snapshot lands.
+
+    Input needs a ``side_col`` with values 'a' (reference) and 'b'
+    (candidate). Values are binned fixed-width (``min(value //
+    bin_width, n_bins-1)``), counts are Laplace-smoothed
+    ((c+1)/(n+n_bins)) so empty bins are defined, and
+    psi = sum_bins (p_a - p_b) * ln(p_a / p_b).
+
+    Shape: per-batch (group, side, bin) count combiner -> one tiny
+    groupby sum -> groupby(group) finalize over <= 2*n_bins rows per
+    group. Raw values never shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col)
+        bins = pc.min_element_wise(
+            pc.cast(pc.divide(vals, pa.scalar(bin_width, pa.int64())),
+                    pa.int64()),
+            pa.scalar(n_bins - 1, pa.int64()))
+        t = pa.table({group_col: batch.column(group_col),
+                      side_col: batch.column(side_col), "bin": bins})
+        agg = t.group_by([group_col, side_col, "bin"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            group_col: agg.column(group_col),
+            side_col: agg.column(side_col),
+            "bin": agg.column("bin"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    counts = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby([group_col, side_col, "bin"]).aggregate(Sum("partial_n"))
+
+    def finish(group: pa.Table) -> pa.Table:
+        sides = group.column(side_col).to_pylist()
+        bins = group.column("bin").to_pylist()
+        ns = group.column("sum(partial_n)").to_pylist()
+        grid = {("a", b): 0 for b in range(n_bins)}
+        grid.update({("b", b): 0 for b in range(n_bins)})
+        for s, b, n in zip(sides, bins, ns):
+            grid[(s, b)] = n
+        tn = {s: sum(grid[(s, b)] for b in range(n_bins)) for s in "ab"}
+        pa_ = np.array([(grid[("a", b)] + 1.0) / (tn["a"] + float(n_bins))
+                        for b in range(n_bins)])
+        pb_ = np.array([(grid[("b", b)] + 1.0) / (tn["b"] + float(n_bins))
+                        for b in range(n_bins)])
+        psi = float(((pa_ - pb_) * np.log(pa_ / pb_)).sum())
+        return pa.table({
+            group_col: pa.array([group.column(group_col)[0].as_py()]),
+            "psi": pa.array([psi], pa.float64()),
+        })
+
+    return counts.groupby(group_col).map_groups(
+        finish, batch_format="pyarrow")

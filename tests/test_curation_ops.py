@@ -2968,3 +2968,35 @@ class TestKcenterSelect:
         })
         got = kcenter_select(ray.data.from_arrow(t), k=2).to_pandas()
         assert got["vec_id"].tolist() == [1, 2]
+
+
+class TestPsiDrift:
+    def test_identical_sides_zero_psi(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import psi_drift
+
+        t = pa.table({
+            "source": pa.array(["s"] * 8),
+            "side": pa.array(["a", "b"] * 4),
+            "n_chars": pa.array([100, 100, 300, 300, 700, 700,
+                                 1500, 1500], pa.int64()),
+        })
+        got = psi_drift(ray.data.from_arrow(t)).to_pandas()
+        assert got["psi"].tolist() == [0.0]
+
+    def test_shifted_distribution_flagged(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import psi_drift
+
+        # side a: all small docs; side b: all huge docs
+        t = pa.table({
+            "source": pa.array(["s"] * 40),
+            "side": pa.array(["a"] * 20 + ["b"] * 20),
+            "n_chars": pa.array([50] * 20 + [4000] * 20, pa.int64()),
+        })
+        got = psi_drift(ray.data.from_arrow(t)).to_pandas()
+        assert got["psi"].iloc[0] > 0.25   # "drifted" threshold
