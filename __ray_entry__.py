@@ -1212,6 +1212,25 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_daily_active_kmv(sf_dir: str):
+    """The approximate scale path for daily_active_users, actually
+    wired: per-day KMV distinct-user sketch. k=4096 >> distinct users
+    at sf0.01 so the estimate is exact and SQL-checked; at 100 TB the
+    same pipeline carries <= k hashes per (day, block) instead of the
+    (day, user) pair shuffle."""
+    from selma_ray.pipelines.sketches import kmv_distinct
+
+    def day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "user_id": batch.column("user_id"),
+        })
+
+    ev = _read(sf_dir, "events").map_batches(day, batch_format="pyarrow")
+    return kmv_distinct(ev, group_col="day", value_col="user_id",
+                        k=4096, est_col="est_dau")
+
+
 def _q_psi_drift(sf_dir: str):
     """PSI drift per source: reference slice = even doc_ids, candidate
     = odd (a stand-in for two corpus snapshots)."""
@@ -1736,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_by_type": _q_percent_rank_by_type,
         "kcenter_select": _q_kcenter_select,
         "psi_drift": _q_psi_drift,
+        "daily_active_kmv": _q_daily_active_kmv,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "extract_tables": _q_extract_tables,
@@ -2749,6 +2769,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "daily_active_kmv": r"""
+            SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                   count(DISTINCT user_id)::DOUBLE AS est_dau,
+                   count(DISTINCT user_id)::BIGINT AS sketch_size
+            FROM events GROUP BY 1
+        """,
         "psi_drift": r"""
             WITH c AS (
                 SELECT source,
