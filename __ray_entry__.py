@@ -1610,6 +1610,41 @@ def _q_packed_sequences(sf_dir: str):
     return packed_sequences(_docs_as_conv_turns(sf_dir), budget=128)
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio leg of the multimodal suite: actor-pool windowed feature
+    extraction over binary payloads (stubbed codec, real plumbing) ->
+    (doc_id, n_windows, pooled mean features)."""
+    import numpy as np
+
+    from selma_ray.stages.multimodal import (DecodeAudioFeatures,
+                                             multimodal_stage)
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        payloads = [(t or "").encode() for t in
+                    batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "data": pa.array(payloads, pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents").map_batches(to_binary,
+                                                batch_format="pyarrow")
+    out = multimodal_stage(ds, DecodeAudioFeatures, batch_size=64,
+                           dim=8, hop_bytes=256, concurrency=(1, 4))
+
+    def pool(batch: pa.Table) -> pa.Table:
+        mats = batch.column("frames").to_pylist()
+        pooled = [np.asarray(m, np.float32).mean(0).tolist()
+                  for m in mats]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_windows": batch.column("n_windows"),
+            "pooled": pa.array(pooled, pa.list_(pa.float32(), 8)),
+        })
+
+    return out.map_batches(pool, batch_format="pyarrow")
+
+
 def _q_multimodal_features(sf_dir: str):
     from selma_ray.stages.multimodal import DecodeImageFeatures, multimodal_stage
 
@@ -1758,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_kmv": _q_daily_active_kmv,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
+        "audio_features": _q_audio_features,
         "extract_tables": _q_extract_tables,
         "extract_outline": _q_extract_outline,
         "extract_links": _q_extract_links,

@@ -178,3 +178,47 @@ class ParsePdfText:
                  batch.column(self.data_col).to_pylist()]
         return batch.append_column(self.out_col,
                                    pa.array(pages, self.PAGE_TYPE))
+
+
+class DecodeAudioFeatures:
+    """map_batches actor: binary audio column -> frame-level feature
+    matrix (list<float32> per window) + duration metadata.
+
+    The audio leg of the multimodal suite. No audio codecs ship in this
+    container, so ``decode_impl`` raises NotImplementedError unless
+    ``fake=True``, where a deterministic stand-in (crc32-seeded windows
+    at a fixed hop) exercises the real Ray plumbing: actor-pool
+    construction, small-batch sizing (audio payloads are MBs), and the
+    (n_windows x dim) ragged output layout downstream poolers consume.
+    A real implementation loads the codec + featurizer (e.g. a
+    log-mel frontend) ONCE here in __init__.
+    """
+
+    def __init__(self, data_col: str = "data", out_col: str = "frames",
+                 dim: int = 32, hop_bytes: int = 1024, fake: bool = True):
+        self.data_col = data_col
+        self.out_col = out_col
+        self.dim = dim
+        self.hop_bytes = hop_bytes
+        self.fake = fake
+        # codec + featurizer load would go here (once per actor)
+
+    def decode_impl(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio codecs are not available in this environment; "
+                "run with fake=True for the deterministic stand-in")
+        payload = payload or b"\0"
+        n_win = max(1, len(payload) // self.hop_bytes)
+        rng = np.random.default_rng(zlib.crc32(payload))
+        return rng.standard_normal((n_win, self.dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mats = [self.decode_impl(p)
+                for p in batch.column(self.data_col).to_pylist()]
+        frames = pa.array([m.tolist() for m in mats],
+                          pa.list_(pa.list_(pa.float32(), self.dim)))
+        n_win = pa.array([m.shape[0] for m in mats], pa.int32())
+        return (batch
+                .append_column(self.out_col, frames)
+                .append_column("n_windows", n_win))

@@ -544,3 +544,30 @@ def test_zorder_layout_box_query(ray_session, tmp_path):
     assert got_rows["payload"].tolist() == want["payload"].tolist()
     assert n_total == 16
     assert n_read < n_total  # pruning actually skipped files
+
+
+def test_multimodal_fake_audio(ray_session):
+    import ray.data
+
+    from selma_ray.stages.multimodal import (
+        DecodeAudioFeatures,
+        multimodal_stage,
+    )
+
+    t = pa.table({"id": pa.array([0, 1]),
+                  "data": pa.array([b"a" * 3000, b"b" * 500], pa.binary())})
+    out = multimodal_stage(ray.data.from_arrow(t), DecodeAudioFeatures,
+                           batch_size=2, dim=4, hop_bytes=1024,
+                           concurrency=1).to_pandas().sort_values("id")
+    # window count tracks payload length; fixed-width frames
+    assert list(out["n_windows"]) == [2, 1]
+    assert len(out["frames"].iloc[0]) == 2
+    assert len(out["frames"].iloc[0][0]) == 4
+    # deterministic across runs
+    out2 = multimodal_stage(ray.data.from_arrow(t), DecodeAudioFeatures,
+                            batch_size=2, dim=4, hop_bytes=1024,
+                            concurrency=1).to_pandas().sort_values("id")
+    assert out["frames"].iloc[0][0][0] == out2["frames"].iloc[0][0][0]
+
+    with pytest.raises(NotImplementedError):
+        DecodeAudioFeatures(fake=False).decode_impl(b"x")
