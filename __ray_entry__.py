@@ -1212,6 +1212,17 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_trending_terms_by_lang(sf_dir: str):
+    """Per-language Misra-Gries frequent terms; capacity 4096 >> the
+    per-(batch, lang) distinct-term count at test sf, so counts are
+    exact and the SQL oracle assumes err_bound 0."""
+    from selma_ray.pipelines.sketches import heavy_hitters_by_group
+
+    return heavy_hitters_by_group(_read(sf_dir, "documents"),
+                                  group_col="lang", capacity=4096,
+                                  min_count=50)
+
+
 def _q_daily_active_kmv(sf_dir: str):
     """The approximate scale path for daily_active_users, actually
     wired: per-day KMV distinct-user sketch. k=4096 >> distinct users
@@ -1791,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_select": _q_kcenter_select,
         "psi_drift": _q_psi_drift,
         "daily_active_kmv": _q_daily_active_kmv,
+        "trending_terms_by_lang": _q_trending_terms_by_lang,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "audio_features": _q_audio_features,
@@ -2805,6 +2817,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "trending_terms_by_lang": r"""
+            WITH tf AS (
+                SELECT lang, unnest(regexp_extract_all(text, '\S+'))
+                           AS term
+                FROM documents)
+            SELECT lang, term, count(*)::BIGINT AS count,
+                   0::BIGINT AS err_bound
+            FROM tf GROUP BY lang, term HAVING count(*) >= 50
+        """,
         "daily_active_kmv": r"""
             SELECT date_trunc('day', ts)::TIMESTAMP AS day,
                    count(DISTINCT user_id)::DOUBLE AS est_dau,

@@ -441,3 +441,81 @@ def kmv_overlap(ds_a, ds_b, *, value_col: str, k: int = 16384):
         "est_intersection": pa.array([est_inter], pa.float64()),
         "jaccard": pa.array([jacc], pa.float64()),
     }))
+
+
+class _PartialMGByGroup:
+    """Per-batch, per-group Misra-Gries compression: each group's
+    in-batch term counts collapse to <= capacity rows + one decrement
+    marker row per group ('' is never a token). The shuffle carries
+    <= (capacity+1) x groups x blocks rows — configuration-bounded."""
+
+    def __init__(self, group_col: str, text_col: str, capacity: int):
+        self.group_col = group_col
+        self.text_col = text_col
+        self.capacity = capacity
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        per_group: dict = {}
+        for g, t in zip(batch.column(self.group_col).to_pylist(),
+                        batch.column(self.text_col).to_pylist()):
+            per_group.setdefault(g, Counter()).update((t or "").split())
+        out_g, out_t, out_c, out_d = [], [], [], []
+        for g, counts in per_group.items():
+            dec = 0
+            if len(counts) > self.capacity:
+                dec = sorted(counts.values(),
+                             reverse=True)[self.capacity]
+                counts = Counter({t: c - dec for t, c in counts.items()
+                                  if c - dec > 0})
+            for t, c in counts.items():
+                out_g.append(g)
+                out_t.append(t)
+                out_c.append(c)
+                out_d.append(0)
+            out_g.append(g)
+            out_t.append("")
+            out_c.append(0)
+            out_d.append(dec)
+        return pa.table({
+            self.group_col: pa.array(out_g),
+            "term": pa.array(out_t, pa.string()),
+            "cnt": pa.array(out_c, pa.int64()),
+            "dec": pa.array(out_d, pa.int64()),
+        })
+
+
+def heavy_hitters_by_group(ds, *, group_col: str = "lang",
+                           text_col: str = "text", capacity: int = 256,
+                           min_count: int = 2):
+    """Per-group frequent terms -> (group, term, count, err_bound):
+    the heavy_hitters sketch partitioned by a key (trending terms per
+    language / per source). Same guarantees per group as the global
+    op: count <= true <= count + err_bound, exact (err_bound 0) while
+    no batch exceeds ``capacity`` distinct terms in that group; the
+    finalize runs per group over the already-reduced aggregate."""
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(_PartialMGByGroup(group_col, text_col, capacity),
+                         batch_format="pyarrow") \
+        .groupby([group_col, "term"]).aggregate(Sum("cnt"), Sum("dec"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        g = group.column(group_col)[0].as_py()
+        terms = group.column("term").to_pylist()
+        cnts = group.column("sum(cnt)").to_pylist()
+        decs = group.column("sum(dec)").to_pylist()
+        total_dec = sum(d for t, d in zip(terms, decs) if t == "")
+        keep = [(t, c) for t, c in zip(terms, cnts)
+                if t != "" and c > 0 and c + total_dec >= min_count]
+        keep.sort(key=lambda r: (-r[1], r[0]))
+        return pa.table({
+            group_col: pa.array([g] * len(keep)),
+            "term": pa.array([t for t, _ in keep], pa.string()),
+            "count": pa.array([c for _, c in keep], pa.int64()),
+            "err_bound": pa.array([total_dec] * len(keep), pa.int64()),
+        })
+
+    return agg.groupby(group_col).map_groups(finalize,
+                                             batch_format="pyarrow")

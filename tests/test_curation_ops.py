@@ -3000,3 +3000,40 @@ class TestPsiDrift:
         })
         got = psi_drift(ray.data.from_arrow(t)).to_pandas()
         assert got["psi"].iloc[0] > 0.25   # "drifted" threshold
+
+
+class TestHeavyHittersByGroup:
+    def test_exact_per_group_below_saturation(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sketches import heavy_hitters_by_group
+
+        t = pa.table({
+            "lang": pa.array(["en", "en", "fr"]),
+            "text": pa.array(["a a a b", "a b b", "a c c c"]),
+        })
+        got = heavy_hitters_by_group(
+            ray.data.from_arrow(t), group_col="lang", capacity=64,
+            min_count=2).to_pandas()
+        m = got.set_index(["lang", "term"])["count"].to_dict()
+        assert m == {("en", "a"): 4, ("en", "b"): 3, ("fr", "c"): 3}
+        assert (got["err_bound"] == 0).all()
+
+    def test_forced_saturation_bounds(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sketches import heavy_hitters_by_group
+
+        # one group with many distinct terms and one dominant term;
+        # capacity 2 forces decrements but the heavy term must survive
+        text = " ".join(["hot"] * 50 + [f"t{i}" for i in range(30)])
+        t = pa.table({"lang": pa.array(["en"]),
+                      "text": pa.array([text])})
+        got = heavy_hitters_by_group(
+            ray.data.from_arrow(t), group_col="lang", capacity=2,
+            min_count=10).to_pandas()
+        row = got[got["term"] == "hot"].iloc[0]
+        # count <= true <= count + err_bound
+        assert row["count"] <= 50 <= row["count"] + row["err_bound"]
