@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_expectations_report(sf_dir: str):
+    """Data-quality expectations over documents (row-local checks as
+    one partial row per block; uniqueness as the only id shuffle)."""
+    from selma_ray.pipelines.relational import expectations_report
+
+    return expectations_report(_read(sf_dir, "documents"))
+
+
 def _q_trending_terms_by_lang(sf_dir: str):
     """Per-language Misra-Gries frequent terms; capacity 4096 >> the
     per-(batch, lang) distinct-term count at test sf, so counts are
@@ -1803,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": _q_psi_drift,
         "daily_active_kmv": _q_daily_active_kmv,
         "trending_terms_by_lang": _q_trending_terms_by_lang,
+        "expectations_report": _q_expectations_report,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "audio_features": _q_audio_features,
@@ -2817,6 +2826,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "expectations_report": r"""
+            WITH t AS (SELECT count(*)::BIGINT AS total FROM documents),
+            v AS (
+                SELECT 'text_not_null' AS check_name,
+                       (SELECT count(*) FROM documents
+                        WHERE text IS NULL)::BIGINT AS violations
+                UNION ALL
+                SELECT 'lang_allowed',
+                       (SELECT count(*) FROM documents
+                        WHERE lang IS NULL
+                           OR lang NOT IN ('de','en','es','fr','ja'))
+                UNION ALL
+                SELECT 'n_chars_in_range',
+                       (SELECT count(*) FROM documents
+                        WHERE n_chars IS NULL
+                           OR n_chars < 1 OR n_chars > 1000000)
+                UNION ALL
+                SELECT 'n_chars_matches_text',
+                       (SELECT count(*) FROM documents
+                        WHERE length(COALESCE(text, '')) <> n_chars)
+                UNION ALL
+                SELECT 'doc_id_unique',
+                       (SELECT count(*) - count(DISTINCT doc_id)
+                        FROM documents))
+            SELECT v.check_name, t.total, v.violations,
+                   (t.total - v.violations)::DOUBLE / t.total
+                       AS pass_rate
+            FROM v, t
+        """,
         "trending_terms_by_lang": r"""
             WITH tf AS (
                 SELECT lang, unnest(regexp_extract_all(text, '\S+'))

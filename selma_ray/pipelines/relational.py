@@ -2301,3 +2301,96 @@ def psi_drift(ds, *, group_col: str = "source", side_col: str = "side",
 
     return counts.groupby(group_col).map_groups(
         finish, batch_format="pyarrow")
+
+
+def expectations_report(docs_ds, *, allowed_langs: tuple = ("en", "de",
+                                                            "fr", "es",
+                                                            "ja"),
+                        max_chars: int = 1_000_000):
+    """Distributed data-quality expectations over the documents table
+    -> one row per check: (check_name, total, violations, pass_rate) — the
+    Great-Expectations-style validation pass a 100 TB ingest runs
+    before promoting a snapshot.
+
+    Checks: text_not_null, lang_allowed, n_chars_in_range,
+    n_chars_matches_text (n_chars == len(text)), doc_id_unique.
+
+    Shape: the four row-local checks reduce per batch to ONE partial
+    row of int64 counters (a groupby over ~blocks rows finishes them);
+    uniqueness is the only check that must co-locate ids — one
+    groupby(doc_id) count over 8-byte ids, then a per-batch combiner
+    counts ids with multiplicity > 1. Nothing else shuffles.
+    """
+    from ray.data.aggregate import Sum
+
+    allowed = set(allowed_langs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = batch.column("text")
+        null_text = int(pc.sum(pc.cast(pc.is_null(text), pa.int64()))
+                        .as_py() or 0)
+        lang_bad = n - int(pc.sum(pc.cast(
+            pc.is_in(batch.column("lang"),
+                     value_set=pa.array(sorted(allowed))),
+            pa.int64())).as_py() or 0)
+        nch = batch.column("n_chars")
+        range_bad = n - int(pc.sum(pc.cast(
+            pc.and_(pc.greater_equal(nch, pa.scalar(1, pa.int64())),
+                    pc.less_equal(nch, pa.scalar(max_chars, pa.int64()))),
+            pa.int64())).as_py() or 0)
+        mism = int(pc.sum(pc.cast(pc.not_equal(
+            pc.cast(pc.utf8_length(pc.fill_null(text, "")), pa.int64()),
+            nch), pa.int64())).as_py() or 0)
+        return pa.table({
+            "total": pa.array([n], pa.int64()),
+            "v_null_text": pa.array([null_text], pa.int64()),
+            "v_lang": pa.array([lang_bad], pa.int64()),
+            "v_range": pa.array([range_bad], pa.int64()),
+            "v_len_mismatch": pa.array([mism], pa.int64()),
+        })
+
+    agg = coalesce_small(
+        docs_ds.map_batches(partial, batch_format="pyarrow")) \
+        .sum(["total", "v_null_text", "v_lang", "v_range",
+              "v_len_mismatch"])
+
+    # uniqueness: ids with multiplicity > 1 (each duplicated id counts
+    # all its rows as violations except one)
+    def id_only(batch: pa.Table) -> pa.Table:
+        t = batch.select(["doc_id"]).group_by("doc_id") \
+            .aggregate([([], "count_all")])
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "partial_n": pc.cast(t.column("count_all"),
+                                              pa.int64())})
+
+    mult = coalesce_small(
+        docs_ds.map_batches(id_only, batch_format="pyarrow")) \
+        .groupby("doc_id").aggregate(Sum("partial_n"))
+
+    def dup_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("sum(partial_n)")
+        extra = pc.sum(pc.subtract(
+            c, pa.scalar(1, pa.int64()))).as_py() or 0
+        return pa.table({"v_dup": pa.array([int(extra)], pa.int64())})
+
+    dup = mult.map_batches(dup_partial, batch_format="pyarrow") \
+        .sum("v_dup")
+
+    import ray.data
+
+    total = int(agg["sum(total)"])
+    rows = [
+        ("text_not_null", agg["sum(v_null_text)"]),
+        ("lang_allowed", agg["sum(v_lang)"]),
+        ("n_chars_in_range", agg["sum(v_range)"]),
+        ("n_chars_matches_text", agg["sum(v_len_mismatch)"]),
+        ("doc_id_unique", int(dup or 0)),
+    ]
+    return ray.data.from_arrow(pa.table({
+        "check_name": pa.array([r[0] for r in rows], pa.string()),
+        "total": pa.array([total] * len(rows), pa.int64()),
+        "violations": pa.array([int(r[1]) for r in rows], pa.int64()),
+        "pass_rate": pa.array([(total - int(r[1])) / total
+                               for r in rows], pa.float64()),
+    }))

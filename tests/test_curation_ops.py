@@ -3037,3 +3037,29 @@ class TestHeavyHittersByGroup:
         row = got[got["term"] == "hot"].iloc[0]
         # count <= true <= count + err_bound
         assert row["count"] <= 50 <= row["count"] + row["err_bound"]
+
+
+class TestExpectationsReport:
+    def test_counts_violations(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import expectations_report
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 2, 3], pa.int64()),   # dup id 2
+            "text": pa.array(["ab", None, "xyz", "ok"]),    # one null
+            "lang": pa.array(["en", "xx", "fr", None]),     # xx + null
+            "n_chars": pa.array([2, 0, 3, 2], pa.int64()),  # one 0
+        })
+        got = expectations_report(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("check_name")
+        assert got.loc["text_not_null", "violations"] == 1
+        assert got.loc["lang_allowed", "violations"] == 2
+        assert got.loc["n_chars_in_range", "violations"] == 1
+        assert got.loc["doc_id_unique", "violations"] == 1
+        # len("") != 0 is false for the null row (n_chars 0) -> only
+        # rows where a NON-NULL comparison fails count
+        assert got.loc["n_chars_matches_text", "violations"] == 0
+        assert (got["total"] == 4).all()
+        assert got.loc["text_not_null", "pass_rate"] == 0.75
