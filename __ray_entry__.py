@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_rolling_sum_range(sf_dir: str):
+    """RANGE-frame (time-based) per-user rolling sum, 1h window."""
+    from selma_ray.pipelines.relational import rolling_sum_range
+
+    return rolling_sum_range(_read(sf_dir, "events"), window_secs=3600.0)
+
+
 def _q_expectations_report(sf_dir: str):
     """Data-quality expectations over documents (row-local checks as
     one partial row per block; uniqueness as the only id shuffle)."""
@@ -1812,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_kmv": _q_daily_active_kmv,
         "trending_terms_by_lang": _q_trending_terms_by_lang,
         "expectations_report": _q_expectations_report,
+        "rolling_sum_range": _q_rolling_sum_range,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "audio_features": _q_audio_features,
@@ -2826,6 +2834,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "rolling_sum_range": r"""
+            SELECT event_id, user_id, ts,
+                   SUM(round(value * 100)::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW)::BIGINT AS wsum_cents
+            FROM events
+        """,
         "expectations_report": r"""
             WITH t AS (SELECT count(*)::BIGINT AS total FROM documents),
             v AS (

@@ -2394,3 +2394,37 @@ def expectations_report(docs_ds, *, allowed_langs: tuple = ("en", "de",
         "pass_rate": pa.array([(total - int(r[1])) / total
                                for r in rows], pa.float64()),
     }))
+
+
+def rolling_sum_range(events_ds, *, window_secs: float = 3600.0):
+    """Per-user TIME-based (RANGE-frame) rolling sum -> (event_id,
+    user_id, ts, wsum_cents:int64): ``SUM(cents) OVER (PARTITION BY
+    user ORDER BY ts RANGE BETWEEN <window> PRECEDING AND CURRENT
+    ROW)`` — the other window-frame family vs rolling_avg_events'
+    ROWS frame. RANGE semantics: every ts-peer of the current row is
+    in-frame (including later-ordered peers), which the two-pointer
+    below reproduces with searchsorted(ts, 'right').
+
+    ONE groupby(user_id); in-task vectorized prefix-sum + two binary
+    searches per group over exact int64 cents — bit-exact vs SQL.
+    """
+    win_us = int(window_secs * 1e6)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(g.column("value").to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        left = np.searchsorted(ts, ts - win_us, side="left")
+        right = np.searchsorted(ts, ts, side="right")
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "ts": g.column("ts"),
+            "wsum_cents": pa.array(csum[right] - csum[left], pa.int64()),
+        })
+
+    return events_ds.select_columns(
+        ["event_id", "user_id", "ts", "value"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")

@@ -3063,3 +3063,31 @@ class TestExpectationsReport:
         assert got.loc["n_chars_matches_text", "violations"] == 0
         assert (got["total"] == 4).all()
         assert got.loc["text_not_null", "pass_rate"] == 0.75
+
+
+class TestRollingSumRange:
+    def test_range_frame_includes_ts_peers(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import rolling_sum_range
+
+        base = dt.datetime(2024, 1, 1)
+        # events at t=0s (x2 peers), t=30s, t=100s; window 60s
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([9, 9, 9, 9], pa.int64()),
+            "ts": pa.array([base, base,
+                            base + dt.timedelta(seconds=30),
+                            base + dt.timedelta(seconds=100)],
+                           pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+        })
+        got = rolling_sum_range(ray.data.from_arrow(t), window_secs=60.0) \
+            .to_pandas().set_index("event_id")["wsum_cents"].to_dict()
+        # RANGE frame: ts-peers are always in-frame together
+        assert got[1] == 300 and got[2] == 300   # both peers at t=0
+        assert got[3] == 700                      # 0s..30s all in
+        assert got[4] == 800                      # [40s,100s]: only t=100
