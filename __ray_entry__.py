@@ -1212,6 +1212,22 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_impute_values(sf_dir: str):
+    """Group-mean imputation; events with event_id % 7 == 0 act as the
+    missing rows (the table has no real nulls)."""
+    from selma_ray.pipelines.relational import impute_group_mean
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id")
+        seven = pa.scalar(7, pa.int64())
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, seven), seven))
+        return batch.append_column(
+            "missing", pc.equal(mod, pa.scalar(0, pa.int64())))
+
+    ev = _read(sf_dir, "events").map_batches(tag, batch_format="pyarrow")
+    return impute_group_mean(ev)
+
+
 def _q_rolling_sum_range(sf_dir: str):
     """RANGE-frame (time-based) per-user rolling sum, 1h window."""
     from selma_ray.pipelines.relational import rolling_sum_range
@@ -1820,6 +1836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms_by_lang": _q_trending_terms_by_lang,
         "expectations_report": _q_expectations_report,
         "rolling_sum_range": _q_rolling_sum_range,
+        "impute_values": _q_impute_values,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "audio_features": _q_audio_features,
@@ -2834,6 +2851,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "impute_values": r"""
+            WITH m AS (
+                SELECT event_type,
+                       (sum(round(value * 100)::BIGINT)::DOUBLE
+                            / count(*)) / 100.0 AS gmean
+                FROM events WHERE event_id % 7 <> 0
+                GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN e.event_id % 7 = 0 THEN m.gmean
+                        ELSE e.value END AS value_filled
+            FROM events e LEFT JOIN m USING (event_type)
+        """,
         "rolling_sum_range": r"""
             SELECT event_id, user_id, ts,
                    SUM(round(value * 100)::BIGINT) OVER (

@@ -2428,3 +2428,61 @@ def rolling_sum_range(events_ds, *, window_secs: float = 3600.0):
     return events_ds.select_columns(
         ["event_id", "user_id", "ts", "value"]) \
         .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def impute_group_mean(ds, *, group_col: str = "event_type",
+                      value_col: str = "value",
+                      missing_col: str = "missing",
+                      id_col: str = "event_id"):
+    """Fill missing values with their group's mean of present values
+    -> (id, group, value_filled:float64) — the standard imputation
+    pass before feature export.
+
+    Two-phase broadcast: exact int64 cents-sum/count per group (one
+    tiny groupby over per-batch partials), driver folds to a
+    {group: mean} dict shipped once via ray.put, then a MAP-ONLY fill
+    pass — no row-level shuffle. Means are computed (sum/n)/100 in a
+    fixed order so they bit-match the SQL oracle.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch.column(missing_col),
+                                     pa.scalar(False)))
+        t = pa.table({
+            group_col: keep.column(group_col),
+            "c": pc.cast(pc.round(pc.multiply(keep.column(value_col),
+                                              pa.scalar(100.0))),
+                         pa.int64()),
+        })
+        agg = t.group_by(group_col).aggregate([("c", "sum"),
+                                               ([], "count_all")])
+        return pa.table({
+            group_col: agg.column(group_col),
+            "s": pc.cast(agg.column("c_sum"), pa.int64()),
+            "n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    rows = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(group_col).aggregate(Sum("s"), Sum("n")).take_all()
+    means = {r[group_col]: (r["sum(s)"] / r["sum(n)"]) / 100.0
+             for r in rows if r["sum(n)"]}
+    bc = ray.put(means)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        m = ray.get(bc)
+        gs = batch.column(group_col).to_pylist()
+        miss = batch.column(missing_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64).copy()
+        repl = np.array([m.get(g, np.nan) for g in gs], np.float64)
+        vals[miss] = repl[miss]
+        return pa.table({
+            id_col: batch.column(id_col),
+            group_col: batch.column(group_col),
+            "value_filled": pa.array(vals, pa.float64()),
+        })
+
+    return ds.map_batches(fill, batch_format="pyarrow")

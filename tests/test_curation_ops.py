@@ -3091,3 +3091,23 @@ class TestRollingSumRange:
         assert got[1] == 300 and got[2] == 300   # both peers at t=0
         assert got[3] == 700                      # 0s..30s all in
         assert got[4] == 800                      # [40s,100s]: only t=100
+
+
+class TestImputeGroupMean:
+    def test_fills_only_missing_with_group_mean(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import impute_group_mean
+
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "b", "b"]),
+            "value": pa.array([2.0, 4.0, 99.0, 10.0, -1.0], pa.float64()),
+            "missing": pa.array([False, False, True, False, True]),
+        })
+        got = impute_group_mean(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("event_id")["value_filled"].to_dict()
+        assert got[1] == 2.0 and got[2] == 4.0     # untouched
+        assert got[3] == 3.0                        # mean of 2, 4
+        assert got[5] == 10.0                       # mean of lone 10
