@@ -1212,6 +1212,21 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_dup_families(sf_dir: str):
+    """Exact-dup family-size histogram."""
+    from selma_ray.pipelines.dedup import dup_family_histogram
+
+    return dup_family_histogram(_read(sf_dir, "documents"))
+
+
+def _q_cross_source_dups(sf_dir: str):
+    """Cross-source duplicate-leakage matrix (diagonal = distinct
+    texts per source)."""
+    from selma_ray.pipelines.dedup import cross_source_dup_matrix
+
+    return cross_source_dup_matrix(_read(sf_dir, "documents"))
+
+
 def _q_impute_values(sf_dir: str):
     """Group-mean imputation; events with event_id % 7 == 0 act as the
     missing rows (the table has no real nulls)."""
@@ -1837,6 +1852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expectations_report": _q_expectations_report,
         "rolling_sum_range": _q_rolling_sum_range,
         "impute_values": _q_impute_values,
+        "dup_families": _q_dup_families,
+        "cross_source_dups": _q_cross_source_dups,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "audio_features": _q_audio_features,
@@ -2851,6 +2868,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "dup_families": r"""
+            WITH f AS (
+                SELECT md5(text) AS h, count(*)::BIGINT AS family_size
+                FROM documents GROUP BY md5(text))
+            SELECT family_size, count(*)::BIGINT AS n_families
+            FROM f GROUP BY family_size
+        """,
+        "cross_source_dups": r"""
+            WITH hs AS (
+                SELECT DISTINCT md5(text) AS h, source FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared
+            FROM hs a JOIN hs b
+              ON a.h = b.h AND a.source <= b.source
+            GROUP BY 1, 2
+        """,
         "impute_values": r"""
             WITH m AS (
                 SELECT event_type,

@@ -1223,3 +1223,104 @@ def cross_corpus_pairs(ds_a, ds_b, *, id_col: str = "doc_id",
         .groupby("band_key").map_groups(bucket_cross,
                                         batch_format="pyarrow")
     return _dedup_pairs(pairs, "minhash_cross")
+
+
+def dup_family_histogram(ds, *, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Exact-duplicate FAMILY-SIZE histogram -> (family_size:int64,
+    n_families:int64): "how duplicated is this corpus?" as one small
+    table (size 1 = unique docs, the tail = copypasta).
+
+    Three-level reduction, each stage smaller than the last: per-batch
+    (hash, count) combiner -> groupby(hash) sum = family sizes -> a
+    per-batch size-count combiner -> groupby(family_size) sum. Text
+    never shuffles; the second shuffle carries one row per distinct
+    SIZE per block.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = add_md5(batch, text_col)
+        agg = batch.select(["text_hash"]).group_by("text_hash") \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "text_hash": agg.column("text_hash"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    fams = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("text_hash").aggregate(Sum("partial_n"))
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        agg = pa.table({"family_size": batch.column("sum(partial_n)")}) \
+            .group_by("family_size").aggregate([([], "count_all")])
+        return pa.table({
+            "family_size": agg.column("family_size"),
+            "partial_f": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    out = coalesce_small(
+        fams.map_batches(size_partial, batch_format="pyarrow")) \
+        .groupby("family_size").aggregate(Sum("partial_f"))
+
+    return out.map_batches(
+        lambda b: pa.table({
+            "family_size": b.column("family_size"),
+            "n_families": pc.cast(b.column("sum(partial_f)"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def cross_source_dup_matrix(ds, *, source_col: str = "source",
+                            text_col: str = "text"):
+    """Cross-source duplicate-leakage matrix -> (source_a, source_b,
+    n_shared:int64): for every source pair, how many distinct texts
+    appear in BOTH — the audit that catches one crawl mirroring
+    another before dedup priorities are chosen. Includes the diagonal
+    (a == b) = distinct texts per source.
+
+    Shape: per-batch distinct (hash, source) pairs -> groupby(hash)
+    emits each hash's distinct source combinations (<= sources^2 rows
+    per hash, usually 1) -> tiny groupby(pair) sum. Text never
+    shuffles; the wide step carries 16-byte hash+source rows.
+    """
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = add_md5(batch, text_col)
+        return batch.select(["text_hash", source_col]) \
+            .group_by(["text_hash", source_col]).aggregate([])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        srcs = sorted(set(group.column(source_col).to_pylist()))
+        a, b = [], []
+        for s in srcs:                       # diagonal
+            a.append(s)
+            b.append(s)
+        for x, y in combinations(srcs, 2):   # off-diagonal, x < y
+            a.append(x)
+            b.append(y)
+        return pa.table({
+            "source_a": pa.array(a, pa.string()),
+            "source_b": pa.array(b, pa.string()),
+            "partial_n": pa.array([1] * len(a), pa.int64()),
+        })
+
+    per_hash = coalesce_small(
+        ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("text_hash").map_groups(pairs, batch_format="pyarrow")
+
+    out = coalesce_small(per_hash).groupby(["source_a", "source_b"]) \
+        .aggregate(Sum("partial_n"))
+
+    return out.map_batches(
+        lambda b: pa.table({
+            "source_a": b.column("source_a"),
+            "source_b": b.column("source_b"),
+            "n_shared": pc.cast(b.column("sum(partial_n)"), pa.int64()),
+        }), batch_format="pyarrow")

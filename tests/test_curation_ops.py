@@ -3111,3 +3111,42 @@ class TestImputeGroupMean:
         assert got[1] == 2.0 and got[2] == 4.0     # untouched
         assert got[3] == 3.0                        # mean of 2, 4
         assert got[5] == 10.0                       # mean of lone 10
+
+
+class TestDupFamilyHistogram:
+    def test_histogram_shape(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import dup_family_histogram
+
+        t = pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(["x", "x", "x", "y", "y", "z"]),
+        })
+        got = dup_family_histogram(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("family_size")["n_families"].to_dict()
+        assert got == {3: 1, 2: 1, 1: 1}
+
+
+class TestCrossSourceDupMatrix:
+    def test_diagonal_and_leakage(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import cross_source_dup_matrix
+
+        t = pa.table({
+            "source": pa.array(["s1", "s1", "s2", "s2", "s3"]),
+            "text": pa.array(["a", "b", "a", "c", "a"]),
+        })
+        got = cross_source_dup_matrix(ray.data.from_arrow(t)).to_pandas()
+        m = got.set_index(["source_a", "source_b"])["n_shared"].to_dict()
+        # diagonal: distinct texts per source
+        assert m[("s1", "s1")] == 2 and m[("s2", "s2")] == 2
+        assert m[("s3", "s3")] == 1
+        # "a" leaks across all three sources
+        assert m[("s1", "s2")] == 1
+        assert m[("s1", "s3")] == 1
+        assert m[("s2", "s3")] == 1
+        assert ("s2", "s1") not in m   # ordered pairs only
