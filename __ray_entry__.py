@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_last_touch(sf_dir: str):
+    """Last-touch attribution: purchase -> latest same-user click
+    within 24h (sentinels -1/-1.0 for unattributed)."""
+    from selma_ray.pipelines.relational import last_touch_attribution
+
+    return last_touch_attribution(_read(sf_dir, "events"))
+
+
 def _q_dup_families(sf_dir: str):
     """Exact-dup family-size histogram."""
     from selma_ray.pipelines.dedup import dup_family_histogram
@@ -1852,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expectations_report": _q_expectations_report,
         "rolling_sum_range": _q_rolling_sum_range,
         "impute_values": _q_impute_values,
+        "last_touch": _q_last_touch,
         "dup_families": _q_dup_families,
         "cross_source_dups": _q_cross_source_dups,
         "pricing_summary": _q_pricing_summary,
@@ -2868,6 +2877,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "last_touch": r"""
+            SELECT p.event_id, p.user_id, p.ts,
+                   COALESCE(c.event_id, -1)::BIGINT AS click_id,
+                   COALESCE(date_diff('microsecond', c.ts, p.ts)
+                                / 1000000.0, -1.0) AS secs_since_click
+            FROM events p
+            LEFT JOIN LATERAL (
+                SELECT event_id, ts FROM events c
+                WHERE c.user_id = p.user_id
+                  AND c.event_type = 'click'
+                  AND c.ts <= p.ts
+                  AND c.ts >= p.ts - INTERVAL 24 HOURS
+                ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+            WHERE p.event_type = 'purchase'
+        """,
         "dup_families": r"""
             WITH f AS (
                 SELECT md5(text) AS h, count(*)::BIGINT AS family_size

@@ -2486,3 +2486,64 @@ def impute_group_mean(ds, *, group_col: str = "event_type",
         })
 
     return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def last_touch_attribution(events_ds, *, convert_type: str = "purchase",
+                           touch_type: str = "click",
+                           window_secs: float = 86400.0):
+    """Last-touch attribution: for every conversion event, the LATEST
+    touch event by the same user at-or-before it and within the
+    window -> (event_id, user_id, ts, click_id, secs_since_click).
+    No-match rows keep the conversion with sentinel click_id = -1 /
+    secs = -1.0 (sentinels, not NULLs, so the oracle compare is
+    well-defined). Ties at the same touch ts resolve to the highest
+    touch event_id, matching the oracle's ORDER BY ts DESC, event_id
+    DESC LIMIT 1.
+
+    One groupby(user_id) shuffle of (id, type, ts) triples; the as-of
+    lookup is one vectorized searchsorted over the user's touch
+    timeline per group — a SELF-asof within one stream (vs
+    events_asof_orders' broadcast two-table as-of).
+    """
+    win_us = int(window_secs * 1e6)
+
+    def scan(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        types = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        conv = types == convert_type
+        touch = types == touch_type
+        t_ts, t_id = ts[touch], ids[touch]
+        c_ts, c_id = ts[conv], ids[conv]
+        if not len(c_ts):
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], g.schema.field("ts").type),
+                "click_id": pa.array([], pa.int64()),
+                "secs_since_click": pa.array([], pa.float64()),
+            })
+        if len(t_ts):
+            idx = np.searchsorted(t_ts, c_ts, side="right") - 1
+            ok = idx >= 0
+            safe = np.clip(idx, 0, None)
+            matched_ts = np.where(ok, t_ts[safe], 0)
+            ok &= (c_ts - matched_ts) <= win_us
+            click_id = np.where(ok, t_id[safe], -1).astype(np.int64)
+            secs = np.where(ok, (c_ts - matched_ts) / 1e6, -1.0)
+        else:
+            click_id = np.full(len(c_ts), -1, np.int64)
+            secs = np.full(len(c_ts), -1.0, np.float64)
+        conv_tbl = g.filter(pa.array(conv))
+        return pa.table({
+            "event_id": conv_tbl.column("event_id"),
+            "user_id": conv_tbl.column("user_id"),
+            "ts": conv_tbl.column("ts"),
+            "click_id": pa.array(click_id, pa.int64()),
+            "secs_since_click": pa.array(secs, pa.float64()),
+        })
+
+    return events_ds.select_columns(
+        ["event_id", "user_id", "event_type", "ts"]) \
+        .groupby("user_id").map_groups(scan, batch_format="pyarrow")

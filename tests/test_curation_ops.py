@@ -3150,3 +3150,56 @@ class TestCrossSourceDupMatrix:
         assert m[("s1", "s3")] == 1
         assert m[("s2", "s3")] == 1
         assert ("s2", "s1") not in m   # ordered pairs only
+
+
+class TestLastTouchAttribution:
+    def test_window_and_tie_rules(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import last_touch_attribution
+
+        base = dt.datetime(2024, 1, 1)
+
+        def ev(eid, etype, secs):
+            return (eid, etype, base + dt.timedelta(seconds=secs))
+
+        rows = [
+            ev(1, "click", 0), ev(2, "click", 0),      # ts tie
+            ev(3, "purchase", 10),                      # -> click 2
+            ev(4, "purchase", 200),                     # outside 60s win
+            ev(5, "click", 300), ev(6, "purchase", 300),  # same-ts touch
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        })
+        got = last_touch_attribution(
+            ray.data.from_arrow(t), window_secs=60.0).to_pandas() \
+            .set_index("event_id")
+        assert got.loc[3, "click_id"] == 2       # tie -> highest id
+        assert got.loc[3, "secs_since_click"] == 10.0
+        assert got.loc[4, "click_id"] == -1      # window expired
+        assert got.loc[6, "click_id"] == 5       # c.ts <= p.ts inclusive
+        assert got.loc[6, "secs_since_click"] == 0.0
+
+    def test_user_with_no_touches(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import last_touch_attribution
+
+        t = pa.table({
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([42], pa.int64()),
+            "event_type": pa.array(["purchase"]),
+            "ts": pa.array([dt.datetime(2024, 1, 1)], pa.timestamp("us")),
+        })
+        got = last_touch_attribution(ray.data.from_arrow(t)).to_pandas()
+        assert got["click_id"].tolist() == [-1]
