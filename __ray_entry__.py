@@ -1212,6 +1212,34 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_events_timeseries_filled(sf_dir: str):
+    """Zero-filled (event_type, day) counts over the full day grid."""
+    from selma_ray.pipelines.relational import events_timeseries_filled
+
+    return events_timeseries_filled(_read(sf_dir, "events"))
+
+
+def _q_apply_changelog(sf_dir: str):
+    """CDC merge with tombstones: events as a changelog keyed by
+    user_id, 'error' rows acting as deletes."""
+    from selma_ray.pipelines.relational import apply_changelog
+
+    def shape(batch: pa.Table) -> pa.Table:
+        op = pc.if_else(pc.equal(batch.column("event_type"),
+                                 pa.scalar("error")),
+                        pa.scalar("D"), pa.scalar("U"))
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "op": op,
+        })
+
+    log = _read(sf_dir, "events").map_batches(shape,
+                                              batch_format="pyarrow")
+    return apply_changelog(log, key_cols=["user_id"])
+
+
 def _q_last_touch(sf_dir: str):
     """Last-touch attribution: purchase -> latest same-user click
     within 24h (sentinels -1/-1.0 for unattributed)."""
@@ -1861,6 +1889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum_range": _q_rolling_sum_range,
         "impute_values": _q_impute_values,
         "last_touch": _q_last_touch,
+        "events_timeseries_filled": _q_events_timeseries_filled,
+        "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
         "cross_source_dups": _q_cross_source_dups,
         "pricing_summary": _q_pricing_summary,
@@ -2877,6 +2907,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "events_timeseries_filled": r"""
+            WITH c AS (
+                SELECT event_type,
+                       date_trunc('day', ts)::TIMESTAMP AS day,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+            d AS (SELECT unnest(generate_series(lo, hi,
+                                INTERVAL 1 DAY))::TIMESTAMP AS day
+                  FROM b),
+            t AS (SELECT DISTINCT event_type FROM events)
+            SELECT t.event_type, d.day,
+                   COALESCE(c.n, 0)::BIGINT AS n
+            FROM t CROSS JOIN d
+            LEFT JOIN c ON c.event_type = t.event_type
+                       AND c.day = d.day
+        """,
+        "apply_changelog": r"""
+            WITH log AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_type = 'error' THEN 'D'
+                            ELSE 'U' END AS op
+                FROM events)
+            SELECT * FROM log
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1
+            AND op <> 'D'
+        """,
         "last_touch": r"""
             SELECT p.event_id, p.user_id, p.ts,
                    COALESCE(c.event_id, -1)::BIGINT AS click_id,

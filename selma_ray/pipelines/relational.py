@@ -2547,3 +2547,76 @@ def last_touch_attribution(events_ds, *, convert_type: str = "purchase",
     return events_ds.select_columns(
         ["event_id", "user_id", "event_type", "ts"]) \
         .groupby("user_id").map_groups(scan, batch_format="pyarrow")
+
+
+def events_timeseries_filled(events_ds):
+    """Zero-filled per-(event_type, day) counts -> (event_type, day,
+    n): the gap-completion op — downstream time-series models need
+    explicit zeros, not missing rows. Day domain = [min day, max day]
+    across the whole table (so every type gets every day).
+
+    Shape: per-batch (type, day) count combiner -> one tiny groupby
+    sum -> driver completes the type x day grid (types x days rows —
+    driver-sized by construction since both domains are small).
+    """
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+        })
+        agg = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "event_type": agg.column("event_type"),
+            "day": agg.column("day"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    rows = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["event_type", "day"]).aggregate(Sum("partial_n")) \
+        .take_all()
+
+    counts = {(r["event_type"], r["day"]): r["sum(partial_n)"]
+              for r in rows}
+    types = sorted({t for t, _ in counts})
+    days = [d for _, d in counts]
+    lo, hi = min(days), max(days)
+    import datetime as _dt
+
+    grid_days = []
+    d = lo
+    while d <= hi:
+        grid_days.append(d)
+        d = d + _dt.timedelta(days=1)
+    out_t, out_d, out_n = [], [], []
+    for t in types:
+        for d in grid_days:
+            out_t.append(t)
+            out_d.append(d)
+            out_n.append(int(counts.get((t, d), 0)))
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "day": pa.array(out_d, pa.timestamp("us")),
+        "n": pa.array(out_n, pa.int64()),
+    }))
+
+
+def apply_changelog(ds, *, key_cols: list[str], order_col: str = "ts",
+                    tie_col: str = "event_id", op_col: str = "op"):
+    """CDC changelog -> snapshot: keep each key's LATEST row by
+    (order_col, tie_col), then drop keys whose latest op is a delete
+    ('D') — compact_latest extended with tombstone semantics (Kafka
+    compacted topics with deletes, Iceberg/Hudi merge-on-read).
+
+    Same two-level argmax shuffle shape as compact_latest: the
+    combiner keeps one candidate per key per block, so the shuffle
+    carries keys x blocks rows regardless of changelog length.
+    """
+    latest = compact_latest(ds, key_cols=key_cols, order_col=order_col,
+                            tie_col=tie_col)
+    return latest.filter(expr=f"{op_col} != 'D'")

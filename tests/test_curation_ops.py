@@ -3203,3 +3203,52 @@ class TestLastTouchAttribution:
         })
         got = last_touch_attribution(ray.data.from_arrow(t)).to_pandas()
         assert got["click_id"].tolist() == [-1]
+
+
+class TestEventsTimeseriesFilled:
+    def test_gaps_get_zero_rows(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import events_timeseries_filled
+
+        d1 = dt.datetime(2024, 1, 1)
+        d3 = dt.datetime(2024, 1, 3)
+        t = pa.table({
+            "event_type": pa.array(["a", "a", "b"]),
+            "ts": pa.array([d1, d3, d1], pa.timestamp("us")),
+        })
+        got = events_timeseries_filled(ray.data.from_arrow(t)) \
+            .to_pandas()
+        assert len(got) == 6   # 2 types x 3 days
+        m = got.set_index(["event_type", "day"])["n"].to_dict()
+        assert m[("a", d1)] == 1 and m[("a", d3)] == 1
+        assert m[("a", dt.datetime(2024, 1, 2))] == 0   # filled gap
+        assert m[("b", d3)] == 0
+
+
+class TestApplyChangelog:
+    def test_tombstones_drop_keys(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import apply_changelog
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 8, 8], pa.int64()),
+            "ts": pa.array([base + dt.timedelta(seconds=s)
+                            for s in (0, 1, 0, 1)], pa.timestamp("us")),
+            "op": pa.array(["U", "D", "D", "U"]),
+        })
+        got = apply_changelog(ray.data.from_arrow(t),
+                              key_cols=["user_id"]).to_pandas()
+        # user 7's latest is a delete -> gone; user 8 resurrected by
+        # a later upsert
+        assert got["user_id"].tolist() == [8]
+        assert got["event_id"].tolist() == [4]
