@@ -1212,6 +1212,54 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_bucketed_join(sf_dir: str):
+    """Hash-bucketed layout round trip: events and a per-user rollup
+    are both written bucket-partitioned on user_id, then joined with
+    ZERO exchange (bucket K only meets bucket K). Output = per-event
+    rows annotated with the user's total event count."""
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from selma_ray.sources.readers import bucketed_hash_join, write_bucketed
+    from selma_ray.stages.util import coalesce_small
+
+    ev = _read(sf_dir, "events")
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "user_id"])
+
+    def per_user_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["user_id"]).group_by("user_id")             .aggregate([([], "count_all")])
+        return pa.table({
+            "user_id": agg.column("user_id"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    totals = coalesce_small(
+        ev.map_batches(per_user_partial, batch_format="pyarrow"))         .groupby("user_id").aggregate(Sum("partial_n"))         .map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "user_events": pc.cast(b.column("sum(partial_n)"),
+                                   pa.int64()),
+        }), batch_format="pyarrow")
+
+    da = tempfile.mkdtemp(prefix="bucket_a_", dir="/tmp")
+    db = tempfile.mkdtemp(prefix="bucket_b_", dir="/tmp")
+    write_bucketed(ev.map_batches(slim, batch_format="pyarrow"), da,
+                   key_col="user_id", n_buckets=8)
+    write_bucketed(totals, db, key_col="user_id", n_buckets=8)
+    out = bucketed_hash_join(da, db, key_col="user_id")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "user_events": batch.column("user_events_b"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_events_timeseries_filled(sf_dir: str):
     """Zero-filled (event_type, day) counts over the full day grid."""
     from selma_ray.pipelines.relational import events_timeseries_filled
@@ -1890,6 +1938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_values": _q_impute_values,
         "last_touch": _q_last_touch,
         "events_timeseries_filled": _q_events_timeseries_filled,
+        "bucketed_join": _q_bucketed_join,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
         "cross_source_dups": _q_cross_source_dups,
@@ -2907,6 +2956,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "bucketed_join": r"""
+            WITH t AS (
+                SELECT user_id, count(*)::BIGINT AS user_events
+                FROM events GROUP BY user_id)
+            SELECT e.event_id, e.user_id, t.user_events
+            FROM events e JOIN t USING (user_id)
+        """,
         "events_timeseries_filled": r"""
             WITH c AS (
                 SELECT event_type,

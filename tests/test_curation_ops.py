@@ -3252,3 +3252,55 @@ class TestApplyChangelog:
         # a later upsert
         assert got["user_id"].tolist() == [8]
         assert got["event_id"].tolist() == [4]
+
+
+class TestBucketedLayout:
+    def test_point_lookup_reads_one_bucket(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.sources.readers import (
+            bucket_of,
+            read_bucket_for_key,
+            write_bucketed,
+        )
+        import numpy as np
+
+        t = pa.table({
+            "user_id": pa.array(range(100), pa.int64()),
+            "v": pa.array(range(100), pa.int64()),
+        })
+        out = str(tmp_path / "bucketed")
+        write_bucketed(ray.data.from_arrow(t), out, key_col="user_id",
+                       n_buckets=8)
+        got = read_bucket_for_key(out, 42, key_col="user_id",
+                                  n_buckets=8).to_pandas()
+        assert got["v"].tolist() == [42]
+        # stable hash: same key always lands in the same bucket
+        b1 = bucket_of(np.array([42], np.int64), 8)
+        b2 = bucket_of(np.array([42], np.int64), 8)
+        assert b1[0] == b2[0]
+
+    def test_bucketed_join_matches_plain_join(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.sources.readers import (
+            bucketed_hash_join,
+            write_bucketed,
+        )
+
+        a = pa.table({"k": pa.array([1, 2, 3, 5], pa.int64()),
+                      "x": pa.array([10, 20, 30, 50], pa.int64())})
+        b = pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                      "y": pa.array([200, 300, 400], pa.int64())})
+        da, db = str(tmp_path / "a"), str(tmp_path / "b")
+        write_bucketed(ray.data.from_arrow(a), da, key_col="k",
+                       n_buckets=4)
+        write_bucketed(ray.data.from_arrow(b), db, key_col="k",
+                       n_buckets=4)
+        got = bucketed_hash_join(da, db, key_col="k").to_pandas() \
+            .sort_values("k")
+        assert got["k"].tolist() == [2, 3]
+        assert got["x"].tolist() == [20, 30]
+        assert got["y_b"].tolist() == [200, 300]
