@@ -1212,6 +1212,25 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_zonemap_range(sf_dir: str):
+    """Zonemap range read: events written range-clustered on user_id
+    to get skippable footers, then a user_id range query opens only
+    intersecting files (exact filter in-task). SQL-checked vs a plain
+    range predicate."""
+    import tempfile
+
+    from selma_ray.sources.readers import (read_with_zonemap,
+                                           write_clustered)
+
+    out = tempfile.mkdtemp(prefix="zonemap_", dir="/tmp")
+    write_clustered(
+        _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "value"]),
+        out, key_col="user_id", num_ranges=8).take_all()   # force write
+    res = read_with_zonemap(out, col="user_id", lo=100, hi=199)
+    return res.select_columns(["event_id", "user_id", "value"])
+
+
 def _q_bucketed_join(sf_dir: str):
     """Hash-bucketed layout round trip: events and a per-user rollup
     are both written bucket-partitioned on user_id, then joined with
@@ -1939,6 +1958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch": _q_last_touch,
         "events_timeseries_filled": _q_events_timeseries_filled,
         "bucketed_join": _q_bucketed_join,
+        "zonemap_range": _q_zonemap_range,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
         "cross_source_dups": _q_cross_source_dups,
@@ -2956,6 +2976,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "zonemap_range": r"""
+            SELECT event_id, user_id, value FROM events
+            WHERE user_id >= 100 AND user_id <= 199
+        """,
         "bucketed_join": r"""
             WITH t AS (
                 SELECT user_id, count(*)::BIGINT AS user_events

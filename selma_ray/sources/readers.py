@@ -547,3 +547,61 @@ def bucketed_hash_join(dir_a: str, dir_b: str, *, key_col: str,
         [{"bid": b} for b in common],
         override_num_blocks=max(1, len(common))) \
         .map_batches(join_bucket, batch_size=1, batch_format="pyarrow")
+
+
+def collect_file_stats(path: str, *, columns: list[str]):
+    """Zonemap manifest for a parquet directory: one row per file with
+    row_count and per-column (min, max), read from FOOTERS ONLY — no
+    data pages are touched, so this is cheap even over a 100 TB
+    layout. Returns a list of dicts (driver-sized: one entry per
+    file)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                             recursive=True))
+    for f in files:
+        md = pq.read_metadata(f)
+        ent = {"file": f, "rows": md.num_rows}
+        names = md.schema.to_arrow_schema().names
+        for c in columns:
+            ci = names.index(c)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            ent[f"{c}_min"] = lo
+            ent[f"{c}_max"] = hi
+        out.append(ent)
+    return out
+
+
+def read_with_zonemap(path: str, *, col: str, lo, hi,
+                      stats: list | None = None):
+    """Range read through the zonemap: open ONLY files whose
+    [min, max] interval for ``col`` intersects [lo, hi], then apply
+    the exact in-task filter. Files without footer stats are read
+    (correctness over pruning). The generic-directory counterpart of
+    the clustered/Z-order pruned reads — works on ANY parquet layout,
+    pruning as well as the data happens to be clustered."""
+    import ray.data
+
+    stats = stats if stats is not None else collect_file_stats(
+        path, columns=[col])
+    keep = [s["file"] for s in stats
+            if s[f"{col}_min"] is None
+            or not (s[f"{col}_max"] < lo or s[f"{col}_min"] > hi)]
+    if not keep:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(
+            _pa.schema([(col, _pa.int64())]).empty_table())
+    ds = ray.data.read_parquet(keep)
+    return ds.filter(expr=f"{col} >= {lo!r} and {col} <= {hi!r}")

@@ -3304,3 +3304,42 @@ class TestBucketedLayout:
         assert got["k"].tolist() == [2, 3]
         assert got["x"].tolist() == [20, 30]
         assert got["y_b"].tolist() == [200, 300]
+
+
+class TestZonemap:
+    def test_prunes_files_and_filters_exactly(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from selma_ray.sources.readers import (
+            collect_file_stats,
+            read_with_zonemap,
+        )
+
+        # three files with disjoint key ranges
+        for i, lo in enumerate((0, 100, 200)):
+            pq.write_table(pa.table({
+                "k": pa.array(range(lo, lo + 100), pa.int64()),
+            }), str(tmp_path / f"f{i}.parquet"))
+        stats = collect_file_stats(str(tmp_path), columns=["k"])
+        assert len(stats) == 3
+        assert stats[0]["k_min"] == 0 and stats[0]["k_max"] == 99
+        # [150, 160] intersects only the middle file
+        keep = [s for s in stats
+                if not (s["k_max"] < 150 or s["k_min"] > 160)]
+        assert len(keep) == 1
+        got = read_with_zonemap(str(tmp_path), col="k", lo=150, hi=160,
+                                stats=stats).to_pandas()
+        assert sorted(got["k"].tolist()) == list(range(150, 161))
+
+    def test_empty_intersection(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from selma_ray.sources.readers import read_with_zonemap
+
+        pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64())}),
+                       str(tmp_path / "f.parquet"))
+        got = read_with_zonemap(str(tmp_path), col="k", lo=50, hi=60)
+        assert got.count() == 0
