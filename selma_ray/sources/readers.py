@@ -605,3 +605,61 @@ def read_with_zonemap(path: str, *, col: str, lo, hi,
             _pa.schema([(col, _pa.int64())]).empty_table())
     ds = ray.data.read_parquet(keep)
     return ds.filter(expr=f"{col} >= {lo!r} and {col} <= {hi!r}")
+
+
+def compact_small_files(path: str, out_dir: str, *,
+                        target_rows: int = 1_000_000):
+    """Storage maintenance: rewrite a fragmented parquet directory
+    (thousands of tiny part files — the residue of incremental
+    ingest/retries) into ~``target_rows``-row files -> returns
+    (files_before, files_after, rows).
+
+    Planning is FOOTER-ONLY (row counts from metadata, no data read);
+    the plan greedily bins consecutive files into groups of ~target
+    rows, then one task per group streams its files into one output —
+    each group is independent, so compaction parallelizes across the
+    layout and a failed run can re-run per group (deterministic output
+    names). Data pages are read exactly once.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                             recursive=True))
+    counts = [pq.read_metadata(f).num_rows for f in files]
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for f, n in zip(files, counts):
+        cur.append(f)
+        acc += n
+        if acc >= target_rows:
+            groups.append(cur)
+            cur, acc = [], 0
+    if cur:
+        groups.append(cur)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def compact(batch: pa.Table) -> pa.Table:
+        gids = batch.column("gid").to_pylist()
+        rows_out = []
+        for gid in gids:
+            tabs = [pq.read_table(f) for f in groups[gid]]
+            t = pa.concat_tables(tabs, promote_options="default")
+            pq.write_table(t, os.path.join(out_dir,
+                                           f"part-{gid:05d}.parquet"))
+            rows_out.append(t.num_rows)
+        return pa.table({"gid": pa.array(gids, pa.int64()),
+                         "rows": pa.array(rows_out, pa.int64())})
+
+    manifest = ray.data.from_items(
+        [{"gid": i} for i in range(len(groups))],
+        override_num_blocks=max(1, len(groups))) \
+        .map_batches(compact, batch_size=1, batch_format="pyarrow")
+    total = manifest.sum("rows") or 0
+    return {"files_before": len(files), "files_after": len(groups),
+            "rows": int(total)}

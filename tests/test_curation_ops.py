@@ -3343,3 +3343,26 @@ class TestZonemap:
                        str(tmp_path / "f.parquet"))
         got = read_with_zonemap(str(tmp_path), col="k", lo=50, hi=60)
         assert got.count() == 0
+
+
+class TestCompactSmallFiles:
+    def test_compacts_preserving_rows(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from selma_ray.sources.readers import compact_small_files
+
+        src = tmp_path / "frag"
+        src.mkdir()
+        for i in range(10):
+            pq.write_table(pa.table({
+                "k": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+            }), str(src / f"tiny-{i}.parquet"))
+        out = str(tmp_path / "compacted")
+        rep = compact_small_files(str(src), out, target_rows=25)
+        assert rep["files_before"] == 10
+        assert rep["files_after"] == 4   # 30+30+30+10 rows
+        assert rep["rows"] == 100
+        got = ray.data.read_parquet(out).to_pandas()
+        assert sorted(got["k"].tolist()) == list(range(100))
