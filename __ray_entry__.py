@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_doc_ttr(sf_dir: str):
+    """Per-doc type-token ratio (lexical diversity), map-only."""
+    from selma_ray.pipelines.corpus import doc_ttr
+
+    return doc_ttr(_read(sf_dir, "documents"))
+
+
 def _q_zonemap_range(sf_dir: str):
     """Zonemap range read: events written range-clustered on user_id
     to get skippable footers, then a user_id range query opens only
@@ -1959,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_timeseries_filled": _q_events_timeseries_filled,
         "bucketed_join": _q_bucketed_join,
         "zonemap_range": _q_zonemap_range,
+        "doc_ttr": _q_doc_ttr,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
         "cross_source_dups": _q_cross_source_dups,
@@ -2976,6 +2984,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "doc_ttr": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '\S+') AS toks
+                FROM documents)
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(list_distinct(toks))::BIGINT AS n_distinct,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_distinct(toks))::DOUBLE
+                             / len(toks)
+                        ELSE 0.0 END AS ttr
+            FROM t
+        """,
         "zonemap_range": r"""
             SELECT event_id, user_id, value FROM events
             WHERE user_id >= 100 AND user_id <= 199

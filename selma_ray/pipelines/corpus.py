@@ -930,3 +930,51 @@ def source_vocab_overlap(ds, *, group_col: str = "source",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_ttr(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document lexical-diversity stats -> (id, n_tokens,
+    n_distinct, ttr:float64): type-token ratio, the cheap
+    quality/degeneracy signal (near-0 TTR = repetition loops).
+
+    Map-only and fully Arrow-vectorized: utf8_split_whitespace ->
+    list_parent_indices ties tokens to rows, one in-batch hash groupby
+    per (row, term) gives distincts — no Python per row, no shuffle at
+    all. Empty docs emit (0, 0, 0.0).
+    """
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.coalesce(batch.column(text_col), pa.scalar("")), r"\s+")
+        # split on regex can give empty strings at the edges; count
+        # non-empty tokens only (mirrors DuckDB regexp_extract_all \S+)
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        parent = pc.list_parent_indices(flat)
+        words = pc.list_flatten(flat)
+        keep = pc.not_equal(words, pa.scalar(""))
+        parent = parent.filter(keep)
+        words = words.filter(keep)
+        pairs = pa.table({"row": parent, "w": words})
+        per_row = pairs.group_by(["row", "w"]).aggregate([([], "count_all")])
+        # n_tokens per row and n_distinct per row
+        tok_counts = pairs.group_by("row").aggregate([([], "count_all")])
+        dis_counts = per_row.group_by("row").aggregate([([], "count_all")])
+        n = batch.num_rows
+        ntok = np.zeros(n, np.int64)
+        ntok[tok_counts.column("row").to_numpy(zero_copy_only=False)] = \
+            tok_counts.column("count_all").to_numpy(zero_copy_only=False)
+        ndis = np.zeros(n, np.int64)
+        ndis[dis_counts.column("row").to_numpy(zero_copy_only=False)] = \
+            dis_counts.column("count_all").to_numpy(zero_copy_only=False)
+        ttr = np.where(ntok > 0, ndis / np.maximum(ntok, 1), 0.0)
+        return pa.table({
+            id_col: ids,
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "n_distinct": pa.array(ndis, pa.int64()),
+            "ttr": pa.array(ttr, pa.float64()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

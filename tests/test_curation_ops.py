@@ -3366,3 +3366,23 @@ class TestCompactSmallFiles:
         assert rep["rows"] == 100
         got = ray.data.read_parquet(out).to_pandas()
         assert sorted(got["k"].tolist()) == list(range(100))
+
+
+class TestDocTtr:
+    def test_ttr_values(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import doc_ttr
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a b", "x y z", ""]),
+        })
+        got = doc_ttr(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("doc_id")
+        assert got.loc[1, "n_tokens"] == 4
+        assert got.loc[1, "n_distinct"] == 2
+        assert got.loc[1, "ttr"] == 0.5
+        assert got.loc[2, "ttr"] == 1.0
+        assert got.loc[3, "n_tokens"] == 0 and got.loc[3, "ttr"] == 0.0
