@@ -1212,6 +1212,15 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_jaccard_prefix_join(sf_dir: str):
+    """Exact word-set Jaccard self-join with PPJoin prefix filtering
+    (no broadcast side); verified vs brute-force list algebra."""
+    from selma_ray.pipelines.dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(_read(sf_dir, "documents"),
+                               threshold=0.6, max_id=150)
+
+
 def _q_doc_ttr(sf_dir: str):
     """Per-doc type-token ratio (lexical diversity), map-only."""
     from selma_ray.pipelines.corpus import doc_ttr
@@ -1967,6 +1976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": _q_bucketed_join,
         "zonemap_range": _q_zonemap_range,
         "doc_ttr": _q_doc_ttr,
+        "jaccard_prefix_join": _q_jaccard_prefix_join,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
         "cross_source_dups": _q_cross_source_dups,
@@ -2984,6 +2994,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "jaccard_prefix_join": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(text, '\S+'))
+                           AS s
+                FROM documents
+                WHERE doc_id < 150 AND len(text) > 0),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE
+                           / (len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s)))
+                           AS jaccard
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE len(a.s) > 0 AND len(b.s) > 0)
+            SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
+        """,
         "doc_ttr": r"""
             WITH t AS (
                 SELECT doc_id,

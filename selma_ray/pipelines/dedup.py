@@ -1324,3 +1324,114 @@ def cross_source_dup_matrix(ds, *, source_col: str = "source",
             "source_b": b.column("source_b"),
             "n_shared": pc.cast(b.column("sum(partial_n)"), pa.int64()),
         }), batch_format="pyarrow")
+
+
+def jaccard_prefix_join(ds, *, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.5,
+                        max_id: int | None = None):
+    """EXACT word-set Jaccard self-join via PPJoin-style prefix
+    filtering -> (id_a, id_b, jaccard >= threshold) — the scale path
+    next to ngram_jaccard_pairs' broadcast brute force: no side is
+    broadcast and no O(n^2) loop exists; candidates are generated only
+    where two docs SHARE a token inside their (1-t)-length rarest-token
+    prefix (a completeness guarantee, not a heuristic: any pair at
+    jaccard >= t must collide on some prefix token).
+
+    Stages: (1) token df pass (term_frequencies-shaped combiner) ->
+    broadcast df-ascending rank dict (driver-sized vocab assumption —
+    cap/hash-rank the tail at larger vocabs); (2) per doc: distinct
+    tokens as sorted rank arrays, emit one row per PREFIX token;
+    (3) groupby(prefix token): in-bucket pairs verified EXACTLY with
+    one sorted-array intersection; (4) pair dedup (a pair may collide
+    in several buckets) via keep-first groupby. Rank arrays ride the
+    bucket shuffle (the LSH analog ships signatures); bucket size is
+    bounded by the df of the prefix token, and rare-first ordering
+    makes hot buckets rare by construction.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    if max_id is not None:
+        def _below(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.less(batch.column(id_col),
+                                        pa.scalar(max_id)))
+        ds = ds.map_batches(_below, batch_format="pyarrow")
+
+    # stage 1: global df ranks (rare first; ties by term for determinism)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.coalesce(batch.column(text_col), pa.scalar("")), r"\s+")
+        words = pc.list_flatten(toks)
+        words = words.filter(pc.not_equal(words, pa.scalar("")))
+        agg = pa.table({"term": words}).group_by("term") \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "term": agg.column("term"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    df_rows = coalesce_small(
+        ds.map_batches(df_partial, batch_format="pyarrow")) \
+        .groupby("term").aggregate(Sum("partial_n")).take_all()
+    order = sorted((r["sum(partial_n)"], r["term"]) for r in df_rows)
+    rank = {t: i for i, (_, t) in enumerate(order)}
+    rref = ray.put(rank)
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        rk = ray.get(rref)
+        out_tok, out_id, out_set = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = {w for w in (t or "").split() if w}
+            if not toks:
+                continue
+            ranks = np.sort(np.array([rk[w] for w in toks], np.int64))
+            plen = len(ranks) - int(np.ceil(threshold * len(ranks))) + 1
+            for r in ranks[:plen]:
+                out_tok.append(int(r))
+                out_id.append(i)
+                out_set.append(ranks.tolist())
+        return pa.table({
+            "ptok": pa.array(out_tok, pa.int64()),
+            "id": pa.array(out_id, pa.int64()),
+            "rset": pa.array(out_set, pa.list_(pa.int64())),
+        })
+
+    cand = ds.map_batches(prefixes, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("id").to_pylist()
+        sets = [np.array(s, np.int64)
+                for s in group.column("rset").to_pylist()]
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                ia, ib = ids[x], ids[y]
+                if ia == ib:
+                    continue
+                inter = np.intersect1d(sets[x], sets[y],
+                                       assume_unique=True).size
+                union = sets[x].size + sets[y].size - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    j_out.append(j)
+        return pa.table({
+            "id_a": pa.array(a_out, pa.int64()),
+            "id_b": pa.array(b_out, pa.int64()),
+            "jaccard": pa.array(j_out, pa.float64()),
+        })
+
+    pairs = cand.groupby("ptok").map_groups(bucket_pairs,
+                                            batch_format="pyarrow")
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return coalesce_small(pairs).groupby(["id_a", "id_b"]) \
+        .map_groups(first, batch_format="pyarrow")

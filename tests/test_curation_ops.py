@@ -3386,3 +3386,38 @@ class TestDocTtr:
         assert got.loc[1, "ttr"] == 0.5
         assert got.loc[2, "ttr"] == 1.0
         assert got.loc[3, "n_tokens"] == 0 and got.loc[3, "ttr"] == 0.0
+
+
+class TestJaccardPrefixJoin:
+    def test_matches_brute_force(self, ray_session):
+        import itertools
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import jaccard_prefix_join
+
+        docs = {
+            1: "a b c d",
+            2: "a b c e",        # j(1,2) = 3/5 = 0.6
+            3: "x y",
+            4: "x y",            # j(3,4) = 1.0
+            5: "a q r s t u v",  # low overlap with everything
+        }
+        t = pa.table({
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values())),
+        })
+        got = jaccard_prefix_join(ray.data.from_arrow(t),
+                                  threshold=0.6).to_pandas()
+        pairs = {(r.id_a, r.id_b): r.jaccard
+                 for r in got.itertuples()}
+        # brute-force oracle
+        want = {}
+        for a, b in itertools.combinations(docs, 2):
+            sa, sb = set(docs[a].split()), set(docs[b].split())
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.6:
+                want[(a, b)] = j
+        assert pairs == want
+        assert (1, 2) in pairs and (3, 4) in pairs
