@@ -1212,6 +1212,22 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_hll_daily_users(sf_dir: str):
+    """Per-day HyperLogLog DAU (rows-only: ~1.6% sketch error at
+    p=12; the exact oracle path is daily_active_users / the exact-
+    below-saturation path is daily_active_kmv)."""
+    from selma_ray.pipelines.sketches import hll_distinct
+
+    def day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "user_id": batch.column("user_id"),
+        })
+
+    ev = _read(sf_dir, "events").map_batches(day, batch_format="pyarrow")
+    return hll_distinct(ev, group_col="day", value_col="user_id", p=12)
+
+
 def _q_jaccard_prefix_join(sf_dir: str):
     """Exact word-set Jaccard self-join with PPJoin prefix filtering
     (no broadcast side); verified vs brute-force list algebra."""
@@ -1977,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_range": _q_zonemap_range,
         "doc_ttr": _q_doc_ttr,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
+        "hll_daily_users": _q_hll_daily_users,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
         "cross_source_dups": _q_cross_source_dups,

@@ -519,3 +519,91 @@ def heavy_hitters_by_group(ds, *, group_col: str = "lang",
 
     return agg.groupby(group_col).map_groups(finalize,
                                              batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007, with the standard small-range
+# linear-counting correction)
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(values, *, p: int = 12) -> np.ndarray:
+    """uint8 register array (m = 2^p) for an iterable of values; hash
+    = md5 low 64 (same deterministic hash as the KMV sketch)."""
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    shift = 64 - p
+    for v in values:
+        h = kmv_hash64(v)
+        idx = h >> shift
+        rest = (h << p) & ((1 << 64) - 1)
+        # rho = leading zeros of the remaining 64-p bits, +1
+        rho = 1
+        mask = 1 << 63
+        while rho <= 64 - p and not (rest & mask):
+            rest <<= 1
+            rho += 1
+        if rho > regs[idx]:
+            regs[idx] = rho
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = regs.size
+    est = _hll_alpha(m) * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))   # linear counting
+    return float(est)
+
+
+def hll_distinct(ds, *, group_col: str, value_col: str, p: int = 12,
+                 est_col: str = "est_distinct"):
+    """Per-group HyperLogLog distinct count -> (group, est float64):
+    the constant-memory cardinality sketch (2^p one-byte registers per
+    group, ~1.04/sqrt(2^p) relative error; p=12 -> 4 KiB / ~1.6%).
+
+    vs the KMV sketch (`kmv_distinct`): HLL shuffles a FIXED 2^p-byte
+    blob per (group, block) regardless of k-vs-cardinality, merges by
+    elementwise register max (associative + idempotent — safe under
+    retries), and never stores hashes. Per-batch combiner -> one
+    groupby(group) -> register fold + estimate in the group task.
+    """
+    import pandas as pd
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(group_col).to_pylist()
+        vals = batch.column(value_col).to_pylist()
+        per_group: dict = {}
+        for g, v in zip(keys, vals):
+            per_group.setdefault(g, []).append(v)
+        gs, blobs = [], []
+        for g, vs in per_group.items():
+            gs.append(g)
+            blobs.append(hll_registers(vs, p=p).tobytes())
+        return pa.table({group_col: pa.array(gs),
+                         "regs": pa.array(blobs, pa.binary())})
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m, np.uint8)
+        for blob in group["regs"]:
+            acc = np.maximum(acc, np.frombuffer(blob, np.uint8))
+        return pd.DataFrame({
+            group_col: [group[group_col].iloc[0]],
+            est_col: [hll_estimate(acc)],
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(fold, batch_format="pandas")

@@ -3421,3 +3421,49 @@ class TestJaccardPrefixJoin:
                 want[(a, b)] = j
         assert pairs == want
         assert (1, 2) in pairs and (3, 4) in pairs
+
+
+class TestHllDistinct:
+    def test_accuracy_and_merge(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        # accuracy: ~1.6% typical at p=12; allow 5%
+        n = 50_000
+        regs = hll_registers(range(n), p=12)
+        assert abs(hll_estimate(regs) - n) / n < 0.05
+        # merge = elementwise max equals single-pass registers
+        r1 = hll_registers(range(0, n, 2), p=12)
+        r2 = hll_registers(range(1, n, 2), p=12)
+        assert (np.maximum(r1, r2) == regs).all()
+
+    def test_small_range_linear_counting_exactish(self, ray_session):
+        from selma_ray.pipelines.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        est = hll_estimate(hll_registers(range(100), p=12))
+        assert abs(est - 100) / 100 < 0.05
+
+    def test_grouped_pipeline(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sketches import hll_distinct
+
+        t = pa.table({
+            "g": pa.array(["a"] * 1000 + ["b"] * 10),
+            "v": pa.array(list(range(1000)) + list(range(10)), pa.int64()),
+        })
+        got = hll_distinct(ray.data.from_arrow(t).repartition(4),
+                           group_col="g", value_col="v", p=12) \
+            .to_pandas().set_index("g")["est_distinct"].to_dict()
+        assert abs(got["a"] - 1000) / 1000 < 0.05
+        assert abs(got["b"] - 10) < 1.0
