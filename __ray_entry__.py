@@ -1212,6 +1212,18 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_cms_term_counts(sf_dir: str):
+    """Count-Min point frequencies for five probe terms; the synthetic
+    vocab (~dozens of terms) is far below width=4096, so estimates are
+    collision-free exact and the SQL oracle matches (overcount bound
+    2N/width applies at real vocab sizes)."""
+    from selma_ray.pipelines.sketches import cms_term_counts
+
+    return cms_term_counts(
+        _read(sf_dir, "documents"),
+        query_terms=["table", "join", "sort", "the", "data"])
+
+
 def _q_hll_daily_users(sf_dir: str):
     """Per-day HyperLogLog DAU (rows-only: ~1.6% sketch error at
     p=12; the exact oracle path is daily_active_users / the exact-
@@ -1994,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr": _q_doc_ttr,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
         "hll_daily_users": _q_hll_daily_users,
+        "cms_term_counts": _q_cms_term_counts,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
         "cross_source_dups": _q_cross_source_dups,
@@ -3011,6 +3024,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "cms_term_counts": r"""
+            WITH q(term) AS (VALUES ('table'), ('join'), ('sort'),
+                                    ('the'), ('data')),
+            tf AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                       AS term
+                   FROM documents)
+            SELECT q.term, count(tf.term)::BIGINT AS est_count
+            FROM q LEFT JOIN tf ON tf.term = q.term
+            GROUP BY q.term
+        """,
         "jaccard_prefix_join": r"""
             WITH t AS (
                 SELECT doc_id,

@@ -607,3 +607,71 @@ def hll_distinct(ds, *, group_col: str, value_col: str, p: int = 12,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(group_col).map_groups(fold, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def _cms_indices(term: str, depth: int, width: int) -> list[int]:
+    """One md5 per term supplies all row indices (digest sliced per
+    row) — deterministic across processes."""
+    dig = md5(term.encode()).digest()
+    out = []
+    for r in range(depth):
+        chunk = dig[(4 * r) % 16:(4 * r) % 16 + 4]
+        out.append((int.from_bytes(chunk, "little") + r * 0x9E3779B9)
+                   % width)
+    return out
+
+
+def cms_term_counts(ds, *, text_col: str = "text", query_terms: list,
+                    depth: int = 4, width: int = 4096):
+    """Count-Min point-frequency estimates -> (term, est_count) for
+    each requested term: the bounded-memory answer to "how often does
+    THIS term appear?" (vs Misra-Gries' "which terms are frequent?").
+    Estimates never UNDERcount; overcount <= 2N/width with prob
+    1 - 2^-depth.
+
+    Each block reduces to one depth x width int64 counter table
+    (flattened blob); merge is elementwise ADD — one `sum` over
+    blocks x (depth*width) cells via a single-column aggregate, no
+    groupby at all. The query lookup (min over depth rows) happens
+    driver-side on the merged table."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: "Counter" = Counter()
+        for t in batch.column(text_col).to_pylist():
+            counts.update((t or "").split())
+        tab = np.zeros((depth, width), np.int64)
+        for term, c in counts.items():
+            for r, idx in enumerate(_cms_indices(term, depth, width)):
+                tab[r, idx] += c
+        return pa.table({"cell": pa.array(np.arange(depth * width),
+                                          pa.int64()),
+                         "v": pa.array(tab.ravel(), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    merged = coalesce_small(
+        ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("cell").aggregate(Sum("v")).take_all()
+    tab = np.zeros(depth * width, np.int64)
+    for r in merged:
+        tab[r["cell"]] = r["sum(v)"]
+    tab = tab.reshape(depth, width)
+
+    ests = []
+    for term in query_terms:
+        idxs = _cms_indices(term, depth, width)
+        ests.append(int(min(tab[r, i] for r, i in enumerate(idxs))))
+    return ray.data.from_arrow(pa.table({
+        "term": pa.array(list(query_terms), pa.string()),
+        "est_count": pa.array(ests, pa.int64()),
+    }))

@@ -3467,3 +3467,36 @@ class TestHllDistinct:
             .to_pandas().set_index("g")["est_distinct"].to_dict()
         assert abs(got["a"] - 1000) / 1000 < 0.05
         assert abs(got["b"] - 10) < 1.0
+
+
+class TestCmsTermCounts:
+    def test_exact_without_collisions_and_never_undercounts(
+            self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sketches import cms_term_counts
+
+        t = pa.table({
+            "text": pa.array(["a a b", "b c", "a"]),
+        })
+        got = cms_term_counts(ray.data.from_arrow(t).repartition(2),
+                              query_terms=["a", "b", "c", "zzz"],
+                              depth=4, width=1024).to_pandas() \
+            .set_index("term")["est_count"].to_dict()
+        assert got["a"] == 3 and got["b"] == 2 and got["c"] == 1
+        assert got["zzz"] == 0      # absent term, no collisions
+
+    def test_tiny_width_overcounts_only(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sketches import cms_term_counts
+
+        words = " ".join(f"w{i}" for i in range(200))
+        t = pa.table({"text": pa.array([words])})
+        got = cms_term_counts(ray.data.from_arrow(t),
+                              query_terms=[f"w{i}" for i in range(20)],
+                              depth=4, width=16).to_pandas()
+        # forced collisions: estimates must never be BELOW the truth (1)
+        assert (got["est_count"] >= 1).all()
