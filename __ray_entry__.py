@@ -1212,6 +1212,15 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_returned_revenue(sf_dir: str):
+    """TPC-H Q10-lite: fact ⋈ fact ⋈ broadcast-dim, top-20."""
+    from selma_ray.pipelines.relational import returned_revenue_by_customer
+
+    return returned_revenue_by_customer(
+        _read(sf_dir, "lineitem"), _read(sf_dir, "orders"),
+        f"{sf_dir}/customer.parquet", k=20)
+
+
 def _q_cms_term_counts(sf_dir: str):
     """Count-Min point frequencies for five probe terms; the synthetic
     vocab (~dozens of terms) is far below width=4096, so estimates are
@@ -2007,6 +2016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_prefix_join": _q_jaccard_prefix_join,
         "hll_daily_users": _q_hll_daily_users,
         "cms_term_counts": _q_cms_term_counts,
+        "returned_revenue": _q_returned_revenue,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
         "cross_source_dups": _q_cross_source_dups,
@@ -3024,6 +3034,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "returned_revenue": r"""
+            WITH lr AS (
+                SELECT l_orderkey,
+                       sum(round(l_extendedprice * (1 - l_discount)
+                                 * 10000)::BIGINT)::BIGINT AS rev
+                FROM lineitem WHERE l_returnflag = 'R'
+                GROUP BY l_orderkey),
+            pc_ AS (
+                SELECT o.o_custkey, sum(lr.rev)::BIGINT AS revenue_e4
+                FROM lr JOIN orders o ON lr.l_orderkey = o.o_orderkey
+                GROUP BY o.o_custkey)
+            SELECT c.c_custkey, c.c_name, pc_.revenue_e4
+            FROM pc_ JOIN customer c ON pc_.o_custkey = c.c_custkey
+            ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20
+        """,
         "cms_term_counts": r"""
             WITH q(term) AS (VALUES ('table'), ('join'), ('sort'),
                                     ('the'), ('data')),

@@ -2620,3 +2620,83 @@ def apply_changelog(ds, *, key_cols: list[str], order_col: str = "ts",
     latest = compact_latest(ds, key_cols=key_cols, order_col=order_col,
                             tie_col=tie_col)
     return latest.filter(expr=f"{op_col} != 'D'")
+
+
+def returned_revenue_by_customer(lineitem_ds, orders_ds, customer_path,
+                                 *, k: int = 20,
+                                 num_partitions: int = 16):
+    """TPC-H Q10-lite: revenue lost to returns per customer ->
+    top-``k`` (c_custkey, c_name, revenue_e4) — the three-table shape
+    (fact ⋈ fact ⋈ dim) composed from the catalog's own parts:
+
+    - lineitem is filtered (l_returnflag = 'R'), the discounted price
+      is evaluated per batch, and rows are PRE-AGGREGATED by orderkey
+      inside the batch before anything shuffles — the exchange carries
+      (l_orderkey, partial revenue int64) only;
+    - native hash join against orders pruned to (o_orderkey,
+      o_custkey) — predicate+projection below the shuffle;
+    - per-customer rollup via the usual combiner + tiny groupby;
+    - customer is a DIM side: broadcast lookup for c_name (never a
+      third shuffle);
+    - top-k sorts the already-reduced per-customer table.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def prune_line(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        ext = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        rev = np.rint(ext * (1 - disc) * 10000).astype(np.int64)
+        part = pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev": pa.array(rev, pa.int64())})
+        agg = part.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": agg.column("l_orderkey"),
+                         "rev": pc.cast(agg.column("rev_sum"),
+                                        pa.int64())})
+
+    def prune_orders(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_orderkey", "o_custkey"])
+
+    lines = coalesce_small(
+        lineitem_ds.map_batches(prune_line, batch_format="pyarrow"))
+    orders = coalesce_small(
+        orders_ds.map_batches(prune_orders, batch_format="pyarrow"))
+    joined = lines.join(orders, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("o_custkey").aggregate([("rev", "sum")])
+        return pa.table({"o_custkey": agg.column("o_custkey"),
+                         "partial": pc.cast(agg.column("rev_sum"),
+                                            pa.int64())})
+
+    per_cust = coalesce_small(
+        joined.map_batches(cust_partial, batch_format="pyarrow")) \
+        .groupby("o_custkey").aggregate(Sum("partial"))
+
+    names = dict(zip(
+        *[pq.read_table(customer_path,
+                        columns=["c_custkey", "c_name"]).column(c)
+          .to_pylist() for c in ("c_custkey", "c_name")]))
+    nref = ray.put(names)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        keys = batch.column("o_custkey").to_pylist()
+        return pa.table({
+            "c_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "c_name": pa.array([nm[k] for k in keys], pa.string()),
+            "revenue_e4": pc.cast(batch.column("sum(partial)"),
+                                  pa.int64()),
+        })
+
+    return per_cust.map_batches(attach, batch_format="pyarrow") \
+        .sort(["revenue_e4", "c_custkey"], descending=[True, False]) \
+        .limit(k)
