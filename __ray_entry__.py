@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_events_quantiles_cont(sf_dir: str):
+    """Interpolated (quantile_cont) per-type quantiles from the exact
+    cents histogram."""
+    from selma_ray.pipelines.relational import events_quantiles_cont
+
+    return events_quantiles_cont(_read(sf_dir, "events"), qs=(0.5, 0.9))
+
+
 def _q_returned_revenue(sf_dir: str):
     """TPC-H Q10-lite: fact ⋈ fact ⋈ broadcast-dim, top-20."""
     from selma_ray.pipelines.relational import returned_revenue_by_customer
@@ -2017,6 +2025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_daily_users": _q_hll_daily_users,
         "cms_term_counts": _q_cms_term_counts,
         "returned_revenue": _q_returned_revenue,
+        "events_quantiles_cont": _q_events_quantiles_cont,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
         "cross_source_dups": _q_cross_source_dups,
@@ -3034,6 +3043,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "events_quantiles_cont": r"""
+            SELECT event_type, 0.5 AS q,
+                   quantile_cont(value, 0.5) AS value
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9,
+                   quantile_cont(value, 0.9)
+            FROM events GROUP BY event_type
+        """,
         "returned_revenue": r"""
             WITH lr AS (
                 SELECT l_orderkey,

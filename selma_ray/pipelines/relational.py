@@ -2700,3 +2700,59 @@ def returned_revenue_by_customer(lineitem_ds, orders_ds, customer_path,
     return per_cust.map_batches(attach, batch_format="pyarrow") \
         .sort(["revenue_e4", "c_custkey"], descending=[True, False]) \
         .limit(k)
+
+
+def events_quantiles_cont(events_ds, *, qs: tuple = (0.5, 0.9)):
+    """Per-type INTERPOLATED quantiles (SQL ``quantile_cont``) ->
+    (event_type, q, value): lower + frac*(upper-lower) at position
+    q*(n-1) over the ordered values — the continuous counterpart of
+    events_quantiles' discrete family, exact (not sketched) from the
+    same (type, cents) histogram: per-batch count combiner -> one tiny
+    groupby -> per-type order-statistics walk over distinct values.
+    Raw rows never shuffle; per-group state is O(distinct values).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "c": pc.cast(pc.round(pc.multiply(batch.column("value"),
+                                              pa.scalar(100.0))),
+                         pa.int64()),
+        })
+        agg = t.group_by(["event_type", "c"]).aggregate([([], "count_all")])
+        return pa.table({
+            "event_type": agg.column("event_type"),
+            "c": agg.column("c"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    hist = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["event_type", "c"]).aggregate(Sum("partial_n"))
+
+    def finish(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("c", "ascending")])
+        vals = g.column("c").to_numpy(zero_copy_only=False) / 100.0
+        cnt = g.column("sum(partial_n)").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        out_q, out_v = [], []
+        for q in qs:
+            pos = q * (n - 1)
+            lo_i = int(np.floor(pos))
+            hi_i = int(np.ceil(pos))
+            frac = pos - lo_i
+            lo_v = vals[np.searchsorted(cum, lo_i + 1)]
+            hi_v = vals[np.searchsorted(cum, hi_i + 1)]
+            out_q.append(q)
+            out_v.append(lo_v + frac * (hi_v - lo_v))
+        return pa.table({
+            "event_type": pa.array(
+                [group.column("event_type")[0].as_py()] * len(qs)),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        })
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow")
