@@ -1212,6 +1212,22 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_time_to_conversion(sf_dir: str):
+    """Forward as-of: click -> next same-user purchase within 24h."""
+    from selma_ray.pipelines.relational import time_to_conversion
+
+    return time_to_conversion(_read(sf_dir, "events"))
+
+
+def _q_span_corruption(sf_dir: str):
+    """T5-style span-corruption prep (rows-only: md5-deterministic
+    masking has no SQL analog; determinism + round-trip invariants
+    are unit-tested)."""
+    from selma_ray.pipelines.corpus import span_corruption
+
+    return span_corruption(_read(sf_dir, "documents"))
+
+
 def _q_events_quantiles_cont(sf_dir: str):
     """Interpolated (quantile_cont) per-type quantiles from the exact
     cents histogram."""
@@ -2026,6 +2042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts": _q_cms_term_counts,
         "returned_revenue": _q_returned_revenue,
         "events_quantiles_cont": _q_events_quantiles_cont,
+        "time_to_conversion": _q_time_to_conversion,
+        "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
         "cross_source_dups": _q_cross_source_dups,
@@ -3043,6 +3061,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "time_to_conversion": r"""
+            SELECT s.event_id, s.user_id, s.ts,
+                   COALESCE(c.event_id, -1)::BIGINT AS conv_id,
+                   COALESCE(date_diff('microsecond', s.ts, c.ts)
+                                / 1000000.0, -1.0) AS secs_to_conv
+            FROM events s
+            LEFT JOIN LATERAL (
+                SELECT event_id, ts FROM events c
+                WHERE c.user_id = s.user_id
+                  AND c.event_type = 'purchase'
+                  AND c.ts >= s.ts
+                  AND c.ts <= s.ts + INTERVAL 24 HOURS
+                ORDER BY c.ts, c.event_id LIMIT 1) c ON TRUE
+            WHERE s.event_type = 'click'
+        """,
         "events_quantiles_cont": r"""
             SELECT event_type, 0.5 AS q,
                    quantile_cont(value, 0.5) AS value

@@ -978,3 +978,77 @@ def doc_ttr(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def span_corruption(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    mask_rate: float = 0.15, mean_span: int = 3):
+    """T5-style span-corruption pretraining prep -> (id, inputs,
+    targets, n_masked): contiguous token spans are replaced by
+    sentinel tokens ``<extra_id_K>`` in the inputs and emitted (with
+    the same sentinels) as the targets.
+
+    Deterministic WITHOUT RNG state: span starts/lengths derive from
+    md5(doc_id, position) — the same doc always corrupts identically
+    on every run, on any partitioning, after any retry (the property
+    curation reruns need; seeds-in-actor-state would break it).
+    Map-only, no shuffle. ~``mask_rate`` of tokens masked in spans of
+    ~``mean_span`` tokens.
+    """
+    from ..functions.hashing import md5_hex
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_in, out_tg, out_n = [], [], []
+        for i, t in zip(ids, texts):
+            toks = (t or "").split()
+            n = len(toks)
+            if n == 0:
+                out_in.append("")
+                out_tg.append("")
+                out_n.append(0)
+                continue
+            masked = np.zeros(n, bool)
+            budget = int(np.floor(mask_rate * n))
+            pos = 0
+            k = 0
+            used = 0
+            while used < budget and pos < n:
+                h = int(md5_hex(f"{i}:{pos}")[:8], 16)
+                # geometric-ish gap then a span of 1..2*mean_span-1
+                gap = h % (2 * int(mean_span / mask_rate) + 1)
+                start = pos + gap
+                if start >= n:
+                    break
+                ln = 1 + (h >> 8) % (2 * mean_span - 1)
+                ln = min(ln, budget - used, n - start)
+                masked[start:start + ln] = True
+                used += ln
+                pos = start + ln + 1
+                k += 1
+            inputs, targets = [], []
+            sid = 0
+            j = 0
+            while j < n:
+                if masked[j]:
+                    sent = f"<extra_id_{sid}>"
+                    inputs.append(sent)
+                    targets.append(sent)
+                    while j < n and masked[j]:
+                        targets.append(toks[j])
+                        j += 1
+                    sid += 1
+                else:
+                    inputs.append(toks[j])
+                    j += 1
+            out_in.append(" ".join(inputs))
+            out_tg.append(" ".join(targets))
+            out_n.append(int(masked.sum()))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "inputs": pa.array(out_in, pa.string()),
+            "targets": pa.array(out_tg, pa.string()),
+            "n_masked": pa.array(out_n, pa.int64()),
+        })
+
+    return ds.map_batches(corrupt, batch_format="pyarrow")

@@ -2756,3 +2756,58 @@ def events_quantiles_cont(events_ds, *, qs: tuple = (0.5, 0.9)):
 
     return hist.groupby("event_type").map_groups(
         finish, batch_format="pyarrow")
+
+
+def time_to_conversion(events_ds, *, from_type: str = "click",
+                       to_type: str = "purchase",
+                       window_secs: float = 86400.0):
+    """Forward as-of: for every ``from_type`` event, the user's NEXT
+    ``to_type`` event within the window -> (event_id, user_id, ts,
+    conv_id, secs_to_conv) — the time-to-conversion dual of
+    last_touch_attribution (searchsorted 'left' on the forward
+    timeline instead of 'right' on the backward one). No-match rows
+    carry sentinels -1 / -1.0. Ties at the same conversion ts resolve
+    to the LOWEST conversion event_id (mirrors ORDER BY ts, event_id
+    LIMIT 1).
+    """
+    win_us = int(window_secs * 1e6)
+
+    def scan(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        types = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        src = types == from_type
+        dst = types == to_type
+        d_ts, d_id = ts[dst], ids[dst]
+        s_ts = ts[src]
+        out_schema = {
+            "event_id": pa.int64(), "user_id": pa.int64(),
+            "ts": g.schema.field("ts").type,
+            "conv_id": pa.int64(), "secs_to_conv": pa.float64(),
+        }
+        if not len(s_ts):
+            return pa.schema(list(out_schema.items())).empty_table()
+        if len(d_ts):
+            idx = np.searchsorted(d_ts, s_ts, side="left")
+            ok = idx < len(d_ts)
+            safe = np.clip(idx, 0, len(d_ts) - 1)
+            matched = np.where(ok, d_ts[safe], 0)
+            ok &= (matched - s_ts) <= win_us
+            conv_id = np.where(ok, d_id[safe], -1).astype(np.int64)
+            secs = np.where(ok, (matched - s_ts) / 1e6, -1.0)
+        else:
+            conv_id = np.full(len(s_ts), -1, np.int64)
+            secs = np.full(len(s_ts), -1.0, np.float64)
+        st = g.filter(pa.array(src))
+        return pa.table({
+            "event_id": st.column("event_id"),
+            "user_id": st.column("user_id"),
+            "ts": st.column("ts"),
+            "conv_id": pa.array(conv_id, pa.int64()),
+            "secs_to_conv": pa.array(secs, pa.float64()),
+        })
+
+    return events_ds.select_columns(
+        ["event_id", "user_id", "event_type", "ts"]) \
+        .groupby("user_id").map_groups(scan, batch_format="pyarrow")

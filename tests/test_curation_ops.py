@@ -3500,3 +3500,86 @@ class TestCmsTermCounts:
                               depth=4, width=16).to_pandas()
         # forced collisions: estimates must never be BELOW the truth (1)
         assert (got["est_count"] >= 1).all()
+
+
+class TestTimeToConversion:
+    def test_forward_asof(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import time_to_conversion
+
+        base = dt.datetime(2024, 1, 1)
+
+        def ev(eid, etype, secs):
+            return (eid, etype, base + dt.timedelta(seconds=secs))
+
+        rows = [
+            ev(1, "click", 0),       # -> purchase at 5s
+            ev(2, "purchase", 5),
+            ev(3, "click", 100),     # no purchase within 60s
+            ev(4, "purchase", 300),
+            ev(5, "click", 300),     # purchase at SAME ts counts
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        })
+        got = time_to_conversion(ray.data.from_arrow(t),
+                                 window_secs=60.0).to_pandas() \
+            .set_index("event_id")
+        assert got.loc[1, "conv_id"] == 2
+        assert got.loc[1, "secs_to_conv"] == 5.0
+        assert got.loc[3, "conv_id"] == -1
+        assert got.loc[5, "conv_id"] == 4
+        assert got.loc[5, "secs_to_conv"] == 0.0
+
+
+class TestSpanCorruption:
+    def test_deterministic_and_reconstructible(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import span_corruption
+
+        text = " ".join(f"tok{i}" for i in range(100))
+        t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "text": pa.array([text])})
+        a = span_corruption(ray.data.from_arrow(t)).to_pandas().iloc[0]
+        b = span_corruption(ray.data.from_arrow(t)).to_pandas().iloc[0]
+        # deterministic across runs
+        assert a["inputs"] == b["inputs"] and a["targets"] == b["targets"]
+        # ~15% masked, in spans
+        assert 5 <= a["n_masked"] <= 15
+        # round-trip: splicing targets back into inputs restores text
+        restored = []
+        tg = a["targets"].split()
+        spans = {}
+        cur = None
+        for w in tg:
+            if w.startswith("<extra_id_"):
+                cur = w
+                spans[cur] = []
+            else:
+                spans[cur].append(w)
+        for w in a["inputs"].split():
+            if w.startswith("<extra_id_"):
+                restored.extend(spans[w])
+            else:
+                restored.append(w)
+        assert " ".join(restored) == text
+
+    def test_empty_doc(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import span_corruption
+
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([""])})
+        got = span_corruption(ray.data.from_arrow(t)).to_pandas().iloc[0]
+        assert got["inputs"] == "" and got["n_masked"] == 0
