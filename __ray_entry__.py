@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Exact dedup keeping the best-scoring copy per family
+    (score = n_chars, ties -> lowest doc_id)."""
+    from selma_ray.pipelines.dedup import exact_dedup_keep_best
+
+    return exact_dedup_keep_best(_read(sf_dir, "documents"))
+
+
 def _q_time_to_conversion(sf_dir: str):
     """Forward as-of: click -> next same-user purchase within 24h."""
     from selma_ray.pipelines.relational import time_to_conversion
@@ -2043,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue": _q_returned_revenue,
         "events_quantiles_cont": _q_events_quantiles_cont,
         "time_to_conversion": _q_time_to_conversion,
+        "dedup_keep_best": _q_dedup_keep_best,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3061,6 +3070,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "dedup_keep_best": r"""
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY md5(text)
+                ORDER BY n_chars DESC, doc_id) = 1
+        """,
         "time_to_conversion": r"""
             SELECT s.event_id, s.user_id, s.ts,
                    COALESCE(c.event_id, -1)::BIGINT AS conv_id,

@@ -1435,3 +1435,40 @@ def jaccard_prefix_join(ds, *, id_col: str = "doc_id",
 
     return coalesce_small(pairs).groupby(["id_a", "id_b"]) \
         .map_groups(first, batch_format="pyarrow")
+
+
+def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          score_col: str = "n_chars"):
+    """Exact dedup that keeps the BEST copy per text family (highest
+    ``score_col``, ties -> lowest id) instead of the first-by-id —
+    what curation actually wants when duplicates differ in metadata
+    quality (longer canonical copy, better source).
+
+    Same two-level argmax shape as compact_latest: a per-batch
+    combiner keeps one best candidate row per hash per block, then one
+    groupby(hash) picks the global winner under the identical
+    (score DESC, id ASC) rule — the shuffle carries hashes x blocks
+    candidate rows, never the corpus.
+    """
+    def best_in_batch(batch: pa.Table) -> pa.Table:
+        batch = add_md5(batch, text_col)
+        order = pc.sort_indices(
+            batch, sort_keys=[("text_hash", "ascending"),
+                              (score_col, "descending"),
+                              (id_col, "ascending")])
+        srt = batch.take(order)
+        hs = srt.column("text_hash").to_numpy(zero_copy_only=False)
+        first = np.ones(len(hs), bool)
+        first[1:] = hs[1:] != hs[:-1]
+        return srt.filter(pa.array(first))
+
+    def best_global(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[(score_col, "descending"),
+                              (id_col, "ascending")])
+        return group.take(order).slice(0, 1).drop_columns(["text_hash"])
+
+    return ds.map_batches(best_in_batch, batch_format="pyarrow") \
+        .groupby("text_hash").map_groups(best_global,
+                                         batch_format="pyarrow")

@@ -3583,3 +3583,24 @@ class TestSpanCorruption:
                       "text": pa.array([""])})
         got = span_corruption(ray.data.from_arrow(t)).to_pandas().iloc[0]
         assert got["inputs"] == "" and got["n_masked"] == 0
+
+
+class TestExactDedupKeepBest:
+    def test_keeps_highest_score_lowest_id(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import exact_dedup_keep_best
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["x", "x", "x", "y", "y"]),
+            "n_chars": pa.array([5, 9, 9, 3, 3], pa.int64()),
+        })
+        got = exact_dedup_keep_best(
+            ray.data.from_arrow(t).repartition(3)).to_pandas() \
+            .sort_values("doc_id")
+        # family x: score 9 wins, tie between 2 and 3 -> lowest id 2
+        # family y: tie at 3 -> lowest id 4
+        assert got["doc_id"].tolist() == [2, 4]
+        assert "text_hash" not in got.columns
