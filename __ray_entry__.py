@@ -1212,6 +1212,23 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_embedding_drift(sf_dir: str):
+    """Per-label centroid cosine between vec_id-parity halves."""
+    from selma_ray.pipelines.clustering import embedding_drift
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id")
+        two = pa.scalar(2, pa.int64())
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, two), two))
+        return batch.append_column(
+            "side", pc.if_else(pc.equal(mod, pa.scalar(0, pa.int64())),
+                               pa.scalar("a"), pa.scalar("b")))
+
+    emb = _read(sf_dir, "embeddings").map_batches(tag,
+                                                  batch_format="pyarrow")
+    return embedding_drift(emb)
+
+
 def _q_dedup_keep_best(sf_dir: str):
     """Exact dedup keeping the best-scoring copy per family
     (score = n_chars, ties -> lowest doc_id)."""
@@ -2052,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_cont": _q_events_quantiles_cont,
         "time_to_conversion": _q_time_to_conversion,
         "dedup_keep_best": _q_dedup_keep_best,
+        "embedding_drift": _q_embedding_drift,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3070,6 +3088,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "embedding_drift": r"""
+            WITH e AS (
+                SELECT label::BIGINT AS label,
+                       CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END
+                           AS side,
+                       embedding::DOUBLE[] AS emb
+                FROM embeddings),
+            u AS (
+                SELECT label, side,
+                       unnest(range(len(emb)))::BIGINT AS dim,
+                       unnest(emb) AS v
+                FROM e),
+            c AS (
+                SELECT label, side, dim, avg(v) AS cv
+                FROM u GROUP BY label, side, dim),
+            p AS (
+                SELECT a.label,
+                       sum(a.cv * b.cv) AS dot,
+                       sum(a.cv * a.cv) AS na,
+                       sum(b.cv * b.cv) AS nb
+                FROM c a JOIN c b
+                  ON a.label = b.label AND a.dim = b.dim
+                 AND a.side = 'a' AND b.side = 'b'
+                GROUP BY a.label)
+            SELECT label, dot / (sqrt(na) * sqrt(nb)) AS drift_cosine
+            FROM p
+        """,
         "dedup_keep_best": r"""
             SELECT doc_id, text, lang, source, n_chars FROM documents
             QUALIFY row_number() OVER (

@@ -429,3 +429,72 @@ def kcenter_select(ds, *, k: int = 16, id_col: str = "vec_id",
         id_col: pa.array([c[1] for c in chosen], pa.int64()),
         "radius": pa.array([c[2] for c in chosen], pa.float64()),
     }))
+
+
+def embedding_drift(ds, *, label_col: str = "label",
+                    side_col: str = "side", emb_col: str = "embedding"):
+    """Embedding-space drift per label between two labeled slices ->
+    (label, drift_cosine float64): cosine similarity of the two
+    sides' centroids — the embedding analog of psi_drift (a new
+    encoder/corpus snapshot whose per-label centroids rotate away
+    from the reference is drifting).
+
+    Shape: per-batch partial (label, side, dim) sums + counts — at
+    most labels x 2 x d rows per block — one tiny groupby, then a
+    per-label cosine over the d-row group. Vectors never shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch.column(label_col).to_pylist())
+        sides = np.asarray(batch.column(side_col).to_pylist(),
+                           dtype=object)
+        E = _mat(batch, emb_col)
+        if not E.size:
+            return pa.table({label_col: pa.array([], pa.int64()),
+                             side_col: pa.array([], pa.string()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        d = E.shape[1]
+        out_l, out_sd, out_dim, out_s, out_n = [], [], [], [], []
+        for lab in np.unique(labels):
+            for sd in ("a", "b"):
+                m = (labels == lab) & (sides == sd)
+                if not m.any():
+                    continue
+                sums = E[m].sum(0)
+                out_l.extend([int(lab)] * d)
+                out_sd.extend([sd] * d)
+                out_dim.extend(range(d))
+                out_s.extend(sums.tolist())
+                out_n.extend([int(m.sum())] * d)
+        return pa.table({label_col: pa.array(out_l, pa.int64()),
+                         side_col: pa.array(out_sd, pa.string()),
+                         "dim": pa.array(out_dim, pa.int64()),
+                         "s": pa.array(out_s, pa.float64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby([label_col, side_col, "dim"]) \
+        .aggregate(Sum("s"), Sum("n"))
+
+    def finish(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(side_col, "ascending"), ("dim", "ascending")])
+        sides = np.asarray(g.column(side_col).to_pylist(), dtype=object)
+        s = g.column("sum(s)").to_numpy(zero_copy_only=False)
+        n = g.column("sum(n)").to_numpy(zero_copy_only=False)
+        cv = s / n
+        ca, cb = cv[sides == "a"], cv[sides == "b"]
+        lab = group.column(label_col)[0].as_py()
+        if not len(ca) or not len(cb):
+            return pa.table({label_col: pa.array([lab], pa.int64()),
+                             "drift_cosine": pa.array([float("nan")],
+                                                      pa.float64())})
+        cos = float(np.dot(ca, cb)
+                    / (np.sqrt(np.dot(ca, ca)) * np.sqrt(np.dot(cb, cb))))
+        return pa.table({label_col: pa.array([lab], pa.int64()),
+                         "drift_cosine": pa.array([cos], pa.float64())})
+
+    return agg.groupby(label_col).map_groups(finish,
+                                             batch_format="pyarrow")

@@ -3604,3 +3604,39 @@ class TestExactDedupKeepBest:
         # family y: tie at 3 -> lowest id 4
         assert got["doc_id"].tolist() == [2, 4]
         assert "text_hash" not in got.columns
+
+
+class TestEmbeddingDrift:
+    def test_identical_sides_cosine_one(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.clustering import embedding_drift
+
+        t = pa.table({
+            "label": pa.array([1, 1, 2, 2], pa.int32()),
+            "side": pa.array(["a", "b", "a", "b"]),
+            "embedding": pa.array([[1.0, 0.0], [2.0, 0.0],
+                                   [0.0, 1.0], [0.0, 3.0]],
+                                  pa.list_(pa.float32())),
+        })
+        got = embedding_drift(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("label")["drift_cosine"].to_dict()
+        # same direction (scaled) -> cosine 1 for both labels
+        assert abs(got[1] - 1.0) < 1e-12
+        assert abs(got[2] - 1.0) < 1e-12
+
+    def test_orthogonal_drift(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.clustering import embedding_drift
+
+        t = pa.table({
+            "label": pa.array([5, 5], pa.int32()),
+            "side": pa.array(["a", "b"]),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  pa.list_(pa.float32())),
+        })
+        got = embedding_drift(ray.data.from_arrow(t)).to_pandas()
+        assert abs(got["drift_cosine"].iloc[0]) < 1e-12
