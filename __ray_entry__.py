@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_session_paths(sf_dir: str):
+    """Top user journeys: sessionized event-type paths, counted
+    corpus-wide."""
+    from selma_ray.pipelines.relational import session_paths
+
+    return session_paths(_read(sf_dir, "events"), gap_secs=1800.0, k=25)
+
+
 def _q_embedding_drift(sf_dir: str):
     """Per-label centroid cosine between vec_id-parity halves."""
     from selma_ray.pipelines.clustering import embedding_drift
@@ -2070,6 +2078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_conversion": _q_time_to_conversion,
         "dedup_keep_best": _q_dedup_keep_best,
         "embedding_drift": _q_embedding_drift,
+        "session_paths": _q_session_paths,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3088,6 +3097,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "session_paths": r"""
+            WITH g AS (
+                SELECT event_id, user_id, ts, event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events),
+            s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       sum(CASE WHEN gap > 1800000000 THEN 1
+                                ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g),
+            p AS (
+                SELECT user_id, sess,
+                       string_agg(event_type, '>'
+                                  ORDER BY ts, event_id) AS path
+                FROM s GROUP BY user_id, sess)
+            SELECT path, count(*)::BIGINT AS n
+            FROM p GROUP BY path
+            ORDER BY n DESC, path LIMIT 25
+        """,
         "embedding_drift": r"""
             WITH e AS (
                 SELECT label::BIGINT AS label,

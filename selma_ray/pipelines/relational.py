@@ -2811,3 +2811,58 @@ def time_to_conversion(events_ds, *, from_type: str = "click",
     return events_ds.select_columns(
         ["event_id", "user_id", "event_type", "ts"]) \
         .groupby("user_id").map_groups(scan, batch_format="pyarrow")
+
+
+def session_paths(events_ds, *, gap_secs: float = 1800.0, k: int = 25,
+                  sep: str = ">"):
+    """Most common session journeys -> top-``k`` (path, n): events are
+    sessionized per user (gap rule), each session becomes its ordered
+    event-type path string, and paths are counted corpus-wide — the
+    product-analytics "top user journeys" query, composed from the
+    sessionize + string_agg + heavy-key shapes.
+
+    ONE groupby(user_id) shuffle carrying (user_id, ts, event_id,
+    event_type); sessions never span users so the gap split and path
+    join run in-task; each group emits (path, partial_count) rows —
+    already aggregated within the user — and one tiny groupby(path)
+    sum + sort-limit finishes. Raw events never shuffle twice.
+    """
+    gap_us = int(gap_secs * 1e6)
+
+    from ray.data.aggregate import Sum
+
+    def per_user(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = g.column("event_type").to_pylist()
+        breaks = np.zeros(len(ts), bool)
+        breaks[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sess = np.cumsum(breaks)
+        from collections import Counter
+
+        paths: Counter = Counter()
+        start = 0
+        for i in range(1, len(ts) + 1):
+            if i == len(ts) or sess[i] != sess[start]:
+                paths[sep.join(types[start:i])] += 1
+                start = i
+        return pa.table({
+            "path": pa.array(list(paths.keys()), pa.string()),
+            "partial_n": pa.array(list(paths.values()), pa.int64()),
+        })
+
+    partial = events_ds.select_columns(
+        ["event_id", "user_id", "ts", "event_type"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+    agg = coalesce_small(partial).groupby("path").aggregate(
+        Sum("partial_n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "path": batch.column("path"),
+            "n": pc.cast(batch.column("sum(partial_n)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow") \
+        .sort(["n", "path"], descending=[True, False]).limit(k)

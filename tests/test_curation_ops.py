@@ -3640,3 +3640,35 @@ class TestEmbeddingDrift:
         })
         got = embedding_drift(ray.data.from_arrow(t)).to_pandas()
         assert abs(got["drift_cosine"].iloc[0]) < 1e-12
+
+
+class TestSessionPaths:
+    def test_paths_split_on_gap(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import session_paths
+
+        base = dt.datetime(2024, 1, 1)
+
+        def ev(eid, uid, etype, secs):
+            return (eid, uid, etype,
+                    base + dt.timedelta(seconds=secs))
+
+        rows = [
+            ev(1, 1, "view", 0), ev(2, 1, "click", 10),   # session 1
+            ev(3, 1, "view", 5000),                        # session 2
+            ev(4, 2, "view", 0), ev(5, 2, "click", 10),   # user 2
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        })
+        got = session_paths(ray.data.from_arrow(t), gap_secs=60.0,
+                            k=10).to_pandas() \
+            .set_index("path")["n"].to_dict()
+        assert got == {"view>click": 2, "view": 1}
