@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_events_daily_report(sf_dir: str):
+    """Fused 4-metric daily rollup in one combiner + one groupby."""
+    from selma_ray.pipelines.relational import events_daily_report
+
+    return events_daily_report(_read(sf_dir, "events"))
+
+
 def _q_session_paths(sf_dir: str):
     """Top user journeys: sessionized event-type paths, counted
     corpus-wide."""
@@ -2079,6 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "embedding_drift": _q_embedding_drift,
         "session_paths": _q_session_paths,
+        "events_daily_report": _q_events_daily_report,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3097,6 +3105,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "events_daily_report": r"""
+            SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                   count(*)::BIGINT AS n_events,
+                   sum(round(value * 100)::BIGINT)::BIGINT
+                       AS sum_value_cents,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       ::BIGINT AS n_purchases,
+                   COALESCE(sum(round(value * 100)::BIGINT)
+                       FILTER (WHERE event_type = 'purchase'),
+                       0)::BIGINT AS purchase_cents
+            FROM events GROUP BY 1
+        """,
         "session_paths": r"""
             WITH g AS (
                 SELECT event_id, user_id, ts, event_type,

@@ -2866,3 +2866,57 @@ def session_paths(events_ds, *, gap_secs: float = 1800.0, k: int = 25,
 
     return agg.map_batches(rename, batch_format="pyarrow") \
         .sort(["n", "path"], descending=[True, False]).limit(k)
+
+
+def events_daily_report(events_ds):
+    """Fused multi-metric daily rollup -> (day, n_events,
+    sum_value_cents, n_purchases, purchase_cents): four aggregates
+    computed in ONE combiner pass and ONE groupby(day) — the fusion
+    pattern that matters at 100 TB (each extra metric is a column on
+    the same tiny partial row, not another scan/shuffle of the fact
+    table). Exact integer cents everywhere.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"),
+                                             pa.scalar(100.0))),
+                        pa.int64())
+        is_p = pc.equal(batch.column("event_type"),
+                        pa.scalar("purchase"))
+        t = pa.table({
+            "day": day,
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "cents": cents,
+            "p_one": pc.cast(is_p, pa.int64()),
+            "p_cents": pc.if_else(is_p, cents, pa.scalar(0, pa.int64())),
+        })
+        agg = t.group_by("day").aggregate(
+            [("one", "sum"), ("cents", "sum"), ("p_one", "sum"),
+             ("p_cents", "sum")])
+        return pa.table({
+            "day": agg.column("day"),
+            "pn": pc.cast(agg.column("one_sum"), pa.int64()),
+            "pc_": pc.cast(agg.column("cents_sum"), pa.int64()),
+            "pp": pc.cast(agg.column("p_one_sum"), pa.int64()),
+            "ppc": pc.cast(agg.column("p_cents_sum"), pa.int64()),
+        })
+
+    agg = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("day").aggregate(Sum("pn"), Sum("pc_"), Sum("pp"),
+                                  Sum("ppc"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch.column("day"),
+            "n_events": pc.cast(batch.column("sum(pn)"), pa.int64()),
+            "sum_value_cents": pc.cast(batch.column("sum(pc_)"),
+                                       pa.int64()),
+            "n_purchases": pc.cast(batch.column("sum(pp)"), pa.int64()),
+            "purchase_cents": pc.cast(batch.column("sum(ppc)"),
+                                      pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
