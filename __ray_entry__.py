@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_contrastive_pairs(sf_dir: str):
+    """Contrastive anchor/positive/negative prep (rows-only:
+    md5-deterministic negatives; invariants unit-tested)."""
+    from selma_ray.pipelines.corpus import contrastive_pairs
+
+    return contrastive_pairs(_read(sf_dir, "documents"))
+
+
 def _q_events_daily_report(sf_dir: str):
     """Fused 4-metric daily rollup in one combiner + one groupby."""
     from selma_ray.pipelines.relational import events_daily_report
@@ -2087,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_drift": _q_embedding_drift,
         "session_paths": _q_session_paths,
         "events_daily_report": _q_events_daily_report,
+        "contrastive_pairs": _q_contrastive_pairs,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,

@@ -1052,3 +1052,72 @@ def span_corruption(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(corrupt, batch_format="pyarrow")
+
+
+def contrastive_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      chunk_tokens: int = 32, neg_pool: int = 256):
+    """Contrastive-training pair prep -> (anchor_id, chunk_idx,
+    anchor, positive, negative): anchor/positive are ADJACENT chunks
+    of the same document (the standard in-doc positive), negative is
+    a deterministic draw from a broadcast cross-corpus pool.
+
+    Positives need no shuffle at all (adjacency lives inside the row);
+    negatives come from a small pool sampled by lowest md5(doc_id)
+    (any corpus-wide deterministic sample works) broadcast ONCE via
+    ray.put — the classic big-corpus pattern: never shuffle the corpus
+    to pair rows with random other rows. Negative choice is
+    md5(doc_id, chunk_idx)-keyed, skipping self-document collisions.
+    """
+    import ray
+
+    from ..functions.hashing import md5_hex
+
+    def pool_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        scored = sorted((md5_hex(str(i)), i, (t or ""))
+                        for i, t in zip(ids, texts))[:neg_pool]
+        return pa.table({
+            "h": pa.array([s[0] for s in scored], pa.string()),
+            "pid": pa.array([s[1] for s in scored], pa.int64()),
+            "ptx": pa.array([s[2] for s in scored], pa.string()),
+        })
+
+    parts = ds.map_batches(pool_partial, batch_format="pyarrow").take_all()
+    pool = sorted(((r["h"], r["pid"], r["ptx"]) for r in parts))[:neg_pool]
+    pool_ids = [p[1] for p in pool]
+    pool_chunks = []
+    for _, pid, ptx in pool:
+        toks = ptx.split()
+        pool_chunks.append((pid, " ".join(toks[:chunk_tokens]) or ptx))
+    pref = ray.put(pool_chunks)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        out_id, out_ci, out_a, out_p, out_n = [], [], [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            chunks = [" ".join(toks[j:j + chunk_tokens])
+                      for j in range(0, len(toks), chunk_tokens)]
+            for ci in range(len(chunks) - 1):
+                h = int(md5_hex(f"{i}:{ci}")[:8], 16)
+                nid, ntx = pl[h % len(pl)]
+                if nid == i:                      # self-collision: step
+                    nid, ntx = pl[(h + 1) % len(pl)]
+                    if nid == i:
+                        continue
+                out_id.append(i)
+                out_ci.append(ci)
+                out_a.append(chunks[ci])
+                out_p.append(chunks[ci + 1])
+                out_n.append(ntx)
+        return pa.table({
+            "anchor_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_ci, pa.int64()),
+            "anchor": pa.array(out_a, pa.string()),
+            "positive": pa.array(out_p, pa.string()),
+            "negative": pa.array(out_n, pa.string()),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

@@ -3672,3 +3672,32 @@ class TestSessionPaths:
                             k=10).to_pandas() \
             .set_index("path")["n"].to_dict()
         assert got == {"view>click": 2, "view": 1}
+
+
+class TestContrastivePairs:
+    def test_adjacent_positives_and_cross_doc_negatives(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import contrastive_pairs
+
+        docs = {
+            1: " ".join(f"a{i}" for i in range(8)),
+            2: " ".join(f"b{i}" for i in range(8)),
+            3: " ".join(f"c{i}" for i in range(4)),
+        }
+        t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                      "text": pa.array(list(docs.values()))})
+        got = contrastive_pairs(ray.data.from_arrow(t),
+                                chunk_tokens=4).to_pandas()
+        # docs 1 and 2 have 2 chunks -> 1 pair each; doc 3 has 1 chunk
+        assert sorted(got["anchor_id"].tolist()) == [1, 2]
+        row = got[got["anchor_id"] == 1].iloc[0]
+        assert row["anchor"] == "a0 a1 a2 a3"
+        assert row["positive"] == "a4 a5 a6 a7"
+        assert not row["negative"].startswith("a")   # cross-doc
+        # deterministic
+        again = contrastive_pairs(ray.data.from_arrow(t),
+                                  chunk_tokens=4).to_pandas()
+        assert got.sort_values("anchor_id")["negative"].tolist() == \
+            again.sort_values("anchor_id")["negative"].tolist()
