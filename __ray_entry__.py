@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_daily_change(sf_dir: str):
+    """Day-over-day change per type — window AFTER aggregate."""
+    from selma_ray.pipelines.relational import daily_change_by_type
+
+    return daily_change_by_type(_read(sf_dir, "events"))
+
+
 def _q_contrastive_pairs(sf_dir: str):
     """Contrastive anchor/positive/negative prep (rows-only:
     md5-deterministic negatives; invariants unit-tested)."""
@@ -2096,6 +2103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": _q_session_paths,
         "events_daily_report": _q_events_daily_report,
         "contrastive_pairs": _q_contrastive_pairs,
+        "daily_change": _q_daily_change,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3114,6 +3122,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "daily_change": r"""
+            WITH c AS (
+                SELECT event_type,
+                       date_trunc('day', ts)::TIMESTAMP AS day,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, day, n,
+                   COALESCE(n - lag(n) OVER (PARTITION BY event_type
+                                             ORDER BY day),
+                            0)::BIGINT AS delta,
+                   COALESCE((n - lag(n) OVER (PARTITION BY event_type
+                                              ORDER BY day))
+                            / lag(n) OVER (PARTITION BY event_type
+                                           ORDER BY day)::DOUBLE,
+                            0.0) AS pct_change
+            FROM c
+        """,
         "events_daily_report": r"""
             SELECT date_trunc('day', ts)::TIMESTAMP AS day,
                    count(*)::BIGINT AS n_events,

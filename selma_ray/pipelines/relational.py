@@ -2920,3 +2920,51 @@ def events_daily_report(events_ds):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def daily_change_by_type(events_ds):
+    """Day-over-day change of daily event counts per type ->
+    (event_type, day, n, delta, pct_change float64; first day carries
+    delta 0 / pct_change 0.0) — the "window AFTER aggregate" pattern:
+    the LAG runs on the already-reduced (type, day) table (types x
+    days rows), so the windowing is in-task per type and effectively
+    free; only count partials ever shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+        })
+        agg = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "event_type": agg.column("event_type"),
+            "day": agg.column("day"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    counts = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["event_type", "day"]).aggregate(Sum("partial_n"))
+
+    def scan(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("day", "ascending")])
+        n = g.column("sum(partial_n)").to_numpy(zero_copy_only=False)
+        delta = np.zeros(len(n), np.int64)
+        pct = np.zeros(len(n), np.float64)
+        if len(n) > 1:
+            delta[1:] = n[1:] - n[:-1]
+            pct[1:] = (n[1:] - n[:-1]) / n[:-1]
+        return pa.table({
+            "event_type": pa.array(
+                [group.column("event_type")[0].as_py()] * len(n)),
+            "day": g.column("day"),
+            "n": pa.array(n, pa.int64()),
+            "delta": pa.array(delta, pa.int64()),
+            "pct_change": pa.array(pct, pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        scan, batch_format="pyarrow")

@@ -3701,3 +3701,26 @@ class TestContrastivePairs:
                                   chunk_tokens=4).to_pandas()
         assert got.sort_values("anchor_id")["negative"].tolist() == \
             again.sort_values("anchor_id")["negative"].tolist()
+
+
+class TestDailyChangeByType:
+    def test_delta_and_pct(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import daily_change_by_type
+
+        d1 = dt.datetime(2024, 1, 1)
+        d2 = dt.datetime(2024, 1, 2)
+        t = pa.table({
+            "event_type": pa.array(["a"] * 3 + ["a"] * 6),
+            "ts": pa.array([d1] * 3 + [d2] * 6, pa.timestamp("us")),
+        })
+        got = daily_change_by_type(ray.data.from_arrow(t)).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+        assert got.loc[0, "delta"] == 0 and got.loc[0, "pct_change"] == 0.0
+        assert got.loc[1, "n"] == 6
+        assert got.loc[1, "delta"] == 3
+        assert got.loc[1, "pct_change"] == 1.0
