@@ -1212,6 +1212,15 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_purge_users(sf_dir: str):
+    """GDPR purge: drop five users' events via a broadcast key set
+    (map-only; no join, no shuffle)."""
+    from selma_ray.pipelines.relational import purge_keys
+
+    return purge_keys(_read(sf_dir, "events"), key_col="user_id",
+                      keys=[3, 17, 42, 99, 120])
+
+
 def _q_daily_change(sf_dir: str):
     """Day-over-day change per type — window AFTER aggregate."""
     from selma_ray.pipelines.relational import daily_change_by_type
@@ -2104,6 +2113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_report": _q_events_daily_report,
         "contrastive_pairs": _q_contrastive_pairs,
         "daily_change": _q_daily_change,
+        "purge_users": _q_purge_users,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3122,6 +3132,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "purge_users": r"""
+            SELECT * FROM events
+            WHERE user_id NOT IN (3, 17, 42, 99, 120)
+        """,
         "daily_change": r"""
             WITH c AS (
                 SELECT event_type,

@@ -2968,3 +2968,50 @@ def daily_change_by_type(events_ds):
 
     return counts.groupby("event_type").map_groups(
         scan, batch_format="pyarrow")
+
+
+def purge_keys(ds, *, key_col: str, keys, audit: bool = False):
+    """Right-to-be-forgotten purge: drop every row whose ``key_col``
+    is in ``keys`` -> the kept Dataset (and, with ``audit=True``, a
+    per-key removed-row-count audit table instead — run it first,
+    store it, then rewrite).
+
+    The deletion set is broadcast ONCE via ray.put and applied with a
+    vectorized is_in inside map_batches — a pure map-only pass over
+    the corpus, trivially resumable per partition; never a join, never
+    a shuffle. At GDPR scale the keys list is tiny next to the corpus.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    kref = ray.put(sorted(set(keys)))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        mask = pc.is_in(batch.column(key_col),
+                        value_set=pa.array(ks))
+        return batch.filter(pc.invert(mask))
+
+    if not audit:
+        return ds.map_batches(drop, batch_format="pyarrow")
+
+    def count_removed(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        mask = pc.is_in(batch.column(key_col), value_set=pa.array(ks))
+        hit = batch.filter(mask)
+        agg = hit.select([key_col]).group_by(key_col) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            key_col: agg.column(key_col),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    agg = coalesce_small(
+        ds.map_batches(count_removed, batch_format="pyarrow")) \
+        .groupby(key_col).aggregate(Sum("partial_n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            key_col: b.column(key_col),
+            "n_removed": pc.cast(b.column("sum(partial_n)"), pa.int64()),
+        }), batch_format="pyarrow")

@@ -3724,3 +3724,23 @@ class TestDailyChangeByType:
         assert got.loc[1, "n"] == 6
         assert got.loc[1, "delta"] == 3
         assert got.loc[1, "pct_change"] == 1.0
+
+
+class TestPurgeKeys:
+    def test_drop_and_audit(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import purge_keys
+
+        t = pa.table({
+            "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+            "v": pa.array([10, 11, 20, 30], pa.int64()),
+        })
+        kept = purge_keys(ray.data.from_arrow(t), key_col="user_id",
+                          keys=[1, 3]).to_pandas()
+        assert kept["user_id"].tolist() == [2]
+        audit = purge_keys(ray.data.from_arrow(t), key_col="user_id",
+                           keys=[1, 3], audit=True).to_pandas() \
+            .set_index("user_id")["n_removed"].to_dict()
+        assert audit == {1: 2, 3: 1}
