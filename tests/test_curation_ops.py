@@ -3744,3 +3744,25 @@ class TestPurgeKeys:
                            keys=[1, 3], audit=True).to_pandas() \
             .set_index("user_id")["n_removed"].to_dict()
         assert audit == {1: 2, 3: 1}
+
+
+class TestReadTextCorpus:
+    def test_stable_ids_and_shape(self, ray_session, tmp_path):
+        from selma_ray.sources.readers import read_text_corpus
+
+        (tmp_path / "a.txt").write_text("hello world\n\nsecond line\n")
+        (tmp_path / "b.txt").write_text("only line\n")
+        got = read_text_corpus(str(tmp_path)).to_pandas()
+        # empty line dropped; 3 rows total
+        assert len(got) == 3
+        assert set(got["text"]) == {"hello world", "second line",
+                                    "only line"}
+        assert (got["n_chars"] == got["text"].str.len()).all()
+        # ids deterministic across reads
+        again = read_text_corpus(str(tmp_path)).to_pandas()
+        assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+        assert got["doc_id"].is_unique
+        # line index survives the empty-line skip (offset 2, not 1)
+        second = got[got["text"] == "second line"]["doc_id"].iloc[0]
+        hello = got[got["text"] == "hello world"]["doc_id"].iloc[0]
+        assert second - hello == 2
