@@ -1212,6 +1212,16 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_cross_lang_dups(sf_dir: str):
+    """Bitext-candidate mining: the duplicate-leakage matrix keyed by
+    LANGUAGE — off-diagonal cells are exact same-text cross-language
+    pairs (translation-memory hits / mislabeled langs)."""
+    from selma_ray.pipelines.dedup import cross_source_dup_matrix
+
+    return cross_source_dup_matrix(_read(sf_dir, "documents"),
+                                   source_col="lang")
+
+
 def _q_purge_users(sf_dir: str):
     """GDPR purge: drop five users' events via a broadcast key set
     (map-only; no join, no shuffle)."""
@@ -2114,6 +2124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_pairs": _q_contrastive_pairs,
         "daily_change": _q_daily_change,
         "purge_users": _q_purge_users,
+        "cross_lang_dups": _q_cross_lang_dups,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3132,6 +3143,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "cross_lang_dups": r"""
+            WITH hs AS (
+                SELECT DISTINCT md5(text) AS h, lang FROM documents)
+            SELECT a.lang AS source_a, b.lang AS source_b,
+                   count(*)::BIGINT AS n_shared
+            FROM hs a JOIN hs b
+              ON a.h = b.h AND a.lang <= b.lang
+            GROUP BY 1, 2
+        """,
         "purge_users": r"""
             SELECT * FROM events
             WHERE user_id NOT IN (3, 17, 42, 99, 120)
