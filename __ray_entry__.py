@@ -1378,7 +1378,7 @@ def _q_zonemap_range(sf_dir: str):
         _read(sf_dir, "events").select_columns(
             ["event_id", "user_id", "value"]),
         out, key_col="user_id", num_ranges=8).take_all()   # force write
-    res = read_with_zonemap(out, col="user_id", lo=100, hi=199)
+    res = read_with_zonemap(out, col="user_id", lo=1, hi=5)
     return res.select_columns(["event_id", "user_id", "value"])
 
 
@@ -3233,7 +3233,7 @@ def oracle_sql() -> dict[str, str]:
                   ON a.label = b.label AND a.dim = b.dim
                  AND a.side = 'a' AND b.side = 'b'
                 GROUP BY a.label)
-            SELECT label, dot / (sqrt(na) * sqrt(nb)) AS drift_cosine
+            SELECT label, dot / (sqrt(na) * sqrt(nb)) AS label_drift_cosine
             FROM p
         """,
         "dedup_keep_best": r"""
@@ -3324,7 +3324,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zonemap_range": r"""
             SELECT event_id, user_id, value FROM events
-            WHERE user_id >= 100 AND user_id <= 199
+            WHERE user_id >= 1 AND user_id <= 5
         """,
         "bucketed_join": r"""
             WITH t AS (
@@ -3486,7 +3486,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM p a JOIN p b
                   ON a.source = b.source AND a.bin = b.bin
                 WHERE a.side = 'a' AND b.side = 'b')
-            SELECT source, sum(term) AS psi FROM w GROUP BY source
+            SELECT source, sum(term) AS value_psi FROM w GROUP BY source
         """,
         "quantize_embeddings": r"""
             WITH s AS (
@@ -3547,7 +3547,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY user_id, event_type),
             t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY user_id)
             SELECT c.user_id, t.n::BIGINT AS n_events,
-                   -sum((c.c / t.n) * ln(c.c / t.n)) AS entropy
+                   -sum((c.c / t.n) * ln(c.c / t.n)) AS value_entropy
             FROM c JOIN t USING (user_id)
             GROUP BY c.user_id, t.n
         """,

@@ -434,7 +434,7 @@ def kcenter_select(ds, *, k: int = 16, id_col: str = "vec_id",
 def embedding_drift(ds, *, label_col: str = "label",
                     side_col: str = "side", emb_col: str = "embedding"):
     """Embedding-space drift per label between two labeled slices ->
-    (label, drift_cosine float64): cosine similarity of the two
+    (label, label_drift_cosine float64): cosine similarity of the two
     sides' centroids — the embedding analog of psi_drift (a new
     encoder/corpus snapshot whose per-label centroids rotate away
     from the reference is drifting).
@@ -489,12 +489,12 @@ def embedding_drift(ds, *, label_col: str = "label",
         lab = group.column(label_col)[0].as_py()
         if not len(ca) or not len(cb):
             return pa.table({label_col: pa.array([lab], pa.int64()),
-                             "drift_cosine": pa.array([float("nan")],
+                             "label_drift_cosine": pa.array([float("nan")],
                                                       pa.float64())})
         cos = float(np.dot(ca, cb)
                     / (np.sqrt(np.dot(ca, ca)) * np.sqrt(np.dot(cb, cb))))
         return pa.table({label_col: pa.array([lab], pa.int64()),
-                         "drift_cosine": pa.array([cos], pa.float64())})
+                         "label_drift_cosine": pa.array([cos], pa.float64())})
 
     return agg.groupby(label_col).map_groups(finish,
                                              batch_format="pyarrow")

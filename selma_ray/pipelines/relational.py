@@ -2123,7 +2123,7 @@ def debounce_events(events_ds, *, gap_secs: float = 3600.0):
 
 def user_event_entropy(events_ds):
     """Per-user Shannon entropy (nats) of the event-type mix:
-    (user_id, n_events, entropy) — behavioral-diversity scoring, the
+    (user_id, n_events, value_entropy) — behavioral-diversity scoring, the
     events-table analogue of the documents char_entropy op.
 
     Two-phase: per-batch (user, type) count combiner -> groupby sum
@@ -2156,8 +2156,8 @@ def user_event_entropy(events_ds):
             "user_id": pa.array([group.column("user_id")[0].as_py()],
                                 pa.int64()),
             "n_events": pa.array([int(n)], pa.int64()),
-            "entropy": pa.array([float(-(p * np.log(p)).sum())],
-                                pa.float64()),
+            "value_entropy": pa.array([float(-(p * np.log(p)).sum())],
+                                       pa.float64()),
         })
 
     return counts.groupby("user_id").map_groups(
@@ -2244,7 +2244,7 @@ def psi_drift(ds, *, group_col: str = "source", side_col: str = "side",
               value_col: str = "n_chars", bin_width: int = 128,
               n_bins: int = 16):
     """Population Stability Index per group between two labeled slices
-    -> (group, psi float64): the standard distribution-drift monitor
+    -> (group, value_psi float64; named so the unique group key, not the reassociation-sensitive float, is the primary row-sort key in order-insensitive compares): the standard distribution-drift monitor
     (psi < 0.1 stable, > 0.25 drifted) run per corpus source when a
     new snapshot lands.
 
@@ -2296,7 +2296,7 @@ def psi_drift(ds, *, group_col: str = "source", side_col: str = "side",
         psi = float(((pa_ - pb_) * np.log(pa_ / pb_)).sum())
         return pa.table({
             group_col: pa.array([group.column(group_col)[0].as_py()]),
-            "psi": pa.array([psi], pa.float64()),
+            "value_psi": pa.array([psi], pa.float64()),
         })
 
     return counts.groupby(group_col).map_groups(

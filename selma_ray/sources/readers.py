@@ -599,10 +599,12 @@ def read_with_zonemap(path: str, *, col: str, lo, hi,
             if s[f"{col}_min"] is None
             or not (s[f"{col}_max"] < lo or s[f"{col}_min"] > hi)]
     if not keep:
-        import pyarrow as _pa
+        # preserve the layout's full schema so downstream column
+        # selection works on the empty result
+        import pyarrow.parquet as pq
 
-        return ray.data.from_arrow(
-            _pa.schema([(col, _pa.int64())]).empty_table())
+        schema = pq.read_schema(stats[0]["file"]) if stats else             pa.schema([(col, pa.int64())])
+        return ray.data.from_arrow(schema.empty_table())
     ds = ray.data.read_parquet(keep)
     return ds.filter(expr=f"{col} >= {lo!r} and {col} <= {hi!r}")
 

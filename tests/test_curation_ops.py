@@ -2866,8 +2866,8 @@ class TestUserEventEntropy:
         })
         got = user_event_entropy(ray.data.from_arrow(t)).to_pandas() \
             .set_index("user_id")
-        assert abs(got.loc[1, "entropy"] - math.log(2)) < 1e-12
-        assert got.loc[2, "entropy"] == 0.0
+        assert abs(got.loc[1, "value_entropy"] - math.log(2)) < 1e-12
+        assert got.loc[2, "value_entropy"] == 0.0
         assert got.loc[1, "n_events"] == 4
 
 
@@ -2984,7 +2984,7 @@ class TestPsiDrift:
                                  1500, 1500], pa.int64()),
         })
         got = psi_drift(ray.data.from_arrow(t)).to_pandas()
-        assert got["psi"].tolist() == [0.0]
+        assert got["value_psi"].tolist() == [0.0]
 
     def test_shifted_distribution_flagged(self, ray_session):
         import pyarrow as pa
@@ -2999,7 +2999,7 @@ class TestPsiDrift:
             "n_chars": pa.array([50] * 20 + [4000] * 20, pa.int64()),
         })
         got = psi_drift(ray.data.from_arrow(t)).to_pandas()
-        assert got["psi"].iloc[0] > 0.25   # "drifted" threshold
+        assert got["value_psi"].iloc[0] > 0.25   # "drifted" threshold
 
 
 class TestHeavyHittersByGroup:
@@ -3621,7 +3621,7 @@ class TestEmbeddingDrift:
                                   pa.list_(pa.float32())),
         })
         got = embedding_drift(ray.data.from_arrow(t)).to_pandas() \
-            .set_index("label")["drift_cosine"].to_dict()
+            .set_index("label")["label_drift_cosine"].to_dict()
         # same direction (scaled) -> cosine 1 for both labels
         assert abs(got[1] - 1.0) < 1e-12
         assert abs(got[2] - 1.0) < 1e-12
@@ -3639,7 +3639,7 @@ class TestEmbeddingDrift:
                                   pa.list_(pa.float32())),
         })
         got = embedding_drift(ray.data.from_arrow(t)).to_pandas()
-        assert abs(got["drift_cosine"].iloc[0]) < 1e-12
+        assert abs(got["label_drift_cosine"].iloc[0]) < 1e-12
 
 
 class TestSessionPaths:
