@@ -1212,6 +1212,29 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_incremental_rollup(sf_dir: str):
+    """Incremental aggregate maintenance: rollup(old half) merged with
+    rollup(new half) must equal rollup(all) — the additive-metric
+    update path that never re-reads history."""
+    from selma_ray.pipelines.relational import events_rollup, merge_rollups
+
+    ev = _read(sf_dir, "events")
+
+    def half(want_even: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("event_id")
+            two = pa.scalar(2, pa.int64())
+            mod = pc.subtract(ids, pc.multiply(pc.divide(ids, two), two))
+            m = pc.equal(mod, pa.scalar(0, pa.int64()))
+            return batch.filter(m if want_even else pc.invert(m))
+        return f
+
+    a = events_rollup(ev.map_batches(half(True), batch_format="pyarrow"))
+    b = events_rollup(ev.map_batches(half(False), batch_format="pyarrow"))
+    return merge_rollups(a, b, key_cols=["event_type"],
+                         sum_cols=["n_events", "sum_value_cents"])
+
+
 def _q_cross_lang_dups(sf_dir: str):
     """Bitext-candidate mining: the duplicate-leakage matrix keyed by
     LANGUAGE — off-diagonal cells are exact same-text cross-language
@@ -2125,6 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_change": _q_daily_change,
         "purge_users": _q_purge_users,
         "cross_lang_dups": _q_cross_lang_dups,
+        "incremental_rollup": _q_incremental_rollup,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3143,6 +3167,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "incremental_rollup": r"""
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(round(value * 100)::BIGINT)::BIGINT
+                       AS sum_value_cents
+            FROM events GROUP BY event_type
+        """,
         "cross_lang_dups": r"""
             WITH hs AS (
                 SELECT DISTINCT md5(text) AS h, lang FROM documents)

@@ -3015,3 +3015,28 @@ def purge_keys(ds, *, key_col: str, keys, audit: bool = False):
             key_col: b.column(key_col),
             "n_removed": pc.cast(b.column("sum(partial_n)"), pa.int64()),
         }), batch_format="pyarrow")
+
+
+def merge_rollups(rollup_a, rollup_b, *, key_cols: list[str],
+                  sum_cols: list[str]):
+    """Incremental-aggregation maintenance: combine two additive
+    rollups (yesterday's materialized aggregate + today's delta
+    aggregate) into the up-to-date rollup WITHOUT touching raw data —
+    union the two small tables and re-sum. Correct for any additive
+    metric (counts, cents sums) because integer addition is
+    associative; averages/ratios must be stored as (numerator,
+    denominator) pairs upstream and divided only at read time.
+    """
+    from ray.data.aggregate import Sum
+
+    merged = rollup_a.union(rollup_b)
+    agg = coalesce_small(merged).groupby(key_cols).aggregate(
+        *[Sum(c) for c in sum_cols])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k) for k in key_cols}
+        for c in sum_cols:
+            cols[c] = pc.cast(batch.column(f"sum({c})"), pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(rename, batch_format="pyarrow")
