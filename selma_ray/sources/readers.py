@@ -708,3 +708,24 @@ def read_text_corpus(path: str, *, min_chars: int = 1, **read_kwargs):
         })
 
     return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def pin_snapshot(path: str) -> dict:
+    """Pin the CURRENT file set of a parquet directory -> {files,
+    rows, pinned_at-free deterministic manifest}: a reproducible-read
+    contract. Concurrent ingest appends new files; a job that re-reads
+    the directory mid-run sees a different table. Pin once at job
+    start, read through the pin everywhere (footer row counts only —
+    no data read)."""
+    stats = collect_file_stats(path, columns=[])
+    return {"files": [s["file"] for s in stats],
+            "rows": int(sum(s["rows"] for s in stats))}
+
+
+def read_pinned(snapshot: dict, **read_kwargs):
+    """Read exactly the pinned file set (files added after
+    :func:`pin_snapshot` are invisible; files removed raise — a loud
+    failure beats silently dropping history)."""
+    import ray.data
+
+    return ray.data.read_parquet(snapshot["files"], **read_kwargs)

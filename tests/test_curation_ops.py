@@ -3766,3 +3766,21 @@ class TestReadTextCorpus:
         second = got[got["text"] == "second line"]["doc_id"].iloc[0]
         hello = got[got["text"] == "hello world"]["doc_id"].iloc[0]
         assert second - hello == 2
+
+
+class TestPinnedSnapshot:
+    def test_pin_ignores_late_files(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from selma_ray.sources.readers import pin_snapshot, read_pinned
+
+        pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64())}),
+                       str(tmp_path / "a.parquet"))
+        snap = pin_snapshot(str(tmp_path))
+        assert snap["rows"] == 2
+        # a file that lands AFTER the pin is invisible through it
+        pq.write_table(pa.table({"k": pa.array([3], pa.int64())}),
+                       str(tmp_path / "b.parquet"))
+        got = read_pinned(snap).to_pandas()
+        assert sorted(got["k"].tolist()) == [1, 2]
