@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_length_buckets(sf_dir: str):
+    """Power-of-two length-bucket padding-waste report."""
+    from selma_ray.pipelines.corpus import length_buckets
+
+    return length_buckets(_read(sf_dir, "documents"))
+
+
 def _q_incremental_rollup(sf_dir: str):
     """Incremental aggregate maintenance: rollup(old half) merged with
     rollup(new half) must equal rollup(all) — the additive-metric
@@ -2149,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purge_users": _q_purge_users,
         "cross_lang_dups": _q_cross_lang_dups,
         "incremental_rollup": _q_incremental_rollup,
+        "length_buckets": _q_length_buckets,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3167,6 +3175,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "length_buckets": r"""
+            WITH t AS (
+                SELECT len(regexp_extract_all(text, '\S+'))::BIGINT
+                           AS n FROM documents),
+            b AS (
+                SELECT floor(log2(n))::BIGINT AS bucket,
+                       count(*)::BIGINT AS n_docs,
+                       sum(n)::BIGINT AS sum_tokens
+                FROM t WHERE n > 0 GROUP BY 1)
+            SELECT bucket, (2 ** (bucket + 1) - 1)::BIGINT AS cap,
+                   n_docs, sum_tokens,
+                   (n_docs * (2 ** (bucket + 1) - 1))::BIGINT
+                       AS padded_tokens,
+                   ((n_docs * (2 ** (bucket + 1) - 1)) - sum_tokens)
+                       / (n_docs * (2 ** (bucket + 1) - 1))::DOUBLE
+                       AS waste_ratio
+            FROM b
+        """,
         "incremental_rollup": r"""
             SELECT event_type,
                    count(*)::BIGINT AS n_events,

@@ -1121,3 +1121,64 @@ def contrastive_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def length_buckets(ds, *, text_col: str = "text"):
+    """Padding-efficiency report for length-bucketed batching ->
+    (bucket, cap, n_docs, sum_tokens, padded_tokens, waste_ratio):
+    docs are assigned to power-of-two length buckets (bucket b holds
+    docs with 2^b <= n_tokens < 2^(b+1); cap = 2^(b+1)-1) and each
+    bucket reports how many pad tokens naive to-cap padding would
+    burn — the dynamic-batching planning table (tight buckets = less
+    waste = more real tokens per step).
+
+    Per-batch (bucket, n, tokens) combiner -> one tiny groupby; all
+    integers exact, the ratio is one exact division at the end.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import token_count_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(token_count_batch(
+            pc.coalesce(batch.column(text_col), pa.scalar(""))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        keep = toks > 0
+        toks = toks[keep]
+        if not len(toks):
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64()),
+                             "pt": pa.array([], pa.int64())})
+        buckets = np.floor(np.log2(toks)).astype(np.int64)
+        t = pa.table({"bucket": pa.array(buckets, pa.int64()),
+                      "one": pa.array(np.ones(len(toks), np.int64)),
+                      "tok": pa.array(toks, pa.int64())})
+        agg = t.group_by("bucket").aggregate([("one", "sum"),
+                                              ("tok", "sum")])
+        return pa.table({
+            "bucket": agg.column("bucket"),
+            "pn": pc.cast(agg.column("one_sum"), pa.int64()),
+            "pt": pc.cast(agg.column("tok_sum"), pa.int64()),
+        })
+
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("bucket").aggregate(Sum("pn"), Sum("pt"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        n = pc.cast(batch.column("sum(pn)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pc.cast(batch.column("sum(pt)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cap = (1 << (b + 1)) - 1
+        padded = n * cap
+        return pa.table({
+            "bucket": pa.array(b, pa.int64()),
+            "cap": pa.array(cap, pa.int64()),
+            "n_docs": pa.array(n, pa.int64()),
+            "sum_tokens": pa.array(t, pa.int64()),
+            "padded_tokens": pa.array(padded, pa.int64()),
+            "waste_ratio": pa.array((padded - t) / padded, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -3784,3 +3784,26 @@ class TestPinnedSnapshot:
                        str(tmp_path / "b.parquet"))
         got = read_pinned(snap).to_pandas()
         assert sorted(got["k"].tolist()) == [1, 2]
+
+
+class TestLengthBuckets:
+    def test_bucket_assignment_and_waste(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import length_buckets
+
+        t = pa.table({
+            # 1, 3, 4, 7 tokens -> buckets 0, 1, 2, 2
+            "text": pa.array(["a", "a b c", "a b c d",
+                              "a b c d e f g", ""]),
+        })
+        got = length_buckets(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("bucket")
+        assert got.loc[0, "cap"] == 1 and got.loc[0, "waste_ratio"] == 0.0
+        assert got.loc[1, "n_docs"] == 1 and got.loc[1, "cap"] == 3
+        assert got.loc[2, "n_docs"] == 2
+        # bucket 2: cap 7, padded 14, real 11 -> waste 3/14
+        assert got.loc[2, "padded_tokens"] == 14
+        assert got.loc[2, "waste_ratio"] == 3 / 14
+        assert len(got) == 3   # empty doc dropped
