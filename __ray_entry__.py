@@ -1212,6 +1212,34 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_snapshot_column_diff(sf_dir: str):
+    """Column-level restatement audit: snapshot B is events with
+    value bumped by 1.0 and event_type flipped to 'restated' where
+    event_id % 3 == 0 (a simulated backfill)."""
+    from selma_ray.pipelines.relational import snapshot_column_diff
+
+    ev = _read(sf_dir, "events")
+
+    def restate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id")
+        three = pa.scalar(3, pa.int64())
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, three), three))
+        hit = pc.equal(mod, pa.scalar(0, pa.int64()))
+        return pa.table({
+            "event_id": ids,
+            "event_type": pc.if_else(hit, pa.scalar("restated"),
+                                     batch.column("event_type")),
+            "value": pc.if_else(hit,
+                                pc.add(batch.column("value"),
+                                       pa.scalar(1.0)),
+                                batch.column("value")),
+        })
+
+    b = ev.map_batches(restate, batch_format="pyarrow")
+    return snapshot_column_diff(ev, b, key_col="event_id",
+                                compare_cols=["event_type", "value"])
+
+
 def _q_length_buckets(sf_dir: str):
     """Power-of-two length-bucket padding-waste report."""
     from selma_ray.pipelines.corpus import length_buckets
@@ -2157,6 +2185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_lang_dups": _q_cross_lang_dups,
         "incremental_rollup": _q_incremental_rollup,
         "length_buckets": _q_length_buckets,
+        "snapshot_column_diff": _q_snapshot_column_diff,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3175,6 +3204,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "snapshot_column_diff": r"""
+            WITH ch AS (SELECT count(*)::BIGINT AS c,
+                               count(*) FILTER (WHERE event_id % 3 = 0)
+                                   ::BIGINT AS hit
+                        FROM events)
+            SELECT 'event_type' AS column, hit AS n_changed,
+                   c AS n_matched_keys FROM ch
+            UNION ALL
+            SELECT 'value', hit, c FROM ch
+        """,
         "length_buckets": r"""
             WITH t AS (
                 SELECT len(regexp_extract_all(text, '\S+'))::BIGINT

@@ -3040,3 +3040,62 @@ def merge_rollups(rollup_a, rollup_b, *, key_cols: list[str],
         return pa.table(cols)
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def snapshot_column_diff(ds_a, ds_b, *, key_col: str,
+                         compare_cols: list[str],
+                         num_partitions: int = 16):
+    """Column-level restatement audit between two snapshots of the
+    same keyed table -> one row per compared column: (column,
+    n_changed, n_matched_keys) — "what exactly moved?" when a
+    backfill lands, at column granularity rather than corpus_diff's
+    row granularity.
+
+    One native hash join on the key (both sides pruned to key +
+    compared columns BEFORE the shuffle), then per-batch vectorized
+    not-equal partial counts -> a k-row final sum. Only the compared
+    columns ever cross the exchange.
+    """
+    from ray.data.aggregate import Sum
+
+    def prune(suffix: str):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {key_col: batch.column(key_col)}
+            for c in compare_cols:
+                cols[f"{c}{suffix}"] = batch.column(c)
+            return pa.table(cols)
+        return f
+
+    a = coalesce_small(ds_a.map_batches(prune("_a"),
+                                        batch_format="pyarrow"))
+    b = coalesce_small(ds_b.map_batches(prune("_b"),
+                                        batch_format="pyarrow"))
+    joined = a.join(b, join_type="inner",
+                    num_partitions=num_partitions, on=(key_col,))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols, changed = [], []
+        for c in compare_cols:
+            neq = pc.not_equal(batch.column(f"{c}_a"),
+                               batch.column(f"{c}_b"))
+            cols.append(c)
+            changed.append(int(pc.sum(pc.cast(neq, pa.int64()))
+                               .as_py() or 0))
+        return pa.table({
+            "column": pa.array(cols, pa.string()),
+            "p_changed": pa.array(changed, pa.int64()),
+            "p_keys": pa.array([n] * len(cols), pa.int64()),
+        })
+
+    agg = coalesce_small(
+        joined.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("column").aggregate(Sum("p_changed"), Sum("p_keys"))
+
+    return agg.map_batches(
+        lambda t: pa.table({
+            "column": t.column("column"),
+            "n_changed": pc.cast(t.column("sum(p_changed)"), pa.int64()),
+            "n_matched_keys": pc.cast(t.column("sum(p_keys)"),
+                                      pa.int64()),
+        }), batch_format="pyarrow")

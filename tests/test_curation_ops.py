@@ -3807,3 +3807,29 @@ class TestLengthBuckets:
         assert got.loc[2, "padded_tokens"] == 14
         assert got.loc[2, "waste_ratio"] == 3 / 14
         assert len(got) == 3   # empty doc dropped
+
+
+class TestSnapshotColumnDiff:
+    def test_counts_changed_cells_per_column(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import snapshot_column_diff
+
+        a = pa.table({
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "x": pa.array([10, 20, 30], pa.int64()),
+            "y": pa.array(["a", "b", "c"]),
+        })
+        b = pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),   # key 4 unmatched
+            "x": pa.array([10, 99, 30, 1], pa.int64()),
+            "y": pa.array(["a", "b", "Z", "q"]),
+        })
+        got = snapshot_column_diff(
+            ray.data.from_arrow(a), ray.data.from_arrow(b),
+            key_col="k", compare_cols=["x", "y"]).to_pandas() \
+            .set_index("column")
+        assert got.loc["x", "n_changed"] == 1
+        assert got.loc["y", "n_changed"] == 1
+        assert (got["n_matched_keys"] == 3).all()   # key 4 excluded
