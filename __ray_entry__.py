@@ -1212,6 +1212,15 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_late_orders(sf_dir: str):
+    """Q4-shaped EXISTS rollup: orders with any line shipped > 90
+    days after the order date, counted per priority."""
+    from selma_ray.pipelines.relational import late_orders_by_priority
+
+    return late_orders_by_priority(_read(sf_dir, "orders"),
+                                   _read(sf_dir, "lineitem"))
+
+
 def _q_snapshot_column_diff(sf_dir: str):
     """Column-level restatement audit: snapshot B is events with
     value bumped by 1.0 and event_type flipped to 'restated' where
@@ -2186,6 +2195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_rollup": _q_incremental_rollup,
         "length_buckets": _q_length_buckets,
         "snapshot_column_diff": _q_snapshot_column_diff,
+        "late_orders": _q_late_orders,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3204,6 +3214,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "late_orders": r"""
+            SELECT o.o_orderpriority,
+                   count(*)::BIGINT AS late_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND date_diff('microsecond', o.o_orderdate,
+                                l.l_shipdate) > 90 * 86400000000)
+            GROUP BY o.o_orderpriority
+        """,
         "snapshot_column_diff": r"""
             WITH ch AS (SELECT count(*)::BIGINT AS c,
                                count(*) FILTER (WHERE event_id % 3 = 0)

@@ -3099,3 +3099,73 @@ def snapshot_column_diff(ds_a, ds_b, *, key_col: str,
             "n_matched_keys": pc.cast(t.column("sum(p_keys)"),
                                       pa.int64()),
         }), batch_format="pyarrow")
+
+
+def late_orders_by_priority(orders_ds, lineitem_ds, *,
+                            late_days: int = 90,
+                            num_partitions: int = 16):
+    """TPC-H Q4-shaped EXISTS rollup: count orders per priority having
+    AT LEAST ONE line shipped more than ``late_days`` after the order
+    date -> (o_orderpriority, late_orders).
+
+    The EXISTS is decomposed below the join: lineitem pre-aggregates
+    to ONE (orderkey, max_shipdate) row per order per block (existence
+    only needs the max), orders prune to (key, date, priority), one
+    native hash join, then the date predicate and a tiny priority
+    rollup. The exchange carries one slim row per order on each side —
+    never lines.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["l_orderkey", "l_shipdate"]) \
+            .group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        return pa.table({
+            "l_orderkey": agg.column("l_orderkey"),
+            "p_max": agg.column("l_shipdate_max"),
+        })
+
+    maxship = coalesce_small(
+        lineitem_ds.map_batches(line_partial, batch_format="pyarrow")) \
+        .groupby("l_orderkey").aggregate(Max("p_max"))
+
+    def slim_maxship(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "max_ship": batch.column("max(p_max)"),
+        })
+
+    ms = maxship.map_batches(slim_maxship, batch_format="pyarrow")
+
+    orders = coalesce_small(orders_ds.select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]))
+    joined = orders.join(coalesce_small(ms), join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    late_us = late_days * 86_400_000_000
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        diff = pc.subtract(
+            pc.cast(pc.cast(batch.column("max_ship"),
+                            pa.timestamp("us")), pa.int64()),
+            pc.cast(pc.cast(batch.column("o_orderdate"),
+                            pa.timestamp("us")), pa.int64()))
+        late = batch.filter(pc.greater(diff, pa.scalar(late_us,
+                                                       pa.int64())))
+        agg = late.select(["o_orderpriority"]) \
+            .group_by("o_orderpriority").aggregate([([], "count_all")])
+        return pa.table({
+            "o_orderpriority": agg.column("o_orderpriority"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    out = coalesce_small(joined.map_batches(rollup,
+                                            batch_format="pyarrow")) \
+        .groupby("o_orderpriority").aggregate(Sum("partial_n"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "late_orders": pc.cast(b.column("sum(partial_n)"),
+                                   pa.int64()),
+        }), batch_format="pyarrow")

@@ -3833,3 +3833,35 @@ class TestSnapshotColumnDiff:
         assert got.loc["x", "n_changed"] == 1
         assert got.loc["y", "n_changed"] == 1
         assert (got["n_matched_keys"] == 3).all()   # key 4 excluded
+
+
+class TestLateOrdersByPriority:
+    def test_exists_semantics(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import late_orders_by_priority
+
+        d0 = dt.datetime(2024, 1, 1)
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderdate": pa.array([d0, d0, d0], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT", "1-URGENT",
+                                         "5-LOW"]),
+        })
+        lines = pa.table({
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_shipdate": pa.array(
+                [d0 + dt.timedelta(days=10),
+                 d0 + dt.timedelta(days=100),   # order 1 late
+                 d0 + dt.timedelta(days=30),    # order 2 on time
+                 d0 + dt.timedelta(days=91)],   # order 3 late
+                pa.timestamp("us")),
+        })
+        got = late_orders_by_priority(
+            ray.data.from_arrow(orders), ray.data.from_arrow(lines),
+            late_days=90).to_pandas() \
+            .set_index("o_orderpriority")["late_orders"].to_dict()
+        assert got == {"1-URGENT": 1, "5-LOW": 1}
