@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_open_orders(sf_dir: str):
+    """Interval sweep-line census of open orders per change day."""
+    from selma_ray.pipelines.relational import open_orders_by_day
+
+    return open_orders_by_day(_read(sf_dir, "orders"),
+                              _read(sf_dir, "lineitem"))
+
+
 def _q_late_orders(sf_dir: str):
     """Q4-shaped EXISTS rollup: orders with any line shipped > 90
     days after the order date, counted per priority."""
@@ -2196,6 +2204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_buckets": _q_length_buckets,
         "snapshot_column_diff": _q_snapshot_column_diff,
         "late_orders": _q_late_orders,
+        "open_orders": _q_open_orders,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3214,6 +3223,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "open_orders": r"""
+            WITH oe AS (
+                SELECT o.o_orderkey,
+                       date_trunc('day', o.o_orderdate)::TIMESTAMP
+                           AS s,
+                       date_trunc('day', max(l.l_shipdate))::TIMESTAMP
+                           AS e
+                FROM orders o
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                GROUP BY o.o_orderkey, o.o_orderdate),
+            d AS (
+                SELECT s AS day, 1 AS delta FROM oe
+                UNION ALL
+                SELECT e + INTERVAL 1 DAY, -1 FROM oe),
+            g AS (SELECT day, sum(delta)::BIGINT AS delta
+                  FROM d GROUP BY day)
+            SELECT day,
+                   sum(delta) OVER (ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT
+                       AS open_orders
+            FROM g
+        """,
         "late_orders": r"""
             SELECT o.o_orderpriority,
                    count(*)::BIGINT AS late_orders

@@ -3169,3 +3169,82 @@ def late_orders_by_priority(orders_ds, lineitem_ds, *,
             "late_orders": pc.cast(b.column("sum(partial_n)"),
                                    pa.int64()),
         }), batch_format="pyarrow")
+
+
+def open_orders_by_day(orders_ds, lineitem_ds, *,
+                       num_partitions: int = 16):
+    """Interval sweep-line: how many orders are OPEN (placed, not yet
+    fully shipped) on each change day -> (day, open_orders). An order
+    is open from its order date through its last line's ship date.
+
+    The classic interval-counting decomposition: each order reduces to
+    TWO delta rows (+1 at start day, -1 the day after its end), a tiny
+    groupby(day) nets them, and one ordered prefix sum over the
+    distinct-day table (driver-small) yields the census — never a
+    days x orders cross join. End dates come from the same
+    slim (orderkey, max_shipdate) pre-aggregate as
+    late_orders_by_priority.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["l_orderkey", "l_shipdate"]) \
+            .group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        return pa.table({
+            "l_orderkey": agg.column("l_orderkey"),
+            "p_max": agg.column("l_shipdate_max"),
+        })
+
+    ends = coalesce_small(
+        lineitem_ds.map_batches(line_partial, batch_format="pyarrow")) \
+        .groupby("l_orderkey").aggregate(Max("p_max"))
+    ends = ends.map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "end_ship": b.column("max(p_max)"),
+        }), batch_format="pyarrow")
+
+    orders = coalesce_small(orders_ds.select_columns(
+        ["o_orderkey", "o_orderdate"]))
+    joined = orders.join(coalesce_small(ends), join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    day_us = 86_400_000_000
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        s = pc.floor_temporal(pc.cast(batch.column("o_orderdate"),
+                                      pa.timestamp("us")), unit="day")
+        e = pc.floor_temporal(pc.cast(batch.column("end_ship"),
+                                      pa.timestamp("us")), unit="day")
+        e_next = pc.cast(pc.add(pc.cast(e, pa.int64()),
+                                pa.scalar(day_us, pa.int64())),
+                         pa.timestamp("us"))
+        t = pa.table({
+            "day": pa.concat_arrays([
+                s.combine_chunks() if isinstance(s, pa.ChunkedArray)
+                else s,
+                e_next.combine_chunks()
+                if isinstance(e_next, pa.ChunkedArray) else e_next]),
+            "delta": pa.array([1] * batch.num_rows
+                              + [-1] * batch.num_rows, pa.int64()),
+        })
+        agg = t.group_by("day").aggregate([("delta", "sum")])
+        return pa.table({"day": agg.column("day"),
+                         "p_delta": pc.cast(agg.column("delta_sum"),
+                                            pa.int64())})
+
+    net = coalesce_small(joined.map_batches(deltas,
+                                            batch_format="pyarrow")) \
+        .groupby("day").aggregate(Sum("p_delta"))
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        g = batch.sort_by([("day", "ascending")])
+        d = g.column("sum(p_delta)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": g.column("day"),
+            "open_orders": pa.array(np.cumsum(d), pa.int64()),
+        })
+
+    return net.repartition(1).map_batches(prefix, batch_format="pyarrow",
+                                          batch_size=None)

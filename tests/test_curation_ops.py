@@ -3865,3 +3865,33 @@ class TestLateOrdersByPriority:
             late_days=90).to_pandas() \
             .set_index("o_orderpriority")["late_orders"].to_dict()
         assert got == {"1-URGENT": 1, "5-LOW": 1}
+
+
+class TestOpenOrdersByDay:
+    def test_sweep_line_census(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import open_orders_by_day
+
+        d = lambda i: dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array([d(0), d(1)], pa.timestamp("us")),
+        })
+        lines = pa.table({
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_shipdate": pa.array([d(1), d(2), d(3)],
+                                   pa.timestamp("us")),
+        })
+        got = open_orders_by_day(
+            ray.data.from_arrow(orders),
+            ray.data.from_arrow(lines)).to_pandas() \
+            .set_index("day")["open_orders"].to_dict()
+        # order1 open d0..d2, order2 open d1..d3
+        assert got[d(0)] == 1
+        assert got[d(1)] == 2
+        assert got[d(3)] == 1   # order1 closed after d2
+        assert got[d(4)] == 0   # all closed
