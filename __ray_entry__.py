@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_anomalous_days(sf_dir: str):
+    """3-sigma daily-volume anomalies in exact integer arithmetic."""
+    from selma_ray.pipelines.relational import anomalous_days
+
+    return anomalous_days(_read(sf_dir, "events"), k_sigma=3)
+
+
 def _q_open_orders(sf_dir: str):
     """Interval sweep-line census of open orders per change day."""
     from selma_ray.pipelines.relational import open_orders_by_day
@@ -2205,6 +2212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_column_diff": _q_snapshot_column_diff,
         "late_orders": _q_late_orders,
         "open_orders": _q_open_orders,
+        "anomalous_days": _q_anomalous_days,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3223,6 +3231,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "anomalous_days": r"""
+            WITH c AS (
+                SELECT event_type,
+                       date_trunc('day', ts)::TIMESTAMP AS day,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2),
+            m AS (
+                SELECT event_type,
+                       count(*)::HUGEINT AS d,
+                       sum(n)::HUGEINT AS s,
+                       sum(n::HUGEINT * n::HUGEINT)::HUGEINT AS q
+                FROM c GROUP BY event_type)
+            SELECT c.event_type, c.day, c.n,
+                   ((m.d * c.n - m.s) * (m.d * c.n - m.s)
+                    > 9 * (m.d * m.q - m.s * m.s)) AS is_anomaly
+            FROM c JOIN m USING (event_type)
+        """,
         "open_orders": r"""
             WITH oe AS (
                 SELECT o.o_orderkey,

@@ -3248,3 +3248,57 @@ def open_orders_by_day(orders_ds, lineitem_ds, *,
 
     return net.repartition(1).map_batches(prefix, batch_format="pyarrow",
                                           batch_size=None)
+
+
+def anomalous_days(events_ds, *, k_sigma: int = 3):
+    """Daily-volume anomaly flags per event type -> (event_type, day,
+    n, is_anomaly): a day is anomalous when its count deviates from
+    the type's mean by more than ``k_sigma`` standard deviations —
+    evaluated in EXACT integer arithmetic (flag iff
+    (D*n - S)^2 > k^2 * (D*Q - S^2), with D days, S = sum counts,
+    Q = sum squares), so the flag is bit-reproducible on any engine
+    and any summation order — no float mean/sqrt anywhere.
+
+    Shape: per-batch (type, day) count combiner -> tiny groupby ->
+    per-type finalize over ~days rows. Population sigma (divide by D),
+    matching the SQL oracle's integer formula exactly.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+        })
+        agg = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "event_type": agg.column("event_type"),
+            "day": agg.column("day"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    counts = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["event_type", "day"]).aggregate(Sum("partial_n"))
+
+    def finish(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("day", "ascending")])
+        n = [int(v) for v in
+             g.column("sum(partial_n)").to_pylist()]     # python ints:
+        d = len(n)                                       # exact algebra
+        s = sum(n)
+        q = sum(v * v for v in n)
+        var_d2 = d * q - s * s        # D^2 * variance (exact int)
+        flags = [(d * v - s) ** 2 > k_sigma * k_sigma * var_d2
+                 for v in n]
+        return pa.table({
+            "event_type": pa.array(
+                [group.column("event_type")[0].as_py()] * d),
+            "day": g.column("day"),
+            "n": pa.array(n, pa.int64()),
+            "is_anomaly": pa.array(flags, pa.bool_()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow")

@@ -3895,3 +3895,29 @@ class TestOpenOrdersByDay:
         assert got[d(1)] == 2
         assert got[d(3)] == 1   # order1 closed after d2
         assert got[d(4)] == 0   # all closed
+
+
+class TestAnomalousDays:
+    def test_spike_flagged_exactly(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import anomalous_days
+
+        d = lambda i: dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        # 9 quiet days of 10 events, one day of 100
+        rows = []
+        for i in range(9):
+            rows += [d(i)] * 10
+        rows += [d(9)] * 100
+        t = pa.table({
+            "event_type": pa.array(["x"] * len(rows)),
+            "ts": pa.array(rows, pa.timestamp("us")),
+        })
+        got = anomalous_days(ray.data.from_arrow(t), k_sigma=2) \
+            .to_pandas().set_index("day")
+        assert bool(got.loc[d(9), "is_anomaly"])
+        assert not got.loc[d(0), "is_anomaly"]
+        assert int(got["is_anomaly"].sum()) == 1
