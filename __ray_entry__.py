@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_weekly_active(sf_dir: str):
+    """Trailing-7-day distinct users per observed day."""
+    from selma_ray.pipelines.relational import weekly_active_users
+
+    return weekly_active_users(_read(sf_dir, "events"), window_days=7)
+
+
 def _q_anomalous_days(sf_dir: str):
     """3-sigma daily-volume anomalies in exact integer arithmetic."""
     from selma_ray.pipelines.relational import anomalous_days
@@ -2213,6 +2220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_orders": _q_late_orders,
         "open_orders": _q_open_orders,
         "anomalous_days": _q_anomalous_days,
+        "weekly_active": _q_weekly_active,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3231,6 +3239,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "weekly_active": r"""
+            WITH p AS (
+                SELECT DISTINCT user_id,
+                       date_trunc('day', ts)::TIMESTAMP AS day
+                FROM events),
+            days AS (SELECT DISTINCT day FROM p)
+            SELECT d.day, count(DISTINCT p.user_id)::BIGINT AS wau
+            FROM days d JOIN p
+              ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+            GROUP BY d.day
+        """,
         "anomalous_days": r"""
             WITH c AS (
                 SELECT event_type,

@@ -3302,3 +3302,65 @@ def anomalous_days(events_ds, *, k_sigma: int = 3):
 
     return counts.groupby("event_type").map_groups(
         finish, batch_format="pyarrow")
+
+
+def weekly_active_users(events_ds, *, window_days: int = 7):
+    """Trailing-window distinct users per day (WAU) -> (day, wau):
+    for each observed day, how many distinct users were active in the
+    last ``window_days`` days — the sliding-window COUNT(DISTINCT) SQL
+    window functions cannot express.
+
+    Decomposition that never re-counts a user per window: each user's
+    distinct active days expand IN THE USER'S GROUP TASK to the days
+    they keep that user inside the window (union of [d, d+w-1]
+    intervals, deduplicated per user by construction), then one
+    groupby(day) sum counts users per day. The shuffle carries
+    (user, day) pairs and covered-day rows — bounded by
+    users x (active_days + w), never events. Output is restricted to
+    days that actually appear in the data (broadcast of the tiny
+    observed-day set).
+    """
+    import datetime as _dt
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch.column("user_id"),
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+        })
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    pairs = coalesce_small(
+        events_ds.map_batches(day_pairs, batch_format="pyarrow")) \
+        .groupby(["user_id", "day"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+    observed = sorted({r["day"] for r in
+                       pairs.groupby("day").count().take_all()})
+    obs_ref = ray.put(set(observed))
+
+    def cover(group: pa.Table) -> pa.Table:
+        obs = ray.get(obs_ref)
+        days = sorted(d for d in group.column("day").to_pylist())
+        covered = set()
+        for d in days:
+            for k in range(window_days):
+                c = d + _dt.timedelta(days=k)
+                if c in obs:
+                    covered.add(c)
+        return pa.table({
+            "day": pa.array(sorted(covered), pa.timestamp("us")),
+            "one": pa.array([1] * len(covered), pa.int64()),
+        })
+
+    per_day = pairs.groupby("user_id").map_groups(
+        cover, batch_format="pyarrow")
+    agg = coalesce_small(per_day).groupby("day").aggregate(Sum("one"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "day": b.column("day"),
+            "wau": pc.cast(b.column("sum(one)"), pa.int64()),
+        }), batch_format="pyarrow")

@@ -3921,3 +3921,26 @@ class TestAnomalousDays:
         assert bool(got.loc[d(9), "is_anomaly"])
         assert not got.loc[d(0), "is_anomaly"]
         assert int(got["is_anomaly"].sum()) == 1
+
+
+class TestWeeklyActiveUsers:
+    def test_trailing_window_distinct(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import weekly_active_users
+
+        d = lambda i: dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        # user 1 active d0; user 2 active d0, d2; user 3 active d2
+        t = pa.table({
+            "user_id": pa.array([1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([d(0), d(0), d(2), d(2)], pa.timestamp("us")),
+        })
+        got = weekly_active_users(ray.data.from_arrow(t),
+                                  window_days=3).to_pandas() \
+            .set_index("day")["wau"].to_dict()
+        # observed days: d0, d2. d0 window [d-2,d0]: users 1,2.
+        # d2 window [d0,d2]: users 1,2,3.
+        assert got == {d(0): 2, d(2): 3}
