@@ -1212,6 +1212,17 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_pareto_lines(sf_dir: str):
+    """Skyline of lineitem: maximize quantity, minimize extended
+    price (per-block pareto combiner, exact final pass)."""
+    from selma_ray.pipelines.relational import pareto_front
+
+    return pareto_front(_read(sf_dir, "lineitem"),
+                        max_col="l_quantity",
+                        min_col="l_extendedprice",
+                        id_col="l_orderkey")
+
+
 def _q_weekly_active(sf_dir: str):
     """Trailing-7-day distinct users per observed day."""
     from selma_ray.pipelines.relational import weekly_active_users
@@ -2221,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "open_orders": _q_open_orders,
         "anomalous_days": _q_anomalous_days,
         "weekly_active": _q_weekly_active,
+        "pareto_lines": _q_pareto_lines,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3239,6 +3251,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "pareto_lines": r"""
+            SELECT l_orderkey, l_quantity, l_extendedprice
+            FROM lineitem a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem b
+                WHERE b.l_quantity >= a.l_quantity
+                  AND b.l_extendedprice <= a.l_extendedprice
+                  AND (b.l_quantity > a.l_quantity
+                       OR b.l_extendedprice < a.l_extendedprice))
+        """,
         "weekly_active": r"""
             WITH p AS (
                 SELECT DISTINCT user_id,

@@ -3364,3 +3364,55 @@ def weekly_active_users(events_ds, *, window_days: int = 7):
             "day": b.column("day"),
             "wau": pc.cast(b.column("sum(one)"), pa.int64()),
         }), batch_format="pyarrow")
+
+
+def _pareto_prune(qty: np.ndarray, price: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the (maximize qty, minimize price) skyline
+    with duplicate-point survival: a point is dropped iff some point
+    has qty >= AND price <= with at least one strict."""
+    order = np.lexsort((price, -qty))      # qty desc, price asc
+    q, p = qty[order], price[order]
+    keep_sorted = np.zeros(len(q), bool)
+    best = np.inf                          # min price among STRICTLY higher qty
+    i = 0
+    while i < len(q):
+        j = i
+        while j < len(q) and q[j] == q[i]:
+            j += 1
+        level_min = p[i]                   # sorted asc within level
+        if level_min < best:
+            k = i
+            while k < j and p[k] == level_min:
+                keep_sorted[k] = True      # all ties at the level min
+                k += 1
+        best = min(best, level_min)
+        i = j
+    keep = np.zeros(len(q), bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def pareto_front(ds, *, max_col: str, min_col: str, id_col: str):
+    """Distributed skyline: the points not dominated on (maximize
+    ``max_col``, minimize ``min_col``) -> (id, max_col, min_col).
+
+    The textbook combiner op: pareto(pareto(A) ∪ pareto(B)) =
+    pareto(A ∪ B), so every block prunes to its own (tiny) front
+    before anything moves, and the final exact pass runs over
+    candidates only — at 100 TB the front is usually a few hundred
+    rows however big the input. Duplicate optimal points all survive
+    (neither dominates the other), matching the NOT EXISTS oracle.
+    """
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([id_col, max_col, min_col])
+        q = batch.column(max_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        p = batch.column(min_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return batch.select([id_col, max_col, min_col]) \
+            .filter(pa.array(_pareto_prune(q, p)))
+
+    cand = coalesce_small(ds.map_batches(prune, batch_format="pyarrow"))
+    return cand.repartition(1).map_batches(prune, batch_format="pyarrow",
+                                           batch_size=None)

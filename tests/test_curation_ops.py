@@ -3944,3 +3944,42 @@ class TestWeeklyActiveUsers:
         # observed days: d0, d2. d0 window [d-2,d0]: users 1,2.
         # d2 window [d0,d2]: users 1,2,3.
         assert got == {d(0): 2, d(2): 3}
+
+
+class TestParetoFront:
+    def test_skyline_with_ties_and_duplicates(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import pareto_front
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            # (qty, price): skyline wants high qty, low price
+            "q": pa.array([10.0, 10.0, 8.0, 8.0, 5.0, 12.0]),
+            "p": pa.array([5.0, 5.0, 3.0, 9.0, 1.0, 9.0]),
+        })
+        got = pareto_front(ray.data.from_arrow(t).repartition(3),
+                           max_col="q", min_col="p", id_col="id") \
+            .to_pandas()
+        # 6:(12,9) top qty; 1,2:(10,5) duplicates both survive;
+        # 3:(8,3); 5:(5,1). 4:(8,9) dominated by 3 AND by 1.
+        assert sorted(got["id"].tolist()) == [1, 2, 3, 5, 6]
+
+    def test_prune_is_idempotent_combiner(self, ray_session):
+        import numpy as np
+
+        from selma_ray.pipelines.relational import _pareto_prune
+
+        rng = np.random.default_rng(5)
+        q = rng.integers(0, 50, 500).astype(float)
+        p = rng.integers(0, 50, 500).astype(float)
+        keep = _pareto_prune(q, p)
+        # pareto(pareto(X)) == pareto(X)
+        k2 = _pareto_prune(q[keep], p[keep])
+        assert k2.all()
+        # brute-force check
+        for i in range(len(q)):
+            dominated = (((q >= q[i]) & (p <= p[i]))
+                         & ((q > q[i]) | (p < p[i]))).any()
+            assert keep[i] == (not dominated), i
