@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM quintile segmentation over the reduced per-user table."""
+    from selma_ray.pipelines.relational import rfm_segments
+
+    return rfm_segments(_read(sf_dir, "events"), n_tiles=5)
+
+
 def _q_pareto_lines(sf_dir: str):
     """Skyline of lineitem: maximize quantity, minimize extended
     price (per-block pareto combiner, exact final pass)."""
@@ -2233,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomalous_days": _q_anomalous_days,
         "weekly_active": _q_weekly_active,
         "pareto_lines": _q_pareto_lines,
+        "rfm_segments": _q_rfm_segments,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3251,6 +3259,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "rfm_segments": r"""
+            WITH u AS (
+                SELECT user_id,
+                       max(ts) AS last_ts,
+                       count(*)::BIGINT AS frequency,
+                       sum(round(value * 100)::BIGINT)::BIGINT
+                           AS monetary_cents
+                FROM events GROUP BY user_id),
+            a AS (SELECT max(last_ts) AS anchor FROM u)
+            SELECT u.user_id,
+                   (date_diff('microsecond', u.last_ts, a.anchor)
+                        // 86400000000)::BIGINT AS recency_days,
+                   u.frequency, u.monetary_cents,
+                   ntile(5) OVER (ORDER BY
+                       date_diff('microsecond', u.last_ts, a.anchor)
+                           // 86400000000, u.user_id)::BIGINT
+                       AS r_tile,
+                   ntile(5) OVER (ORDER BY u.frequency, u.user_id)
+                       ::BIGINT AS f_tile,
+                   ntile(5) OVER (ORDER BY u.monetary_cents, u.user_id)
+                       ::BIGINT AS m_tile
+            FROM u, a
+        """,
         "pareto_lines": r"""
             SELECT l_orderkey, l_quantity, l_extendedprice
             FROM lineitem a

@@ -3416,3 +3416,76 @@ def pareto_front(ds, *, max_col: str, min_col: str, id_col: str):
     cand = coalesce_small(ds.map_batches(prune, batch_format="pyarrow"))
     return cand.repartition(1).map_batches(prune, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def rfm_segments(events_ds, *, n_tiles: int = 5):
+    """RFM segmentation -> (user_id, recency_days, frequency,
+    monetary_cents, r_tile, f_tile, m_tile): the marketing-analytics
+    staple — each user's recency (days since their last event,
+    anchored at the corpus max ts), frequency and monetary quintiles.
+
+    The per-user reduction is the usual combiner + one groupby (exact
+    ints); tiling then runs on the REDUCED one-row-per-user table in a
+    single task (users << events; at true scale swap the in-task
+    ntile for rank_rows' histogram idiom per metric). Tiles use SQL
+    NTILE semantics over (metric ASC, user_id ASC) — deterministic
+    under ties.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"),
+                                             pa.scalar(100.0))),
+                        pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "ts": batch.column("ts"), "c": cents})
+        agg = t.group_by("user_id").aggregate(
+            [("ts", "max"), ("c", "sum"), ([], "count_all")])
+        return pa.table({
+            "user_id": agg.column("user_id"),
+            "p_last": agg.column("ts_max"),
+            "p_cents": pc.cast(agg.column("c_sum"), pa.int64()),
+            "p_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    per_user = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("user_id").aggregate(Max("p_last"), Sum("p_cents"),
+                                      Sum("p_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        last = batch.column("max(p_last)").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        anchor = last.max()
+        rec = (anchor - last) // 86_400_000_000
+        freq = pc.cast(batch.column("sum(p_n)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mon = pc.cast(batch.column("sum(p_cents)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        q, r = divmod(n, n_tiles)
+
+        def ntile(metric: np.ndarray) -> np.ndarray:
+            order = np.lexsort((uid, metric))
+            row = np.empty(n, np.int64)
+            row[order] = np.arange(1, n + 1)
+            big = q + 1
+            return np.where(
+                row <= r * big,
+                (row - 1) // big + 1,
+                r + (row - r * big - 1) // max(q, 1) + 1,
+            ).astype(np.int64)
+
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "recency_days": pa.array(rec, pa.int64()),
+            "frequency": pa.array(freq, pa.int64()),
+            "monetary_cents": pa.array(mon, pa.int64()),
+            "r_tile": pa.array(ntile(rec.astype(np.float64)), pa.int64()),
+            "f_tile": pa.array(ntile(freq.astype(np.float64)), pa.int64()),
+            "m_tile": pa.array(ntile(mon.astype(np.float64)), pa.int64()),
+        })
+
+    return per_user.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

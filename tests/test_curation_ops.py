@@ -3983,3 +3983,33 @@ class TestParetoFront:
             dominated = (((q >= q[i]) & (p <= p[i]))
                          & ((q > q[i]) | (p < p[i]))).any()
             assert keep[i] == (not dominated), i
+
+
+class TestRfmSegments:
+    def test_tiles_and_metrics(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import rfm_segments
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # 4 users: user k has k events, last at day k, 100*k cents ea.
+        for k in range(1, 5):
+            for i in range(k):
+                rows.append((k, base + dt.timedelta(days=k), k * 1.0))
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        })
+        got = rfm_segments(ray.data.from_arrow(t), n_tiles=2) \
+            .to_pandas().set_index("user_id")
+        assert got.loc[4, "recency_days"] == 0
+        assert got.loc[1, "recency_days"] == 3
+        assert got.loc[3, "frequency"] == 3
+        assert got.loc[2, "monetary_cents"] == 400   # 2 events x 2.00
+        # 2 tiles over 4 users: lowest two metric values -> tile 1
+        assert got.loc[1, "f_tile"] == 1 and got.loc[4, "f_tile"] == 2
