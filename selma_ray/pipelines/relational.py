@@ -3454,7 +3454,10 @@ def rfm_segments(events_ds, *, n_tiles: int = 5):
                                       Sum("p_n"))
 
     def finish(batch: pa.Table) -> pa.Table:
-        last = batch.column("max(p_last)").cast(pa.int64()) \
+        # the groupby Max can narrow timestamp[us] -> timestamp[s];
+        # re-widen before the integer microsecond math
+        last = batch.column("max(p_last)") \
+            .cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         anchor = last.max()
         rec = (anchor - last) // 86_400_000_000
