@@ -1212,6 +1212,20 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_ewma_daily(sf_dir: str):
+    """EWMA-smoothed daily counts per type (alpha=0.5)."""
+    from selma_ray.pipelines.relational import ewma_daily
+
+    return ewma_daily(_read(sf_dir, "events"), alpha=0.5)
+
+
+def _q_activity_heatmap(sf_dir: str):
+    """(day-of-week, hour) activity heatmap (<=168 rows out)."""
+    from selma_ray.pipelines.relational import activity_heatmap
+
+    return activity_heatmap(_read(sf_dir, "events"))
+
+
 def _q_rfm_segments(sf_dir: str):
     """RFM quintile segmentation over the reduced per-user table."""
     from selma_ray.pipelines.relational import rfm_segments
@@ -2241,6 +2255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active": _q_weekly_active,
         "pareto_lines": _q_pareto_lines,
         "rfm_segments": _q_rfm_segments,
+        "ewma_daily": _q_ewma_daily,
+        "activity_heatmap": _q_activity_heatmap,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
         "dup_families": _q_dup_families,
@@ -3259,6 +3275,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "ewma_daily": r"""
+            WITH c AS (
+                SELECT event_type,
+                       date_trunc('day', ts)::TIMESTAMP AS day,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2),
+            idx AS (
+                SELECT event_type, day, n,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) - 1 AS t
+                FROM c)
+            SELECT a.event_type, a.day, a.n,
+                   0.5 * sum(b.n * power(0.5, a.t - b.t))
+                       AS value_ewma
+            FROM idx a JOIN idx b
+              ON a.event_type = b.event_type AND b.t <= a.t
+            GROUP BY a.event_type, a.day, a.n
+        """,
+        "activity_heatmap": r"""
+            SELECT isodow(ts)::BIGINT AS dow,
+                   hour(ts)::BIGINT AS hour,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        """,
         "rfm_segments": r"""
             WITH u AS (
                 SELECT user_id,

@@ -3492,3 +3492,86 @@ def rfm_segments(events_ds, *, n_tiles: int = 5):
 
     return per_user.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def ewma_daily(events_ds, *, alpha: float = 0.5):
+    """EWMA-smoothed daily counts per type -> (event_type, day, n,
+    value_ewma): value_ewma_t = alpha * sum_i n_i (1-alpha)^(t-i)
+    over the type's day index — trend smoothing on the REDUCED
+    (type, day) table, so the sequential scan is in-task and free
+    (window-after-aggregate again). alpha = 0.5 keeps every decay
+    power an exact binary fraction.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+        })
+        agg = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "event_type": agg.column("event_type"),
+            "day": agg.column("day"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    counts = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["event_type", "day"]).aggregate(Sum("partial_n"))
+
+    def scan(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("day", "ascending")])
+        n = g.column("sum(partial_n)").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        t = np.arange(len(n))
+        # closed form sum (not the recurrence) so the float op ORDER
+        # matches the SQL power-sum oracle term-for-term per row
+        decay = (1.0 - alpha) ** (t[:, None] - t[None, :])
+        decay = np.tril(decay)
+        ewma = alpha * (decay * n[None, :]).sum(axis=1)
+        return pa.table({
+            "event_type": pa.array(
+                [group.column("event_type")[0].as_py()] * len(n)),
+            "day": g.column("day"),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "value_ewma": pa.array(ewma, pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        scan, batch_format="pyarrow")
+
+
+def activity_heatmap(events_ds):
+    """Usage heatmap -> (dow, hour, n): event counts per (ISO day of
+    week 1-7, hour 0-23) — the calendar-features rollup. One combiner
+    pass, one tiny groupby; the output is at most 168 rows however
+    large the input.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        t = pa.table({
+            "dow": pc.cast(pc.day_of_week(
+                ts, options=pc.DayOfWeekOptions(
+                    count_from_zero=False, week_start=1)), pa.int64()),
+            "hour": pc.cast(pc.hour(ts), pa.int64()),
+        })
+        agg = t.group_by(["dow", "hour"]).aggregate([([], "count_all")])
+        return pa.table({
+            "dow": agg.column("dow"),
+            "hour": agg.column("hour"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    agg = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["dow", "hour"]).aggregate(Sum("partial_n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "dow": b.column("dow"),
+            "hour": b.column("hour"),
+            "n": pc.cast(b.column("sum(partial_n)"), pa.int64()),
+        }), batch_format="pyarrow")

@@ -4013,3 +4013,42 @@ class TestRfmSegments:
         assert got.loc[2, "monetary_cents"] == 400   # 2 events x 2.00
         # 2 tiles over 4 users: lowest two metric values -> tile 1
         assert got.loc[1, "f_tile"] == 1 and got.loc[4, "f_tile"] == 2
+
+
+class TestEwmaDaily:
+    def test_closed_form_values(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import ewma_daily
+
+        d = lambda i: dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        # counts 4, 2, 8 on three consecutive days, alpha 0.5
+        rows = [d(0)] * 4 + [d(1)] * 2 + [d(2)] * 8
+        t = pa.table({"event_type": pa.array(["x"] * len(rows)),
+                      "ts": pa.array(rows, pa.timestamp("us"))})
+        got = ewma_daily(ray.data.from_arrow(t), alpha=0.5) \
+            .to_pandas().set_index("day")["value_ewma"].to_dict()
+        assert got[d(0)] == 2.0                 # 0.5*4
+        assert got[d(1)] == 2.0                 # 0.5*(2 + 0.5*4)
+        assert got[d(2)] == 5.0                 # 0.5*(8 + 0.5*2 + 0.25*4)
+
+
+class TestActivityHeatmap:
+    def test_dow_hour_counts(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import activity_heatmap
+
+        # 2024-01-01 is a Monday
+        t = pa.table({"ts": pa.array(
+            [dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 1, 9),
+             dt.datetime(2024, 1, 7, 23)], pa.timestamp("us"))})
+        got = activity_heatmap(ray.data.from_arrow(t)).to_pandas() \
+            .set_index(["dow", "hour"])["n"].to_dict()
+        assert got == {(1, 9): 2, (7, 23): 1}
