@@ -1212,6 +1212,20 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_activity_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts."""
+    from selma_ray.pipelines.relational import activity_gini
+
+    return activity_gini(_read(sf_dir, "events"))
+
+
+def _q_source_concentration(sf_dir: str):
+    """Herfindahl concentration of docs across sources."""
+    from selma_ray.pipelines.relational import source_concentration
+
+    return source_concentration(_read(sf_dir, "documents"))
+
+
 def _q_ewma_daily(sf_dir: str):
     """EWMA-smoothed daily counts per type (alpha=0.5)."""
     from selma_ray.pipelines.relational import ewma_daily
@@ -2256,6 +2270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_lines": _q_pareto_lines,
         "rfm_segments": _q_rfm_segments,
         "ewma_daily": _q_ewma_daily,
+        "activity_gini": _q_activity_gini,
+        "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,
         "span_corruption": _q_span_corruption,
         "apply_changelog": _q_apply_changelog,
@@ -3275,6 +3291,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "activity_gini": r"""
+            WITH u AS (
+                SELECT user_id, count(*)::BIGINT AS x
+                FROM events GROUP BY user_id),
+            r AS (
+                SELECT x, row_number() OVER (ORDER BY x, user_id)
+                           ::BIGINT AS i
+                FROM u)
+            SELECT count(*)::BIGINT AS n_users,
+                   2.0 * sum(i * x) / (count(*) * sum(x))
+                       - (count(*) + 1.0) / count(*) AS value_gini
+            FROM r
+        """,
+        "source_concentration": r"""
+            WITH s AS (
+                SELECT source, count(*)::BIGINT AS n
+                FROM documents GROUP BY source)
+            SELECT count(*)::BIGINT AS n_sources,
+                   sum(n)::BIGINT AS total_docs,
+                   sum(n::HUGEINT * n::HUGEINT)::DOUBLE
+                       / (sum(n)::DOUBLE * sum(n)::DOUBLE)
+                       AS value_hhi
+            FROM s
+        """,
         "ewma_daily": r"""
             WITH c AS (
                 SELECT event_type,

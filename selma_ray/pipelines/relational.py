@@ -3575,3 +3575,77 @@ def activity_heatmap(events_ds):
             "hour": b.column("hour"),
             "n": pc.cast(b.column("sum(partial_n)"), pa.int64()),
         }), batch_format="pyarrow")
+
+
+def activity_gini(events_ds):
+    """Gini coefficient of per-user event-count inequality -> one row
+    (n_users, value_gini): the "is 1% of users generating 90% of the
+    data?" scalar. Per-user counts reduce first (combiner + groupby),
+    then the exact sorted-cumulative formula
+    G = 2*sum(i * x_i)/(n * sum(x)) - (n+1)/n runs over the reduced
+    table in one task with integer sums — only the two final divisions
+    are float, mirrored exactly in the oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["user_id"]).group_by("user_id") \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "user_id": agg.column("user_id"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    per_user = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("user_id").aggregate(Sum("partial_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        x = np.sort(batch.column("sum(partial_n)")
+                    .to_numpy(zero_copy_only=False))
+        n = len(x)
+        total = int(x.sum())
+        weighted = int((np.arange(1, n + 1) * x).sum())
+        gini = 2.0 * weighted / (n * total) - (n + 1.0) / n
+        return pa.table({
+            "n_users": pa.array([n], pa.int64()),
+            "value_gini": pa.array([gini], pa.float64()),
+        })
+
+    return per_user.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def source_concentration(docs_ds):
+    """Herfindahl-Hirschman concentration of the corpus across
+    sources -> one row (n_sources, total_docs, value_hhi):
+    hhi = sum(n_i^2) / (sum n_i)^2, 1/n_sources (even) .. 1.0
+    (single-source). Exact integer numerator/denominator, one final
+    division.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["source"]).group_by("source") \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "source": agg.column("source"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    per_src = coalesce_small(
+        docs_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("source").aggregate(Sum("partial_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        x = batch.column("sum(partial_n)").to_numpy(zero_copy_only=False)
+        total = int(x.sum())
+        num = int((x.astype(object) ** 2).sum())   # exact python ints
+        return pa.table({
+            "n_sources": pa.array([len(x)], pa.int64()),
+            "total_docs": pa.array([total], pa.int64()),
+            "value_hhi": pa.array([num / (total * total)], pa.float64()),
+        })
+
+    return per_src.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

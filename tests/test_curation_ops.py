@@ -4052,3 +4052,33 @@ class TestActivityHeatmap:
         got = activity_heatmap(ray.data.from_arrow(t)).to_pandas() \
             .set_index(["dow", "hour"])["n"].to_dict()
         assert got == {(1, 9): 2, (7, 23): 1}
+
+
+class TestConcentrationMetrics:
+    def test_gini_extremes(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import activity_gini
+
+        # perfectly equal: gini 0
+        even = pa.table({"user_id": pa.array([1, 2, 3, 4], pa.int64())})
+        g0 = activity_gini(ray.data.from_arrow(even)).to_pandas()
+        assert g0["value_gini"].iloc[0] == 0.0
+        # one user owns nearly everything
+        skew = pa.table({"user_id": pa.array([1] * 99 + [2], pa.int64())})
+        g1 = activity_gini(ray.data.from_arrow(skew)).to_pandas()
+        assert g1["value_gini"].iloc[0] > 0.45
+
+    def test_hhi_extremes(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import source_concentration
+
+        even = pa.table({"source": pa.array(["a", "b", "c", "d"])})
+        h = source_concentration(ray.data.from_arrow(even)).to_pandas()
+        assert h["value_hhi"].iloc[0] == 0.25      # 1/n_sources
+        solo = pa.table({"source": pa.array(["a"] * 10)})
+        h1 = source_concentration(ray.data.from_arrow(solo)).to_pandas()
+        assert h1["value_hhi"].iloc[0] == 1.0
