@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_vocab_coverage(sf_dir: str):
+    """Top-k vocab token-coverage curve."""
+    from selma_ray.pipelines.corpus import vocab_coverage
+
+    return vocab_coverage(_read(sf_dir, "documents"),
+                          ks=(10, 100, 1000, 10000))
+
+
 def _q_activity_gini(sf_dir: str):
     """Gini coefficient of per-user event counts."""
     from selma_ray.pipelines.relational import activity_gini
@@ -2271,6 +2279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "ewma_daily": _q_ewma_daily,
         "activity_gini": _q_activity_gini,
+        "vocab_coverage": _q_vocab_coverage,
         "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,
         "span_corruption": _q_span_corruption,
@@ -3291,6 +3300,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "vocab_coverage": r"""
+            WITH tf AS (
+                SELECT unnest(regexp_extract_all(text, '\S+'))
+                           AS term
+                FROM documents),
+            c AS (SELECT term, count(*)::BIGINT AS n
+                  FROM tf GROUP BY term),
+            r AS (
+                SELECT n,
+                       row_number() OVER (ORDER BY n DESC, term)
+                           ::BIGINT AS rnk,
+                       sum(n) OVER (ORDER BY n DESC, term
+                                    ROWS UNBOUNDED PRECEDING)
+                           ::BIGINT AS cum
+                FROM c),
+            tot AS (SELECT sum(n)::BIGINT AS total,
+                           count(*)::BIGINT AS vocab FROM c),
+            ks(k) AS (VALUES (10), (100), (1000), (10000))
+            SELECT ks.k::BIGINT AS k,
+                   r.cum AS covered_tokens,
+                   tot.total AS total_tokens,
+                   r.cum / tot.total::DOUBLE AS value_coverage
+            FROM ks, tot
+            JOIN r ON r.rnk = least(ks.k, tot.vocab)
+        """,
         "activity_gini": r"""
             WITH u AS (
                 SELECT user_id, count(*)::BIGINT AS x

@@ -1182,3 +1182,49 @@ def length_buckets(ds, *, text_col: str = "text"):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def vocab_coverage(ds, *, text_col: str = "text",
+                   ks: tuple = (10, 100, 1000, 10000)):
+    """Vocabulary coverage curve -> (k, covered_tokens, total_tokens,
+    value_coverage): what fraction of all corpus token OCCURRENCES the
+    top-k most frequent terms cover — the tokenizer/vocab-size
+    planning table (the knee of this curve is where a bigger vocab
+    stops paying).
+
+    Rides the term_frequencies reduction (combiner -> groupby(term)),
+    then sorts + cumsums the reduced vocab table in one task. Ordering
+    is (count DESC, term ASC) on both sides so ties at the k boundary
+    resolve identically. Exact integers, one final division.
+    """
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(_partial_terms,
+                             fn_kwargs={"text_col": text_col},
+                             batch_format="pyarrow")
+    agg = coalesce_small(partial).groupby("term") \
+        .aggregate(Sum("partial_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.select(["term"]).column("term").to_pylist()
+        n = batch.column("sum(partial_n)").to_numpy(zero_copy_only=False)
+        order = np.lexsort((np.asarray(t, dtype=object), -n))
+        srt = n[order]
+        cum = np.cumsum(srt)
+        total = int(cum[-1]) if len(cum) else 0
+        out_k, out_c = [], []
+        for k in ks:
+            covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+            out_k.append(k)
+            out_c.append(covered)
+        return pa.table({
+            "k": pa.array(out_k, pa.int64()),
+            "covered_tokens": pa.array(out_c, pa.int64()),
+            "total_tokens": pa.array([total] * len(ks), pa.int64()),
+            "value_coverage": pa.array(
+                [c / total if total else 0.0 for c in out_c],
+                pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          batch_size=None)

@@ -4082,3 +4082,20 @@ class TestConcentrationMetrics:
         solo = pa.table({"source": pa.array(["a"] * 10)})
         h1 = source_concentration(ray.data.from_arrow(solo)).to_pandas()
         assert h1["value_hhi"].iloc[0] == 1.0
+
+
+class TestVocabCoverage:
+    def test_curve_values(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import vocab_coverage
+
+        # freqs: a:4, b:2, c:1, d:1  (total 8)
+        t = pa.table({"text": pa.array(["a a a a b b", "c d"])})
+        got = vocab_coverage(ray.data.from_arrow(t), ks=(1, 2, 10)) \
+            .to_pandas().set_index("k")
+        assert got.loc[1, "covered_tokens"] == 4
+        assert got.loc[2, "covered_tokens"] == 6
+        assert got.loc[10, "covered_tokens"] == 8   # k > vocab: all
+        assert got.loc[2, "value_coverage"] == 0.75
