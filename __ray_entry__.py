@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_feature_hash_audit(sf_dir: str):
+    """Hashing-trick collision audit at three candidate dims."""
+    from selma_ray.pipelines.corpus import feature_hash_audit
+
+    return feature_hash_audit(_read(sf_dir, "documents"),
+                              dims=(256, 1024, 4096))
+
+
 def _q_vocab_coverage(sf_dir: str):
     """Top-k vocab token-coverage curve."""
     from selma_ray.pipelines.corpus import vocab_coverage
@@ -2280,6 +2288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily": _q_ewma_daily,
         "activity_gini": _q_activity_gini,
         "vocab_coverage": _q_vocab_coverage,
+        "feature_hash_audit": _q_feature_hash_audit,
         "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,
         "span_corruption": _q_span_corruption,
@@ -3300,6 +3309,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "feature_hash_audit": r"""
+            WITH v AS (
+                SELECT DISTINCT
+                       unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents),
+            n AS (SELECT count(*)::BIGINT AS n_terms FROM v),
+            ds(dim) AS (VALUES (256), (1024), (4096)),
+            u AS (
+                SELECT ds.dim,
+                       count(DISTINCT md5_number_lower(term)
+                             % ds.dim)::BIGINT AS buckets_used
+                FROM ds, v GROUP BY ds.dim)
+            SELECT u.dim::BIGINT AS dim, n.n_terms, u.buckets_used,
+                   1.0 - u.buckets_used / n.n_terms::DOUBLE
+                       AS value_collision_rate
+            FROM u, n
+        """,
         "vocab_coverage": r"""
             WITH tf AS (
                 SELECT unnest(regexp_extract_all(text, '\S+'))

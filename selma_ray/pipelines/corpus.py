@@ -1228,3 +1228,47 @@ def vocab_coverage(ds, *, text_col: str = "text",
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
                                           batch_size=None)
+
+
+def feature_hash_audit(ds, *, text_col: str = "text",
+                       dims: tuple = (256, 1024, 4096)):
+    """Hashing-trick collision audit -> (dim, n_terms, buckets_used,
+    value_collision_rate): for each candidate feature dimension, how
+    many distinct terms collide when hashed into ``dim`` buckets —
+    run BEFORE committing a corpus to hashed features.
+
+    Hash = md5 low-64 (the KMV sketch's DuckDB-parity hash) mod dim.
+    Distinct terms reduce via the usual combiner + groupby; the audit
+    itself runs over the reduced vocab in one task. collision_rate =
+    1 - buckets_used / n_terms (0 = injective on this corpus).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.sketches import kmv_hash64
+
+    partial = ds.map_batches(_partial_terms,
+                             fn_kwargs={"text_col": text_col},
+                             batch_format="pyarrow")
+    vocab = coalesce_small(partial).groupby("term") \
+        .aggregate(Sum("partial_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        hs = np.array([kmv_hash64(t) for t in terms], np.uint64)
+        n = len(terms)
+        out_d, out_u = [], []
+        for d in dims:
+            used = len(np.unique(hs % np.uint64(d)))
+            out_d.append(d)
+            out_u.append(used)
+        return pa.table({
+            "dim": pa.array(out_d, pa.int64()),
+            "n_terms": pa.array([n] * len(dims), pa.int64()),
+            "buckets_used": pa.array(out_u, pa.int64()),
+            "value_collision_rate": pa.array(
+                [1.0 - u / n if n else 0.0 for u in out_u],
+                pa.float64()),
+        })
+
+    return vocab.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                            batch_size=None)

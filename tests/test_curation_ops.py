@@ -4099,3 +4099,22 @@ class TestVocabCoverage:
         assert got.loc[2, "covered_tokens"] == 6
         assert got.loc[10, "covered_tokens"] == 8   # k > vocab: all
         assert got.loc[2, "value_coverage"] == 0.75
+
+
+class TestFeatureHashAudit:
+    def test_collision_accounting(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import feature_hash_audit
+
+        t = pa.table({"text": pa.array(["a b c d e f g h"])})
+        got = feature_hash_audit(ray.data.from_arrow(t),
+                                 dims=(1, 1 << 30)).to_pandas() \
+            .set_index("dim")
+        # dim 1: every term collides into one bucket
+        assert got.loc[1, "buckets_used"] == 1
+        assert got.loc[1, "value_collision_rate"] == 1.0 - 1 / 8
+        # huge dim: md5 is injective on 8 terms
+        assert got.loc[1 << 30, "buckets_used"] == 8
+        assert got.loc[1 << 30, "value_collision_rate"] == 0.0
