@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_session_stats(sf_dir: str):
+    """Per-user session counts and bounce rate (30-min gap rule)."""
+    from selma_ray.pipelines.relational import session_stats
+
+    return session_stats(_read(sf_dir, "events"), gap_secs=1800.0)
+
+
 def _q_feature_hash_audit(sf_dir: str):
     """Hashing-trick collision audit at three candidate dims."""
     from selma_ray.pipelines.corpus import feature_hash_audit
@@ -2289,6 +2296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_gini": _q_activity_gini,
         "vocab_coverage": _q_vocab_coverage,
         "feature_hash_audit": _q_feature_hash_audit,
+        "session_stats": _q_session_stats,
         "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,
         "span_corruption": _q_span_corruption,
@@ -3309,6 +3317,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "session_stats": r"""
+            WITH g AS (
+                SELECT event_id, user_id, ts,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events),
+            s AS (
+                SELECT user_id,
+                       sum(CASE WHEN gap > 1800000000 THEN 1
+                                ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g),
+            z AS (SELECT user_id, sess, count(*)::BIGINT AS sz
+                  FROM s GROUP BY user_id, sess)
+            SELECT user_id,
+                   count(*)::BIGINT AS n_sessions,
+                   count(*) FILTER (WHERE sz = 1)::BIGINT AS bounces,
+                   count(*) FILTER (WHERE sz = 1)
+                       / count(*)::DOUBLE AS value_bounce_rate
+            FROM z GROUP BY user_id
+        """,
         "feature_hash_audit": r"""
             WITH v AS (
                 SELECT DISTINCT

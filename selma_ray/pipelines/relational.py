@@ -3649,3 +3649,35 @@ def source_concentration(docs_ds):
 
     return per_src.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def session_stats(events_ds, *, gap_secs: float = 1800.0):
+    """Per-user session summary -> (user_id, n_sessions, bounces,
+    value_bounce_rate): sessions are gap-split per user (same rule as
+    sessionize_events); a bounce is a single-event session. One
+    groupby(user_id) shuffle of (user, ts, event_id) triples; the gap
+    split, session sizing and ratio all run in-task. Ratio is an
+    exact integer division.
+    """
+    gap_us = int(gap_secs * 1e6)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        breaks = np.zeros(len(ts), bool)
+        breaks[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sess = np.cumsum(breaks)
+        sizes = np.bincount(sess)
+        n_sessions = len(sizes)
+        bounces = int((sizes == 1).sum())
+        return pa.table({
+            "user_id": pa.array([group.column("user_id")[0].as_py()],
+                                pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "bounces": pa.array([bounces], pa.int64()),
+            "value_bounce_rate": pa.array([bounces / n_sessions],
+                                          pa.float64()),
+        })
+
+    return events_ds.select_columns(["event_id", "user_id", "ts"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")

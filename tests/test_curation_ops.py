@@ -4118,3 +4118,29 @@ class TestFeatureHashAudit:
         # huge dim: md5 is injective on 8 terms
         assert got.loc[1 << 30, "buckets_used"] == 8
         assert got.loc[1 << 30, "value_collision_rate"] == 0.0
+
+
+class TestSessionStats:
+    def test_bounce_accounting(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import session_stats
+
+        base = dt.datetime(2024, 1, 1)
+        # user 1: session of 2 events, then a lone event (bounce)
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([base,
+                            base + dt.timedelta(seconds=10),
+                            base + dt.timedelta(seconds=10000)],
+                           pa.timestamp("us")),
+        })
+        got = session_stats(ray.data.from_arrow(t), gap_secs=60.0) \
+            .to_pandas().iloc[0]
+        assert got["n_sessions"] == 2
+        assert got["bounces"] == 1
+        assert got["value_bounce_rate"] == 0.5
