@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_type_lift(sf_dir: str):
+    """Session-basket co-occurrence lift for event-type pairs."""
+    from selma_ray.pipelines.relational import type_cooccurrence_lift
+
+    return type_cooccurrence_lift(_read(sf_dir, "events"),
+                                  gap_secs=1800.0)
+
+
 def _q_session_stats(sf_dir: str):
     """Per-user session counts and bounce rate (30-min gap rule)."""
     from selma_ray.pipelines.relational import session_stats
@@ -2297,6 +2305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": _q_vocab_coverage,
         "feature_hash_audit": _q_feature_hash_audit,
         "session_stats": _q_session_stats,
+        "type_lift": _q_type_lift,
         "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,
         "span_corruption": _q_span_corruption,
@@ -3317,6 +3326,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "type_lift": r"""
+            WITH g AS (
+                SELECT event_id, user_id, ts, event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events),
+            s AS (
+                SELECT user_id, event_type,
+                       sum(CASE WHEN gap > 1800000000 THEN 1
+                                ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g),
+            b AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+            ns AS (SELECT count(*)::BIGINT AS n_sessions
+                   FROM (SELECT DISTINCT user_id, sess FROM s)),
+            singles AS (SELECT event_type, count(*)::BIGINT AS n
+                        FROM b GROUP BY event_type),
+            pairs AS (
+                SELECT x.event_type AS type_a, y.event_type AS type_b,
+                       count(*)::BIGINT AS n_both
+                FROM b x JOIN b y
+                  ON x.user_id = y.user_id AND x.sess = y.sess
+                 AND x.event_type < y.event_type
+                GROUP BY 1, 2)
+            SELECT p.type_a, p.type_b, p.n_both,
+                   sa.n AS n_a, sb.n AS n_b, ns.n_sessions,
+                   (p.n_both * ns.n_sessions)
+                       / (sa.n * sb.n)::DOUBLE AS value_lift
+            FROM pairs p
+            JOIN singles sa ON sa.event_type = p.type_a
+            JOIN singles sb ON sb.event_type = p.type_b
+            CROSS JOIN ns
+        """,
         "session_stats": r"""
             WITH g AS (
                 SELECT event_id, user_id, ts,

@@ -3681,3 +3681,88 @@ def session_stats(events_ds, *, gap_secs: float = 1800.0):
 
     return events_ds.select_columns(["event_id", "user_id", "ts"]) \
         .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def type_cooccurrence_lift(events_ds, *, gap_secs: float = 1800.0):
+    """Market-basket association over sessions -> (type_a, type_b,
+    n_both, n_a, n_b, n_sessions, value_lift) for every unordered
+    type pair (a < b): lift = P(a,b) / (P(a) P(b)) over session
+    baskets — "users who error also purchase?"-style co-occurrence
+    mining, exact.
+
+    One groupby(user) shuffle (sessions never span users): each
+    user's group emits per-session distinct-type sets pre-counted as
+    (pair, 1) and (type, 1) partials; two tiny groupbys make global
+    counts; lift evaluates as exact integer products with one final
+    float division: (n_both * n_sessions) / (n_a * n_b).
+    """
+    from itertools import combinations
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    gap_us = int(gap_secs * 1e6)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = g.column("event_type").to_pylist()
+        breaks = np.zeros(len(ts), bool)
+        breaks[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sess = np.cumsum(breaks)
+        out_a, out_b, out_n = [], [], []
+        n_sessions = 0
+        start = 0
+        for i in range(1, len(ts) + 1):
+            if i == len(ts) or sess[i] != sess[start]:
+                basket = sorted(set(types[start:i]))
+                n_sessions += 1
+                for t in basket:                      # singles: ('', t)
+                    out_a.append("")
+                    out_b.append(t)
+                    out_n.append(1)
+                for x, y in combinations(basket, 2):  # pairs
+                    out_a.append(x)
+                    out_b.append(y)
+                    out_n.append(1)
+                start = i
+        out_a.append("#S")                            # session counter
+        out_b.append("")
+        out_n.append(n_sessions)
+        return pa.table({
+            "a": pa.array(out_a, pa.string()),
+            "b": pa.array(out_b, pa.string()),
+            "partial_n": pa.array(out_n, pa.int64()),
+        })
+
+    counts = coalesce_small(
+        events_ds.select_columns(["event_id", "user_id", "ts",
+                                  "event_type"])
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")) \
+        .groupby(["a", "b"]).aggregate(Sum("partial_n")).take_all()
+
+    singles, pairs = {}, {}
+    n_sessions = 0
+    for r in counts:
+        if r["a"] == "#S":
+            n_sessions += r["sum(partial_n)"]
+        elif r["a"] == "":
+            singles[r["b"]] = r["sum(partial_n)"]
+        else:
+            pairs[(r["a"], r["b"])] = r["sum(partial_n)"]
+
+    import ray.data
+
+    rows = sorted(pairs.items())
+    return ray.data.from_arrow(pa.table({
+        "type_a": pa.array([k[0] for k, _ in rows], pa.string()),
+        "type_b": pa.array([k[1] for k, _ in rows], pa.string()),
+        "n_both": pa.array([v for _, v in rows], pa.int64()),
+        "n_a": pa.array([singles[k[0]] for k, _ in rows], pa.int64()),
+        "n_b": pa.array([singles[k[1]] for k, _ in rows], pa.int64()),
+        "n_sessions": pa.array([n_sessions] * len(rows), pa.int64()),
+        "value_lift": pa.array(
+            [(v * n_sessions) / (singles[k[0]] * singles[k[1]])
+             for k, v in rows], pa.float64()),
+    }))

@@ -4144,3 +4144,40 @@ class TestSessionStats:
         assert got["n_sessions"] == 2
         assert got["bounces"] == 1
         assert got["value_bounce_rate"] == 0.5
+
+
+class TestTypeCooccurrenceLift:
+    def test_lift_math(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import type_cooccurrence_lift
+
+        base = dt.datetime(2024, 1, 1)
+
+        def ev(eid, uid, etype, secs):
+            return (eid, uid, etype, base + dt.timedelta(seconds=secs))
+
+        rows = [
+            # user 1, session 1: {a, b}
+            ev(1, 1, "a", 0), ev(2, 1, "b", 10),
+            # user 1, session 2: {a}
+            ev(3, 1, "a", 10000),
+            # user 2, session 1: {b}
+            ev(4, 2, "b", 0),
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        })
+        got = type_cooccurrence_lift(ray.data.from_arrow(t),
+                                     gap_secs=60.0).to_pandas().iloc[0]
+        # 3 sessions; a in 2, b in 2, both in 1
+        assert got["n_sessions"] == 3
+        assert got["n_both"] == 1
+        assert got["n_a"] == 2 and got["n_b"] == 2
+        assert got["value_lift"] == 3 / 4
