@@ -1212,6 +1212,21 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_retention_curve(sf_dir: str):
+    """User-lifespan survival curve."""
+    from selma_ray.pipelines.relational import retention_curve
+
+    return retention_curve(_read(sf_dir, "events"))
+
+
+def _q_ab_test(sf_dir: str):
+    """Two-proportion z-stat; arms = user_id parity, conversion =
+    any purchase with value >= 240."""
+    from selma_ray.pipelines.relational import ab_test_zstat
+
+    return ab_test_zstat(_read(sf_dir, "events"))
+
+
 def _q_type_lift(sf_dir: str):
     """Session-basket co-occurrence lift for event-type pairs."""
     from selma_ray.pipelines.relational import type_cooccurrence_lift
@@ -2306,6 +2321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hash_audit": _q_feature_hash_audit,
         "session_stats": _q_session_stats,
         "type_lift": _q_type_lift,
+        "retention_curve": _q_retention_curve,
+        "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,
         "span_corruption": _q_span_corruption,
@@ -3326,6 +3343,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "retention_curve": r"""
+            WITH u AS (
+                SELECT user_id,
+                       (date_diff('microsecond', min(ts), max(ts))
+                        // 86400000000)::BIGINT AS t_days
+                FROM events GROUP BY user_id),
+            h AS (SELECT t_days, count(*)::BIGINT AS n
+                  FROM u GROUP BY t_days),
+            tot AS (SELECT count(*)::BIGINT AS n_users FROM u)
+            SELECT h.t_days,
+                   sum(h.n) OVER (ORDER BY h.t_days DESC
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT
+                       AS surviving,
+                   tot.n_users,
+                   sum(h.n) OVER (ORDER BY h.t_days DESC
+                                  ROWS UNBOUNDED PRECEDING)
+                       / tot.n_users::DOUBLE AS value_survival
+            FROM h, tot
+        """,
+        "ab_test": r"""
+            WITH u AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                 AND value >= 240
+                                THEN 1 ELSE 0 END)::BIGINT AS conv
+                FROM events GROUP BY user_id),
+            s AS (
+                SELECT
+                    count(*) FILTER (WHERE user_id % 2 = 0)
+                        ::BIGINT AS n_a,
+                    count(*) FILTER (WHERE user_id % 2 <> 0)
+                        ::BIGINT AS n_b,
+                    sum(conv) FILTER (WHERE user_id % 2 = 0)
+                        ::BIGINT AS conv_a,
+                    sum(conv) FILTER (WHERE user_id % 2 <> 0)
+                        ::BIGINT AS conv_b
+                FROM u)
+            SELECT n_a, n_b, conv_a, conv_b,
+                   CASE WHEN conv_a + conv_b = 0
+                          OR conv_a + conv_b = n_a + n_b THEN 0.0
+                        ELSE (conv_a / n_a::DOUBLE
+                              - conv_b / n_b::DOUBLE)
+                   / sqrt(((conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+                          * (1 - (conv_a + conv_b)
+                                 / (n_a + n_b)::DOUBLE)
+                          * (1.0 / n_a + 1.0 / n_b)) END AS value_z
+            FROM s
+        """,
         "type_lift": r"""
             WITH g AS (
                 SELECT event_id, user_id, ts, event_type,

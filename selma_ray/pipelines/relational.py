@@ -3766,3 +3766,114 @@ def type_cooccurrence_lift(events_ds, *, gap_secs: float = 1800.0):
             [(v * n_sessions) / (singles[k[0]] * singles[k[1]])
              for k, v in rows], pa.float64()),
     }))
+
+
+def retention_curve(events_ds):
+    """User-lifespan survival curve -> (t_days, surviving, n_users,
+    value_survival): for each observed lifespan t, the fraction of
+    users whose span from first to last event is >= t days.
+
+    Per-user (min ts, max ts) reduces via one combiner + groupby;
+    lifespans histogram to <= max_days rows; the survival cumsum (from
+    the top) runs in one task over that tiny table. All integers, one
+    exact division per row.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["user_id", "ts"]).group_by("user_id") \
+            .aggregate([("ts", "min"), ("ts", "max")])
+        return pa.table({
+            "user_id": agg.column("user_id"),
+            "p_min": agg.column("ts_min"),
+            "p_max": agg.column("ts_max"),
+        })
+
+    per_user = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("user_id").aggregate(Min("p_min"), Max("p_max"))
+
+    def spans(batch: pa.Table) -> pa.Table:
+        lo = batch.column("min(p_min)").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hi = batch.column("max(p_max)").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = (hi - lo) // 86_400_000_000
+        t = pa.table({"t_days": pa.array(days, pa.int64())})
+        agg = t.group_by("t_days").aggregate([([], "count_all")])
+        return pa.table({
+            "t_days": agg.column("t_days"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    hist = coalesce_small(
+        per_user.map_batches(spans, batch_format="pyarrow")) \
+        .groupby("t_days").aggregate(Sum("partial_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        g = batch.sort_by([("t_days", "descending")])
+        t = g.column("t_days").to_numpy(zero_copy_only=False)
+        n = g.column("sum(partial_n)").to_numpy(zero_copy_only=False)
+        surv = np.cumsum(n)           # users with lifespan >= t
+        total = int(surv[-1])
+        return pa.table({
+            "t_days": pa.array(t, pa.int64()),
+            "surviving": pa.array(surv, pa.int64()),
+            "n_users": pa.array([total] * len(t), pa.int64()),
+            "value_survival": pa.array(surv / total, pa.float64()),
+        })
+
+    return hist.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+def ab_test_zstat(events_ds):
+    """Two-proportion A/B z-statistic -> one row (n_a, n_b, conv_a,
+    conv_b, value_z): users split by user_id parity, conversion =
+    "ever made a purchase of value >= 240" (rare enough to vary). The per-user reduction is distributed (one
+    combiner + groupby over (user, converted)); the z formula — pooled
+    p, sqrt((p(1-p)(1/na+1/nb))) — evaluates once, in the identical
+    operation order as the SQL oracle.
+    """
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        conv = pc.cast(pc.and_(
+            pc.equal(batch.column("event_type"), pa.scalar("purchase")),
+            pc.greater_equal(batch.column("value"), pa.scalar(240.0))),
+            pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"), "c": conv})
+        agg = t.group_by("user_id").aggregate([("c", "max")])
+        return pa.table({
+            "user_id": agg.column("user_id"),
+            "p_conv": pc.cast(agg.column("c_max"), pa.int64()),
+        })
+
+    per_user = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("user_id").aggregate(Max("p_conv")).take_all()
+
+    na = nb = ca = cb = 0
+    for r in per_user:
+        if r["user_id"] % 2 == 0:
+            na += 1
+            ca += int(r["max(p_conv)"])
+        else:
+            nb += 1
+            cb += int(r["max(p_conv)"])
+    pa_ = ca / na
+    pb_ = cb / nb
+    pp = (ca + cb) / (na + nb)
+    # zero-variance arms have no defined z; emit 0.0 (the oracle's
+    # CASE does the same — NaN would poison the value compare)
+    z = 0.0 if pp in (0.0, 1.0) else         (pa_ - pb_) / np.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "conv_a": pa.array([ca], pa.int64()),
+        "conv_b": pa.array([cb], pa.int64()),
+        "value_z": pa.array([float(z)], pa.float64()),
+    }))

@@ -4181,3 +4181,47 @@ class TestTypeCooccurrenceLift:
         assert got["n_both"] == 1
         assert got["n_a"] == 2 and got["n_b"] == 2
         assert got["value_lift"] == 3 / 4
+
+
+class TestRetentionCurve:
+    def test_survival_fractions(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import retention_curve
+
+        d = lambda i: dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        # lifespans: user1 0d, user2 2d, user3 2d
+        t = pa.table({
+            "user_id": pa.array([1, 2, 2, 3, 3], pa.int64()),
+            "ts": pa.array([d(0), d(0), d(2), d(5), d(7)],
+                           pa.timestamp("us")),
+        })
+        got = retention_curve(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("t_days")
+        assert got.loc[0, "surviving"] == 3       # everyone >= 0d
+        assert got.loc[0, "value_survival"] == 1.0
+        assert got.loc[2, "surviving"] == 2
+        assert got.loc[2, "value_survival"] == 2 / 3
+
+
+class TestAbTestZstat:
+    def test_zero_variance_sentinel_and_sign(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import ab_test_zstat
+
+        # arm a (even ids) converts, arm b doesn't
+        t = pa.table({
+            "user_id": pa.array([2, 4, 1, 3], pa.int64()),
+            "event_type": pa.array(["purchase", "purchase",
+                                    "view", "view"]),
+            "value": pa.array([250.0, 260.0, 5.0, 5.0], pa.float64()),
+        })
+        got = ab_test_zstat(ray.data.from_arrow(t)).to_pandas().iloc[0]
+        assert got["n_a"] == 2 and got["conv_a"] == 2
+        assert got["conv_b"] == 0
+        assert got["value_z"] > 0    # a converts more -> positive z
