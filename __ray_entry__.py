@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_knn_graph_stats(sf_dir: str):
+    """kNN-graph reciprocity / hubness health report (rows-only:
+    geometry-fixture invariants unit-tested)."""
+    from selma_ray.pipelines.similarity import knn_graph_stats
+
+    return knn_graph_stats(_read(sf_dir, "embeddings"), k=10)
+
+
 def _q_retention_curve(sf_dir: str):
     """User-lifespan survival curve."""
     from selma_ray.pipelines.relational import retention_curve
@@ -2322,6 +2330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": _q_session_stats,
         "type_lift": _q_type_lift,
         "retention_curve": _q_retention_curve,
+        "knn_graph_stats": _q_knn_graph_stats,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.util import coalesce_small
 
@@ -517,3 +518,73 @@ def top_similar_pairs(ds, *, k_pairs: int = 50, id_col: str = "vec_id",
     cand = ds.map_batches(block_topk, batch_format="pyarrow")
     return cand.sort(["similarity", "id_a", "id_b"],
                      descending=[True, False, False]).limit(k_pairs)
+
+
+def knn_graph_stats(ds, *, k: int = 10, id_col: str = "vec_id",
+                    emb_col: str = "embedding",
+                    max_broadcast_rows: int = 200_000):
+    """Embedding-space health report -> one row (k, n_vectors,
+    reciprocal_rate, max_in_degree, hub_share): build the cosine kNN
+    graph and measure (a) how often "a is in b's top-k" is mutual
+    (low reciprocity = asymmetric/hubby space, bad for ANN recall)
+    and (b) hubness — the max in-degree and the in-degree share of
+    the top 1% most-pointed-at vectors.
+
+    Same broadcast-matmul scale contract as ann_topk/top_similar_pairs
+    (each block computes its rows' top-k against the broadcast matrix;
+    per-block output is k ints per row); the graph-level folds run on
+    the edge list (n*k pairs), driver-side here, a groupby at larger
+    n.
+    """
+    import ray
+
+    ids_parts, mat_parts, n_rows = [], [], 0
+    slim = ds.map_batches(
+        lambda b: pa.table({"id": pc.cast(b.column(id_col), pa.int64()),
+                            "emb": b.column(emb_col)}),
+        batch_format="pyarrow")
+    for b in slim.iter_batches(batch_format="pyarrow", batch_size=8192):
+        n_rows += b.num_rows
+        if n_rows > max_broadcast_rows:
+            raise ValueError("corpus too large to broadcast; "
+                             "use the IVF/LSH-bucketed path")
+        ids_parts.append(b.column("id").to_numpy(zero_copy_only=False))
+        mat_parts.append(_batch_matrix(b, "emb"))
+    all_ids = np.concatenate(ids_parts).astype(np.int64)
+    M = _normalize(np.vstack(mat_parts))
+    ref = ray.put((all_ids, M))
+
+    def block_knn(batch: pa.Table) -> pa.Table:
+        ids_all, mat = ray.get(ref)
+        ids = pc.cast(batch.column(id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        E = _normalize(_batch_matrix(batch, emb_col))
+        sims = E @ mat.T
+        sims[ids[:, None] == ids_all[None, :]] = -np.inf  # no self edge
+        kk = min(k, sims.shape[1] - 1)
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        src = np.repeat(ids, kk)
+        dst = ids_all[idx.ravel()]
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = ds.map_batches(block_knn, batch_format="pyarrow").take_all()
+    pairs = {(r["src"], r["dst"]) for r in edges}
+    recip = sum(1 for (a, b) in pairs if (b, a) in pairs)
+    indeg: dict = {}
+    for _, b in pairs:
+        indeg[b] = indeg.get(b, 0) + 1
+    degs = sorted(indeg.values(), reverse=True)
+    top1 = max(1, len(all_ids) // 100)
+    hub_share = sum(degs[:top1]) / max(sum(degs), 1)
+
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_vectors": pa.array([len(all_ids)], pa.int64()),
+        "reciprocal_rate": pa.array([recip / max(len(pairs), 1)],
+                                    pa.float64()),
+        "max_in_degree": pa.array([degs[0] if degs else 0], pa.int64()),
+        "hub_share": pa.array([hub_share], pa.float64()),
+    }))

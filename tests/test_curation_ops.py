@@ -4225,3 +4225,29 @@ class TestAbTestZstat:
         assert got["n_a"] == 2 and got["conv_a"] == 2
         assert got["conv_b"] == 0
         assert got["value_z"] > 0    # a converts more -> positive z
+
+
+class TestKnnGraphStats:
+    def test_reciprocity_on_clustered_geometry(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.similarity import knn_graph_stats
+
+        # two tight, well-separated clusters of 4: with k=3 every
+        # vector's top-3 is exactly its own cluster -> fully reciprocal
+        rng = np.random.default_rng(1)
+        a = rng.normal([10, 0], 0.01, (4, 2))
+        b = rng.normal([-10, 0], 0.01, (4, 2))
+        vecs = np.vstack([a, b]).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(range(8), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        got = knn_graph_stats(ray.data.from_arrow(t), k=3).to_pandas() \
+            .iloc[0]
+        assert got["n_vectors"] == 8
+        assert got["reciprocal_rate"] == 1.0
+        assert got["max_in_degree"] == 3
