@@ -1212,6 +1212,20 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_repeated_turns(sf_dir: str):
+    """Agent-loop detector over the doc-derived turn stream
+    (conv = source)."""
+    from selma_ray.pipelines.conversations import repeated_turn_report
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": batch.column("source"),
+                         "text": batch.column("text")})
+
+    turns = _read(sf_dir, "documents").map_batches(
+        shape, batch_format="pyarrow")
+    return repeated_turn_report(turns)
+
+
 def _q_knn_graph_stats(sf_dir: str):
     """kNN-graph reciprocity / hubness health report (rows-only:
     geometry-fixture invariants unit-tested)."""
@@ -2331,6 +2345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_lift": _q_type_lift,
         "retention_curve": _q_retention_curve,
         "knn_graph_stats": _q_knn_graph_stats,
+        "repeated_turns": _q_repeated_turns,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,
@@ -3352,6 +3367,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "repeated_turns": r"""
+            WITH c AS (
+                SELECT source AS conv_id, md5(text) AS h,
+                       count(*)::BIGINT AS n
+                FROM documents GROUP BY 1, 2)
+            SELECT conv_id,
+                   sum(n)::BIGINT AS n_turns,
+                   count(*)::BIGINT AS n_distinct,
+                   max(n)::BIGINT AS max_repeat
+            FROM c GROUP BY conv_id
+        """,
         "retention_curve": r"""
             WITH u AS (
                 SELECT user_id,

@@ -443,3 +443,50 @@ def role_transitions(turns_ds, *, conv_col: str = "conv_id",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def repeated_turn_report(turns_ds, *, conv_col: str = "conv_id",
+                         text_col: str = "text"):
+    """Agent-loop detector -> (conv_id, n_turns, n_distinct,
+    max_repeat): conversations whose turns repeat verbatim (retry
+    loops, stuck agents) show up as max_repeat >> 1 / low distinct
+    ratio — the transcript-level cousin of within-doc
+    repetition_stats.
+
+    Shape: turns pre-collapse per block to (conv, text_hash, count)
+    combiner rows — text itself never shuffles — then one
+    groupby(conv, hash) sum and a per-conv finalize over its distinct
+    hashes.
+    """
+    from hashlib import md5 as _md5
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        convs = batch.column(conv_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        hs = [_md5((t or "").encode("utf-8", "surrogatepass"))
+              .hexdigest() for t in texts]
+        t = pa.table({conv_col: pa.array(convs), "h": pa.array(hs)})
+        agg = t.group_by([conv_col, "h"]).aggregate([([], "count_all")])
+        return pa.table({
+            conv_col: agg.column(conv_col),
+            "h": agg.column("h"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    counts = coalesce_small(
+        turns_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby([conv_col, "h"]).aggregate(Sum("partial_n"))
+
+    def finish(group: pa.Table) -> pa.Table:
+        n = group.column("sum(partial_n)").to_pylist()
+        return pa.table({
+            conv_col: pa.array([group.column(conv_col)[0].as_py()]),
+            "n_turns": pa.array([int(sum(n))], pa.int64()),
+            "n_distinct": pa.array([len(n)], pa.int64()),
+            "max_repeat": pa.array([int(max(n))], pa.int64()),
+        })
+
+    return counts.groupby(conv_col).map_groups(finish,
+                                               batch_format="pyarrow")

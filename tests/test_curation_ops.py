@@ -4251,3 +4251,22 @@ class TestKnnGraphStats:
         assert got["n_vectors"] == 8
         assert got["reciprocal_rate"] == 1.0
         assert got["max_in_degree"] == 3
+
+
+class TestRepeatedTurnReport:
+    def test_loop_detection(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.conversations import repeated_turn_report
+
+        t = pa.table({
+            "conv_id": pa.array(["loop", "loop", "loop", "ok", "ok"]),
+            "text": pa.array(["retry", "retry", "retry", "hi", "bye"]),
+        })
+        got = repeated_turn_report(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("conv_id")
+        assert got.loc["loop", "max_repeat"] == 3
+        assert got.loc["loop", "n_distinct"] == 1
+        assert got.loc["ok", "max_repeat"] == 1
+        assert got.loc["ok", "n_turns"] == 2
