@@ -1212,6 +1212,24 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_connected_components(sf_dir: str):
+    """Generic Hash-Min CC over a star graph (doc -> its 50-group
+    head): components are the 50-groups, so the oracle is the closed
+    form label = (doc_id // 50) * 50; harder topologies (bridges,
+    chains, round-limited propagation) are unit-tested."""
+    from selma_ray.pipelines.graph import connected_components
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        fifty = pa.scalar(50, pa.int64())
+        head = pc.multiply(pc.divide(ids, fifty), fifty)
+        return pa.table({"src": ids, "dst": head})
+
+    e = _read(sf_dir, "documents").map_batches(edges,
+                                               batch_format="pyarrow")
+    return connected_components(e, rounds=3)
+
+
 def _q_repeated_turns(sf_dir: str):
     """Agent-loop detector over the doc-derived turn stream
     (conv = source)."""
@@ -2346,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_curve": _q_retention_curve,
         "knn_graph_stats": _q_knn_graph_stats,
         "repeated_turns": _q_repeated_turns,
+        "connected_components": _q_connected_components,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,
@@ -3367,6 +3386,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "connected_components": r"""
+            SELECT doc_id::BIGINT AS node,
+                   ((doc_id // 50) * 50)::BIGINT AS label
+            FROM documents
+        """,
         "repeated_turns": r"""
             WITH c AS (
                 SELECT source AS conv_id, md5(text) AS h,

@@ -136,3 +136,78 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             }), batch_format="pyarrow").materialize()
 
     return ranks.select_columns(["node", "rank"])
+
+
+def connected_components(edges_ds, *, src_col: str = "src",
+                         dst_col: str = "dst", rounds: int = 12,
+                         num_partitions: int = 8):
+    """Undirected connected components by Hash-Min label propagation
+    -> (node:int64, label:int64), label = the component's minimum node
+    id once ``rounds`` >= graph diameter (the generic, query-exposed
+    sibling of the dedup module's internal pass).
+
+    Runs EXACTLY ``rounds`` rounds — deterministic output even if the
+    graph hasn't converged, which is what lets an oracle run the same
+    fixed unrolled rounds and match label-for-label. Per round: one
+    hash join (symmetrized edges x labels on src) + one groupby(dst)
+    min — the edge table streams through, labels are the only state
+    (node-cardinality, re-materialized per round).
+    """
+    import ray.data
+
+    from ray.data.aggregate import Min
+
+    from ..stages.util import coalesce_small
+
+    edges = edges_ds.map_batches(
+        lambda b: pa.table({
+            "src": pc.cast(b.column(src_col), pa.int64()),
+            "dst": pc.cast(b.column(dst_col), pa.int64()),
+        }), batch_format="pyarrow")
+    sym = edges.union(edges.map_batches(
+        lambda b: pa.table({"src": b.column("dst"),
+                            "dst": b.column("src")}),
+        batch_format="pyarrow")).materialize()
+
+    nodes = _distinct_int(sym, "src", "node").materialize()
+    labels = nodes.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "label": b.column("node")}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        lab_src = labels.map_batches(
+            lambda b: pa.table({"src": b.column("node"),
+                                "slabel": b.column("label")}),
+            batch_format="pyarrow")
+        hits = sym.join(coalesce_small(lab_src), join_type="inner",
+                        num_partitions=num_partitions, on=("src",))
+
+        def nbr_partial(batch: pa.Table) -> pa.Table:
+            g = pa.table({"node": batch.column("dst"),
+                          "nl": batch.column("slabel")}) \
+                .group_by("node").aggregate([("nl", "min")])
+            return pa.table({"node": g.column("node"),
+                             "p_min": g.column("nl_min")})
+
+        nbr = coalesce_small(
+            hits.map_batches(nbr_partial, batch_format="pyarrow")) \
+            .groupby("node").aggregate(Min("p_min"))
+
+        labels = labels.join(
+            coalesce_small(nbr.map_batches(
+                lambda b: pa.table({
+                    "node": pc.cast(b.column("node"), pa.int64()),
+                    "nmin": pc.cast(b.column("min(p_min)"), pa.int64()),
+                }), batch_format="pyarrow")),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node",)).map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "label": pc.min_element_wise(
+                    b.column("label"),
+                    pc.fill_null(b.column("nmin"),
+                                 pa.scalar(2**62, pa.int64()))),
+            }), batch_format="pyarrow").materialize()
+
+    return labels

@@ -4270,3 +4270,41 @@ class TestRepeatedTurnReport:
         assert got.loc["loop", "n_distinct"] == 1
         assert got.loc["ok", "max_repeat"] == 1
         assert got.loc["ok", "n_turns"] == 2
+
+
+class TestConnectedComponents:
+    def test_bridged_components_and_round_limit(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.graph import connected_components
+
+        # component A: chain 1-2-3 ; component B: 10-11; isolated: 20
+        e = pa.table({
+            "src": pa.array([1, 2, 10, 20], pa.int64()),
+            "dst": pa.array([2, 3, 11, 20], pa.int64()),
+        })
+        got = connected_components(ray.data.from_arrow(e), rounds=4) \
+            .to_pandas().set_index("node")["label"].to_dict()
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    def test_fixed_rounds_deterministic_even_unconverged(self,
+                                                         ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.graph import connected_components
+
+        # a 5-chain needs 4 rounds to converge; run only 1 round and
+        # assert the exact partial labels (min over 1-hop neighborhood)
+        e = pa.table({
+            "src": pa.array([1, 2, 3, 4], pa.int64()),
+            "dst": pa.array([2, 3, 4, 5], pa.int64()),
+        })
+        got = connected_components(ray.data.from_arrow(e), rounds=1) \
+            .to_pandas().set_index("node")["label"].to_dict()
+        assert got == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+        # and it IS converged at 4 rounds
+        full = connected_components(ray.data.from_arrow(e), rounds=4) \
+            .to_pandas()["label"].tolist()
+        assert set(full) == {1}
