@@ -170,6 +170,10 @@ def connected_components(edges_ds, *, src_col: str = "src",
         batch_format="pyarrow")).materialize()
 
     nodes = _distinct_int(sym, "src", "node").materialize()
+    # sparse keys + many hash partitions -> empty (schemaless)
+    # partitions that Acero rejects; scale partitions to cardinality
+    n_nodes = nodes.count()
+    num_partitions = max(1, min(num_partitions, n_nodes // 4 or 1))
     labels = nodes.map_batches(
         lambda b: pa.table({"node": b.column("node"),
                             "label": b.column("node")}),
@@ -180,8 +184,9 @@ def connected_components(edges_ds, *, src_col: str = "src",
             lambda b: pa.table({"src": b.column("node"),
                                 "slabel": b.column("label")}),
             batch_format="pyarrow")
-        hits = sym.join(coalesce_small(lab_src), join_type="inner",
-                        num_partitions=num_partitions, on=("src",))
+        hits = coalesce_small(sym).join(
+            coalesce_small(lab_src), join_type="inner",
+            num_partitions=num_partitions, on=("src",))
 
         def nbr_partial(batch: pa.Table) -> pa.Table:
             g = pa.table({"node": batch.column("dst"),
@@ -194,7 +199,7 @@ def connected_components(edges_ds, *, src_col: str = "src",
             hits.map_batches(nbr_partial, batch_format="pyarrow")) \
             .groupby("node").aggregate(Min("p_min"))
 
-        labels = labels.join(
+        labels = coalesce_small(labels).join(
             coalesce_small(nbr.map_batches(
                 lambda b: pa.table({
                     "node": pc.cast(b.column("node"), pa.int64()),
