@@ -1212,6 +1212,23 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_bfs_depth(sf_dir: str):
+    """Multi-source BFS over the star graph (seeds = group heads);
+    closed-form oracle: heads depth 0, members depth 1."""
+    from selma_ray.pipelines.graph import bfs_depth
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        fifty = pa.scalar(50, pa.int64())
+        head = pc.multiply(pc.divide(ids, fifty), fifty)
+        return pa.table({"src": ids, "dst": head})
+
+    e = _read(sf_dir, "documents").map_batches(edges,
+                                               batch_format="pyarrow")
+    seeds = list(range(0, 500, 50))
+    return bfs_depth(e, seeds, rounds=3)
+
+
 def _q_connected_components(sf_dir: str):
     """Generic Hash-Min CC over a star graph (doc -> its 50-group
     head): components are the 50-groups, so the oracle is the closed
@@ -2365,6 +2382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_stats": _q_knn_graph_stats,
         "repeated_turns": _q_repeated_turns,
         "connected_components": _q_connected_components,
+        "bfs_depth": _q_bfs_depth,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,
@@ -3386,6 +3404,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "bfs_depth": r"""
+            SELECT doc_id::BIGINT AS node,
+                   CASE WHEN doc_id % 50 = 0 AND doc_id < 500
+                        THEN 0
+                        WHEN (doc_id // 50) * 50 < 500 THEN 1
+                        ELSE -1 END::BIGINT AS depth
+            FROM documents
+        """,
         "connected_components": r"""
             SELECT doc_id::BIGINT AS node,
                    ((doc_id // 50) * 50)::BIGINT AS label

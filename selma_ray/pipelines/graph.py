@@ -216,3 +216,93 @@ def connected_components(edges_ds, *, src_col: str = "src",
             }), batch_format="pyarrow").materialize()
 
     return labels
+
+
+def bfs_depth(edges_ds, seeds, *, src_col: str = "src",
+              dst_col: str = "dst", rounds: int = 8,
+              num_partitions: int = 8, unreachable: int = -1):
+    """Multi-source BFS depth by min-plus propagation -> (node:int64,
+    depth:int64): hop distance to the nearest seed over the
+    undirected graph, ``unreachable`` (-1) for nodes no seed reaches
+    within ``rounds`` (fixed rounds, same determinism contract as
+    connected_components). Per round: one join + one groupby(min) —
+    depth table is the only state.
+    """
+    import ray.data
+
+    from ray.data.aggregate import Min
+
+    from ..stages.util import coalesce_small
+
+    INF = 2 ** 62
+
+    edges = edges_ds.map_batches(
+        lambda b: pa.table({
+            "src": pc.cast(b.column(src_col), pa.int64()),
+            "dst": pc.cast(b.column(dst_col), pa.int64()),
+        }), batch_format="pyarrow")
+    sym = edges.union(edges.map_batches(
+        lambda b: pa.table({"src": b.column("dst"),
+                            "dst": b.column("src")}),
+        batch_format="pyarrow")).materialize()
+
+    nodes = _distinct_int(sym, "src", "node").materialize()
+    n_nodes = nodes.count()
+    num_partitions = max(1, min(num_partitions, n_nodes // 4 or 1))
+    seed_set = set(int(s) for s in seeds)
+
+    def init(batch: pa.Table) -> pa.Table:
+        ns = batch.column("node").to_numpy(zero_copy_only=False)
+        d = np.where(np.isin(ns, list(seed_set)), 0, INF)
+        return pa.table({"node": pa.array(ns, pa.int64()),
+                         "depth": pa.array(d.astype(np.int64),
+                                           pa.int64())})
+
+    depth = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        d_src = depth.map_batches(
+            lambda b: pa.table({"src": b.column("node"),
+                                "sdepth": b.column("depth")}),
+            batch_format="pyarrow")
+        hits = coalesce_small(sym).join(
+            coalesce_small(d_src), join_type="inner",
+            num_partitions=num_partitions, on=("src",))
+
+        def nbr(batch: pa.Table) -> pa.Table:
+            g = pa.table({"node": batch.column("dst"),
+                          "nd": pc.add(batch.column("sdepth"),
+                                       pa.scalar(1, pa.int64()))}) \
+                .group_by("node").aggregate([("nd", "min")])
+            return pa.table({"node": g.column("node"),
+                             "p_min": g.column("nd_min")})
+
+        best = coalesce_small(
+            hits.map_batches(nbr, batch_format="pyarrow")) \
+            .groupby("node").aggregate(Min("p_min"))
+
+        depth = coalesce_small(depth).join(
+            coalesce_small(best.map_batches(
+                lambda b: pa.table({
+                    "node": pc.cast(b.column("node"), pa.int64()),
+                    "nmin": pc.cast(b.column("min(p_min)"), pa.int64()),
+                }), batch_format="pyarrow")),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node",)).map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "depth": pc.min_element_wise(
+                    b.column("depth"),
+                    pc.fill_null(b.column("nmin"),
+                                 pa.scalar(INF, pa.int64()))),
+            }), batch_format="pyarrow").materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("depth").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": batch.column("node"),
+            "depth": pa.array(np.where(d >= INF, unreachable, d)
+                              .astype(np.int64), pa.int64()),
+        })
+
+    return depth.map_batches(finish, batch_format="pyarrow")

@@ -4308,3 +4308,34 @@ class TestConnectedComponents:
         full = connected_components(ray.data.from_arrow(e), rounds=4) \
             .to_pandas()["label"].tolist()
         assert set(full) == {1}
+
+
+class TestBfsDepth:
+    def test_chain_depths_and_unreachable(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.graph import bfs_depth
+
+        # chain 1-2-3-4, isolated pair 10-11; seed = 1
+        e = pa.table({
+            "src": pa.array([1, 2, 3, 10], pa.int64()),
+            "dst": pa.array([2, 3, 4, 11], pa.int64()),
+        })
+        got = bfs_depth(ray.data.from_arrow(e), [1], rounds=5) \
+            .to_pandas().set_index("node")["depth"].to_dict()
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3, 10: -1, 11: -1}
+
+    def test_round_limit_leaves_far_nodes_unreached(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.graph import bfs_depth
+
+        e = pa.table({
+            "src": pa.array([1, 2, 3], pa.int64()),
+            "dst": pa.array([2, 3, 4], pa.int64()),
+        })
+        got = bfs_depth(ray.data.from_arrow(e), [1], rounds=1) \
+            .to_pandas().set_index("node")["depth"].to_dict()
+        assert got == {1: 0, 2: 1, 3: -1, 4: -1}
