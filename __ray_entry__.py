@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_corpus_card(sf_dir: str):
+    """One-row dataset-card KPI block."""
+    from selma_ray.pipelines.corpus import corpus_card
+
+    return corpus_card(_read(sf_dir, "documents"))
+
+
 def _q_bfs_depth(sf_dir: str):
     """Multi-source BFS over the star graph (seeds = group heads);
     closed-form oracle: heads depth 0, members depth 1."""
@@ -2383,6 +2390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_turns": _q_repeated_turns,
         "connected_components": _q_connected_components,
         "bfs_depth": _q_bfs_depth,
+        "corpus_card": _q_corpus_card,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,
@@ -3404,6 +3412,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "corpus_card": r"""
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_extract_all(text, '\S+')))::BIGINT
+                       AS n_tokens,
+                   sum(length(text))::BIGINT AS n_chars,
+                   count(DISTINCT lang)::BIGINT AS n_langs,
+                   count(DISTINCT source)::BIGINT AS n_sources,
+                   count(DISTINCT md5(text))::BIGINT AS distinct_texts,
+                   1.0 - count(DISTINCT md5(text))
+                       / count(*)::DOUBLE AS value_dup_rate
+            FROM documents
+        """,
         "bfs_depth": r"""
             SELECT doc_id::BIGINT AS node,
                    CASE WHEN doc_id % 50 = 0 AND doc_id < 500

@@ -1272,3 +1272,68 @@ def feature_hash_audit(ds, *, text_col: str = "text",
 
     return vocab.repartition(1).map_batches(finish, batch_format="pyarrow",
                                             batch_size=None)
+
+
+def corpus_card(ds, *, text_col: str = "text"):
+    """One-row corpus data card -> (n_docs, n_tokens, n_chars,
+    n_langs, n_sources, distinct_texts, value_dup_rate): the summary
+    block of a dataset card, computed in three bounded passes — a
+    map-only counters pass (one partial row per block), a tiny
+    distinct pass over (lang, source), and the usual hash-distinct
+    pass for the exact duplicate rate. All integers; the dup rate is
+    one exact division.
+    """
+    from hashlib import md5 as _md5
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import token_count_batch
+
+    def counters(batch: pa.Table) -> pa.Table:
+        toks = pc.sum(pc.cast(token_count_batch(
+            pc.coalesce(batch.column(text_col), pa.scalar(""))),
+            pa.int64())).as_py() or 0
+        chars = pc.sum(pc.utf8_length(
+            pc.coalesce(batch.column(text_col),
+                        pa.scalar("")))).as_py() or 0
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "t": pa.array([int(toks)], pa.int64()),
+            "c": pa.array([int(chars)], pa.int64()),
+        })
+
+    totals = coalesce_small(
+        ds.map_batches(counters, batch_format="pyarrow")) \
+        .sum(["n", "t", "c"])
+
+    def cats(batch: pa.Table) -> pa.Table:
+        return batch.select(["lang", "source"]) \
+            .group_by(["lang", "source"]).aggregate([])
+
+    cat_rows = coalesce_small(
+        ds.map_batches(cats, batch_format="pyarrow")) \
+        .groupby(["lang", "source"]).count().take_all()
+    n_langs = len({r["lang"] for r in cat_rows})
+    n_sources = len({r["source"] for r in cat_rows})
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        hs = [_md5((t or "").encode("utf-8", "surrogatepass"))
+              .hexdigest() for t in batch.column(text_col).to_pylist()]
+        return pa.table({"h": pa.array(sorted(set(hs)), pa.string())})
+
+    distinct = coalesce_small(
+        ds.map_batches(hashes, batch_format="pyarrow")) \
+        .groupby("h").count().count()
+
+    import ray.data
+
+    n = int(totals["sum(n)"])
+    return ray.data.from_arrow(pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "n_tokens": pa.array([int(totals["sum(t)"])], pa.int64()),
+        "n_chars": pa.array([int(totals["sum(c)"])], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_sources": pa.array([n_sources], pa.int64()),
+        "distinct_texts": pa.array([int(distinct)], pa.int64()),
+        "value_dup_rate": pa.array([1.0 - distinct / n], pa.float64()),
+    }))

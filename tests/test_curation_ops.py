@@ -4339,3 +4339,24 @@ class TestBfsDepth:
         got = bfs_depth(ray.data.from_arrow(e), [1], rounds=1) \
             .to_pandas().set_index("node")["depth"].to_dict()
         assert got == {1: 0, 2: 1, 3: -1, 4: -1}
+
+
+class TestCorpusCard:
+    def test_kpis(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import corpus_card
+
+        t = pa.table({
+            "text": pa.array(["a b", "a b", "c"]),
+            "lang": pa.array(["en", "en", "de"]),
+            "source": pa.array(["s1", "s2", "s1"]),
+        })
+        got = corpus_card(ray.data.from_arrow(t).repartition(2)) \
+            .to_pandas().iloc[0]
+        assert got["n_docs"] == 3
+        assert got["n_tokens"] == 5
+        assert got["n_langs"] == 2 and got["n_sources"] == 2
+        assert got["distinct_texts"] == 2
+        assert abs(got["value_dup_rate"] - 1 / 3) < 1e-15
