@@ -1212,6 +1212,20 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth per 50-doc slice."""
+    from selma_ray.pipelines.corpus import vocab_growth
+
+    return vocab_growth(_read(sf_dir, "documents"), bucket_docs=50)
+
+
+def _q_churned_users(sf_dir: str):
+    """Before/after day-15 churn census."""
+    from selma_ray.pipelines.relational import churned_users
+
+    return churned_users(_read(sf_dir, "events"), split_day=15)
+
+
 def _q_corpus_card(sf_dir: str):
     """One-row dataset-card KPI block."""
     from selma_ray.pipelines.corpus import corpus_card
@@ -2391,6 +2405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_connected_components,
         "bfs_depth": _q_bfs_depth,
         "corpus_card": _q_corpus_card,
+        "vocab_growth": _q_vocab_growth,
+        "churned_users": _q_churned_users,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
         "activity_heatmap": _q_activity_heatmap,
@@ -3412,6 +3428,48 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "vocab_growth": r"""
+            WITH f AS (
+                SELECT term, min(doc_id // 50)::BIGINT AS bucket
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\S+'))
+                                 AS term
+                      FROM documents)
+                GROUP BY term),
+            h AS (SELECT bucket, count(*)::BIGINT AS new_terms
+                  FROM f GROUP BY bucket)
+            SELECT bucket, new_terms,
+                   sum(new_terms) OVER (ORDER BY bucket
+                                        ROWS UNBOUNDED PRECEDING)
+                       ::BIGINT AS cum_vocab
+            FROM h
+        """,
+        "churned_users": r"""
+            WITH d0 AS (
+                SELECT min(epoch_us(ts) // 86400000000) AS day0
+                FROM events),
+            u AS (
+                SELECT user_id,
+                       min(epoch_us(ts) // 86400000000) AS fd,
+                       max(epoch_us(ts) // 86400000000) AS ld
+                FROM events GROUP BY user_id),
+            c AS (
+                SELECT
+                    count(*) FILTER (WHERE fd - d0.day0 < 15
+                                       AND ld - d0.day0 >= 15)
+                        ::BIGINT AS retained,
+                    count(*) FILTER (WHERE fd - d0.day0 < 15
+                                       AND ld - d0.day0 < 15)
+                        ::BIGINT AS churned,
+                    count(*) FILTER (WHERE fd - d0.day0 >= 15)
+                        ::BIGINT AS new_users
+                FROM u, d0)
+            SELECT retained, churned, new_users,
+                   CASE WHEN retained + churned = 0 THEN 0.0
+                        ELSE churned / (retained + churned)::DOUBLE
+                   END AS value_churn_rate
+            FROM c
+        """,
         "corpus_card": r"""
             SELECT count(*)::BIGINT AS n_docs,
                    sum(len(regexp_extract_all(text, '\S+')))::BIGINT

@@ -1337,3 +1337,63 @@ def corpus_card(ds, *, text_col: str = "text"):
         "distinct_texts": pa.array([int(distinct)], pa.int64()),
         "value_dup_rate": pa.array([1.0 - distinct / n], pa.float64()),
     }))
+
+
+def vocab_growth(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 bucket_docs: int = 50):
+    """Vocabulary growth curve (Heaps-law view) -> (bucket, new_terms,
+    cum_vocab): how many never-seen-before terms each successive
+    ``bucket_docs``-doc slice of the corpus (ordered by id)
+    contributes — flattening curve = diminishing vocab returns.
+
+    Exact and shuffle-light: per-batch distinct (term, min bucket)
+    partials -> one groupby(term) min = each term's FIRST bucket ->
+    a bucket histogram of first-appearances -> in-task cumsum over the
+    tiny curve.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.coalesce(batch.column(text_col), pa.scalar("")), r"\s+")
+        parent = pc.list_parent_indices(toks)
+        words = pc.list_flatten(toks)
+        keep = pc.not_equal(words, pa.scalar(""))
+        parent = parent.filter(keep)
+        words = words.filter(keep)
+        buckets = pc.cast(pc.divide(
+            pc.take(ids, parent), pa.scalar(bucket_docs, pa.int64())),
+            pa.int64())
+        t = pa.table({"term": words, "b": buckets})
+        agg = t.group_by("term").aggregate([("b", "min")])
+        return pa.table({"term": agg.column("term"),
+                         "p_min": agg.column("b_min")})
+
+    first = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("term").aggregate(Min("p_min"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        agg = pa.table({"bucket": batch.column("min(p_min)")}) \
+            .group_by("bucket").aggregate([([], "count_all")])
+        return pa.table({
+            "bucket": agg.column("bucket"),
+            "p_new": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    curve = coalesce_small(first.map_batches(hist, batch_format="pyarrow")) \
+        .groupby("bucket").aggregate(Sum("p_new"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        g = batch.sort_by([("bucket", "ascending")])
+        new = g.column("sum(p_new)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": g.column("bucket"),
+            "new_terms": pa.array(new, pa.int64()),
+            "cum_vocab": pa.array(np.cumsum(new), pa.int64()),
+        })
+
+    return curve.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                            batch_size=None)

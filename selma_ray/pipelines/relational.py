@@ -3877,3 +3877,55 @@ def ab_test_zstat(events_ds):
         "conv_b": pa.array([cb], pa.int64()),
         "value_z": pa.array([float(z)], pa.float64()),
     }))
+
+
+def churned_users(events_ds, *, split_day: int = 15):
+    """Churn census -> one row (retained, churned, new_users,
+    value_churn_rate): users active before day-index ``split_day``
+    (since the corpus min day) vs at-or-after it. churned =
+    before-only; new = after-only; retained = both. Exact set algebra
+    on the reduced per-user (first day, last day) table — per-batch
+    min/max partials, one groupby(user), driver counters.
+    """
+    from ray.data.aggregate import Max, Min
+
+    def flags(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        t = pa.table({"user_id": batch.column("user_id"), "day": day})
+        agg = t.group_by("user_id").aggregate([("day", "min"),
+                                               ("day", "max")])
+        return pa.table({
+            "user_id": agg.column("user_id"),
+            "p_min": agg.column("day_min"),
+            "p_max": agg.column("day_max"),
+        })
+
+    per_user2 = coalesce_small(
+        events_ds.map_batches(flags, batch_format="pyarrow")) \
+        .groupby("user_id").aggregate(Min("p_min"), Max("p_max")) \
+        .take_all()
+    day0 = min(r["min(p_min)"] for r in per_user2)
+    retained = churned = new = 0
+    for r in per_user2:
+        before = r["min(p_min)"] - day0 < split_day
+        after = r["max(p_max)"] - day0 >= split_day
+        if before and after:
+            retained += 1
+        elif before:
+            churned += 1
+        else:
+            new += 1
+
+    import ray.data
+
+    before_total = retained + churned
+    return ray.data.from_arrow(pa.table({
+        "retained": pa.array([retained], pa.int64()),
+        "churned": pa.array([churned], pa.int64()),
+        "new_users": pa.array([new], pa.int64()),
+        "value_churn_rate": pa.array(
+            [churned / before_total if before_total else 0.0],
+            pa.float64()),
+    }))

@@ -4360,3 +4360,47 @@ class TestCorpusCard:
         assert got["n_langs"] == 2 and got["n_sources"] == 2
         assert got["distinct_texts"] == 2
         assert abs(got["value_dup_rate"] - 1 / 3) < 1e-15
+
+
+class TestVocabGrowth:
+    def test_first_appearance_accounting(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import vocab_growth
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            # bucket 0 (docs 0-1): a b c ; bucket 1 (docs 2-3): b d
+            "text": pa.array(["a b", "c a", "b b", "d"]),
+        })
+        got = vocab_growth(ray.data.from_arrow(t).repartition(3),
+                           bucket_docs=2).to_pandas() \
+            .set_index("bucket")
+        assert got.loc[0, "new_terms"] == 3
+        assert got.loc[1, "new_terms"] == 1    # only 'd' is new
+        assert got.loc[1, "cum_vocab"] == 4
+
+
+class TestChurnedUsers:
+    def test_set_algebra(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import churned_users
+
+        d = lambda i: dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        # u1: before only; u2: both; u3: after only
+        t = pa.table({
+            "user_id": pa.array([1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([d(0), d(1), d(20), d(21)],
+                           pa.timestamp("us")),
+        })
+        got = churned_users(ray.data.from_arrow(t), split_day=15) \
+            .to_pandas().iloc[0]
+        assert got["retained"] == 1
+        assert got["churned"] == 1
+        assert got["new_users"] == 1
+        assert got["value_churn_rate"] == 0.5
