@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_distinctive_terms(sf_dir: str):
+    """Fightin'-Words distinctive terms per language (top-5)."""
+    from selma_ray.pipelines.corpus import distinctive_terms
+
+    return distinctive_terms(_read(sf_dir, "documents"),
+                             group_col="lang", top_k=5, alpha=0.01)
+
+
 def _q_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary growth per 50-doc slice."""
     from selma_ray.pipelines.corpus import vocab_growth
@@ -2406,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depth": _q_bfs_depth,
         "corpus_card": _q_corpus_card,
         "vocab_growth": _q_vocab_growth,
+        "distinctive_terms": _q_distinctive_terms,
         "churned_users": _q_churned_users,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
@@ -3428,6 +3437,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "distinctive_terms": r"""
+            WITH tf AS (
+                SELECT lang AS grp,
+                       unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents),
+            c AS (SELECT grp, term, count(*)::BIGINT AS n
+                  FROM tf GROUP BY grp, term),
+            tt AS (SELECT term, sum(n)::BIGINT AS y_all
+                   FROM c GROUP BY term),
+            tg AS (SELECT grp, sum(n)::BIGINT AS ni FROM c GROUP BY grp),
+            tot AS (SELECT sum(n)::BIGINT AS total FROM c),
+            z AS (
+                SELECT c.grp, c.term, c.n AS n_in,
+                       tt.y_all - c.n AS n_out,
+                       (ln((c.n + 0.01 * tt.y_all)
+                           / (tg.ni + 0.01 * tot.total - c.n
+                              - 0.01 * tt.y_all))
+                        - ln((tt.y_all - c.n + 0.01 * tt.y_all)
+                             / (tot.total - tg.ni + 0.01 * tot.total
+                                - (tt.y_all - c.n)
+                                - 0.01 * tt.y_all)))
+                       / sqrt(1.0 / (c.n + 0.01 * tt.y_all)
+                              + 1.0 / (tt.y_all - c.n
+                                       + 0.01 * tt.y_all))
+                           AS value_zeta
+                FROM c
+                JOIN tt USING (term)
+                JOIN tg ON tg.grp = c.grp
+                CROSS JOIN tot)
+            SELECT grp, term, n_in, n_out, value_zeta
+            FROM z
+            QUALIFY row_number() OVER (
+                PARTITION BY grp
+                ORDER BY floor(value_zeta * 1000000 + 0.5) / 1000000
+                             DESC,
+                         term) <= 5
+        """,
         "vocab_growth": r"""
             WITH f AS (
                 SELECT term, min(doc_id // 50)::BIGINT AS bucket

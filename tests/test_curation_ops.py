@@ -4404,3 +4404,25 @@ class TestChurnedUsers:
         assert got["churned"] == 1
         assert got["new_users"] == 1
         assert got["value_churn_rate"] == 0.5
+
+
+class TestDistinctiveTerms:
+    def test_group_exclusive_term_ranks_first(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import distinctive_terms
+
+        t = pa.table({
+            "lang": pa.array(["en"] * 4 + ["de"] * 4),
+            "text": pa.array(["shared onlyen"] * 4
+                             + ["shared onlyde"] * 4),
+        })
+        got = distinctive_terms(ray.data.from_arrow(t),
+                                group_col="lang", top_k=1) \
+            .to_pandas().set_index("grp")
+        # each group's most characteristic term is its exclusive one
+        assert got.loc["en", "term"] == "onlyen"
+        assert got.loc["de", "term"] == "onlyde"
+        assert got.loc["en", "value_zeta"] > 0
+        assert got.loc["en", "n_out"] == 0
