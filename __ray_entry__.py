@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_term_burstiness(sf_dir: str):
+    """Church-Gale burstiness (Fano factor) per term."""
+    from selma_ray.pipelines.corpus import term_burstiness
+
+    return term_burstiness(_read(sf_dir, "documents"))
+
+
 def _q_distinctive_terms(sf_dir: str):
     """Fightin'-Words distinctive terms per language (top-5)."""
     from selma_ray.pipelines.corpus import distinctive_terms
@@ -2415,6 +2422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_card": _q_corpus_card,
         "vocab_growth": _q_vocab_growth,
         "distinctive_terms": _q_distinctive_terms,
+        "term_burstiness": _q_term_burstiness,
         "churned_users": _q_churned_users,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
@@ -3437,6 +3445,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "term_burstiness": r"""
+            WITH d AS (SELECT count(*)::HUGEINT AS n_docs
+                       FROM documents),
+            c AS (
+                SELECT doc_id, term, count(*)::BIGINT AS c
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\S+'))
+                                 AS term
+                      FROM documents)
+                GROUP BY doc_id, term),
+            m AS (
+                SELECT term,
+                       sum(c)::HUGEINT AS s,
+                       sum(c::HUGEINT * c::HUGEINT)::HUGEINT AS q
+                FROM c GROUP BY term)
+            SELECT term, s::BIGINT AS n_total,
+                   (d.n_docs * q - s * s)::DOUBLE
+                       / (d.n_docs * s)::DOUBLE AS value_fano
+            FROM m, d
+        """,
         "distinctive_terms": r"""
             WITH tf AS (
                 SELECT lang AS grp,

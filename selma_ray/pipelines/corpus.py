@@ -1486,3 +1486,78 @@ def distinctive_terms(ds, *, group_col: str = "lang",
 
     return counts.repartition(1).map_batches(finish, batch_format="pyarrow",
                                              batch_size=None)
+
+
+def term_burstiness(ds, *, text_col: str = "text"):
+    """Term burstiness -> (term, n_total, value_fano): the Fano factor
+    (variance-to-mean, population, over per-document counts with
+    zero-docs included) of each term — bursty content words score
+    >> 1, evenly-sprinkled function words ~<= 1 (Church & Gale's
+    burstiness, the classic stopword/content discriminator that
+    needs no stopword list).
+
+    Exact: per-batch (term, sum c, sum c^2, docs-in-batch) partials ->
+    one groupby(term); fano = (D*Q - S^2) / (D*S) evaluates from
+    exact integer moments with ONE float division. Zero-count docs
+    contribute through D without ever materializing zeros.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.arange(batch.num_rows, dtype=np.int64)
+        toks = pc.split_pattern_regex(
+            pc.coalesce(batch.column(text_col), pa.scalar("")), r"\s+")
+        parent = pc.list_parent_indices(toks)
+        words = pc.list_flatten(toks)
+        keep = pc.not_equal(words, pa.scalar(""))
+        parent = parent.filter(keep)
+        words = words.filter(keep)
+        t = pa.table({"row": parent, "term": words})
+        per_doc = t.group_by(["row", "term"]).aggregate([([], "count_all")])
+        c = pc.cast(per_doc.column("count_all"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t2 = pa.table({
+            "term": per_doc.column("term"),
+            "s": pa.array(c, pa.int64()),
+            "q": pa.array(c * c, pa.int64()),
+        })
+        agg = t2.group_by("term").aggregate([("s", "sum"), ("q", "sum")])
+        out = pa.table({
+            "term": agg.column("term"),
+            "p_s": pc.cast(agg.column("s_sum"), pa.int64()),
+            "p_q": pc.cast(agg.column("q_sum"), pa.int64()),
+            "p_d": pa.array(np.zeros(agg.num_rows, np.int64), pa.int64()),
+        })
+        # one marker row carries the batch's doc count ('' never a token)
+        marker = pa.table({
+            "term": pa.array([""], pa.string()),
+            "p_s": pa.array([0], pa.int64()),
+            "p_q": pa.array([0], pa.int64()),
+            "p_d": pa.array([batch.num_rows], pa.int64()),
+        })
+        return pa.concat_tables([out, marker])
+
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("term").aggregate(Sum("p_s"), Sum("p_q"), Sum("p_d"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        s = batch.column("sum(p_s)").to_pylist()
+        q = batch.column("sum(p_q)").to_pylist()
+        d = batch.column("sum(p_d)").to_pylist()
+        D = sum(dd for t, dd in zip(terms, d) if t == "")
+        out_t, out_s, out_f = [], [], []
+        for t, ss, qq in zip(terms, s, q):
+            if t == "":
+                continue
+            out_t.append(t)
+            out_s.append(ss)
+            out_f.append((D * qq - ss * ss) / (D * ss))
+        return pa.table({
+            "term": pa.array(out_t, pa.string()),
+            "n_total": pa.array(out_s, pa.int64()),
+            "value_fano": pa.array(out_f, pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          batch_size=None)

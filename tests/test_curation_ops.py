@@ -4426,3 +4426,24 @@ class TestDistinctiveTerms:
         assert got.loc["de", "term"] == "onlyde"
         assert got.loc["en", "value_zeta"] > 0
         assert got.loc["en", "n_out"] == 0
+
+
+class TestTermBurstiness:
+    def test_bursty_vs_even(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import term_burstiness
+
+        # "even" appears once in every doc; "burst" all in one doc
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["even burst burst burst burst",
+                              "even", "even", "even"]),
+        })
+        got = term_burstiness(ray.data.from_arrow(t).repartition(2)) \
+            .to_pandas().set_index("term")["value_fano"].to_dict()
+        # even: c=[1,1,1,1] -> var 0 -> fano 0
+        assert got["even"] == 0.0
+        # burst: c=[4,0,0,0], D=4, S=4, Q=16 -> (64-16)/16 = 3
+        assert got["burst"] == 3.0
