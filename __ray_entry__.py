@@ -1212,6 +1212,30 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_shuffle_quality(sf_dir: str):
+    """Mixedness audit of the epoch_shuffle order: same-source
+    adjacent-pair rate via exact halo-bucket adjacency."""
+    from selma_ray.pipelines.sampling import epoch_shuffle, shuffle_quality
+
+    perm = epoch_shuffle(_read(sf_dir, "documents"), seed=7)
+
+    def attach_source(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        # source = f"src{doc_id % 20}" by construction of the corpus
+        twenty = pa.scalar(20, pa.int64())
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, twenty),
+                                           twenty))
+        import pyarrow.compute as _pc
+        src = _pc.binary_join_element_wise(
+            pa.array(["src"] * batch.num_rows),
+            _pc.cast(mod, pa.string()), "")
+        return pa.table({"position": batch.column("position"),
+                         "source": src})
+
+    tagged = perm.map_batches(attach_source, batch_format="pyarrow")
+    return shuffle_quality(tagged, bucket_width=64)
+
+
 def _q_term_burstiness(sf_dir: str):
     """Church-Gale burstiness (Fano factor) per term."""
     from selma_ray.pipelines.corpus import term_burstiness
@@ -2423,6 +2447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "distinctive_terms": _q_distinctive_terms,
         "term_burstiness": _q_term_burstiness,
+        "shuffle_quality": _q_shuffle_quality,
         "churned_users": _q_churned_users,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
@@ -3445,6 +3470,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "shuffle_quality": r"""
+            WITH perm AS (
+                SELECT doc_id,
+                       (row_number() OVER (
+                            ORDER BY md5('7:' || doc_id), doc_id) - 1)
+                           ::BIGINT AS position
+                FROM documents),
+            t AS (SELECT position,
+                         'src' || (doc_id % 20)::VARCHAR AS source
+                  FROM perm),
+            w AS (SELECT source,
+                         lag(source) OVER (ORDER BY position) AS prev
+                  FROM t)
+            SELECT count(prev)::BIGINT AS n_pairs,
+                   count(*) FILTER (WHERE source = prev)::BIGINT
+                       AS same_group_pairs,
+                   count(*) FILTER (WHERE source = prev)
+                       / count(prev)::DOUBLE AS value_same_rate
+            FROM w
+        """,
         "term_burstiness": r"""
             WITH d AS (SELECT count(*)::HUGEINT AS n_docs
                        FROM documents),

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -564,3 +565,72 @@ def interleave_sources(ds, *, id_col: str = "doc_id",
 
     return ds.map_batches(slim, batch_format="pyarrow") \
         .groupby("bucket").map_groups(rank, batch_format="pyarrow")
+
+
+def shuffle_quality(ds, *, pos_col: str = "position",
+                    group_col: str = "source",
+                    bucket_width: int = 4096):
+    """Shuffle-mixedness audit -> one row (n_pairs, same_group_pairs,
+    value_same_rate): over the shuffled ORDER (``pos_col``), what
+    fraction of adjacent pairs come from the same ``group_col`` — a
+    well-mixed epoch should sit near sum(share^2) (the HHI), a lazy
+    shuffle near 1.
+
+    Exact global adjacency WITHOUT a global sort, via HALO buckets:
+    row at position p ships to bucket p//W and, when it straddles a
+    boundary, to (p+1)//W as well — every adjacent pair is co-located
+    in exactly one bucket task, none double-counted. Per-bucket
+    (pairs, same) partials sum to the global answer.
+    """
+    from ray.data.aggregate import Sum
+
+    W = bucket_width
+
+    def halo(batch: pa.Table) -> pa.Table:
+        pos = batch.column(pos_col).to_numpy(zero_copy_only=False)
+        grp = np.asarray(batch.column(group_col).to_pylist(),
+                         dtype=object)
+        b1 = pos // W
+        out_p = [pos, ]
+        out_g = [grp, ]
+        out_b = [b1, ]
+        straddle = (pos + 1) // W != b1
+        out_p.append(pos[straddle])
+        out_g.append(grp[straddle])
+        out_b.append(b1[straddle] + 1)
+        return pa.table({
+            "pos": pa.array(np.concatenate(out_p), pa.int64()),
+            "grp": pa.array(np.concatenate(out_g)),
+            "bucket": pa.array(np.concatenate(out_b), pa.int64()),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("pos", "ascending")])
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        grp = np.asarray(g.column("grp").to_pylist(), dtype=object)
+        bucket = int(g.column("bucket")[0].as_py())
+        adj = pos[1:] == pos[:-1] + 1
+        # count a pair only in the bucket of its SECOND element, so a
+        # straddling pair (counted in the halo bucket) is never doubled
+        owns = (pos[1:] // W) == bucket
+        use = adj & owns
+        same = (grp[1:] == grp[:-1]) & use
+        return pa.table({
+            "p_pairs": pa.array([int(use.sum())], pa.int64()),
+            "p_same": pa.array([int(same.sum())], pa.int64()),
+        })
+
+    agg = ds.map_batches(halo, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pyarrow") \
+        .sum(["p_pairs", "p_same"])
+
+    import ray.data
+
+    n_pairs = int(agg["sum(p_pairs)"])
+    same = int(agg["sum(p_same)"])
+    return ray.data.from_arrow(pa.table({
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "same_group_pairs": pa.array([same], pa.int64()),
+        "value_same_rate": pa.array(
+            [same / n_pairs if n_pairs else 0.0], pa.float64()),
+    }))

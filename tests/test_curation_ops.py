@@ -4447,3 +4447,25 @@ class TestTermBurstiness:
         assert got["even"] == 0.0
         # burst: c=[4,0,0,0], D=4, S=4, Q=16 -> (64-16)/16 = 3
         assert got["burst"] == 3.0
+
+
+class TestShuffleQuality:
+    def test_halo_adjacency_exact(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sampling import shuffle_quality
+
+        # positions 0..7, groups: a a b b a a b b
+        t = pa.table({
+            "position": pa.array(range(8), pa.int64()),
+            "source": pa.array(["a", "a", "b", "b",
+                                "a", "a", "b", "b"]),
+        })
+        # tiny bucket width forces straddling pairs through the halo
+        got = shuffle_quality(ray.data.from_arrow(t).repartition(3),
+                              bucket_width=3).to_pandas().iloc[0]
+        assert got["n_pairs"] == 7
+        # same-pairs: (0,1),(2,3),(4,5),(6,7) -> 4
+        assert got["same_group_pairs"] == 4
+        assert got["value_same_rate"] == 4 / 7
