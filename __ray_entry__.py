@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_random_projection(sf_dir: str):
+    """JL random projection of embeddings to 16 dims (rows-only:
+    distance-preservation + partitioning-determinism unit-tested)."""
+    from selma_ray.pipelines.similarity import random_projection
+
+    return random_projection(_read(sf_dir, "embeddings"), out_dim=16)
+
+
 def _q_shuffle_quality(sf_dir: str):
     """Mixedness audit of the epoch_shuffle order: same-source
     adjacent-pair rate via exact halo-bucket adjacency."""
@@ -2448,6 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": _q_distinctive_terms,
         "term_burstiness": _q_term_burstiness,
         "shuffle_quality": _q_shuffle_quality,
+        "random_projection": _q_random_projection,
         "churned_users": _q_churned_users,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,

@@ -588,3 +588,30 @@ def knn_graph_stats(ds, *, k: int = 10, id_col: str = "vec_id",
         "max_in_degree": pa.array([degs[0] if degs else 0], pa.int64()),
         "hub_share": pa.array([hub_share], pa.float64()),
     }))
+
+
+def random_projection(ds, *, out_dim: int = 16, seed: int = 0x4A4C,
+                      id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Johnson-Lindenstrauss random projection -> (id, projected
+    list<float32>): seeded Gaussian projection to ``out_dim`` /
+    sqrt(out_dim) scaling, preserving pairwise distances within
+    ~1/sqrt(out_dim). Map-only: the projection matrix is built ONCE
+    per task from the seed (no broadcast needed — determinism IS the
+    broadcast), one matmul per batch.
+    """
+    def project(batch: pa.Table) -> pa.Table:
+        E = _batch_matrix(batch, emb_col)
+        if E.shape[0] == 0:
+            return pa.table({id_col: batch.column(id_col),
+                             "projected": pa.array([], pa.list_(
+                                 pa.float32(), out_dim))})
+        rng = np.random.default_rng(seed)
+        P = rng.standard_normal((E.shape[1], out_dim)) / np.sqrt(out_dim)
+        Y = (E @ P).astype(np.float32)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "projected": pa.array(Y.tolist(),
+                                  pa.list_(pa.float32(), out_dim)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -4469,3 +4469,37 @@ class TestShuffleQuality:
         # same-pairs: (0,1),(2,3),(4,5),(6,7) -> 4
         assert got["same_group_pairs"] == 4
         assert got["value_same_rate"] == 4 / 7
+
+
+class TestRandomProjection:
+    def test_distance_preservation_and_determinism(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.similarity import random_projection
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(60, 64).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        out = random_projection(ray.data.from_arrow(t).repartition(3),
+                                out_dim=32).to_pandas() \
+            .sort_values("vec_id")
+        Y = np.stack([np.asarray(p) for p in out["projected"]])
+        # pairwise distance ratio concentrated near 1
+        d_in = np.linalg.norm(vecs[:20, None] - vecs[None, :20], axis=2)
+        d_out = np.linalg.norm(Y[:20, None] - Y[None, :20], axis=2)
+        iu = np.triu_indices(20, 1)
+        ratio = d_out[iu] / d_in[iu]
+        assert 0.6 < ratio.mean() < 1.4
+        assert ratio.std() < 0.3
+        # determinism: same projection regardless of partitioning
+        again = random_projection(ray.data.from_arrow(t),
+                                  out_dim=32).to_pandas() \
+            .sort_values("vec_id")
+        Y2 = np.stack([np.asarray(p) for p in again["projected"]])
+        assert (Y == Y2).all()
