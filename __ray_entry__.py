@@ -1212,6 +1212,14 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_bigram_entropy(sf_dir: str):
+    """Per-language bigram conditional entropy."""
+    from selma_ray.pipelines.corpus import bigram_entropy_by_group
+
+    return bigram_entropy_by_group(_read(sf_dir, "documents"),
+                                   group_col="lang")
+
+
 def _q_random_projection(sf_dir: str):
     """JL random projection of embeddings to 16 dims (rows-only:
     distance-preservation + partitioning-determinism unit-tested)."""
@@ -2457,6 +2465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_burstiness": _q_term_burstiness,
         "shuffle_quality": _q_shuffle_quality,
         "random_projection": _q_random_projection,
+        "bigram_entropy": _q_bigram_entropy,
         "churned_users": _q_churned_users,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
@@ -3479,6 +3488,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "bigram_entropy": r"""
+            WITH toks AS (
+                SELECT lang AS grp,
+                       regexp_extract_all(text, '\S+') AS t
+                FROM documents),
+            b AS (
+                SELECT grp, t[i] AS w1, t[i + 1] AS w2
+                FROM toks, unnest(range(1, len(t))) AS r(i)
+                WHERE len(t) >= 2),
+            c AS (SELECT grp, w1, w2, count(*)::BIGINT AS n
+                  FROM b GROUP BY grp, w1, w2),
+            x AS (SELECT grp, w1, sum(n)::BIGINT AS nx
+                  FROM c GROUP BY grp, w1),
+            tot AS (SELECT grp, sum(n)::BIGINT AS N
+                    FROM c GROUP BY grp)
+            SELECT c.grp, tot.N AS n_bigrams,
+                   -sum((c.n / tot.N::DOUBLE)
+                        * ln(c.n / x.nx::DOUBLE)) AS value_entropy
+            FROM c
+            JOIN x ON x.grp = c.grp AND x.w1 = c.w1
+            JOIN tot ON tot.grp = c.grp
+            GROUP BY c.grp, tot.N
+        """,
         "shuffle_quality": r"""
             WITH perm AS (
                 SELECT doc_id,

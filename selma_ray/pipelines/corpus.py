@@ -1561,3 +1561,55 @@ def term_burstiness(ds, *, text_col: str = "text"):
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
                                           batch_size=None)
+
+
+def bigram_entropy_by_group(ds, *, group_col: str = "lang",
+                            text_col: str = "text"):
+    """Per-group bigram conditional entropy -> (group, n_bigrams,
+    value_entropy): H(next | current) in nats over each group's
+    within-doc word bigrams — the predictability/repetitiveness signal
+    (templated or looping text scores near 0; diverse prose higher).
+
+    Per-batch (group, w1, w2) Counter combiner -> one groupby sum;
+    the entropy fold H = -sum (n_xy/N) ln(n_xy / n_x.) runs per group
+    over its reduced bigram table (vocab^2-bounded) with exact integer
+    counts and np.log for SQL ln parity.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            for i in range(len(toks) - 1):
+                key = (g, toks[i], toks[i + 1])
+                counts[key] = counts.get(key, 0) + 1
+        return pa.table({
+            "g": pa.array([k[0] for k in counts]),
+            "w1": pa.array([k[1] for k in counts], pa.large_string()),
+            "w2": pa.array([k[2] for k in counts], pa.large_string()),
+            "partial_n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["g", "w1", "w2"]).aggregate(Sum("partial_n"))
+
+    def finish(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "w1": group.column("w1").to_pylist(),
+            "n": group.column("sum(partial_n)").to_pylist(),
+        })
+        nx = df.groupby("w1")["n"].transform("sum").to_numpy(np.float64)
+        n = df["n"].to_numpy(np.float64)
+        N = n.sum()
+        h = float(-((n / N) * np.log(n / nx)).sum())
+        return pa.table({
+            "grp": pa.array([group.column("g")[0].as_py()]),
+            "n_bigrams": pa.array([int(N)], pa.int64()),
+            "value_entropy": pa.array([h], pa.float64()),
+        })
+
+    return agg.groupby("g").map_groups(finish, batch_format="pyarrow")

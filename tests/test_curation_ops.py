@@ -4503,3 +4503,26 @@ class TestRandomProjection:
             .sort_values("vec_id")
         Y2 = np.stack([np.asarray(p) for p in again["projected"]])
         assert (Y == Y2).all()
+
+
+class TestBigramEntropy:
+    def test_deterministic_vs_diverse(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import bigram_entropy_by_group
+
+        t = pa.table({
+            "lang": pa.array(["det", "div"]),
+            # det: every 'a' is followed by 'b' -> H = 0
+            # div: 'x' followed by y or z equally -> H = ln 2
+            "text": pa.array(["a b a b a b", "x y x z x y x z"]),
+        })
+        got = bigram_entropy_by_group(ray.data.from_arrow(t)) \
+            .to_pandas().set_index("grp")["value_entropy"].to_dict()
+        assert got["det"] == 0.0
+        # div bigrams: (x,y)x2 (y,x)x2 (x,z)x2 (z,x)x1 -> H(next|x)=ln2
+        # weighted: 4/7 * ln2  (y->x and z->x are deterministic)
+        assert abs(got["div"] - (4 / 7) * math.log(2)) < 1e-12
