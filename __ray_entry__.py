@@ -1212,6 +1212,15 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_source_cross_entropy(sf_dir: str):
+    """Pairwise unigram cross-entropy matrix between languages
+    (smaller domain than sources -> 9-row matrix, not 400)."""
+    from selma_ray.pipelines.corpus import source_cross_entropy
+
+    return source_cross_entropy(_read(sf_dir, "documents"),
+                                group_col="lang")
+
+
 def _q_bigram_entropy(sf_dir: str):
     """Per-language bigram conditional entropy."""
     from selma_ray.pipelines.corpus import bigram_entropy_by_group
@@ -2466,6 +2475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_quality": _q_shuffle_quality,
         "random_projection": _q_random_projection,
         "bigram_entropy": _q_bigram_entropy,
+        "source_cross_entropy": _q_source_cross_entropy,
         "churned_users": _q_churned_users,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
@@ -3488,6 +3498,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "source_cross_entropy": r"""
+            WITH tf AS (
+                SELECT lang AS g,
+                       unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents),
+            c AS (SELECT g, term, count(*)::BIGINT AS n
+                  FROM tf GROUP BY g, term),
+            v AS (SELECT count(DISTINCT term)::BIGINT AS vocab FROM c),
+            tg AS (SELECT g, sum(n)::BIGINT AS tot FROM c GROUP BY g),
+            grid AS (
+                SELECT a.g AS src_a, b.g AS src_b
+                FROM tg a, tg b)
+            SELECT grid.src_a, grid.src_b,
+                   -sum((ca.n / ta.tot::DOUBLE)
+                        * ln((COALESCE(cb.n, 0) + 1.0)
+                             / (tb.tot + v.vocab))) AS value_ce
+            FROM grid
+            JOIN c ca ON ca.g = grid.src_a
+            JOIN tg ta ON ta.g = grid.src_a
+            JOIN tg tb ON tb.g = grid.src_b
+            LEFT JOIN c cb ON cb.g = grid.src_b
+                          AND cb.term = ca.term
+            CROSS JOIN v
+            GROUP BY grid.src_a, grid.src_b
+        """,
         "bigram_entropy": r"""
             WITH toks AS (
                 SELECT lang AS grp,

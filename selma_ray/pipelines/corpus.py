@@ -1613,3 +1613,71 @@ def bigram_entropy_by_group(ds, *, group_col: str = "lang",
         })
 
     return agg.groupby("g").map_groups(finish, batch_format="pyarrow")
+
+
+def source_cross_entropy(ds, *, group_col: str = "source",
+                         text_col: str = "text"):
+    """Pairwise unigram cross-entropy matrix -> (src_a, src_b,
+    value_ce): H(P_a, Q_b) = -sum_w p_a(w) ln q_b(w) with add-1
+    smoothing over the JOINT vocab — "how surprising is corpus A
+    under corpus B's unigram LM", the distributional counterpart of
+    source_vocab_overlap's set view (low off-diagonal = transferable).
+
+    One (group, term) count reduction; the groups^2 x vocab fold runs
+    in a single task over the reduced table (both bounded), exact
+    counts, np.log for ln parity.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for w in (t or "").split():
+                key = (g, w)
+                counts[key] = counts.get(key, 0) + 1
+        return pa.table({
+            "g": pa.array([k[0] for k in counts]),
+            "term": pa.array([k[1] for k in counts], pa.large_string()),
+            "partial_n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["g", "term"]).aggregate(Sum("partial_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "g": batch.column("g").to_pylist(),
+            "term": batch.column("term").to_pylist(),
+            "n": batch.column("sum(partial_n)").to_pylist(),
+        })
+        vocab = sorted(df["term"].unique())
+        v = len(vocab)
+        groups = sorted(df["g"].unique())
+        mats = {}
+        for g in groups:
+            sub = df[df["g"] == g].set_index("term")["n"]
+            cnt = np.array([int(sub.get(w, 0)) for w in vocab],
+                           np.int64)
+            tot = int(cnt.sum())
+            mats[g] = (cnt, tot)
+        out_a, out_b, out_ce = [], [], []
+        for a in groups:
+            ca, ta = mats[a]
+            pa_ = ca / ta
+            for b in groups:
+                cb, tb = mats[b]
+                qb = (cb + 1.0) / (tb + v)
+                out_a.append(a)
+                out_b.append(b)
+                out_ce.append(float(-(pa_ * np.log(qb)).sum()))
+        return pa.table({
+            "src_a": pa.array(out_a),
+            "src_b": pa.array(out_b),
+            "value_ce": pa.array(out_ce, pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          batch_size=None)

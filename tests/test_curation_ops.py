@@ -4526,3 +4526,24 @@ class TestBigramEntropy:
         # div bigrams: (x,y)x2 (y,x)x2 (x,z)x2 (z,x)x1 -> H(next|x)=ln2
         # weighted: 4/7 * ln2  (y->x and z->x are deterministic)
         assert abs(got["div"] - (4 / 7) * math.log(2)) < 1e-12
+
+
+class TestSourceCrossEntropy:
+    def test_diagonal_minimal(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import source_cross_entropy
+
+        t = pa.table({
+            "source": pa.array(["p", "p", "q", "q"]),
+            "text": pa.array(["a a b", "a b", "x y", "y y x"]),
+        })
+        got = source_cross_entropy(ray.data.from_arrow(t)) \
+            .to_pandas().set_index(["src_a", "src_b"])["value_ce"] \
+            .to_dict()
+        # a corpus is less surprising under its OWN LM than a
+        # disjoint-vocab one
+        assert got[("p", "p")] < got[("p", "q")]
+        assert got[("q", "q")] < got[("q", "p")]
+        assert len(got) == 4
