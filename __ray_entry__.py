@@ -1212,6 +1212,15 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_dedup_comparison(sf_dir: str):
+    """Exact vs MinHash vs SimHash dedup triage table (rows-only:
+    fuzzy methods; the exact row is covered by exact_dedup's
+    oracle)."""
+    from selma_ray.pipelines.dedup import dedup_comparison
+
+    return dedup_comparison(_read(sf_dir, "documents"))
+
+
 def _q_source_cross_entropy(sf_dir: str):
     """Pairwise unigram cross-entropy matrix between languages
     (smaller domain than sources -> 9-row matrix, not 400)."""
@@ -2476,6 +2485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_projection": _q_random_projection,
         "bigram_entropy": _q_bigram_entropy,
         "source_cross_entropy": _q_source_cross_entropy,
+        "dedup_comparison": _q_dedup_comparison,
         "churned_users": _q_churned_users,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,

@@ -1472,3 +1472,39 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
     return ds.map_batches(best_in_batch, batch_format="pyarrow") \
         .groupby("text_hash").map_groups(best_global,
                                          batch_format="pyarrow")
+
+
+def dedup_comparison(ds, *, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Side-by-side dedup-method report -> (method, docs_in,
+    docs_kept, value_reduction): exact (md5), MinHash-LSH, and SimHash
+    run over the SAME corpus — the triage table curation teams build
+    before choosing a dedup tier (exact is the floor; the fuzzy rows
+    show the extra near-dup mass each family finds).
+
+    Composes the existing operators; one row per method. docs_in is
+    counted once and shared.
+    """
+    import ray.data
+
+    n = ds.count()
+    rows = []
+
+    kept_exact = exact_dedup(ds, id_col=id_col, text_col=text_col).count()
+    rows.append(("exact_md5", kept_exact))
+
+    kept_minhash = minhash_dedup(ds, id_col=id_col,
+                                 text_col=text_col).count()
+    rows.append(("minhash_lsh", kept_minhash))
+
+    pairs = simhash_pairs(ds, id_col=id_col, text_col=text_col)
+    drop = drop_ids_from_pairs(pairs)
+    rows.append(("simhash", n - len(drop)))
+
+    return ray.data.from_arrow(pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "docs_in": pa.array([n] * len(rows), pa.int64()),
+        "docs_kept": pa.array([r[1] for r in rows], pa.int64()),
+        "value_reduction": pa.array(
+            [1.0 - r[1] / n for r in rows], pa.float64()),
+    }))

@@ -4547,3 +4547,28 @@ class TestSourceCrossEntropy:
         assert got[("p", "p")] < got[("p", "q")]
         assert got[("q", "q")] < got[("q", "p")]
         assert len(got) == 4
+
+
+class TestDedupComparison:
+    def test_triage_table(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import dedup_comparison
+
+        t = pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(["alpha beta gamma delta"] * 3
+                             + ["one two three four", "five six",
+                                "seven eight"]),
+        })
+        got = dedup_comparison(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("method")
+        assert (got["docs_in"] == 6).all()
+        # exact collapses the 3 verbatim copies
+        assert got.loc["exact_md5", "docs_kept"] == 4
+        assert abs(got.loc["exact_md5", "value_reduction"] - 1 / 3) \
+            < 1e-12
+        # fuzzy methods can only drop MORE (or equal)
+        assert got.loc["minhash_lsh", "docs_kept"] <= 4
+        assert got.loc["simhash", "docs_kept"] <= 4
