@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_interarrival(sf_dir: str):
+    """Log2-binned per-user inter-arrival histogram."""
+    from selma_ray.pipelines.relational import interarrival_histogram
+
+    return interarrival_histogram(_read(sf_dir, "events"), n_bins=20)
+
+
 def _q_dedup_comparison(sf_dir: str):
     """Exact vs MinHash vs SimHash dedup triage table (rows-only:
     fuzzy methods; the exact row is covered by exact_dedup's
@@ -2486,6 +2493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_entropy": _q_bigram_entropy,
         "source_cross_entropy": _q_source_cross_entropy,
         "dedup_comparison": _q_dedup_comparison,
+        "interarrival": _q_interarrival,
         "churned_users": _q_churned_users,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
@@ -3508,6 +3516,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "interarrival": r"""
+            WITH w AS (
+                SELECT (epoch_us(ts)
+                        - lag(epoch_us(ts)) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id)) // 1000000
+                           AS secs
+                FROM events)
+            SELECT least(floor(log2(secs + 1)), 19)::BIGINT AS bin,
+                   count(*)::BIGINT AS n
+            FROM w WHERE secs IS NOT NULL
+            GROUP BY 1
+        """,
         "source_cross_entropy": r"""
             WITH tf AS (
                 SELECT lang AS g,

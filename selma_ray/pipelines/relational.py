@@ -3929,3 +3929,39 @@ def churned_users(events_ds, *, split_day: int = 15):
             [churned / before_total if before_total else 0.0],
             pa.float64()),
     }))
+
+
+def interarrival_histogram(events_ds, *, n_bins: int = 20):
+    """Per-user inter-arrival time distribution -> (bin, n): log2-
+    binned seconds between a user's consecutive events (bin =
+    min(floor(log2(secs+1)), n_bins-1)) — the burstiness / bot-cadence
+    fingerprint (humans are heavy-tailed; schedulers spike one bin).
+
+    Rides lag_deltas' shuffle shape: one groupby(user) sort+shift, but
+    each group emits only its bin partial counts, so the second
+    groupby sees <= n_bins rows per user group.
+    """
+    from ray.data.aggregate import Sum
+
+    def per_user(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ts) < 2:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "partial_n": pa.array([], pa.int64())})
+        secs = (ts[1:] - ts[:-1]) // 1_000_000
+        bins = np.minimum(np.floor(np.log2(secs + 1)).astype(np.int64),
+                          n_bins - 1)
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(uniq, pa.int64()),
+                         "partial_n": pa.array(counts, pa.int64())})
+
+    agg = coalesce_small(
+        events_ds.select_columns(["event_id", "user_id", "ts"])
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")) \
+        .groupby("bin").aggregate(Sum("partial_n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "bin": b.column("bin"),
+            "n": pc.cast(b.column("sum(partial_n)"), pa.int64()),
+        }), batch_format="pyarrow")

@@ -4572,3 +4572,28 @@ class TestDedupComparison:
         # fuzzy methods can only drop MORE (or equal)
         assert got.loc["minhash_lsh", "docs_kept"] <= 4
         assert got.loc["simhash", "docs_kept"] <= 4
+
+
+class TestInterarrivalHistogram:
+    def test_log_bins(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import interarrival_histogram
+
+        base = dt.datetime(2024, 1, 1)
+        # gaps: 1s (bin log2(2)=1), 7s (bin 3), 100s (bin 6)
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            "ts": pa.array([base,
+                            base + dt.timedelta(seconds=1),
+                            base + dt.timedelta(seconds=8),
+                            base + dt.timedelta(seconds=108)],
+                           pa.timestamp("us")),
+        })
+        got = interarrival_histogram(ray.data.from_arrow(t)) \
+            .to_pandas().set_index("bin")["n"].to_dict()
+        assert got == {1: 1, 3: 1, 6: 1}
