@@ -1212,6 +1212,15 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_kll_calibration(sf_dir: str):
+    """KLL-vs-exact quantile calibration report (rows-only: the
+    exact side is separately oracle-checked via events_quantiles)."""
+    from selma_ray.pipelines.sketches import kll_calibration
+
+    return kll_calibration(_read(sf_dir, "events"), value_col="value",
+                           qs=(0.1, 0.5, 0.9, 0.99), k=400)
+
+
 def _q_interarrival(sf_dir: str):
     """Log2-binned per-user inter-arrival histogram."""
     from selma_ray.pipelines.relational import interarrival_histogram
@@ -2494,6 +2503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cross_entropy": _q_source_cross_entropy,
         "dedup_comparison": _q_dedup_comparison,
         "interarrival": _q_interarrival,
+        "kll_calibration": _q_kll_calibration,
         "churned_users": _q_churned_users,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,

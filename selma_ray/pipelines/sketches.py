@@ -675,3 +675,55 @@ def cms_term_counts(ds, *, text_col: str = "text", query_terms: list,
         "term": pa.array(list(query_terms), pa.string()),
         "est_count": pa.array(ests, pa.int64()),
     }))
+
+
+def kll_calibration(ds, *, value_col: str,
+                    qs: tuple = (0.1, 0.5, 0.9, 0.99), k: int = 200):
+    """Sketch-accuracy report -> (q, exact, sketch, value_abs_err):
+    the KLL estimate next to the EXACT quantile (from the cents
+    histogram) for each requested q — run this before trusting a k
+    setting on a new distribution; widen k until value_abs_err is in
+    budget. Both sides are existing operators; the exact side's one
+    tiny groupby and the sketch's zero-shuffle fold share the same
+    single read."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    # exact via cents histogram (value-distribution bounded)
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column(value_col),
+                                         pa.scalar(100.0))), pa.int64())
+        agg = pa.table({"c": c}).group_by("c").aggregate(
+            [([], "count_all")])
+        return pa.table({"c": agg.column("c"),
+                         "partial_n": pc.cast(agg.column("count_all"),
+                                              pa.int64())})
+
+    hist = coalesce_small(
+        ds.map_batches(hist_partial, batch_format="pyarrow")) \
+        .groupby("c").aggregate(Sum("partial_n")).take_all()
+    pairs = sorted((r["c"], r["sum(partial_n)"]) for r in hist)
+    vals = np.array([p[0] for p in pairs], np.int64)
+    cum = np.cumsum([p[1] for p in pairs])
+    n = int(cum[-1])
+
+    sketch = kll_quantiles(ds, value_col=value_col, qs=qs, k=k) \
+        .to_pandas().set_index("q")["value"].to_dict()
+
+    out_q, out_e, out_s = [], [], []
+    for q in qs:
+        target = max(1, int(np.ceil(q * n)))
+        exact = float(vals[np.searchsorted(cum, target)]) / 100.0
+        out_q.append(q)
+        out_e.append(exact)
+        out_s.append(float(sketch[q]))
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "exact": pa.array(out_e, pa.float64()),
+        "sketch": pa.array(out_s, pa.float64()),
+        "value_abs_err": pa.array(
+            [abs(e - s) for e, s in zip(out_e, out_s)], pa.float64()),
+    }))

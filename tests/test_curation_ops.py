@@ -4597,3 +4597,25 @@ class TestInterarrivalHistogram:
         got = interarrival_histogram(ray.data.from_arrow(t)) \
             .to_pandas().set_index("bin")["n"].to_dict()
         assert got == {1: 1, 3: 1, 6: 1}
+
+
+class TestKllCalibration:
+    def test_error_small_and_exact_side_right(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sketches import kll_calibration
+
+        rng = np.random.default_rng(11)
+        v = np.round(rng.uniform(0, 100, 20_000), 2)
+        t = pa.table({"value": pa.array(v, pa.float64())})
+        got = kll_calibration(ray.data.from_arrow(t).repartition(4),
+                              value_col="value", qs=(0.5,), k=400) \
+            .to_pandas().iloc[0]
+        # exact side matches numpy's discrete quantile
+        srt = np.sort(v)
+        want = srt[int(np.ceil(0.5 * len(v))) - 1]
+        assert got["exact"] == want
+        # sketch within ~1% of range on smooth data at k=400
+        assert got["value_abs_err"] < 2.0
