@@ -1212,6 +1212,13 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), k=16)
 
 
+def _q_top_user_share(sf_dir: str):
+    """Whale curve: value share of the top 1/5/10% of users."""
+    from selma_ray.pipelines.relational import top_user_share
+
+    return top_user_share(_read(sf_dir, "events"), pcts=(1, 5, 10))
+
+
 def _q_kll_calibration(sf_dir: str):
     """KLL-vs-exact quantile calibration report (rows-only: the
     exact side is separately oracle-checked via events_quantiles)."""
@@ -2504,6 +2511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_comparison": _q_dedup_comparison,
         "interarrival": _q_interarrival,
         "kll_calibration": _q_kll_calibration,
+        "top_user_share": _q_top_user_share,
         "churned_users": _q_churned_users,
         "ab_test": _q_ab_test,
         "source_concentration": _q_source_concentration,
@@ -3526,6 +3534,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) WHERE rn <= 3
         """,
         "pagerank": _pagerank_oracle(),
+        "top_user_share": r"""
+            WITH u AS (
+                SELECT user_id,
+                       sum(round(value * 100)::BIGINT)::BIGINT AS c
+                FROM events GROUP BY user_id),
+            r AS (
+                SELECT c,
+                       row_number() OVER (ORDER BY c DESC, user_id)
+                           ::BIGINT AS rnk,
+                       sum(c) OVER (ORDER BY c DESC, user_id
+                                    ROWS UNBOUNDED PRECEDING)
+                           ::BIGINT AS cum
+                FROM u),
+            tot AS (SELECT count(*)::BIGINT AS n,
+                           sum(c)::BIGINT AS total FROM u),
+            ps(top_pct) AS (VALUES (1), (5), (10))
+            SELECT ps.top_pct::BIGINT AS top_pct,
+                   ceil(tot.n * ps.top_pct / 100.0)::BIGINT
+                       AS n_top_users,
+                   r.cum AS top_cents,
+                   tot.total AS total_cents,
+                   r.cum / tot.total::DOUBLE AS value_share
+            FROM ps, tot
+            JOIN r ON r.rnk = ceil(tot.n * ps.top_pct / 100.0)
+        """,
         "interarrival": r"""
             WITH w AS (
                 SELECT (epoch_us(ts)

@@ -3965,3 +3965,53 @@ def interarrival_histogram(events_ds, *, n_bins: int = 20):
             "bin": b.column("bin"),
             "n": pc.cast(b.column("sum(partial_n)"), pa.int64()),
         }), batch_format="pyarrow")
+
+
+def top_user_share(events_ds, *, pcts: tuple = (1, 5, 10)):
+    """Whale curve -> (top_pct, n_top_users, top_cents, total_cents,
+    value_share): the share of total value captured by the top-N% of
+    users (by their value sum) — the concentration view activity_gini
+    compresses to one number. Per-user exact cents reduction, then
+    the sorted cumulative walk on the reduced table; user count per
+    percentile is ceil(n * pct / 100), ties broken by the sort on
+    (cents desc, user_id) identically in the oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("value"),
+                                         pa.scalar(100.0))), pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"), "c": c})
+        agg = t.group_by("user_id").aggregate([("c", "sum")])
+        return pa.table({"user_id": agg.column("user_id"),
+                         "p_c": pc.cast(agg.column("c_sum"),
+                                        pa.int64())})
+
+    per_user = coalesce_small(
+        events_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("user_id").aggregate(Sum("p_c"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        c = batch.column("sum(p_c)").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -c))
+        cs = c[order]
+        cum = np.cumsum(cs)
+        n = len(cs)
+        total = int(cum[-1])
+        out = []
+        for p in pcts:
+            k = int(np.ceil(n * p / 100))
+            top = int(cum[k - 1])
+            out.append((p, k, top))
+        return pa.table({
+            "top_pct": pa.array([o[0] for o in out], pa.int64()),
+            "n_top_users": pa.array([o[1] for o in out], pa.int64()),
+            "top_cents": pa.array([o[2] for o in out], pa.int64()),
+            "total_cents": pa.array([total] * len(out), pa.int64()),
+            "value_share": pa.array([o[2] / total for o in out],
+                                    pa.float64()),
+        })
+
+    return per_user.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

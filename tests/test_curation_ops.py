@@ -4619,3 +4619,25 @@ class TestKllCalibration:
         assert got["exact"] == want
         # sketch within ~1% of range on smooth data at k=400
         assert got["value_abs_err"] < 2.0
+
+
+class TestTopUserShare:
+    def test_whale_math(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.relational import top_user_share
+
+        # 10 users: one whale with 910 cents, nine with 10 each
+        t = pa.table({
+            "user_id": pa.array(list(range(10)), pa.int64()),
+            "value": pa.array([9.10] + [0.10] * 9, pa.float64()),
+        })
+        got = top_user_share(ray.data.from_arrow(t).repartition(3),
+                             pcts=(10, 50)).to_pandas() \
+            .set_index("top_pct")
+        assert got.loc[10, "n_top_users"] == 1
+        assert got.loc[10, "top_cents"] == 910
+        assert got.loc[10, "value_share"] == 0.91
+        assert got.loc[50, "n_top_users"] == 5
+        assert got.loc[50, "top_cents"] == 910 + 4 * 10
