@@ -115,19 +115,39 @@ def exact_dedup_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     """Dataset -> Dataset with exactly one (min-id) row per distinct text.
 
-    The groupby shuffles full rows once — unavoidable when the survivor's
-    full row must be emitted; use exact_dedup_stats when only ids are
-    needed.
+    Shuffle-lean two-level argmin (same shape as exact_dedup_keep_best):
+    a per-block combiner keeps ONE min-id candidate row per hash per
+    block, so the groupby(text_hash) shuffle carries at most
+    hashes x blocks candidate rows — never the full corpus. At 100 TB
+    a duplicate-heavy corpus reduces to roughly its distinct set before
+    any data moves.
     """
-    def keep_first(group: pa.Table) -> pa.Table:
+    def first_global(group: pa.Table) -> pa.Table:
         idx = pc.index(pc.equal(group.column(id_col),
                                 pc.min(group.column(id_col))), True).as_py()
         return group.slice(idx, 1)
 
-    with_hash = ds.map_batches(add_md5, fn_kwargs={"text_col": text_col},
-                               batch_format="pyarrow")
-    return with_hash.groupby("text_hash").map_groups(
-        keep_first, batch_format="pyarrow")
+    return ds.map_batches(
+        exact_dedup_combine_batch,
+        fn_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+    ).groupby("text_hash").map_groups(first_global, batch_format="pyarrow")
+
+
+def exact_dedup_combine_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                              text_col: str = "text") -> pa.Table:
+    """Pre-shuffle combiner for exact_dedup: keep the min-id row per
+    distinct text WITHIN one block. Exposed so tests can assert the
+    row reduction the shuffle sees."""
+    batch = add_md5(batch, text_col)
+    order = pc.sort_indices(
+        batch, sort_keys=[("text_hash", "ascending"),
+                          (id_col, "ascending")])
+    srt = batch.take(order)
+    hs = srt.column("text_hash").to_numpy(zero_copy_only=False)
+    first = np.ones(len(hs), bool)
+    first[1:] = hs[1:] != hs[:-1]
+    return srt.filter(pa.array(first))
 
 
 # -- MinHash + LSH ---------------------------------------------------------

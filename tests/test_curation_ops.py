@@ -1436,6 +1436,40 @@ class TestStreamingExactDedup:
         assert [t for t, k in zip(second, keep) if k] == ["c"]
 
 
+class TestExactDedupCombiner:
+    """exact_dedup must reduce duplicate-heavy blocks BEFORE the
+    groupby(text_hash) shuffle (VERDICT r1 finding #1)."""
+
+    def test_pre_shuffle_row_reduction(self):
+        from selma_ray.pipelines.dedup import exact_dedup_combine_batch
+
+        # duplicate-heavy block: 1000 rows, only 7 distinct texts
+        tbl = pa.table({
+            "doc_id": pa.array(range(1000), pa.int64()),
+            "text": pa.array([f"t{i % 7}" for i in range(1000)]),
+        })
+        out = exact_dedup_combine_batch(tbl)
+        assert out.num_rows == 7  # the shuffle sees 7 rows, not 1000
+        # combiner keeps the min id per text within the block
+        got = {r["text"]: r["doc_id"] for r in out.to_pylist()}
+        assert got == {f"t{k}": k for k in range(7)}
+
+    def test_end_to_end_min_id_survivors(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.dedup import exact_dedup
+
+        tbl = pa.table({
+            "doc_id": pa.array([5, 3, 9, 1, 7, 2], pa.int64()),
+            "text": pa.array(["a", "b", "a", "b", "c", "a"]),
+            "meta": pa.array(["m5", "m3", "m9", "m1", "m7", "m2"]),
+        })
+        out = exact_dedup(ray.data.from_arrow(tbl).repartition(3))
+        rows = sorted(out.take_all(), key=lambda r: r["text"])
+        assert [(r["text"], r["doc_id"], r["meta"]) for r in rows] == [
+            ("a", 2, "m2"), ("b", 1, "m1"), ("c", 7, "m7")]
+
+
 class TestDailyActiveUsers:
     def test_matches_pandas_nunique(self, ray_session):
         import numpy as np
