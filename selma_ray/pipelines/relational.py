@@ -3418,18 +3418,40 @@ def pareto_front(ds, *, max_col: str, min_col: str, id_col: str):
                                            batch_size=None)
 
 
+_RFM_COLS = ("recency_days", "frequency", "monetary_cents",
+             "r_tile", "f_tile", "m_tile")
+
+
+def _rfm_widen(present: dict):
+    """Pad a (user_id, some-subset) table to the full RFM schema with
+    int64 nulls, so the tile tables and the metrics table union into
+    one groupby(user_id) max-pivot."""
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"user_id": batch.column("user_id")}
+        for c in _RFM_COLS:
+            cols[c] = (batch.column(present[c]) if c in present
+                       else pa.nulls(n, pa.int64()))
+        return pa.table(cols)
+    return fn
+
+
 def rfm_segments(events_ds, *, n_tiles: int = 5):
     """RFM segmentation -> (user_id, recency_days, frequency,
     monetary_cents, r_tile, f_tile, m_tile): the marketing-analytics
     staple — each user's recency (days since their last event,
     anchored at the corpus max ts), frequency and monetary quintiles.
 
-    The per-user reduction is the usual combiner + one groupby (exact
-    ints); tiling then runs on the REDUCED one-row-per-user table in a
-    single task (users << events; at true scale swap the in-task
-    ntile for rank_rows' histogram idiom per metric). Tiles use SQL
+    Fully distributed (no per-entity single task): the per-user
+    reduction is the usual combiner + one groupby (exact ints); each
+    metric is then tiled with rank_rows' value-histogram exclusive-scan
+    idiom (O(distinct metric values) driver state, (user_id, metric)
+    pairs on the shuffle), and the three (user_id, tile) tables pivot
+    back onto the metrics table via one union + groupby(user_id) Max
+    (Max over exactly-one-non-null columns = join). Tiles use SQL
     NTILE semantics over (metric ASC, user_id ASC) — deterministic
-    under ties.
+    under ties. For continuous money at extreme cardinality, quantize
+    cents to range buckets first (rank_rows docstring note).
     """
     from ray.data.aggregate import Max, Sum
 
@@ -3451,47 +3473,59 @@ def rfm_segments(events_ds, *, n_tiles: int = 5):
     per_user = coalesce_small(
         events_ds.map_batches(partial, batch_format="pyarrow")) \
         .groupby("user_id").aggregate(Max("p_last"), Sum("p_cents"),
-                                      Sum("p_n"))
+                                      Sum("p_n")).materialize()
 
-    def finish(batch: pa.Table) -> pa.Table:
+    # global anchor: a driver scalar, not a repartition(1)
+    anchor = per_user.max("max(p_last)")
+    anchor_us = pa.scalar(anchor).cast(pa.timestamp("us")) \
+        .cast(pa.int64()).as_py()
+
+    def to_metrics(batch: pa.Table, *, anchor_us: int) -> pa.Table:
         # the groupby Max can narrow timestamp[us] -> timestamp[s];
         # re-widen before the integer microsecond math
         last = batch.column("max(p_last)") \
             .cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        anchor = last.max()
-        rec = (anchor - last) // 86_400_000_000
-        freq = pc.cast(batch.column("sum(p_n)"), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        mon = pc.cast(batch.column("sum(p_cents)"), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        n = len(uid)
-        q, r = divmod(n, n_tiles)
-
-        def ntile(metric: np.ndarray) -> np.ndarray:
-            order = np.lexsort((uid, metric))
-            row = np.empty(n, np.int64)
-            row[order] = np.arange(1, n + 1)
-            big = q + 1
-            return np.where(
-                row <= r * big,
-                (row - 1) // big + 1,
-                r + (row - r * big - 1) // max(q, 1) + 1,
-            ).astype(np.int64)
-
+        rec = (anchor_us - last) // 86_400_000_000
         return pa.table({
-            "user_id": pa.array(uid, pa.int64()),
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
             "recency_days": pa.array(rec, pa.int64()),
-            "frequency": pa.array(freq, pa.int64()),
-            "monetary_cents": pa.array(mon, pa.int64()),
-            "r_tile": pa.array(ntile(rec.astype(np.float64)), pa.int64()),
-            "f_tile": pa.array(ntile(freq.astype(np.float64)), pa.int64()),
-            "m_tile": pa.array(ntile(mon.astype(np.float64)), pa.int64()),
+            "frequency": pc.cast(batch.column("sum(p_n)"), pa.int64()),
+            "monetary_cents": pc.cast(batch.column("sum(p_cents)"),
+                                      pa.int64()),
         })
 
-    return per_user.repartition(1).map_batches(
-        finish, batch_format="pyarrow", batch_size=None)
+    metrics = per_user.map_batches(
+        to_metrics, fn_kwargs={"anchor_us": anchor_us},
+        batch_format="pyarrow").materialize()
+
+    parts = [metrics.map_batches(
+        _rfm_widen({c: c for c in _RFM_COLS[:3]}),
+        batch_format="pyarrow")]
+    for metric, out in (("recency_days", "r_tile"),
+                        ("frequency", "f_tile"),
+                        ("monetary_cents", "m_tile")):
+        ranked = rank_rows(metrics, key_col=metric, id_col="user_id",
+                           ntile_k=n_tiles)
+        tiles = ranked.map_batches(
+            lambda b, out=out: pa.table({
+                "user_id": pc.cast(b.column("user_id"), pa.int64()),
+                out: pc.cast(b.column("tile"), pa.int64()),
+            }), batch_format="pyarrow")
+        parts.append(tiles.map_batches(_rfm_widen({out: out}),
+                                       batch_format="pyarrow"))
+
+    unioned = parts[0].union(*parts[1:])
+    agg = coalesce_small(unioned).groupby("user_id").aggregate(
+        *[Max(c) for c in _RFM_COLS])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": batch.column("user_id")}
+            | {c: pc.cast(batch.column(f"max({c})"), pa.int64())
+               for c in _RFM_COLS})
+
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def ewma_daily(events_ds, *, alpha: float = 0.5):
@@ -3580,11 +3614,19 @@ def activity_heatmap(events_ds):
 def activity_gini(events_ds):
     """Gini coefficient of per-user event-count inequality -> one row
     (n_users, value_gini): the "is 1% of users generating 90% of the
-    data?" scalar. Per-user counts reduce first (combiner + groupby),
-    then the exact sorted-cumulative formula
-    G = 2*sum(i * x_i)/(n * sum(x)) - (n+1)/n runs over the reduced
-    table in one task with integer sums — only the two final divisions
-    are float, mirrored exactly in the oracle.
+    data?" scalar.
+
+    Fully distributed (no per-entity single task): per-user counts
+    reduce first (combiner + groupby), then a SECOND combiner folds
+    them to a value histogram (count value c -> m_c users), so the
+    finalizer holds O(distinct count values) rows — Zipf-bounded
+    (max events/user), never O(users). The sorted weighted sum is
+    computed per tie-run in closed form: a run of m users at value c
+    starting after global offset o contributes
+    c * (m*o + m*(m+1)/2), which equals sum(i * x_i) over any
+    within-tie order. G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n; all
+    sums are exact ints, only the two final divisions are float,
+    mirrored exactly in the oracle.
     """
     from ray.data.aggregate import Sum
 
@@ -3600,19 +3642,36 @@ def activity_gini(events_ds):
         events_ds.map_batches(partial, batch_format="pyarrow")) \
         .groupby("user_id").aggregate(Sum("partial_n"))
 
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["sum(partial_n)"]).group_by("sum(partial_n)") \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "c": pc.cast(agg.column("sum(partial_n)"), pa.int64()),
+            "partial_m": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    hist = coalesce_small(
+        per_user.map_batches(hist_partial, batch_format="pyarrow")) \
+        .groupby("c").aggregate(Sum("partial_m"))
+
     def finish(batch: pa.Table) -> pa.Table:
-        x = np.sort(batch.column("sum(partial_n)")
-                    .to_numpy(zero_copy_only=False))
-        n = len(x)
-        total = int(x.sum())
-        weighted = int((np.arange(1, n + 1) * x).sum())
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        m = batch.column("sum(partial_m)").to_numpy(zero_copy_only=False)
+        order = np.argsort(c)
+        c, m = c[order], m[order]
+        off = np.concatenate(([0], np.cumsum(m)[:-1]))
+        n = int(m.sum())
+        total = int((c * m).sum())
+        weighted = int((c * (m * off + m * (m + 1) // 2)).sum())
         gini = 2.0 * weighted / (n * total) - (n + 1.0) / n
         return pa.table({
             "n_users": pa.array([n], pa.int64()),
             "value_gini": pa.array([gini], pa.float64()),
         })
 
-    return per_user.repartition(1).map_batches(
+    # repartition(1) over the histogram, not the users — bounded by
+    # distinct count values (same class as pareto_front/value_histogram)
+    return hist.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
 
 
@@ -3971,10 +4030,19 @@ def top_user_share(events_ds, *, pcts: tuple = (1, 5, 10)):
     """Whale curve -> (top_pct, n_top_users, top_cents, total_cents,
     value_share): the share of total value captured by the top-N% of
     users (by their value sum) — the concentration view activity_gini
-    compresses to one number. Per-user exact cents reduction, then
-    the sorted cumulative walk on the reduced table; user count per
-    percentile is ceil(n * pct / 100), ties broken by the sort on
-    (cents desc, user_id) identically in the oracle.
+    compresses to one number.
+
+    Fully distributed (no per-entity single task): per-user exact
+    cents reduce first (combiner + groupby), then a SECOND combiner
+    folds them to a value histogram (cents value c -> m_c users), so
+    the finalizer walks O(distinct cents values) rows, never
+    O(users). The top-k sum is tie-order independent (all users in a
+    tie run contribute the same c), so the histogram walk is exact:
+    k = ceil(n * pct / 100) users; the run containing the k-th user
+    contributes (k - users_before_run) * c. Matches the oracle's
+    (cents desc, user_id) sort bit-for-bit. For continuous money at
+    extreme per-user-sum cardinality, quantize cents to range buckets
+    first (rank_rows docstring note).
     """
     from ray.data.aggregate import Sum
 
@@ -3991,18 +4059,34 @@ def top_user_share(events_ds, *, pcts: tuple = (1, 5, 10)):
         events_ds.map_batches(partial, batch_format="pyarrow")) \
         .groupby("user_id").aggregate(Sum("p_c"))
 
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["sum(p_c)"]).group_by("sum(p_c)") \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "c": pc.cast(agg.column("sum(p_c)"), pa.int64()),
+            "partial_m": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    hist = coalesce_small(
+        per_user.map_batches(hist_partial, batch_format="pyarrow")) \
+        .groupby("c").aggregate(Sum("partial_m"))
+
     def finish(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        c = batch.column("sum(p_c)").to_numpy(zero_copy_only=False)
-        order = np.lexsort((uid, -c))
-        cs = c[order]
-        cum = np.cumsum(cs)
-        n = len(cs)
-        total = int(cum[-1])
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        m = batch.column("sum(partial_m)").to_numpy(zero_copy_only=False)
+        order = np.argsort(-c)
+        c, m = c[order], m[order]
+        cum_users = np.cumsum(m)
+        cum_cents = np.cumsum(c * m)
+        n = int(cum_users[-1])
+        total = int(cum_cents[-1])
         out = []
         for p in pcts:
             k = int(np.ceil(n * p / 100))
-            top = int(cum[k - 1])
+            j = int(np.searchsorted(cum_users, k))
+            before_users = int(cum_users[j - 1]) if j else 0
+            before_cents = int(cum_cents[j - 1]) if j else 0
+            top = before_cents + (k - before_users) * int(c[j])
             out.append((p, k, top))
         return pa.table({
             "top_pct": pa.array([o[0] for o in out], pa.int64()),
@@ -4013,5 +4097,6 @@ def top_user_share(events_ds, *, pcts: tuple = (1, 5, 10)):
                                     pa.float64()),
         })
 
-    return per_user.repartition(1).map_batches(
+    # repartition(1) over the cents-value histogram, not the users
+    return hist.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)

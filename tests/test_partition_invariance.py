@@ -61,6 +61,7 @@ def _run_both(fn, table):
 
 def _ev_cases():
     from selma_ray.pipelines.relational import (
+        activity_gini,
         activity_heatmap,
         anomalous_days,
         daily_change_by_type,
@@ -74,6 +75,7 @@ def _ev_cases():
         rfm_segments,
         rolling_sum_range,
         session_stats,
+        top_user_share,
         user_event_entropy,
         weekly_active_users,
     )
@@ -106,6 +108,8 @@ def _ev_cases():
         "heatmap": activity_heatmap,
         "anomalous": lambda ds: anomalous_days(ds, k_sigma=2),
         "rfm": lambda ds: rfm_segments(ds, n_tiles=4),
+        "gini": activity_gini,
+        "top_share": lambda ds: top_user_share(ds, pcts=(1, 10, 25)),
         "sessions": lambda ds: session_stats(ds, gap_secs=900),
         "wau": lambda ds: weekly_active_users(ds, window_days=3),
         "psi": psi,
