@@ -36,10 +36,46 @@ def _sf_of(sf_dir: str) -> float:
         return 0.001
 
 
-def _read(sf_dir: str, table: str):
+# Per-query read projections (generated + validated — see
+# scripts/gen_entry_columns.py). queries() binds the current query name
+# so _read can push `columns=` into read_parquet: Ray Data 2.49 does NOT
+# fold a later select_columns into the scan (it runs as a separate
+# Project operator after a full-width read), so at 100 TB the projection
+# must be set on the read itself.
+try:
+    from entry_columns import QUERY_COLUMNS
+except ImportError:  # pragma: no cover — registry not generated yet
+    QUERY_COLUMNS = {}
+
+import contextvars as _contextvars
+
+_CURRENT_QUERY: _contextvars.ContextVar = _contextvars.ContextVar(
+    "selma_ray_entry_query", default=None)
+
+
+def _read_full(sf_dir: str, table: str, columns=None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns)
+
+
+def _read(sf_dir: str, table: str):
+    cols = QUERY_COLUMNS.get(_CURRENT_QUERY.get() or "", {}).get(table)
+    return _read_full(sf_dir, table, columns=cols or None)
+
+
+def _with_query_name(name: str, fn):
+    """Bind the query name around the (lazy) pipeline BUILD — read_parquet
+    captures its column list at build time, so execution later needs no
+    context."""
+    def wrapper(sf_dir: str):
+        tok = _CURRENT_QUERY.set(name)
+        try:
+            return fn(sf_dir)
+        finally:
+            _CURRENT_QUERY.reset(tok)
+    return wrapper
 
 
 def _docs_to_turns(batch: pa.Table) -> pa.Table:
@@ -2278,16 +2314,18 @@ def _q_packed_sequences(sf_dir: str):
 
 def _q_audio_features(sf_dir: str):
     """Audio leg of the multimodal suite: actor-pool windowed feature
-    extraction over binary payloads (stubbed codec, real plumbing) ->
-    (doc_id, n_windows, pooled mean features)."""
+    extraction over REAL PCM WAV payloads (stdlib codec; rms/zcr/peak +
+    FFT band energies per window) -> (doc_id, n_windows, pooled mean
+    features). Payloads are deterministic per-doc synthesized sine
+    WAVs, duration varying with doc_id."""
     import numpy as np
 
     from selma_ray.stages.multimodal import (DecodeAudioFeatures,
-                                             multimodal_stage)
+                                             multimodal_stage, synth_wav)
 
     def to_binary(batch: pa.Table) -> pa.Table:
-        payloads = [(t or "").encode() for t in
-                    batch.column("text").to_pylist()]
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [synth_wav(d, secs=0.1 + (d % 5) * 0.05) for d in ids]
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "data": pa.array(payloads, pa.binary()),
@@ -2296,7 +2334,7 @@ def _q_audio_features(sf_dir: str):
     ds = _read(sf_dir, "documents").map_batches(to_binary,
                                                 batch_format="pyarrow")
     out = multimodal_stage(ds, DecodeAudioFeatures, batch_size=64,
-                           dim=8, hop_bytes=256, concurrency=(1, 4))
+                           dim=8, fake=False, concurrency=(1, 4))
 
     def pool(batch: pa.Table) -> pa.Table:
         mats = batch.column("frames").to_pylist()
@@ -2330,6 +2368,11 @@ def _q_multimodal_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    qs = _raw_queries()
+    return {name: _with_query_name(name, fn) for name, fn in qs.items()}
+
+
+def _raw_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_transcripts": _q_extract_transcripts,
         "sanitize_transcripts": _q_sanitize_transcripts,

@@ -180,34 +180,103 @@ class ParsePdfText:
                                    pa.array(pages, self.PAGE_TYPE))
 
 
+def synth_wav(seed: int, *, sr: int = 8000, secs: float = 0.5,
+              amp: float = 0.5) -> bytes:
+    """Deterministic 16-bit PCM mono WAV bytes: two sine tones keyed off
+    ``seed``. Test/bench payload generator for the real decode path —
+    stdlib ``wave`` only, no external codecs."""
+    import io
+    import wave
+
+    f1 = 220.0 + (seed % 16) * 55.0
+    f2 = 110.0 + (seed % 7) * 110.0
+    t = np.arange(int(sr * secs), dtype=np.float64) / sr
+    sig = 0.7 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+    pcm = np.clip(sig * amp * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 class DecodeAudioFeatures:
     """map_batches actor: binary audio column -> frame-level feature
     matrix (list<float32> per window) + duration metadata.
 
-    The audio leg of the multimodal suite. No audio codecs ship in this
-    container, so ``decode_impl`` raises NotImplementedError unless
-    ``fake=True``, where a deterministic stand-in (crc32-seeded windows
-    at a fixed hop) exercises the real Ray plumbing: actor-pool
-    construction, small-batch sizing (audio payloads are MBs), and the
+    The audio leg of the multimodal suite. PCM WAV payloads (RIFF/WAVE,
+    8/16-bit, any channel count — stdlib ``wave``) get a REAL windowed
+    featurizer: per non-overlapping window of ``win_samples``,
+    [rms, zcr, peak] + (dim-3) log1p mean-|rfft| band energies — the
+    classic cheap audio frontend. Other formats have no codec in this
+    container, so they raise NotImplementedError unless ``fake=True``,
+    where a deterministic stand-in (crc32-seeded windows at a fixed
+    byte hop) exercises the same Ray plumbing: actor-pool construction,
+    small-batch sizing (audio payloads are MBs), and the
     (n_windows x dim) ragged output layout downstream poolers consume.
-    A real implementation loads the codec + featurizer (e.g. a
-    log-mel frontend) ONCE here in __init__.
+    A heavier featurizer (e.g. a log-mel frontend) would load ONCE here
+    in __init__, per actor.
     """
 
     def __init__(self, data_col: str = "data", out_col: str = "frames",
-                 dim: int = 32, hop_bytes: int = 1024, fake: bool = True):
+                 dim: int = 32, hop_bytes: int = 1024, fake: bool = True,
+                 win_samples: int = 256):
+        if dim < 4:
+            raise ValueError("dim must be >= 4 (rms, zcr, peak + bands)")
         self.data_col = data_col
         self.out_col = out_col
         self.dim = dim
         self.hop_bytes = hop_bytes
         self.fake = fake
-        # codec + featurizer load would go here (once per actor)
+        self.win_samples = win_samples
+        # heavier codec/featurizer load would go here (once per actor)
+
+    def _decode_wav(self, payload: bytes) -> np.ndarray:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif width == 1:  # 8-bit WAV is unsigned
+            x = (np.frombuffer(raw, np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        else:
+            raise NotImplementedError(
+                f"{8 * width}-bit PCM is not supported (8/16-bit only)")
+        if n_ch > 1:
+            x = x[:len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        win = self.win_samples
+        if len(x) < win:
+            x = np.pad(x, (0, win - len(x)))
+        n_win = len(x) // win
+        frames = x[:n_win * win].reshape(n_win, win)
+        rms = np.sqrt((frames ** 2).mean(axis=1))
+        zcr = (np.signbit(frames[:, 1:]) != np.signbit(frames[:, :-1])) \
+            .mean(axis=1)
+        peak = np.abs(frames).max(axis=1)
+        mag = np.abs(np.fft.rfft(frames, axis=1))
+        n_bands = self.dim - 3
+        bands = np.array_split(mag, n_bands, axis=1)
+        band_feats = np.stack([np.log1p(b.mean(axis=1)) for b in bands],
+                              axis=1)
+        return np.column_stack([rms, zcr, peak, band_feats]) \
+            .astype(np.float32)
 
     def decode_impl(self, payload: bytes) -> np.ndarray:
+        payload = payload or b""
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return self._decode_wav(payload)
         if not self.fake:
             raise NotImplementedError(
-                "audio codecs are not available in this environment; "
-                "run with fake=True for the deterministic stand-in")
+                "only PCM WAV decodes in this environment (no external "
+                "audio codecs); run with fake=True for the deterministic "
+                "stand-in on other formats")
         payload = payload or b"\0"
         n_win = max(1, len(payload) // self.hop_bytes)
         rng = np.random.default_rng(zlib.crc32(payload))

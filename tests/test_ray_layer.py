@@ -571,3 +571,87 @@ def test_multimodal_fake_audio(ray_session):
 
     with pytest.raises(NotImplementedError):
         DecodeAudioFeatures(fake=False).decode_impl(b"x")
+
+
+def test_real_wav_decode_goldens():
+    """The WAV path is a REAL codec + featurizer: physics-checkable
+    features on a pure sine, not a hash stand-in."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from selma_ray.stages.multimodal import DecodeAudioFeatures, synth_wav
+
+    sr, f, amp, secs = 8000, 500.0, 0.5, 1.0
+    t = np.arange(int(sr * secs)) / sr
+    pcm = np.clip(np.sin(2 * np.pi * f * t) * amp * 32767.0,
+                  -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    dec = DecodeAudioFeatures(dim=8, fake=False, win_samples=256)
+    feats = dec.decode_impl(buf.getvalue())
+    assert feats.shape == (sr // 256, 8)
+    # rms of a sine = amp/sqrt(2); zcr = 2f/sr crossings per sample
+    assert np.allclose(feats[:, 0], amp / np.sqrt(2), atol=0.02)
+    assert np.allclose(feats[:, 1], 2 * f / sr, atol=0.02)
+    assert np.allclose(feats[:, 2], amp, atol=0.02)
+    # dominant FFT band: 500 Hz at sr=8000, win=256 -> bin 16 of 129
+    # -> band 0 of 5 (bands split 129 bins into 5 chunks of ~26)
+    assert (feats[:, 3] > feats[:, 4:].max(axis=1)).all()
+    # bit-deterministic
+    feats2 = dec.decode_impl(buf.getvalue())
+    assert (feats == feats2).all()
+    # synth_wav round-trips through the same decoder
+    w = synth_wav(7, sr=8000, secs=0.25)
+    assert w[:4] == b"RIFF"
+    out = dec.decode_impl(w)
+    assert out.shape == (int(8000 * 0.25) // 256, 8)
+
+
+def test_real_wav_stereo_and_8bit():
+    import io
+    import wave
+
+    import numpy as np
+
+    from selma_ray.stages.multimodal import DecodeAudioFeatures
+
+    dec = DecodeAudioFeatures(dim=4, fake=False, win_samples=64)
+    # stereo 16-bit: identical channels must equal the mono decode
+    t = np.arange(640) / 8000.0
+    mono = np.clip(np.sin(2 * np.pi * 440 * t) * 16000,
+                   -32768, 32767).astype("<i2")
+    stereo = np.column_stack([mono, mono]).ravel()
+    bufs = {}
+    for name, (nch, data) in {"mono": (1, mono),
+                              "stereo": (2, stereo)}.items():
+        b = io.BytesIO()
+        with wave.open(b, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(data.astype("<i2").tobytes())
+        bufs[name] = b.getvalue()
+    fm = dec.decode_impl(bufs["mono"])
+    fs = dec.decode_impl(bufs["stereo"])
+    assert np.allclose(fm, fs, atol=1e-5)
+    # 8-bit unsigned PCM decodes (silence -> 0 rms)
+    b = io.BytesIO()
+    with wave.open(b, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128] * 640))
+    f8 = dec.decode_impl(b.getvalue())
+    assert f8.shape == (10, 4)
+    assert np.allclose(f8[:, 0], 0.0)
+    # fake=False still refuses NON-wav formats
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        dec.decode_impl(b"\x00\x01\x02not-audio")
