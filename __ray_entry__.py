@@ -2625,8 +2625,200 @@ def _pagerank_oracle() -> str:
     return head + body + "\n        SELECT node, rank FROM r10"
 
 
+def _language_id_oracle() -> str:
+    """SQL mirror of functions.text.language_id: CJK codepoint ratio,
+    then stopword hit counts over the first 200 lowercased whitespace
+    tokens, earliest-max tie-break in STOPWORDS iteration order."""
+    from selma_ray.functions.text import STOPWORDS
+
+    def lst(lang):
+        return ("[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+                + "]")
+
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+            CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+                 ELSE length(regexp_replace(coalesce(text,''),
+                        '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))::DOUBLE
+                      / length(coalesce(text,'')) END AS cjk,
+            [lower(x) for x in
+             list_slice(regexp_extract_all(coalesce(text,''), '\\S+'),
+                        1, 200)] AS tk
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, cjk, len(tk) AS ntok,
+            len(list_filter(tk, x -> list_contains({lst('en')}, x))) AS s_en,
+            len(list_filter(tk, x -> list_contains({lst('de')}, x))) AS s_de,
+            len(list_filter(tk, x -> list_contains({lst('es')}, x))) AS s_es,
+            len(list_filter(tk, x -> list_contains({lst('fr')}, x))) AS s_fr
+          FROM toks
+        )
+        SELECT doc_id,
+          CASE WHEN cjk > 0.2 THEN 'zh'
+               WHEN ntok = 0 THEN 'und'
+               WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+               WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM scored
+    """
+
+
+def _minhash_pairs_oracle() -> str:
+    """Exact SQL mirror of pipelines.dedup.minhash_lsh_pairs at the
+    _q_minhash_pairs parameters (k=128, bands=16, ngram=2,
+    threshold=0.5): word hashes via md5_number_upper (== md5_64),
+    2-gram polynomial combine with uint64 WRAPAROUND (split-limb
+    multiply in HUGEINT — numpy wraps mod 2^64 before the mod-p),
+    minhash over literal-embedded coefficients, 16x8 band-equality
+    candidates, est-Jaccard = matching-signature fraction (dyadic
+    n/128, bit-exact in both engines). max_bucket=2000 truncation
+    cannot trigger at sf<=0.01 corpus sizes."""
+    from selma_ray.functions.hashing import _POLY_A, _coeffs
+
+    a, b = _coeffs(128)
+    coeff_rows = ", ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+        for j in range(128))
+    big_a = int(_POLY_A)
+    a_hi, a_lo = big_a >> 32, big_a & 0xFFFFFFFF
+    m64 = 1 << 64
+    return f"""
+        WITH coeffs(j, a, b) AS (VALUES {coeff_rows}),
+        words AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text,''), '\\S+') AS ws
+          FROM documents
+        ), wh AS (
+          SELECT doc_id, p AS pos, md5_number_upper(ws[p])::HUGEINT AS h,
+                 len(ws) AS nw
+          FROM words,
+               LATERAL (SELECT unnest(generate_series(1, len(ws))) AS p)
+          WHERE len(ws) > 0
+        ), sh_raw AS (
+          SELECT w1.doc_id,
+                 (( (w1.h * {a_lo}) % {m64}::HUGEINT
+                    + ((w1.h * {a_hi}) % 4294967296::HUGEINT)
+                      * 4294967296::HUGEINT
+                  ) % {m64}::HUGEINT + w2.h) % {m64}::HUGEINT AS s
+          FROM wh w1 JOIN wh w2
+            ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+          WHERE w1.nw >= 2
+          UNION ALL
+          SELECT doc_id, h AS s FROM wh WHERE nw = 1
+        ), shingles AS (
+          SELECT DISTINCT doc_id, s FROM sh_raw
+        ), sigs AS (
+          SELECT d.doc_id, c.j,
+                 coalesce(m.sig, 18446744073709551615::HUGEINT) AS sig
+          FROM documents d
+          CROSS JOIN coeffs c
+          LEFT JOIN (
+            SELECT sh.doc_id, c2.j,
+                   min( ((c2.a * sh.s) % {m64}::HUGEINT + c2.b)
+                        % {m64}::HUGEINT
+                        % 2305843009213693951::HUGEINT ) AS sig
+            FROM shingles sh CROSS JOIN coeffs c2
+            GROUP BY sh.doc_id, c2.j) m
+            ON m.doc_id = d.doc_id AND m.j = c.j
+        ), bands AS (
+          SELECT doc_id, j // 8 AS band,
+                 list(sig ORDER BY j) AS band_sig
+          FROM sigs GROUP BY doc_id, j // 8
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.band_sig = y.band_sig
+               AND x.doc_id < y.doc_id
+        ), est AS (
+          SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / 128.0
+                     AS similarity
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.id_a
+          JOIN sigs sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, similarity, 'minhash_lsh' AS method
+        FROM est WHERE similarity >= 0.5
+    """
+
+
+def _minhash_clusters_oracle() -> str:
+    """minhash_lsh_pairs oracle composed with the recursive-CTE
+    connected-components oracle (same CC shape as near_dup_clusters):
+    cluster_id = min doc_id of the component, keep = representative."""
+    return f"""
+        WITH RECURSIVE mh_pairs AS ({_minhash_pairs_oracle()}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM mh_pairs
+            UNION ALL
+            SELECT id_b, id_a FROM mh_pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "language_id": _language_id_oracle(),
+        "minhash_lsh_pairs": _minhash_pairs_oracle(),
+        "minhash_clusters": _minhash_clusters_oracle(),
+        # Exact SQL mirror of functions.hashing.simhash64 + the 4x16-bit
+        # banding: DuckDB md5_number_upper == md5_64 (first 8 digest
+        # bytes, little-endian), bit votes per token occurrence, pairs
+        # share >=1 band and hamming <= 3. similarity = 1 - d/64 is
+        # dyadic-exact in both engines. (max_bucket=5000 truncation
+        # can't trigger at sf<=0.01 corpus sizes.)
+        "simhash_pairs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text,''), '\S+'))
+                         AS w
+              FROM documents
+            ), bits AS (
+              SELECT doc_id, bs.bit,
+                     sum(CASE WHEN (md5_number_upper(w) >> bs.bit) & 1 = 1
+                              THEN 1 ELSE -1 END) AS acc
+              FROM tok, (SELECT unnest(generate_series(0, 63)) AS bit) bs
+              GROUP BY doc_id, bs.bit
+            ), sh AS (
+              SELECT d.doc_id, coalesce(b.simhash, 0::UBIGINT) AS simhash
+              FROM documents d LEFT JOIN (
+                SELECT doc_id,
+                       bit_or(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                                   ELSE 0::UBIGINT END) AS simhash
+                FROM bits GROUP BY doc_id) b USING (doc_id)
+            ), bands AS (
+              SELECT doc_id, simhash,
+                     (bs.b << 16) | ((simhash >> (16 * bs.b)::UBIGINT)
+                                     & 65535::UBIGINT)::BIGINT AS band_key
+              FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) bs
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   1.0 - bit_count(xor(sa.simhash, sb.simhash)) / 64.0
+                       AS similarity,
+                   'simhash' AS method
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        """,
         "doc_stats": r"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars_calc,

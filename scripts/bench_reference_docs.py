@@ -31,6 +31,25 @@ DOCS = {
     "md": "/root/reference/test/benchmark/html/document-md.html",
 }
 
+# document-lg.html (7,172,510 bytes per the reference README benchmark output)
+# is a stripped blob in this checkout (/root/reference/.MISSING_LARGE_BLOBS)
+# — synthesize a same-size stand-in by tiling document-md's <body> inside
+# one document shell, preserving the real page's tag/attr/text mix. The
+# output key is suffixed _synth to keep the provenance honest.
+LG_TARGET_BYTES = 7_172_510
+
+
+def _synthesize_lg() -> str:
+    md = open(DOCS["md"], encoding="utf-8").read()
+    lo = md.index("<body")
+    body_open = md.index(">", lo) + 1
+    body_close = md.rindex("</body>")
+    head, body, tail = md[:body_open], md[body_open:body_close], \
+        md[body_close:]
+    reps = max(1, (LG_TARGET_BYTES - len(head) - len(tail))
+               // len(body.encode()))
+    return head + body * reps + tail
+
 _HTTP_RE = re.compile(r"^https?:")
 
 
@@ -73,8 +92,10 @@ def _mbps(fn, payload: str, min_sec: float = 2.0) -> float:
 
 def main():
     out = {}
-    for name, path in DOCS.items():
-        html = open(path, encoding="utf-8").read()
+    docs = {name: open(path, encoding="utf-8").read()
+            for name, path in DOCS.items()}
+    docs["lg_synth"] = _synthesize_lg()
+    for name, html in docs.items():
         san = Rewriter(sanitizer=Sanitizer(config.thaw(config.RELAXED)))
         out[f"sanitize_{name}_mbps"] = round(_mbps(san.rewrite, html), 2)
         rw = Rewriter(sanitizer=None, handlers=[HrefHandler(),

@@ -3311,20 +3311,24 @@ def weekly_active_users(events_ds, *, window_days: int = 7):
     window functions cannot express.
 
     Decomposition that never re-counts a user per window: each user's
-    distinct active days expand IN THE USER'S GROUP TASK to the days
-    they keep that user inside the window (union of [d, d+w-1]
-    intervals, deduplicated per user by construction), then one
+    distinct active days become disjoint coverage intervals
+    [d_i, min(d_i + w - 1, d_(i+1) - 1)] (clipping each window at the
+    user's next active day makes the union exact with no set math),
+    which expand to the observed days they contain via one vectorized
+    searchsorted against the broadcast observed-day array, then one
     groupby(day) sum counts users per day. The shuffle carries
     (user, day) pairs and covered-day rows — bounded by
-    users x (active_days + w), never events. Output is restricted to
-    days that actually appear in the data (broadcast of the tiny
-    observed-day set).
+    users x (active_days + w), never events. The distinct (user, day)
+    dedup is an AGGREGATE (Count), not a per-group map_groups — one
+    Python call per (user, day) group was the sf0.1 hot spot — and
+    pairs materialize once so the observed-day pass doesn't recompute
+    the upstream.
     """
-    import datetime as _dt
-
     import ray
 
     from ray.data.aggregate import Sum
+
+    day_us = 86_400_000_000
 
     def day_pairs(batch: pa.Table) -> pa.Table:
         t = pa.table({
@@ -3333,27 +3337,38 @@ def weekly_active_users(events_ds, *, window_days: int = 7):
         })
         return t.group_by(["user_id", "day"]).aggregate([])
 
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select(["user_id", "day"])
+
     pairs = coalesce_small(
         events_ds.map_batches(day_pairs, batch_format="pyarrow")) \
-        .groupby(["user_id", "day"]).map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .groupby(["user_id", "day"]).count() \
+        .map_batches(slim, batch_format="pyarrow").materialize()
 
     observed = sorted({r["day"] for r in
                        pairs.groupby("day").count().take_all()})
-    obs_ref = ray.put(set(observed))
+    obs_days = np.array(
+        [pa.scalar(d).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+         // day_us for d in observed], dtype=np.int64)
+    obs_ref = ray.put(obs_days)
 
     def cover(group: pa.Table) -> pa.Table:
         obs = ray.get(obs_ref)
-        days = sorted(d for d in group.column("day").to_pylist())
-        covered = set()
-        for d in days:
-            for k in range(window_days):
-                c = d + _dt.timedelta(days=k)
-                if c in obs:
-                    covered.add(c)
+        da = np.unique(
+            pc.cast(pc.cast(group.column("day"), pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False) // day_us)
+        end = np.minimum(da + window_days - 1,
+                         np.append(da[1:] - 1, np.iinfo(np.int64).max))
+        lo = np.searchsorted(obs, da, side="left")
+        hi = np.searchsorted(obs, end, side="right")
+        lengths = hi - lo
+        starts = np.repeat(lo, lengths)
+        offs = np.arange(lengths.sum()) \
+            - np.repeat(np.cumsum(lengths) - lengths, lengths)
+        covered = obs[starts + offs]    # disjoint intervals: no dups
         return pa.table({
-            "day": pa.array(sorted(covered), pa.timestamp("us")),
-            "one": pa.array([1] * len(covered), pa.int64()),
+            "day": pa.array(covered * day_us).cast(pa.timestamp("us")),
+            "one": pa.array(np.ones(len(covered), np.int64), pa.int64()),
         })
 
     per_day = pairs.groupby("user_id").map_groups(
