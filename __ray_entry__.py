@@ -303,9 +303,9 @@ def _q_stream_dedup(sf_dir: str):
 
 
 def _q_near_dedup_incremental(sf_dir: str):
-    """Incremental NEAR-dup dedup vs a prior snapshot (rows-only: LSH
-    band candidacy is not SQL-expressible; verified vs minhash_lsh_pairs
-    semantics in tests/test_curation_ops.py::TestNearDedupAgainst)."""
+    """Incremental NEAR-dup dedup vs a prior snapshot. SQL-checked:
+    the oracle mirrors the minhash band keys and bloom positions
+    bit-for-bit (see _near_dedup_incremental_oracle)."""
     from selma_ray.pipelines.dedup import near_dedup_against
 
     docs = _read(sf_dir, "documents")
@@ -667,10 +667,9 @@ def _q_dup_spans(sf_dir: str):
 
 def _q_minhash_clusters(sf_dir: str):
     """Full fuzzy-dedup composition: MinHash+LSH candidate pairs ->
-    connected components -> canonical keep flag per doc. Rows-only
-    (minhash is not SQL-expressible; the pair stage is verified against
-    exact Jaccard in tests, the CC stage against a recursive-CTE oracle
-    in near_dup_clusters)."""
+    connected components -> canonical keep flag per doc. SQL-checked:
+    pairs via the literal-coefficient minhash oracle, CC via the
+    recursive-CTE oracle (_minhash_clusters_oracle)."""
     from selma_ray.pipelines.dedup import minhash_lsh_pairs, \
         near_dup_clusters
 
@@ -2746,6 +2745,98 @@ def _minhash_pairs_oracle() -> str:
     """
 
 
+def _near_dedup_incremental_oracle() -> str:
+    """Exact SQL mirror of pipelines.dedup.near_dedup_against at the
+    _q_near_dedup_incremental split (snapshot = doc_id%5==0) and
+    defaults (k=128, bands=16, ngram=3, m_bits=2^23). The Bloom is
+    1-hash over md5-derived band-key positions, so bit membership ==
+    position-set membership and the oracle is exact INCLUDING the
+    bloom's deterministic false hits: an incoming doc is dropped iff
+    any of its 16 band positions appears among the snapshot's. Band
+    keys hash the band's hex form (ASCII), so md5(VARCHAR) mirrors the
+    pipeline bit-for-bit."""
+    from selma_ray.functions.hashing import _POLY_A, _coeffs
+
+    a, b = _coeffs(128)
+    coeff_rows = ", ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+        for j in range(128))
+    big_a = int(_POLY_A)
+    a_hi, a_lo = big_a >> 32, big_a & 0xFFFFFFFF
+    m64 = 1 << 64
+
+    def mul_a(x: str) -> str:
+        return (f"(({x} * {a_lo}) % {m64}::HUGEINT"
+                f" + (({x} * {a_hi}) % 4294967296::HUGEINT)"
+                f" * 4294967296::HUGEINT) % {m64}::HUGEINT")
+
+    le_hex = ("array_to_string([substr(lpad(lower(to_hex(sig)), 16, '0'),"
+              " q, 2) FOR q IN [15, 13, 11, 9, 7, 5, 3, 1]], '')")
+    return f"""
+        WITH coeffs(j, a, b) AS (VALUES {coeff_rows}),
+        words AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text,''), '\\S+') AS ws
+          FROM documents
+        ), wh AS (
+          SELECT doc_id, p AS pos, md5_number_upper(ws[p])::HUGEINT AS h,
+                 len(ws) AS nw
+          FROM words,
+               LATERAL (SELECT unnest(generate_series(1, len(ws))) AS p)
+          WHERE len(ws) > 0
+        ), pairs2 AS (
+          SELECT w1.doc_id, w1.pos, w1.nw,
+                 ({mul_a('w1.h')} + w2.h) % {m64}::HUGEINT AS t1
+          FROM wh w1 JOIN wh w2
+            ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+        ), sh_raw AS (
+          SELECT p2.doc_id,
+                 ({mul_a('p2.t1')} + w3.h) % {m64}::HUGEINT AS s
+          FROM pairs2 p2 JOIN wh w3
+            ON w3.doc_id = p2.doc_id AND w3.pos = p2.pos + 2
+          WHERE p2.nw >= 3
+          UNION ALL
+          SELECT doc_id, t1 FROM pairs2 WHERE nw = 2
+          UNION ALL
+          SELECT doc_id, h FROM wh WHERE nw = 1
+        ), shingles AS (
+          SELECT DISTINCT doc_id, s FROM sh_raw
+        ), sigs AS (
+          SELECT d.doc_id, c.j,
+                 coalesce(m.sig, 18446744073709551615::HUGEINT) AS sig
+          FROM documents d
+          CROSS JOIN coeffs c
+          LEFT JOIN (
+            SELECT sh.doc_id, c2.j,
+                   min( ((c2.a * sh.s) % {m64}::HUGEINT + c2.b)
+                        % {m64}::HUGEINT
+                        % 2305843009213693951::HUGEINT ) AS sig
+            FROM shingles sh CROSS JOIN coeffs c2
+            GROUP BY sh.doc_id, c2.j) m
+            ON m.doc_id = d.doc_id AND m.j = c.j
+        ), band_hex AS (
+          SELECT doc_id, j // 8 AS band,
+                 string_agg({le_hex}, '' ORDER BY j) AS bh
+          FROM sigs GROUP BY doc_id, j // 8
+        ), positions AS (
+          SELECT doc_id,
+                 md5_number_upper(printf('%02x', band)
+                                  || substr(md5(bh), 1, 16))
+                 % 8388608 AS p
+          FROM band_hex
+        ), snap_pos AS (
+          SELECT DISTINCT p FROM positions WHERE doc_id % 5 = 0
+        ), dropped AS (
+          SELECT DISTINCT doc_id FROM positions
+          WHERE doc_id % 5 <> 0
+            AND p IN (SELECT p FROM snap_pos)
+        )
+        SELECT d.* FROM documents d
+        WHERE d.doc_id % 5 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
 def _minhash_clusters_oracle() -> str:
     """minhash_lsh_pairs oracle composed with the recursive-CTE
     connected-components oracle (same CC shape as near_dup_clusters):
@@ -2775,6 +2866,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _language_id_oracle(),
         "minhash_lsh_pairs": _minhash_pairs_oracle(),
         "minhash_clusters": _minhash_clusters_oracle(),
+        "near_dedup_incremental": _near_dedup_incremental_oracle(),
         # Exact SQL mirror of functions.hashing.simhash64 + the 4x16-bit
         # banding: DuckDB md5_number_upper == md5_64 (first 8 digest
         # bytes, little-endian), bit votes per token occurrence, pairs

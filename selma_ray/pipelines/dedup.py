@@ -183,9 +183,12 @@ class MinHashBandStage:
         for i, doc_id in enumerate(ids):
             sig_bytes = sigs[i].tobytes()
             for b in range(self.bands):
-                band = sigs[i, b * rows:(b + 1) * rows].tobytes()
+                # md5 over the band's HEX form (not raw bytes): ASCII-
+                # safe so the DuckDB oracle can mirror the key exactly
+                # (md5(VARCHAR) only); same bucketing semantics.
+                band = sigs[i, b * rows:(b + 1) * rows].tobytes().hex()
                 key = (bytes([b])
-                       + hashlib.md5(band).digest()[:8]).hex()
+                       + hashlib.md5(band.encode()).digest()[:8]).hex()
                 out_key.append(key)
                 out_id.append(doc_id)
                 out_sig.append(sig_bytes)
