@@ -2349,11 +2349,17 @@ def _q_audio_features(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
+    """Image leg of the multimodal suite: actor-pool REAL PNG decode
+    (pure-stdlib codec: zlib inflate + scanline unfilter) + classic
+    stats/histogram featurization -> (doc_id, features). Payloads are
+    deterministic per-doc synthesized PNGs, size varying with doc_id."""
+    from selma_ray.stages.imagecodec import synth_image
     from selma_ray.stages.multimodal import DecodeImageFeatures, multimodal_stage
 
     def to_binary(batch: pa.Table) -> pa.Table:
-        payloads = [(t or "").encode() for t in
-                    batch.column("text").to_pylist()]
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [synth_image(d, w=32 + (d % 4) * 16,
+                                h=24 + (d % 3) * 8) for d in ids]
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "data": pa.array(payloads, pa.binary()),
@@ -2362,7 +2368,7 @@ def _q_multimodal_features(sf_dir: str):
     ds = _read(sf_dir, "documents").map_batches(to_binary,
                                                 batch_format="pyarrow")
     out = multimodal_stage(ds, DecodeImageFeatures, batch_size=64, dim=16,
-                           concurrency=(1, 4))
+                           fake=False, concurrency=(1, 4))
     return out.select_columns(["doc_id", "features"])
 
 

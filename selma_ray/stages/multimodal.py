@@ -1,10 +1,14 @@
 """Multimodal actor-pool stages (image/audio as opaque binary columns).
 
-The container has no image/audio codecs, so the DECODE step is stubbed:
-`decode_impl` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake (crc32-seeded feature vector) stands in so the
-Ray-side plumbing — schema, batch size, actor signature, output layout —
-is real and tested end-to-end.
+The container has no image/audio codec LIBRARIES, but two decode paths
+are fully REAL via the stdlib: PCM WAV audio (``wave``) and PNG/BMP/PPM
+images (``selma_ray.stages.imagecodec``, zlib + numpy). Payloads in
+those formats decode for real; other formats (JPEG/MP3/video/PDF) have
+no pure-stdlib decode, so `decode_impl` raises NotImplementedError for
+them unless ``fake=True``, in which case a deterministic fake
+(crc32-seeded feature vector) stands in so the Ray-side plumbing —
+schema, batch size, actor signature, output layout — is real and tested
+end-to-end regardless.
 
 At scale: binary payloads are large, so callers must use small
 ``batch_size`` (default 16) and a fixed actor pool sized to the node; the
@@ -23,8 +27,16 @@ import pyarrow as pa
 class DecodeImageFeatures:
     """map_batches actor: binary image column -> feature vector column.
 
-    Real decode/resize/feature-extract would load the model ONCE here in
-    __init__ (per actor); __call__ then runs batched inference.
+    PNG/BMP/PPM payloads get a REAL decode (pure-stdlib codec in
+    ``selma_ray.stages.imagecodec``) and a deterministic classic
+    feature vector: [log1p(h), log1p(w), channels, mean, std,
+    horizontal edge energy, vertical edge energy, dynamic range] plus a
+    (dim-8)-bin normalized luminance histogram — the cheap visual
+    frontend used for near-dup/quality triage before a learned model.
+    A learned encoder would load ONCE here in __init__ (per actor);
+    __call__ then runs batched inference. Unrecognized formats
+    (JPEG etc. — no codec in this container) raise unless ``fake=True``
+    (crc32-seeded stand-in).
     """
 
     def __init__(self, data_col: str = "data", out_col: str = "features",
@@ -35,13 +47,39 @@ class DecodeImageFeatures:
         self.fake = fake
         # model/codec load would go here (once per actor)
 
+    def _featurize(self, img: np.ndarray) -> np.ndarray:
+        if self.dim < 9:
+            raise ValueError(
+                "real image featurization needs dim >= 9 "
+                "(8 stats + >=1 luminance-histogram bin)")
+        h, w, c = img.shape
+        x = img.astype(np.float32)
+        # Rec.601 luminance over the first 3 channels (tile gray)
+        rgb = x[:, :, :3] if c >= 3 else np.repeat(x[:, :, :1], 3, axis=2)
+        lum = rgb @ np.array([0.299, 0.587, 0.114], np.float32)
+        eh = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
+        ev = float(np.abs(np.diff(lum, axis=0)).mean()) if h > 1 else 0.0
+        head = np.array([np.log1p(h), np.log1p(w), c,
+                         lum.mean() / 255.0, lum.std() / 255.0,
+                         eh / 255.0, ev / 255.0,
+                         (lum.max() - lum.min()) / 255.0], np.float32)
+        hist, _ = np.histogram(lum, bins=self.dim - 8, range=(0.0, 256.0))
+        hist = hist.astype(np.float32) / max(1, lum.size)
+        return np.concatenate([head, hist])
+
     def decode_impl(self, payload: bytes) -> np.ndarray:
+        from selma_ray.stages.imagecodec import decode_image, sniff_format
+
+        payload = payload or b""
+        if sniff_format(payload) is not None:
+            return self._featurize(decode_image(payload))
         if not self.fake:
             raise NotImplementedError(
-                "image codecs are not available in this environment; "
-                "run with fake=True for the deterministic stand-in")
+                "only PNG/BMP/PPM decode in this environment (no image "
+                "codec libraries); run with fake=True for the "
+                "deterministic stand-in on other formats")
         # deterministic fake: crc32-seeded pseudo-features
-        seed = zlib.crc32(payload or b"")
+        seed = zlib.crc32(payload)
         rng = np.random.default_rng(seed)
         return rng.standard_normal(self.dim, dtype=np.float32)
 
@@ -86,11 +124,12 @@ class ResizeImage:
     """map_batches actor: binary image column -> resized binary column
     plus (width, height) metadata.
 
-    Deterministic fake: truncates/tiles the payload to ``w*h`` bytes (a
-    stand-in for a real decoded-resize-reencode round trip). A real
-    implementation loads the codec ONCE in __init__ and must keep
-    ``batch_size`` small — output bytes stay O(w*h) per row regardless
-    of input size, which is the property downstream stages rely on.
+    PNG/BMP/PPM payloads get a REAL decode → nearest-neighbor resize →
+    PNG re-encode round trip (pure-stdlib codec). Other formats
+    raise unless ``fake=True`` (tile/truncate stand-in). Codec state is
+    per-actor; callers must keep ``batch_size`` small — output bytes
+    stay O(w*h) per row regardless of input size, which is the property
+    downstream stages rely on.
     """
 
     def __init__(self, data_col: str = "data", out_col: str = "resized",
@@ -103,11 +142,19 @@ class ResizeImage:
         # codec init would go here (once per actor)
 
     def resize_impl(self, payload: bytes) -> bytes:
+        from selma_ray.stages.imagecodec import (decode_image, encode_png,
+                                                 nearest_resize,
+                                                 sniff_format)
+
+        payload = payload or b"\0"
+        if sniff_format(payload) is not None:
+            return encode_png(
+                nearest_resize(decode_image(payload), self.w, self.h))
         if not self.fake:
             raise NotImplementedError(
-                "image codecs are not available in this environment; "
-                "run with fake=True for the deterministic stand-in")
-        payload = payload or b"\0"
+                "only PNG/BMP/PPM decode in this environment (no image "
+                "codec libraries); run with fake=True for the "
+                "deterministic stand-in on other formats")
         need = self.w * self.h
         reps = -(-need // len(payload))  # ceil
         return (payload * reps)[:need]
