@@ -2348,6 +2348,46 @@ def _q_audio_features(sf_dir: str):
     return out.map_batches(pool, batch_format="pyarrow")
 
 
+def _q_pdf_pages(sf_dir: str):
+    """REAL PDF parse pipeline with an exact SQL oracle: each doc gets
+    a deterministic synthesized Flate-compressed multi-page PDF
+    (selma_ray.stages.pdfcodec.synth_pdf), the actor-pool stage parses
+    it back for real (object scan, zlib inflate, Tj/T* text operators,
+    page-tree ordering), pages flatten to rows, and the oracle
+    reconstructs the same per-page text directly in SQL — value
+    equality proves the parser recovers the content exactly."""
+    from selma_ray.stages.multimodal import ParsePdfText, multimodal_stage
+    from selma_ray.stages.pdfcodec import synth_pdf
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [synth_pdf(d, n_pages=1 + d % 3,
+                              lines_per_page=2 + d % 4) for d in ids]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "data": pa.array(payloads, pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents").map_batches(to_binary,
+                                                batch_format="pyarrow")
+    out = multimodal_stage(ds, ParsePdfText, batch_size=32, fake=False,
+                           concurrency=(1, 4))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        pages = batch.column("pages")
+        if isinstance(pages, pa.ChunkedArray):
+            pages = pages.combine_chunks()
+        idx = pc.list_parent_indices(pages)
+        flat = pc.list_flatten(pages)
+        return pa.table({
+            "doc_id": pc.take(batch.column("doc_id"), idx),
+            "page": pc.cast(pc.struct_field(flat, "page"), pa.int64()),
+            "text": pc.struct_field(flat, "text"),
+        })
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
 def _q_multimodal_features(sf_dir: str):
     """Image leg of the multimodal suite: actor-pool REAL PNG decode
     (pure-stdlib codec: zlib inflate + scanline unfilter) + classic
@@ -2571,6 +2611,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "audio_features": _q_audio_features,
+        "pdf_pages": _q_pdf_pages,
         "extract_tables": _q_extract_tables,
         "extract_outline": _q_extract_outline,
         "extract_links": _q_extract_links,
@@ -2869,6 +2910,31 @@ def _minhash_clusters_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Exact mirror of pdfcodec.synth_pdf's deterministic content:
+        # the Ray side round-trips it through a REAL PDF encode ->
+        # FlateDecode parse; the oracle rebuilds the text in SQL.
+        "pdf_pages": """
+            WITH pages AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, doc_id % 3)) AS page
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, page,
+                     unnest(generate_series(0, 1 + doc_id % 4)) AS li
+              FROM pages
+            ), lt AS (
+              SELECT doc_id, page, li,
+                     'page ' || page || ' line ' || li || ' w' ||
+                       ((doc_id * 1000003 + page * 97 + li * 7) % 1000)
+                       || ' token' ||
+                       ((doc_id * 1000003 + page * 97 + li * 7) % 53)
+                       AS line
+              FROM lines
+            )
+            SELECT doc_id, page,
+                   string_agg(line, chr(10) ORDER BY li) AS text
+            FROM lt GROUP BY doc_id, page
+        """,
         "language_id": _language_id_oracle(),
         "minhash_lsh_pairs": _minhash_pairs_oracle(),
         "minhash_clusters": _minhash_clusters_oracle(),

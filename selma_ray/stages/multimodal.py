@@ -181,13 +181,18 @@ def multimodal_stage(ds, cls=DecodeImageFeatures, *, batch_size: int = 16,
 class ParsePdfText:
     """map_batches actor: binary PDF column -> per-page text + layout.
 
-    The north-rule's "PDF/layout parse" leg. No PDF library ships in
-    this container, so ``parse_impl`` raises NotImplementedError unless
-    ``fake=True``, where a deterministic stand-in (payload split into
-    pseudo-pages with synthetic bboxes) exercises the real Ray plumbing:
-    per-actor parser init, bytes-aware small batches, and the
-    list<struct> page/layout output schema downstream text stages
-    consume (page text feeds the same block/quality filters as HTML).
+    The north-rule's "PDF/layout parse" leg. ``%PDF-`` payloads get a
+    REAL parse via the pure-stdlib parser in
+    ``selma_ray.stages.pdfcodec`` (object scan, FlateDecode inflate,
+    Tj/TJ/'/" text operators with Td/TD/T*/Tm positioning, page-tree
+    ordering, per-page text-run bbox envelope). Unsupported PDF
+    variants (encrypted, object-stream xref, non-Flate filters) and
+    non-PDF payloads raise NotImplementedError unless ``fake=True``,
+    where a deterministic stand-in (payload split into pseudo-pages
+    with synthetic bboxes) exercises the same Ray plumbing: per-actor
+    parser init, bytes-aware small batches, and the list<struct>
+    page/layout output schema downstream text stages consume (page
+    text feeds the same block/quality filters as HTML).
     """
 
     PAGE_TYPE = pa.list_(pa.struct([
@@ -205,11 +210,20 @@ class ParsePdfText:
         # real impl: load the PDF parser / layout model ONCE per actor
 
     def parse_impl(self, payload: bytes) -> list[dict]:
+        payload = payload or b""
+        if payload[:5] == b"%PDF-":
+            from selma_ray.stages.pdfcodec import parse_pdf_pages
+
+            try:
+                return parse_pdf_pages(payload)
+            except NotImplementedError:
+                if not self.fake:
+                    raise
         if not self.fake:
             raise NotImplementedError(
-                "no PDF parser is available in this environment; "
-                "run with fake=True for the deterministic stand-in")
-        payload = payload or b""
+                "only classic uncompressed/FlateDecode text PDFs parse "
+                "in this environment (no PDF library); run with "
+                "fake=True for the deterministic stand-in")
         pages = []
         for i in range(0, max(1, len(payload)), self.page_bytes):
             chunk = payload[i:i + self.page_bytes]
