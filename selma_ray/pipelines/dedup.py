@@ -44,7 +44,7 @@ from ..functions.hashing import (
     shingle_hashes,
     simhash64,
 )
-from ..stages.util import coalesce_small
+from ..stages.util import coalesce_small, split_blocks
 
 PAIR_SCHEMA = pa.schema([
     ("id_a", pa.int64()),
@@ -283,7 +283,7 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     banded = ds.map_batches(_minhash_band_fn, **kwargs)
-    pairs = coalesce_small(banded, target_rows=16384) \
+    pairs = split_blocks(banded, target_rows=16384) \
         .groupby("band_key").map_groups(
             _bucket_pairs_fn(k, threshold, max_bucket),
             batch_format="pyarrow")
@@ -296,8 +296,8 @@ def _dedup_pairs(pairs, method: str):
     """Keep one copy per (id_a, id_b): groupby + max(similarity)."""
     from ray.data.aggregate import Max
 
-    agg = coalesce_small(pairs).groupby(["id_a", "id_b"]).aggregate(
-        Max("similarity"))
+    agg = split_blocks(pairs, target_rows=65536) \
+        .groupby(["id_a", "id_b"]).aggregate(Max("similarity"))
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -1242,7 +1242,7 @@ def cross_corpus_pairs(ds_a, ds_b, *, id_col: str = "doc_id",
             "method": pa.array(["minhash_cross"] * len(a_out)),
         })
 
-    pairs = coalesce_small(banded, target_rows=16384) \
+    pairs = split_blocks(banded, target_rows=16384) \
         .groupby("band_key").map_groups(bucket_cross,
                                         batch_format="pyarrow")
     return _dedup_pairs(pairs, "minhash_cross")

@@ -1462,8 +1462,10 @@ def bloom_semi_join(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
         u = pc.unique(batch.column(dim_key))
         return pa.table({fact_key: u})
 
-    survivors = coalesce_small(
-        fact_ds.map_batches(prefilter, batch_format="pyarrow"))
+    # survivors stay un-coalesced: they are WIDE fact rows and the
+    # left_semi hash join repartitions them anyway — an extra merge
+    # pass here copies the whole surviving payload for nothing.
+    survivors = fact_ds.map_batches(prefilter, batch_format="pyarrow")
     dim_keys = coalesce_small(
         dim_ds.select_columns([dim_key]).map_batches(
             dim_slim, batch_format="pyarrow")) \
@@ -3103,56 +3105,68 @@ def snapshot_column_diff(ds_a, ds_b, *, key_col: str,
 
 def late_orders_by_priority(orders_ds, lineitem_ds, *,
                             late_days: int = 90,
-                            num_partitions: int = 16):
+                            num_buckets: int = 256):
     """TPC-H Q4-shaped EXISTS rollup: count orders per priority having
     AT LEAST ONE line shipped more than ``late_days`` after the order
     date -> (o_orderpriority, late_orders).
 
-    The EXISTS is decomposed below the join: lineitem pre-aggregates
+    Bucketed co-group instead of groupby+join: lineitem pre-aggregates
     to ONE (orderkey, max_shipdate) row per order per block (existence
-    only needs the max), orders prune to (key, date, priority), one
-    native hash join, then the date predicate and a tiny priority
-    rollup. The exchange carries one slim row per order on each side —
-    never lines.
+    only needs the max), orders prune to (key, date, priority), both
+    sides union into one slim stream tagged hash(orderkey)%B, and ONE
+    low-cardinality groupby(_bucket) co-locates each order's rows. The
+    per-bucket task then does the exact max + join + late predicate in
+    Arrow — replacing a ~|orders|-key global aggregate AND a hash join
+    (each seconds of fixed shuffle overhead) with a single B-key
+    exchange of one slim row per order per side. ``num_buckets`` bounds
+    reducer fan-in independently of order cardinality; raise it with
+    data size so a bucket fits one task's heap.
     """
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import bucketed_map_groups
+
+    ts = pa.timestamp("us")
 
     def line_partial(batch: pa.Table) -> pa.Table:
         agg = batch.select(["l_orderkey", "l_shipdate"]) \
             .group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        n = agg.num_rows
         return pa.table({
-            "l_orderkey": agg.column("l_orderkey"),
-            "p_max": agg.column("l_shipdate_max"),
+            "k": agg.column("l_orderkey"),
+            "p_max": pc.cast(agg.column("l_shipdate_max"), ts),
+            "o_orderdate": pa.nulls(n, ts),
+            "o_orderpriority": pa.nulls(n, pa.string()),
         })
 
-    maxship = coalesce_small(
-        lineitem_ds.map_batches(line_partial, batch_format="pyarrow")) \
-        .groupby("l_orderkey").aggregate(Max("p_max"))
-
-    def slim_maxship(batch: pa.Table) -> pa.Table:
+    def order_slim(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         return pa.table({
-            "l_orderkey": batch.column("l_orderkey"),
-            "max_ship": batch.column("max(p_max)"),
+            "k": batch.column("o_orderkey"),
+            "p_max": pa.nulls(n, ts),
+            "o_orderdate": pc.cast(batch.column("o_orderdate"), ts),
+            "o_orderpriority": batch.column("o_orderpriority"),
         })
 
-    ms = maxship.map_batches(slim_maxship, batch_format="pyarrow")
-
-    orders = coalesce_small(orders_ds.select_columns(
-        ["o_orderkey", "o_orderdate", "o_orderpriority"]))
-    joined = orders.join(coalesce_small(ms), join_type="inner",
-                         num_partitions=num_partitions,
-                         on=("o_orderkey",), right_on=("l_orderkey",))
+    lines = lineitem_ds.map_batches(line_partial, batch_format="pyarrow")
+    orders = orders_ds.select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(order_slim, batch_format="pyarrow")
 
     late_us = late_days * 86_400_000_000
 
-    def rollup(batch: pa.Table) -> pa.Table:
+    def bucket_rollup(group: pa.Table) -> pa.Table:
+        is_line = pc.is_valid(group.column("p_max"))
+        maxed = group.filter(is_line).select(["k", "p_max"]) \
+            .group_by("k").aggregate([("p_max", "max")])
+        orders_side = group.filter(pc.invert(is_line)) \
+            .select(["k", "o_orderdate", "o_orderpriority"])
+        joined = orders_side.join(maxed, keys="k", join_type="inner")
         diff = pc.subtract(
-            pc.cast(pc.cast(batch.column("max_ship"),
-                            pa.timestamp("us")), pa.int64()),
-            pc.cast(pc.cast(batch.column("o_orderdate"),
-                            pa.timestamp("us")), pa.int64()))
-        late = batch.filter(pc.greater(diff, pa.scalar(late_us,
-                                                       pa.int64())))
+            pc.cast(joined.column("p_max_max"), pa.int64()),
+            pc.cast(joined.column("o_orderdate"), pa.int64()))
+        late = joined.filter(pc.greater(diff, pa.scalar(late_us,
+                                                        pa.int64())))
         agg = late.select(["o_orderpriority"]) \
             .group_by("o_orderpriority").aggregate([([], "count_all")])
         return pa.table({
@@ -3160,8 +3174,10 @@ def late_orders_by_priority(orders_ds, lineitem_ds, *,
             "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
         })
 
-    out = coalesce_small(joined.map_batches(rollup,
-                                            batch_format="pyarrow")) \
+    partials = bucketed_map_groups(lines.union(orders), "k",
+                                   bucket_rollup,
+                                   num_buckets=num_buckets)
+    out = coalesce_small(partials) \
         .groupby("o_orderpriority").aggregate(Sum("partial_n"))
     return out.map_batches(
         lambda b: pa.table({
@@ -3313,20 +3329,23 @@ def weekly_active_users(events_ds, *, window_days: int = 7):
     Decomposition that never re-counts a user per window: each user's
     distinct active days become disjoint coverage intervals
     [d_i, min(d_i + w - 1, d_(i+1) - 1)] (clipping each window at the
-    user's next active day makes the union exact with no set math),
-    which expand to the observed days they contain via one vectorized
-    searchsorted against the broadcast observed-day array, then one
-    groupby(day) sum counts users per day. The shuffle carries
-    (user, day) pairs and covered-day rows — bounded by
-    users x (active_days + w), never events. The distinct (user, day)
-    dedup is an AGGREGATE (Count), not a per-group map_groups — one
-    Python call per (user, day) group was the sf0.1 hot spot — and
-    pairs materialize once so the observed-day pass doesn't recompute
-    the upstream.
-    """
-    import ray
+    user's next active day makes the union exact with no set math).
+    Intervals become +1/-1 delta rows, a day-cardinality groupby nets
+    them, and one ordered prefix sum over the distinct-day table
+    (driver-small, like open_orders_by_day) yields the census for
+    every day, filtered to OBSERVED days (those carrying a +1 start,
+    which are exactly the active days).
 
-    from ray.data.aggregate import Sum
+    Shuffle shape: per-block distinct (user, day) pairs ride ONE
+    low-cardinality hash(user)%B exchange (bucketed_map_groups); the
+    per-bucket task dedups pairs and emits interval deltas fully
+    vectorized (dictionary-encoded users, lexsort, shifted-neighbor
+    clipping) — no ~|users|-key global aggregate and no per-user
+    Python call, the two sf0.1 hot spots of the previous shape.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.util import bucketed_map_groups
 
     day_us = 86_400_000_000
 
@@ -3337,48 +3356,59 @@ def weekly_active_users(events_ds, *, window_days: int = 7):
         })
         return t.group_by(["user_id", "day"]).aggregate([])
 
-    def slim(batch: pa.Table) -> pa.Table:
-        return batch.select(["user_id", "day"])
+    pairs = events_ds.map_batches(day_pairs, batch_format="pyarrow")
 
-    pairs = coalesce_small(
-        events_ds.map_batches(day_pairs, batch_format="pyarrow")) \
-        .groupby(["user_id", "day"]).count() \
-        .map_batches(slim, batch_format="pyarrow").materialize()
-
-    observed = sorted({r["day"] for r in
-                       pairs.groupby("day").count().take_all()})
-    obs_days = np.array(
-        [pa.scalar(d).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
-         // day_us for d in observed], dtype=np.int64)
-    obs_ref = ray.put(obs_days)
-
-    def cover(group: pa.Table) -> pa.Table:
-        obs = ray.get(obs_ref)
-        da = np.unique(
-            pc.cast(pc.cast(group.column("day"), pa.timestamp("us")),
-                    pa.int64()).to_numpy(zero_copy_only=False) // day_us)
-        end = np.minimum(da + window_days - 1,
-                         np.append(da[1:] - 1, np.iinfo(np.int64).max))
-        lo = np.searchsorted(obs, da, side="left")
-        hi = np.searchsorted(obs, end, side="right")
-        lengths = hi - lo
-        starts = np.repeat(lo, lengths)
-        offs = np.arange(lengths.sum()) \
-            - np.repeat(np.cumsum(lengths) - lengths, lengths)
-        covered = obs[starts + offs]    # disjoint intervals: no dups
+    def bucket_deltas(group: pa.Table) -> pa.Table:
+        t = group.group_by(["user_id", "day"]).aggregate([])
+        uid = t.column("user_id").dictionary_encode().combine_chunks() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        day = pc.cast(pc.cast(t.column("day"), pa.timestamp("us")),
+                      pa.int64()).to_numpy(zero_copy_only=False) // day_us
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        nxt = np.append(day[1:], np.iinfo(np.int64).max)
+        same = np.append(uid[1:] == uid[:-1], False)
+        nxt[~same] = np.iinfo(np.int64).max
+        end = np.minimum(day + window_days - 1, nxt - 1)
+        deltas = pa.table({
+            "d": pa.array(np.concatenate([day, end + 1]), pa.int64()),
+            "delta": pa.array(
+                np.concatenate([np.ones(len(day), np.int64),
+                                -np.ones(len(day), np.int64)])),
+            "obs": pa.array(
+                np.concatenate([np.ones(len(day), np.int64),
+                                np.zeros(len(day), np.int64)])),
+        })
+        g = deltas.group_by("d").aggregate([("delta", "sum"),
+                                            ("obs", "max")])
         return pa.table({
-            "day": pa.array(covered * day_us).cast(pa.timestamp("us")),
-            "one": pa.array(np.ones(len(covered), np.int64), pa.int64()),
+            "d": g.column("d"),
+            "delta": g.column("delta_sum"),
+            "obs": g.column("obs_max"),
         })
 
-    per_day = pairs.groupby("user_id").map_groups(
-        cover, batch_format="pyarrow")
-    agg = coalesce_small(per_day).groupby("day").aggregate(Sum("one"))
-    return agg.map_batches(
-        lambda b: pa.table({
-            "day": b.column("day"),
-            "wau": pc.cast(b.column("sum(one)"), pa.int64()),
-        }), batch_format="pyarrow")
+    deltas = bucketed_map_groups(pairs, "user_id", bucket_deltas)
+    netted = coalesce_small(deltas).groupby("d") \
+        .aggregate(Sum("delta"), Max("obs"))
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        # distinct-day table: bounded by calendar span, not events
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        d = d[order]
+        delta = pc.cast(batch.column("sum(delta)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[order]
+        obs = pc.cast(batch.column("max(obs)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[order]
+        wau = np.cumsum(delta)
+        keep = obs == 1
+        return pa.table({
+            "day": pa.array(d[keep] * day_us).cast(pa.timestamp("us")),
+            "wau": pa.array(wau[keep], pa.int64()),
+        })
+
+    return netted.repartition(1).map_batches(
+        sweep, batch_format="pyarrow", batch_size=None)
 
 
 def _pareto_prune(qty: np.ndarray, price: np.ndarray) -> np.ndarray:

@@ -11,9 +11,28 @@ from __future__ import annotations
 
 
 def coalesce_small(ds, target_rows: int = 65536):
-    """Merge small blocks before a wide op (streaming split/merge, not a
-    shuffle). No-op in spirit for large datasets: they keep >= enough
-    blocks because target_rows bounds rows per block, not block count."""
+    """Merge small blocks before a wide op (streaming, not a shuffle).
+
+    Two streaming steps because Ray 2.49 has no single op that does
+    both: an identity ``map_batches`` with ``batch_size`` MERGES — Ray
+    bundles consecutive small blocks into one task input, so a
+    128-tiny-block intermediate (the normal shape after per-batch
+    partial aggregation) collapses to ~rows/target_rows blocks instead
+    of paying O(blocks^2) tiny-object transfers in the next shuffle —
+    and ``repartition(target_num_rows_per_block=...)`` SPLITS oversized
+    blocks (it never merges small ones; measured) so large inputs keep
+    enough blocks for parallel reduce."""
+    return ds.map_batches(lambda b: b, batch_format="pyarrow",
+                          batch_size=target_rows) \
+        .repartition(target_num_rows_per_block=target_rows)
+
+
+def split_blocks(ds, target_rows: int = 16384):
+    """Split-only sibling of coalesce_small: slice oversized blocks so
+    the next shuffle/map_groups gets enough parallelism, WITHOUT the
+    merge pass (which copies every row — wasted work when the input is
+    a wide or already-well-blocked stream, e.g. banded minhash
+    signatures feeding a per-band map_groups)."""
     return ds.repartition(target_num_rows_per_block=target_rows)
 
 
@@ -37,3 +56,57 @@ def default_pool_size(fraction: float | None = None, floor: int = 2) -> int:
     if fraction is not None:
         return max(floor, int(cpus * fraction))
     return max(floor, int(cpus) - max(2, int(cpus) // 8))
+
+
+def key_buckets(arr, num_buckets: int):
+    """Deterministic hash bucket per key value (vectorized, process-
+    independent): splitmix64 finalizer for integer keys (dense TPC-H
+    ids would otherwise map contiguously and skew range partitions),
+    pandas' fixed-key siphash for everything else. Returns int32."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        v ^= v >> np.uint64(31)
+        return (v % np.uint64(num_buckets)).astype(np.int32)
+    from pandas.util import hash_array
+
+    h = hash_array(arr.to_pandas().to_numpy(), categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def bucketed_map_groups(ds, key_col: str, fn, *, num_buckets: int = 256,
+                        target_rows: int = 65536):
+    """Exact per-key reduction WITHOUT a per-key global shuffle.
+
+    Ray's sort-based aggregate costs seconds of fixed overhead per
+    ~100k distinct keys (boundary sampling + an all-to-all with one
+    range per reducer). When the per-key reduction is expressible as
+    vectorized Arrow/numpy over a slice of rows, it is much cheaper to
+    shuffle on ``hash(key) % num_buckets`` — a LOW-cardinality groupby
+    — and run the exact reduction inside each bucket group: the hash
+    guarantees every row of a key lands in the same group, and
+    ``num_buckets`` bounds both reducer count and skew independently
+    of key cardinality (at 100 TB raise it; each bucket must fit one
+    task's heap). ``fn`` receives all rows of one bucket (the key
+    column included, ``_bucket`` already dropped) and returns any
+    reduced table."""
+    import pyarrow as pa
+
+    def tag(batch: "pa.Table") -> "pa.Table":
+        b = key_buckets(batch.column(key_col), num_buckets)
+        return batch.append_column("_bucket", pa.array(b, pa.int32()))
+
+    def run(group: "pa.Table") -> "pa.Table":
+        return fn(group.drop_columns(["_bucket"]))
+
+    tagged = coalesce_small(ds.map_batches(tag, batch_format="pyarrow"),
+                            target_rows)
+    return tagged.groupby("_bucket").map_groups(
+        run, batch_format="pyarrow")

@@ -1,0 +1,142 @@
+"""Block-shaping helpers: coalesce_small / split_blocks /
+bucketed_map_groups (stages/util.py).
+
+These carry the repo's shuffle-cost discipline: Ray's sort-based
+shuffle pays per-input-block overhead, so tiny-block intermediates must
+MERGE before a wide op, oversized blocks must SPLIT for reduce
+parallelism, and entity-keyed reductions should ride ONE
+low-cardinality hash-bucket exchange instead of a per-key global
+aggregate (see late_orders_by_priority / weekly_active_users).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+from selma_ray.stages.util import (
+    bucketed_map_groups,
+    coalesce_small,
+    key_buckets,
+    split_blocks,
+)
+
+
+def _blocks(tables):
+    return rd.from_arrow(tables)
+
+
+class TestCoalesceSmall:
+    def test_merges_tiny_blocks(self):
+        t = pa.table({"x": np.arange(500)})
+        ds = coalesce_small(_blocks([t] * 64), target_rows=8000)
+        assert ds.materialize().num_blocks() <= 8
+        assert ds.count() == 32000
+
+    def test_splits_oversized_blocks(self):
+        t = pa.table({"x": np.arange(100_000)})
+        ds = coalesce_small(_blocks([t]), target_rows=10_000)
+        assert ds.materialize().num_blocks() >= 10
+
+    def test_preserves_rows_and_schema(self):
+        t = pa.table({"x": np.arange(100), "s": [f"v{i}" for i in range(100)]})
+        out = coalesce_small(_blocks([t] * 5), target_rows=300).materialize()
+        assert out.count() == 500
+        assert set(out.schema().names) == {"x", "s"}
+
+
+class TestSplitBlocks:
+    def test_splits_without_merging(self):
+        big = pa.table({"x": np.arange(50_000)})
+        small = pa.table({"x": np.arange(10)})
+        ds = split_blocks(_blocks([big, small, small]), target_rows=10_000)
+        m = ds.materialize()
+        assert m.count() == 50_020
+        assert m.num_blocks() >= 5  # big split; smalls left alone
+
+
+class TestKeyBuckets:
+    def test_int_keys_deterministic_and_in_range(self):
+        arr = pa.array(np.arange(10_000, dtype=np.int64))
+        b1 = key_buckets(arr, 256)
+        b2 = key_buckets(arr, 256)
+        assert np.array_equal(b1, b2)
+        assert b1.min() >= 0 and b1.max() < 256
+
+    def test_dense_int_keys_spread_uniformly(self):
+        # splitmix64 must break up contiguous id ranges: no bucket may
+        # hold a wildly disproportionate share of 100k dense keys
+        b = key_buckets(pa.array(np.arange(100_000, dtype=np.int64)), 64)
+        counts = np.bincount(b, minlength=64)
+        assert counts.max() < 3 * (100_000 // 64)
+
+    def test_string_keys(self):
+        arr = pa.array([f"user-{i}" for i in range(5_000)])
+        b1 = key_buckets(arr, 32)
+        b2 = key_buckets(arr, 32)
+        assert np.array_equal(b1, b2)
+        assert b1.min() >= 0 and b1.max() < 32
+        assert len(np.unique(b1)) == 32
+
+    def test_chunked_array(self):
+        ch = pa.chunked_array([pa.array([1, 2, 3], pa.int64()),
+                               pa.array([4, 5], pa.int64())])
+        assert len(key_buckets(ch, 8)) == 5
+
+
+class TestBucketedMapGroups:
+    def test_exact_per_key_reduction(self):
+        # per-key max across MANY partitions must equal the naive
+        # answer: the hash guarantees co-location of each key's rows
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 2_000, size=30_000).astype(np.int64)
+        vals = rng.random(30_000)
+        tables = [pa.table({"k": keys[i::10], "v": vals[i::10]})
+                  for i in range(10)]
+
+        def per_key_max(group: pa.Table) -> pa.Table:
+            agg = group.group_by("k").aggregate([("v", "max")])
+            return pa.table({"k": agg.column("k"),
+                             "vmax": agg.column("v_max")})
+
+        out = bucketed_map_groups(_blocks(tables), "k", per_key_max,
+                                  num_buckets=16).take_all()
+        got = {r["k"]: r["vmax"] for r in out}
+        exp = {}
+        for k, v in zip(keys, vals):
+            exp[k] = max(exp.get(k, -1.0), v)
+        assert len(got) == len(exp)
+        for k, v in exp.items():
+            assert got[k] == pytest.approx(v)
+
+    def test_bucket_column_not_leaked(self):
+        t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                      "v": [1.0, 2.0, 3.0]})
+
+        def passthrough(group: pa.Table) -> pa.Table:
+            assert "_bucket" not in group.schema.names
+            return group
+
+        out = bucketed_map_groups(_blocks([t]), "k", passthrough,
+                                  num_buckets=4)
+        assert set(out.schema().names) == {"k", "v"}
+        assert out.count() == 3
+
+    def test_string_keys_co_located(self):
+        tables = [pa.table({"k": [f"u{i % 50}" for i in range(i, i + 500)],
+                            "v": np.ones(500)})
+                  for i in range(0, 5000, 500)]
+
+        def count_rows(group: pa.Table) -> pa.Table:
+            agg = group.group_by("k").aggregate([([], "count_all")])
+            return pa.table({"k": agg.column("k"),
+                             "n": agg.column("count_all")})
+
+        out = bucketed_map_groups(_blocks(tables), "k", count_rows,
+                                  num_buckets=8).take_all()
+        # every key appears exactly once => all its rows were co-located
+        ks = [r["k"] for r in out]
+        assert len(ks) == len(set(ks))
+        assert sum(r["n"] for r in out) == 5000
