@@ -655,3 +655,45 @@ def test_real_wav_stereo_and_8bit():
 
     with pytest.raises(NotImplementedError):
         dec.decode_impl(b"\x00\x01\x02not-audio")
+
+
+def test_extract_job_cli_runs_and_resumes(tmp_path, ray_session):
+    """selma_ray.jobs.extract_job: the `ray job submit` driver target.
+
+    main() must reuse an existing Ray session (job agents / tests own
+    it), write the manifest, and skip every shard on re-run.
+    """
+    import json
+
+    from selma_ray.jobs.extract_job import main
+    from selma_ray.sources.transcripts import synthesize_transcripts
+
+    src = tmp_path / "in"
+    src.mkdir()
+    tbl = synthesize_transcripts(20)
+    pq.write_table(tbl.slice(0, len(tbl) // 2), src / "a.parquet")
+    pq.write_table(tbl.slice(len(tbl) // 2), src / "b.parquet")
+    out = tmp_path / "out"
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--input", str(src), "--out", str(out)])
+    assert rc == 0
+    rec = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rec["shards_total"] == 2
+    assert rec["shards_done"] == 2
+    assert rec["rows"] == len(tbl)
+    assert rec["metrics"]["turns_processed"] == len(tbl)
+
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc = main(["--input", str(src), "--out", str(out)])
+    assert rc == 0
+    rec2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert rec2["shards_skipped"] == 2
+    assert rec2["shards_done"] == 0
+    # aggregate metrics survive the resume untouched
+    assert rec2["metrics"] == rec["metrics"]
