@@ -212,6 +212,18 @@ class ExtractionEngine:
             raise ValueError("fast path requires sanitizer_config=None")
         self._taginfo = _build_taginfo(self.extractor.strip_tags,
                                        self.extractor.break_tags)
+        # One-lookup fast path for the dominant token class: an
+        # already-lowercase start tag of a plain unwrapped container
+        # (taginfo==0 — no strip/title/meta/break/void/rawtext bits).
+        # Seeded with the common containers and grown lazily as the
+        # corpus reveals more zero-info tag spellings.
+        _seed = {"div", "p", "span", "a", "li", "ul", "ol", "td", "tr",
+                 "th", "table", "tbody", "thead", "em", "strong", "b",
+                 "i", "u", "code", "pre", "blockquote", "h1", "h2",
+                 "h3", "h4", "h5", "h6", "section", "article", "main",
+                 "body", "html", "head", "form", "label", "button",
+                 "small", "sup", "sub", "dl", "dt", "dd"}
+        self._zero_tags = {t for t in _seed if t not in self._taginfo}
         # raw_spans=True returns spans as (selector, tag, start, end)
         # tuples instead of per-span dicts — the batch stage builds the
         # Arrow list<struct> column from flat arrays, which is ~4x
@@ -313,6 +325,8 @@ class ExtractionEngine:
 
         lc_cache_get = _LC_CACHE.get
         tag_match = _TAG_RE.match
+        zero_tags = self._zero_tags
+        zero_add = zero_tags.add
 
         s = text
         n = len(s)
@@ -386,6 +400,19 @@ class ExtractionEngine:
                 m = tag_match(s, lt)
                 if m is not None:
                     raw_name = m.group(1)
+                    if raw_name in zero_tags:
+                        # plain unwrapped non-void container, lowercase
+                        # spelling: one set lookup replaces the lc-cache
+                        # + taginfo gets (identical to the info==0 path)
+                        scan = m.end()
+                        if text_pieces:
+                            flush()
+                        hits_unwrap += 1
+                        stack.append(raw_name)
+                        stack_flags.append(0)
+                        open_counts[raw_name] = \
+                            open_counts.get(raw_name, 0) + 1
+                        continue
                     name = lc_cache_get(raw_name) or _lc(raw_name)
                     scan = m.end()
                     slow_tag = None
@@ -402,6 +429,8 @@ class ExtractionEngine:
                 info = taginfo_get(name, 0)
                 if info == 0:
                     # plain unwrapped non-void container (the common case)
+                    if slow_tag is None and name == raw_name:
+                        zero_add(raw_name)  # future hits take the set path
                     hits_unwrap += 1
                     stack.append(name)
                     stack_flags.append(0)
@@ -516,7 +545,8 @@ class ExtractionEngine:
                     if text_pieces:
                         flush()
                     en = s[lt + 2:j]
-                    name = lc_cache_get(en) or _lc(en)
+                    name = (en if en in zero_tags
+                            else lc_cache_get(en) or _lc(en))
                     cnt = open_counts.get(name)
                     if not cnt:
                         # stray end tag: passes through (no on_end_tag)
