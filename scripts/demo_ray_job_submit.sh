@@ -6,7 +6,7 @@
 # On a real deployment this is exactly
 #
 #   ray job submit --working-dir /root/repo -- \
-#       python -m selma_ray.jobs.extract_job --input ... --out ...
+#       python -m selma_ray.job extract --input ... --output ...
 #
 # This sandbox ships ray[data] without the jobs CLI/SDK (`ray job`
 # requires ray[default], which needs network to install), so the demo
@@ -32,12 +32,12 @@ RAY_ADDRESS= ray start --head --num-cpus="$CPUS" \
 
 echo "== first run (cold: extracts every shard) =="
 RAY_ADDRESS=auto PYTHONPATH=/root/repo \
-    python -m selma_ray.jobs.extract_job \
-    --input "$INPUT" --out "$OUT" 2>/dev/null | tail -1
+    python -m selma_ray.job extract \
+    --input "$INPUT" --output "$OUT" 2>/dev/null | tail -1
 
 echo "== second run (warm: every shard skipped via manifest) =="
 RAY_ADDRESS=auto PYTHONPATH=/root/repo \
-    python -m selma_ray.jobs.extract_job \
-    --input "$INPUT" --out "$OUT" 2>/dev/null | tail -1
+    python -m selma_ray.job extract \
+    --input "$INPUT" --output "$OUT" 2>/dev/null | tail -1
 
 ray stop --force >/dev/null 2>&1 || true

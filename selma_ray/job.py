@@ -23,20 +23,27 @@ import sys
 
 
 def _init(args):
+    """Connect to (or start) Ray; returns (ray, owns_session).
+
+    Only shut down a session this process started — under a job agent
+    or a test harness the session belongs to the host, and killing it
+    would take down every other driver attached to it.
+    """
     import ray
 
-    if not ray.is_initialized():
-        kwargs = dict(include_dashboard=False)
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address=args.address, **kwargs)
-    return ray
+    if ray.is_initialized():
+        return ray, False
+    kwargs = dict(include_dashboard=False)
+    if args.num_cpus:
+        kwargs["num_cpus"] = args.num_cpus
+    ray.init(address=args.address, **kwargs)
+    return ray, True
 
 
 def cmd_extract(args) -> dict:
     from selma_ray.pipelines.extract import run_extraction
 
-    ray = _init(args)
+    ray, owns = _init(args)
     summary = run_extraction(
         args.input, args.output,
         manifest_dir=args.manifest,
@@ -45,14 +52,15 @@ def cmd_extract(args) -> dict:
         batch_size=args.batch_size,
         concurrency=args.concurrency,
     )
-    ray.shutdown()
+    if owns:
+        ray.shutdown()
     return summary
 
 
 def cmd_curate(args) -> dict:
     from selma_ray.pipelines.curate import curate_corpus
 
-    ray = _init(args)
+    ray, owns = _init(args)
     summary = curate_corpus(
         args.input, args.output,
         min_words=args.min_words,
@@ -62,7 +70,8 @@ def cmd_curate(args) -> dict:
         eval_path=args.eval_path,
         resume=not args.no_resume,
     )
-    ray.shutdown()
+    if owns:
+        ray.shutdown()
     return summary
 
 

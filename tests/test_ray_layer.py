@@ -658,14 +658,15 @@ def test_real_wav_stereo_and_8bit():
 
 
 def test_extract_job_cli_runs_and_resumes(tmp_path, ray_session):
-    """selma_ray.jobs.extract_job: the `ray job submit` driver target.
+    """selma_ray.job extract: the `ray job submit` driver target.
 
-    main() must reuse an existing Ray session (job agents / tests own
-    it), write the manifest, and skip every shard on re-run.
+    main() must reuse an existing Ray session WITHOUT shutting it down
+    (job agents / tests own it), write the manifest, and skip every
+    shard on re-run.
     """
     import json
 
-    from selma_ray.jobs.extract_job import main
+    from selma_ray.job import main
     from selma_ray.sources.transcripts import synthesize_transcripts
 
     src = tmp_path / "in"
@@ -680,7 +681,7 @@ def test_extract_job_cli_runs_and_resumes(tmp_path, ray_session):
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        rc = main(["--input", str(src), "--out", str(out)])
+        rc = main(["extract", "--input", str(src), "--output", str(out)])
     assert rc == 0
     rec = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rec["shards_total"] == 2
@@ -690,7 +691,7 @@ def test_extract_job_cli_runs_and_resumes(tmp_path, ray_session):
 
     buf2 = io.StringIO()
     with redirect_stdout(buf2):
-        rc = main(["--input", str(src), "--out", str(out)])
+        rc = main(["extract", "--input", str(src), "--output", str(out)])
     assert rc == 0
     rec2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
     assert rec2["shards_skipped"] == 2
