@@ -111,7 +111,11 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
              "conversation_assembly", "decontaminate", "term_frequencies",
              "mixture_sample", "distinct_users_kmv", "unigram_perplexity",
              "bloom_dedup", "rank_docs", "turn_pairs", "corpus_diff",
-             "pmi_collocations", "urgent_lines_semi", "cdc_chunks"]
+             "pmi_collocations", "urgent_lines_semi", "cdc_chunks",
+             # round-2 additions: DOM-heuristic block filter, PDF layout
+             # parse, PII redaction, RAG chunking, co-grouped joins
+             "block_filter", "pdf_pages", "redact_pii", "chunk_documents",
+             "late_orders", "weekly_active"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in picks:
