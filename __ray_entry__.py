@@ -2412,6 +2412,48 @@ def _q_multimodal_features(sf_dir: str):
     return out.select_columns(["doc_id", "features"])
 
 
+def _q_video_frames(sf_dir: str):
+    """Video leg of the multimodal suite: actor-pool REAL animated-GIF
+    decode (pure-stdlib LZW codec) -> evenly-spaced frame sample ->
+    PNG re-encode per frame, then a per-doc summary (frame count,
+    per-frame PNG bytes, mean RGB of the first sampled frame via a
+    second real PNG decode). Payloads are deterministic per-doc
+    synthesized animations, frame count varying with doc_id."""
+    import numpy as np
+
+    from selma_ray.stages.gifcodec import synth_gif
+    from selma_ray.stages.imagecodec import decode_png
+    from selma_ray.stages.multimodal import SampleVideoFrames, multimodal_stage
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [synth_gif(d, n_frames=2 + d % 7) for d in ids]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "data": pa.array(payloads, pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents").map_batches(to_binary,
+                                                batch_format="pyarrow")
+    out = multimodal_stage(ds, SampleVideoFrames, batch_size=64,
+                           n_frames=3, fake=False, concurrency=(1, 4))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        frames = batch.column("frames").to_pylist()
+        sizes = [[len(f) for f in fr] for fr in frames]
+        means = [np.asarray(
+            decode_png(fr[0])[..., :3], np.float64).mean((0, 1))
+            .astype(np.float32).tolist() for fr in frames]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_frames": pa.array([len(fr) for fr in frames], pa.int32()),
+            "frame_bytes": pa.array(sizes, pa.list_(pa.int64())),
+            "mean_rgb": pa.array(means, pa.list_(pa.float32(), 3)),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     qs = _raw_queries()
     return {name: _with_query_name(name, fn) for name, fn in qs.items()}
@@ -2611,6 +2653,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
         "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         "pdf_pages": _q_pdf_pages,
         "extract_tables": _q_extract_tables,
         "extract_outline": _q_extract_outline,

@@ -94,8 +94,12 @@ class DecodeImageFeatures:
 class SampleVideoFrames:
     """map_batches actor: binary video column -> list of frame payloads.
 
-    Deterministic fake: slices the payload into ``n_frames`` chunks. Real
-    frame sampling would seek keyframes via a codec loaded in __init__.
+    Animated GIF payloads get a REAL decode → evenly-spaced frame
+    sample → PNG re-encode (pure-stdlib LZW codec,
+    `selma_ray.stages.gifcodec`). Other container formats (mp4/webm
+    etc. — no codec libs ship here) fall back to the deterministic fake
+    (payload sliced into ``n_frames`` chunks) or raise when
+    ``fake=False``.
     """
 
     def __init__(self, data_col: str = "data", out_col: str = "frames",
@@ -106,10 +110,15 @@ class SampleVideoFrames:
         self.fake = fake
 
     def sample_impl(self, payload: bytes) -> list[bytes]:
+        from selma_ray.stages.gifcodec import sample_gif_frames, sniff_gif
+
+        payload = payload or b""
+        if sniff_gif(payload):
+            return sample_gif_frames(payload, self.n_frames)
         if not self.fake:
             raise NotImplementedError(
-                "video codecs are not available in this environment")
-        payload = payload or b""
+                "non-GIF video codecs are not available in this "
+                "environment")
         k = max(1, len(payload) // max(1, self.n_frames))
         return [payload[i * k:(i + 1) * k] for i in range(self.n_frames)]
 
