@@ -734,12 +734,28 @@ def snapshot_bloom(snapshot_ds, *, text_col: str = "text",
     """
     import pandas as pd
 
+    def positions_fn(batch: pa.Table) -> "np.ndarray":
+        return _bloom_positions(batch.column(text_col).to_pylist(),
+                                np.uint64(m_bits))
+
+    return bloom_from_positions(snapshot_ds, positions_fn, m_bits=m_bits)
+
+
+def bloom_from_positions(ds, positions_fn, *, m_bits: int) -> "np.ndarray":
+    """Segment-assembled distributed Bloom build from any vectorized
+    probe-position function (batch -> (n, k) uint64 positions).
+
+    Shared scale shape (see :func:`snapshot_bloom`): the corpus pass
+    ships only deduped 8-byte positions, one groupby(segment) shuffle
+    ORs each 128 KiB bitmap segment in its own task, the driver
+    concatenates exactly ``m_bits/8`` bytes."""
+    import pandas as pd
+
     seg_bits = min(m_bits, _BLOOM_SEGMENT_BITS)
     assert m_bits % seg_bits == 0 and seg_bits % 8 == 0
 
     def positions(batch: pa.Table) -> pa.Table:
-        pos = np.unique(_bloom_positions(
-            batch.column(text_col).to_pylist(), np.uint64(m_bits)))
+        pos = np.unique(positions_fn(batch))
         return pa.table({
             "seg": pa.array((pos // seg_bits).astype(np.int64)),
             "pos": pa.array(pos.astype(np.int64)),
@@ -753,7 +769,7 @@ def snapshot_bloom(snapshot_ds, *, text_col: str = "text",
                          np.uint8(1) << (local & 7).astype(np.uint8))
         return pd.DataFrame({"seg": [seg], "bits": [bits.tobytes()]})
 
-    segs = snapshot_ds.map_batches(positions, batch_format="pyarrow") \
+    segs = ds.map_batches(positions, batch_format="pyarrow") \
         .groupby("seg").map_groups(build_segment)
     out = np.zeros(m_bits // 8, dtype=np.uint8)
     for row in segs.take_all():

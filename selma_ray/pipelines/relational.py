@@ -1422,6 +1422,44 @@ def mad_outliers(events_ds, *, k: int = 3):
         .groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+_SPLITMIX_C1 = 0xBF58476D1CE4E5B9
+_SPLITMIX_C2 = 0x94D049BB133111EB
+_SPLITMIX_GAMMA = 0x9E3779B97F4A7C15
+
+
+def _splitmix64(v: "np.ndarray") -> "np.ndarray":
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(_SPLITMIX_C1)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(_SPLITMIX_C2)
+    return v ^ (v >> np.uint64(31))
+
+
+def _key_bloom_positions(col, m_bits) -> "np.ndarray":
+    """(n, k) uint64 Bloom probe positions for a KEY column, fully
+    vectorized — no per-row Python. Integer keys hash through two
+    splitmix64 finalizers; other types through pandas' fixed-key
+    siphash then the same finalizer pair. Kirsch-Mitzenmacher double
+    hashing like dedup._bloom_positions (h2 forced odd), but a
+    different hash family: a Bloom built here must be probed here."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+    else:
+        from pandas.util import hash_array
+
+        v = hash_array(col.to_pandas().to_numpy(), categorize=False) \
+            .astype(np.uint64)
+    h1 = _splitmix64(v)
+    h2 = _splitmix64(v ^ np.uint64(_SPLITMIX_GAMMA)) | np.uint64(1)
+    js = np.arange(_KEY_BLOOM_K, dtype=np.uint64)
+    # uint64 wraparound is part of the hash
+    return (h1[:, None] + js * h2[:, None]) % np.uint64(m_bits)
+
+
+_KEY_BLOOM_K = 7
+
+
 def bloom_semi_join(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
                     m_bits: int = 1 << 20, num_partitions: int = 8):
     """Exact semi join with a CONSTANT-size Bloom prefilter pushed
@@ -1437,23 +1475,17 @@ def bloom_semi_join(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
     """
     import ray
 
-    from ..pipelines.dedup import _bloom_positions, snapshot_bloom
+    from ..pipelines.dedup import bloom_from_positions
     from ..stages.util import coalesce_small
 
-    def keys_as_text(batch: pa.Table) -> pa.Table:
-        ks = batch.column(dim_key).to_pylist()
-        return pa.table({"k": pa.array([str(k) for k in ks],
-                                       pa.large_string())})
-
-    bits_ref = ray.put(snapshot_bloom(
-        dim_ds.select_columns([dim_key]).map_batches(
-            keys_as_text, batch_format="pyarrow"),
-        text_col="k", m_bits=m_bits))
+    bits_ref = ray.put(bloom_from_positions(
+        dim_ds.select_columns([dim_key]),
+        lambda b: _key_bloom_positions(b.column(dim_key), m_bits),
+        m_bits=m_bits))
 
     def prefilter(batch: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
-        ks = [str(k) for k in batch.column(fact_key).to_pylist()]
-        pos = _bloom_positions(ks, np.uint64(m_bits))
+        pos = _key_bloom_positions(batch.column(fact_key), m_bits)
         hit = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) \
             .all(axis=1)
         return batch.filter(pa.array(hit))
@@ -1462,15 +1494,21 @@ def bloom_semi_join(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
         u = pc.unique(batch.column(dim_key))
         return pa.table({fact_key: u})
 
+    def dim_unique(batch: pa.Table) -> pa.Table:
+        return pa.table({fact_key: pc.unique(batch.column(fact_key))})
+
     # survivors stay un-coalesced: they are WIDE fact rows and the
     # left_semi hash join repartitions them anyway — an extra merge
     # pass here copies the whole surviving payload for nothing.
     survivors = fact_ds.map_batches(prefilter, batch_format="pyarrow")
+    # the right side needs no GLOBAL dedup: left_semi is existence —
+    # duplicate right keys can't multiply left rows. Two block-local
+    # unique passes (pre- and post-coalesce) bound residual dupes at
+    # one per key per merged block, far cheaper than a per-key shuffle.
     dim_keys = coalesce_small(
         dim_ds.select_columns([dim_key]).map_batches(
             dim_slim, batch_format="pyarrow")) \
-        .groupby(fact_key).map_groups(lambda g: g.slice(0, 1),
-                                      batch_format="pyarrow")
+        .map_batches(dim_unique, batch_format="pyarrow")
     return survivors.join(dim_keys, join_type="left_semi",
                           num_partitions=num_partitions, on=(fact_key,))
 
