@@ -698,3 +698,37 @@ def test_extract_job_cli_runs_and_resumes(tmp_path, ray_session):
     assert rec2["shards_done"] == 0
     # aggregate metrics survive the resume untouched
     assert rec2["metrics"] == rec["metrics"]
+
+
+def test_extract_survives_worker_death(tmp_path, ray_session):
+    """Actor-pool fault tolerance: Ray Data's default actor args
+    (max_restarts=-1, max_task_retries=-1) must make abrupt worker
+    death invisible to the result — same rows, same extracted text.
+    The chaos wrapper lives in selma_ray.testing because a restarted
+    actor re-imports its class by module path in a fresh worker."""
+    import ray.data
+
+    from selma_ray.stages.extract import ExtractTurns, extract_stage
+    from selma_ray.testing import KillWorkerOnce
+
+    table = synthesize_transcripts(12, big_every=0)
+    src = tmp_path / "in.parquet"
+    pq.write_table(table, src)
+    latch = str(tmp_path / "kill.latch")
+
+    clean = extract_stage(
+        ray.data.read_parquet(str(src)), concurrency=1, batch_size=32,
+        keep_spans=False).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    chaotic = ray.data.read_parquet(str(src)).map_batches(
+        KillWorkerOnce,
+        fn_constructor_kwargs=dict(latch=latch, inner_cls=ExtractTurns,
+                                   keep_spans=False),
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    ).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    assert os.path.exists(latch), "fault was never injected"
+    assert len(chaotic) == len(clean)
+    assert chaotic["extracted_text"].tolist() == clean["extracted_text"].tolist()
+    assert chaotic["bytes_out"].tolist() == clean["bytes_out"].tolist()
