@@ -171,7 +171,10 @@ def _q_block_filter(sf_dir: str):
     from selma_ray.stages.extract import block_filter_stage
 
     ds = _transcripts_for(sf_dir)
-    out = block_filter_stage(ds, concurrency=2)
+    # tiny inputs: a 2-actor pool skips ~2s of wide-pool spinup; at
+    # bench scale the default (cpus - reserve) pool carries the load
+    out = block_filter_stage(
+        ds, concurrency=2 if _sf_of(sf_dir) <= 0.01 else None)
     return out.select_columns(["conv_id", "turn_idx", "main_text",
                                "n_blocks", "n_kept"])
 
@@ -2370,8 +2373,12 @@ def _q_pdf_pages(sf_dir: str):
 
     ds = _read(sf_dir, "documents").map_batches(to_binary,
                                                 batch_format="pyarrow")
+    # autoscale cap follows input size: 4 actors cover the sf0.01
+    # correctness run without pool spinup waste; bench-scale inputs
+    # get a wider ceiling (parse cost is per-page CPU)
+    cap = 4 if _sf_of(sf_dir) <= 0.01 else 16
     out = multimodal_stage(ds, ParsePdfText, batch_size=32, fake=False,
-                           concurrency=(1, 4))
+                           concurrency=(1, cap))
 
     def flatten(batch: pa.Table) -> pa.Table:
         pages = batch.column("pages")
