@@ -732,3 +732,36 @@ def test_extract_survives_worker_death(tmp_path, ray_session):
     assert len(chaotic) == len(clean)
     assert chaotic["extracted_text"].tolist() == clean["extracted_text"].tolist()
     assert chaotic["bytes_out"].tolist() == clean["bytes_out"].tolist()
+
+
+def test_sorted_extract_survives_worker_death(tmp_path, ray_session):
+    """Same chaos, but with the ordering sort downstream: the retried
+    task's blocks must flow through the all-to-all exchange and leave
+    the per-conversation turn ordering byte-identical."""
+    import ray.data
+
+    from selma_ray.pipelines.extract import extract_transcripts
+    from selma_ray.stages.extract import ExtractTurns
+    from selma_ray.testing import KillWorkerOnce
+
+    table = synthesize_transcripts(12, big_every=0)
+    src = tmp_path / "in.parquet"
+    pq.write_table(table, src)
+    latch = str(tmp_path / "kill.latch")
+
+    clean = extract_transcripts(
+        ray.data.read_parquet(str(src)), concurrency=1, batch_size=32,
+        keep_spans=False).to_pandas().reset_index(drop=True)
+
+    chaotic = ray.data.read_parquet(str(src)).map_batches(
+        KillWorkerOnce,
+        fn_constructor_kwargs=dict(latch=latch, inner_cls=ExtractTurns,
+                                   keep_spans=False),
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    ).sort(["conv_id", "turn_idx"]).to_pandas().reset_index(drop=True)
+
+    assert os.path.exists(latch), "fault was never injected"
+    # sorted output: row-for-row identical, no re-sorting needed
+    assert chaotic["conv_id"].tolist() == clean["conv_id"].tolist()
+    assert chaotic["turn_idx"].tolist() == clean["turn_idx"].tolist()
+    assert chaotic["extracted_text"].tolist() == clean["extracted_text"].tolist()
