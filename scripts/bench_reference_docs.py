@@ -46,7 +46,9 @@ def _synthesize_lg() -> str:
     body_close = md.rindex("</body>")
     head, body, tail = md[:body_open], md[body_open:body_close], \
         md[body_close:]
-    reps = max(1, (LG_TARGET_BYTES - len(head) - len(tail))
+    # byte counts throughout (the md page is UTF-8; char counts would
+    # over-shoot the byte target)
+    reps = max(1, (LG_TARGET_BYTES - len(head.encode()) - len(tail.encode()))
                // len(body.encode()))
     return head + body * reps + tail
 

@@ -732,8 +732,6 @@ def snapshot_bloom(snapshot_ds, *, text_col: str = "text",
     default), the trade being a false-drop rate of
     ``(1 - e^(-k*n/m))^k`` — size ``m_bits`` ~10 bits/doc for ~1%%.
     """
-    import pandas as pd
-
     def positions_fn(batch: pa.Table) -> "np.ndarray":
         return _bloom_positions(batch.column(text_col).to_pylist(),
                                 np.uint64(m_bits))
@@ -1008,8 +1006,12 @@ def near_dedup_against(incoming_ds, snapshot_ds, *, text_col: str = "text",
     one band is enough to drop, matching the pair-candidacy rule of
     `minhash_lsh_pairs` BEFORE its similarity refinement — plus the
     bloom's own false-hit rate. Both err toward dropping, never toward
-    keeping a near-dup. Not SQL-expressible; verified against
-    `minhash_lsh_pairs` semantics in tests/test_curation_ops.py.
+    keeping a near-dup. Verified two ways: against `minhash_lsh_pairs`
+    semantics in tests/test_curation_ops.py, and bit-for-bit against a
+    DuckDB oracle (the hex band keys exist precisely so md5(VARCHAR)
+    can mirror them — `_near_dedup_incremental_oracle` in
+    __ray_entry__.py reproduces signatures, band keys, and bloom
+    probes exactly in SQL).
     """
     import ray
 

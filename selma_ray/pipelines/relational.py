@@ -1422,36 +1422,18 @@ def mad_outliers(events_ds, *, k: int = 3):
         .groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
-_SPLITMIX_C1 = 0xBF58476D1CE4E5B9
-_SPLITMIX_C2 = 0x94D049BB133111EB
-_SPLITMIX_GAMMA = 0x9E3779B97F4A7C15
-
-
-def _splitmix64(v: "np.ndarray") -> "np.ndarray":
-    v = (v ^ (v >> np.uint64(30))) * np.uint64(_SPLITMIX_C1)
-    v = (v ^ (v >> np.uint64(27))) * np.uint64(_SPLITMIX_C2)
-    return v ^ (v >> np.uint64(31))
-
-
 def _key_bloom_positions(col, m_bits) -> "np.ndarray":
     """(n, k) uint64 Bloom probe positions for a KEY column, fully
-    vectorized — no per-row Python. Integer keys hash through two
-    splitmix64 finalizers; other types through pandas' fixed-key
-    siphash then the same finalizer pair. Kirsch-Mitzenmacher double
-    hashing like dedup._bloom_positions (h2 forced odd), but a
-    different hash family: a Bloom built here must be probed here."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_integer(col.type):
-        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-    else:
-        from pandas.util import hash_array
+    vectorized — no per-row Python. Keys hash through the shared
+    util.key_u64 representation (int64 cast / pandas siphash) and two
+    splitmix64 finalizers. Kirsch-Mitzenmacher double hashing like
+    dedup._bloom_positions (h2 forced odd), but a different hash
+    family: a Bloom built here must be probed here."""
+    from ..stages.util import SPLITMIX_GAMMA, key_u64, splitmix64
 
-        v = hash_array(col.to_pandas().to_numpy(), categorize=False) \
-            .astype(np.uint64)
-    h1 = _splitmix64(v)
-    h2 = _splitmix64(v ^ np.uint64(_SPLITMIX_GAMMA)) | np.uint64(1)
+    v = key_u64(col)
+    h1 = splitmix64(v)
+    h2 = splitmix64(v ^ np.uint64(SPLITMIX_GAMMA)) | np.uint64(1)
     js = np.arange(_KEY_BLOOM_K, dtype=np.uint64)
     # uint64 wraparound is part of the hash
     return (h1[:, None] + js * h2[:, None]) % np.uint64(m_bits)
@@ -3745,7 +3727,14 @@ def activity_gini(events_ds):
         off = np.concatenate(([0], np.cumsum(m)[:-1]))
         n = int(m.sum())
         total = int((c * m).sum())
-        weighted = int((c * (m * off + m * (m + 1) // 2)).sum())
+        # Python-int accumulation: m*off ~ n^2 overflows int64 near
+        # n ~ 3e9 users and numpy wraps silently; this table is
+        # O(distinct count values) rows, so the object-dtype pass
+        # costs nothing
+        weighted = int((c.astype(object)
+                        * (m.astype(object) * off.astype(object)
+                           + m.astype(object) * (m.astype(object) + 1)
+                           // 2)).sum())
         gini = 2.0 * weighted / (n * total) - (n + 1.0) / n
         return pa.table({
             "n_users": pa.array([n], pa.int64()),

@@ -219,6 +219,11 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
         left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload,
                                                         pos)
         pos += 9
+        if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+            # numpy slicing would silently CLIP the canvas view and the
+            # later full-rect mask assignment would raise IndexError,
+            # escaping the module's ValueError malformed-stream contract
+            raise ValueError("gif: frame rectangle outside logical screen")
         ct = gct
         if fpacked & 0x80:
             sz = 2 << (fpacked & 0x07)

@@ -72,8 +72,15 @@ class DecodeImageFeatures:
 
         payload = payload or b""
         if sniff_format(payload) is not None:
-            return self._featurize(decode_image(payload))
-        if not self.fake:
+            try:
+                return self._featurize(decode_image(payload))
+            # fake=True must survive corrupt payloads that pass the
+            # magic-byte sniff (truncated IDAT -> zlib.error, bad
+            # structure -> ValueError), not just unknown formats
+            except (ValueError, zlib.error, IndexError):
+                if not self.fake:
+                    raise
+        elif not self.fake:
             raise NotImplementedError(
                 "only PNG/BMP/PPM decode in this environment (no image "
                 "codec libraries); run with fake=True for the "
@@ -114,8 +121,13 @@ class SampleVideoFrames:
 
         payload = payload or b""
         if sniff_gif(payload):
-            return sample_gif_frames(payload, self.n_frames)
-        if not self.fake:
+            try:
+                return sample_gif_frames(payload, self.n_frames)
+            # corrupt-but-sniffable GIFs must not kill a fake=True run
+            except (ValueError, zlib.error, IndexError):
+                if not self.fake:
+                    raise
+        elif not self.fake:
             raise NotImplementedError(
                 "non-GIF video codecs are not available in this "
                 "environment")
@@ -157,9 +169,14 @@ class ResizeImage:
 
         payload = payload or b"\0"
         if sniff_format(payload) is not None:
-            return encode_png(
-                nearest_resize(decode_image(payload), self.w, self.h))
-        if not self.fake:
+            try:
+                return encode_png(
+                    nearest_resize(decode_image(payload), self.w, self.h))
+            # corrupt-but-sniffable images must not kill a fake=True run
+            except (ValueError, zlib.error, IndexError):
+                if not self.fake:
+                    raise
+        elif not self.fake:
             raise NotImplementedError(
                 "only PNG/BMP/PPM decode in this environment (no image "
                 "codec libraries); run with fake=True for the "
@@ -219,13 +236,19 @@ class ParsePdfText:
         # real impl: load the PDF parser / layout model ONCE per actor
 
     def parse_impl(self, payload: bytes) -> list[dict]:
+        import zlib
+
         payload = payload or b""
         if payload[:5] == b"%PDF-":
             from selma_ray.stages.pdfcodec import parse_pdf_pages
 
             try:
                 return parse_pdf_pages(payload)
-            except NotImplementedError:
+            # fake=True must survive CORRUPT pdfs too (truncated
+            # Flate stream -> zlib.error, malformed structure ->
+            # ValueError), not just unsupported variants
+            except (NotImplementedError, ValueError, zlib.error,
+                    KeyError, IndexError):
                 if not self.fake:
                     raise
         if not self.fake:

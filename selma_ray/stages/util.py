@@ -58,27 +58,47 @@ def default_pool_size(fraction: float | None = None, floor: int = 2) -> int:
     return max(floor, int(cpus) - max(2, int(cpus) // 8))
 
 
-def key_buckets(arr, num_buckets: int):
-    """Deterministic hash bucket per key value (vectorized, process-
-    independent): splitmix64 finalizer for integer keys (dense TPC-H
-    ids would otherwise map contiguously and skew range partitions),
-    pandas' fixed-key siphash for everything else. Returns int32."""
+_SPLITMIX_C1 = 0xBF58476D1CE4E5B9
+_SPLITMIX_C2 = 0x94D049BB133111EB
+SPLITMIX_GAMMA = 0x9E3779B97F4A7C15
+
+
+def splitmix64(v):
+    """Vectorized splitmix64 finalizer over a uint64 ndarray."""
+    import numpy as np
+
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(_SPLITMIX_C1)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(_SPLITMIX_C2)
+    return v ^ (v >> np.uint64(31))
+
+
+def key_u64(arr):
+    """uint64 representation of a key column (vectorized, process-
+    independent): plain int64 cast for integer types (callers mix it
+    with :func:`splitmix64` — dense TPC-H ids map contiguously raw),
+    pandas' fixed-key siphash for everything else."""
     import numpy as np
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
-        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+        return arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
-        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        v ^= v >> np.uint64(31)
-        return (v % np.uint64(num_buckets)).astype(np.int32)
     from pandas.util import hash_array
 
-    h = hash_array(arr.to_pandas().to_numpy(), categorize=False)
-    return (h % np.uint64(num_buckets)).astype(np.int32)
+    return hash_array(arr.to_pandas().to_numpy(), categorize=False) \
+        .astype(np.uint64)
+
+
+def key_buckets(arr, num_buckets: int):
+    """Deterministic hash bucket per key value: splitmix64 over
+    :func:`key_u64` (a second finalizer pass over the siphash branch is
+    harmless). Returns int32."""
+    import numpy as np
+
+    return (splitmix64(key_u64(arr)) % np.uint64(num_buckets)) \
+        .astype(np.int32)
 
 
 def bucketed_map_groups(ds, key_col: str, fn, *, num_buckets: int = 256,

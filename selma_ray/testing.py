@@ -31,7 +31,18 @@ class KillWorkerOnce:
 
     def __call__(self, batch):
         if not os.path.exists(self.latch):
-            with open(self.latch, "w") as f:
-                f.write("killed")
-            os._exit(1)
+            try:
+                # O_EXCL makes the latch atomic: concurrent first
+                # batches on several actors race the exists() check,
+                # and only the creation winner may kill — otherwise a
+                # wide pool could die wholesale, a restart storm
+                # rather than a one-worker probe
+                fd = os.open(self.latch,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                pass
+            else:
+                os.write(fd, b"killed")
+                os.close(fd)
+                os._exit(1)
         return self.inner(batch)

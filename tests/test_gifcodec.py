@@ -139,3 +139,34 @@ def test_truncated_and_garbage_raise():
         decode_gif(RED_1X1[:-10])
     with pytest.raises(ValueError):
         decode_gif(b"not a gif at all")
+
+
+def test_decode_rejects_frame_outside_screen():
+    """An image descriptor whose rect exceeds the logical screen must
+    raise the module's documented ValueError, not a numpy IndexError
+    from the silently-clipped canvas view."""
+    import struct
+
+    import pytest
+
+    from selma_ray.stages.gifcodec import decode_gif, synth_gif
+
+    good = synth_gif(1, w=16, h=12, n_frames=1)
+    # image separator 0x2C starts the descriptor: left,top,fw,fh,<packed>
+    sep = good.index(b"\x2c")
+    left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", good, sep + 1)
+    bad = (good[:sep + 1]
+           + struct.pack("<HHHHB", left + 8, top, fw, fh, fpacked)
+           + good[sep + 10:])
+    with pytest.raises(ValueError):
+        decode_gif(bad)
+
+
+def test_video_stage_fake_survives_corrupt_gif():
+    from selma_ray.stages.gifcodec import synth_gif
+    from selma_ray.stages.multimodal import SampleVideoFrames
+
+    payload = synth_gif(2)[:30]  # sniffs as GIF, truncated body
+    st = SampleVideoFrames(n_frames=3, fake=True)
+    frames = st.sample_impl(payload)
+    assert len(frames) == 3  # slicing stand-in took over

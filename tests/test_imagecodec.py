@@ -166,3 +166,41 @@ def test_multimodal_real_image_stage(ray_session):
     direct = DecodeImageFeatures(dim=16, fake=False).decode_impl(
         synth_image(2))
     assert np.allclose(feats[2], direct)
+
+
+class TestCorruptPayloadGuards:
+    """fake=True stages must survive corrupt payloads that pass the
+    magic-byte sniff; fake=False must raise (loud, retriable)."""
+
+    def _corrupt_png(self):
+        import numpy as np
+
+        from selma_ray.stages.imagecodec import encode_png
+
+        good = encode_png(np.zeros((8, 8, 3), np.uint8))
+        return good[:40] + b"\x00" * 8  # truncated/garbled IDAT
+
+    def test_decode_features_fake_survives_corrupt(self):
+        from selma_ray.stages.multimodal import DecodeImageFeatures
+
+        st = DecodeImageFeatures(dim=16, fake=True)
+        feats = st.decode_impl(self._corrupt_png())
+        assert len(feats) == 16  # crc32-seeded stand-in
+
+    def test_decode_features_real_raises_corrupt(self):
+        import zlib
+
+        import pytest
+
+        from selma_ray.stages.multimodal import DecodeImageFeatures
+
+        st = DecodeImageFeatures(dim=16, fake=False)
+        with pytest.raises((ValueError, zlib.error, IndexError)):
+            st.decode_impl(self._corrupt_png())
+
+    def test_resize_fake_survives_corrupt(self):
+        from selma_ray.stages.multimodal import ResizeImage
+
+        st = ResizeImage(w=4, h=4, fake=True)
+        out = st.resize_impl(self._corrupt_png())
+        assert len(out) == 16  # tile/truncate stand-in, w*h bytes

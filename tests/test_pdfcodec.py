@@ -126,3 +126,24 @@ def test_parse_pdf_text_ray_stage(ray_session):
     rec = out["pages"].iloc[2][1]
     assert rec["page"] == 1 and rec["text"].startswith("page 1 line 0")
     assert len(rec["bbox"]) == 4
+
+
+def test_parse_stage_fake_survives_corrupt_flate():
+    """A %PDF- payload with a garbled FlateDecode stream must fall back
+    to the stand-in under fake=True and raise under fake=False."""
+    import pytest
+
+    from selma_ray.stages.multimodal import ParsePdfText
+    from selma_ray.stages.pdfcodec import synth_pdf
+
+    good = synth_pdf(3, n_pages=1)
+    i = good.index(b"stream")
+    bad = good[:i + 7] + b"\x00garbage\x00" + good[i + 30:]
+
+    fake = ParsePdfText(fake=True)
+    pages = fake.parse_impl(bad)
+    assert pages and pages[0]["page"] == 0  # stand-in pages
+
+    real = ParsePdfText(fake=False)
+    with pytest.raises(Exception):
+        real.parse_impl(bad)
