@@ -76,15 +76,22 @@ def key_u64(arr):
     """uint64 representation of a key column (vectorized, process-
     independent): plain int64 cast for integer types (callers mix it
     with :func:`splitmix64` — dense TPC-H ids map contiguously raw),
-    pandas' fixed-key siphash for everything else."""
+    pandas' fixed-key siphash for everything else.
+
+    Nulls in an integer column map to a fixed sentinel BEFORE the
+    numpy conversion: a null-bearing arrow int column otherwise
+    converts via float64, which both hits an undefined NaN->uint64
+    cast and silently rounds every key above 2^53."""
     import numpy as np
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
-        return arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
+        arr = arr.cast(pa.int64())
+        if arr.null_count:
+            arr = arr.fill_null(-(1 << 62) + 41)
+        return arr.to_numpy(zero_copy_only=False).astype(np.uint64)
     from pandas.util import hash_array
 
     return hash_array(arr.to_pandas().to_numpy(), categorize=False) \

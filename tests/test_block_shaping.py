@@ -140,3 +140,25 @@ class TestBucketedMapGroups:
         ks = [r["k"] for r in out]
         assert len(ks) == len(set(ks))
         assert sum(r["n"] for r in out) == 5000
+
+
+def test_key_u64_null_and_big_int_keys():
+    """Null-bearing int key columns must not route through float64:
+    nulls get a sentinel, and keys above 2^53 keep exact values
+    (float64 would round them together)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from selma_ray.stages.util import key_buckets, key_u64
+
+    big_a = (1 << 60) + 1
+    big_b = (1 << 60) + 2   # collide under float64 rounding
+    arr = pa.array([big_a, None, big_b], pa.int64())
+    v = key_u64(arr)
+    assert v.dtype == np.uint64
+    assert v[0] != v[2], "2^60-scale keys collided (float64 round-trip)"
+    assert v[1] == np.uint64(-(1 << 62) + 41)
+    # bucketing is deterministic for the null sentinel too
+    b1 = key_buckets(arr, 16)
+    b2 = key_buckets(arr, 16)
+    assert list(b1) == list(b2)
