@@ -3515,7 +3515,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        md5(array_to_string(t[i:i+15], ' ')) AS h
                 FROM toks,
-                     unnest(range(1, greatest(len(t) - 14, 2), 8)) AS r(i)),
+                     unnest(range(1, greatest(len(t) - 14, 2), 8)) AS r(i)
+                WHERE len(t) > 0),
             dw AS (SELECT DISTINCT doc_id, h FROM wins)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    count(*)::BIGINT AS n_shared

@@ -31,6 +31,7 @@ canonical ``keep`` flag per doc.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -377,8 +378,22 @@ def _simhash_bucket_pairs(max_dist: int, max_bucket: int):
         ids = np.asarray(pc.take(group.column("id"), order))
         sims = np.asarray(pc.take(group.column("simhash"), order))
         if n > max_bucket:
-            ids, sims = ids[:max_bucket], sims[:max_bucket]
-            n = max_bucket
+            # degenerate bucket: compare everything to the smallest id
+            # only (O(n)) — same representative-linking rule as the
+            # minhash path, so no member silently escapes dedup the
+            # way plain truncation would drop rows past the cap
+            x = sims[1:] ^ sims[0]
+            dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                 axis=1).sum(axis=1)
+            keep = np.nonzero(dist <= max_dist)[0]
+            return pa.table({
+                "id_a": pa.array([int(ids[0])] * keep.size, pa.int64()),
+                "id_b": pa.array([int(ids[1 + j]) for j in keep],
+                                 pa.int64()),
+                "similarity": pa.array(
+                    [1.0 - dist[j] / 64.0 for j in keep], pa.float64()),
+                "method": pa.array(["simhash"] * keep.size),
+            })
         a_out, b_out, d_out = [], [], []
         for i in range(n - 1):
             x = sims[i + 1:] ^ sims[i]
@@ -630,6 +645,11 @@ def dup_span_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 continue
             toks = (text or "").split()
             n = len(toks)
+            if n == 0:
+                # an empty doc must not emit md5("") — every empty doc
+                # would land in ONE bucket and pair O(m^2) while
+                # claiming a shared 16-token span (oracle mirrors this)
+                continue
             seen: set[str] = set()
             for j in range(0, max(n - (window - 1), 1), stride):
                 win = " ".join(toks[j:j + window])
@@ -1015,9 +1035,6 @@ def near_dedup_against(incoming_ds, snapshot_ds, *, text_col: str = "text",
     """
     import ray
 
-    seg_bits = min(m_bits, _BLOOM_SEGMENT_BITS)
-    assert m_bits % seg_bits == 0 and seg_bits % 8 == 0
-
     def _band_positions(batch: pa.Table, col: str) -> "np.ndarray":
         banded = _minhash_band_fn(
             pa.table({"doc_id": pa.array(
@@ -1031,31 +1048,9 @@ def near_dedup_against(incoming_ds, snapshot_ds, *, text_col: str = "text",
             pos[i] = int.from_bytes(d[:8], "little")
         return pos % np.uint64(m_bits)
 
-    def snap_positions(batch: pa.Table) -> pa.Table:
-        pos = np.unique(_band_positions(batch, text_col))
-        return pa.table({
-            "seg": pa.array((pos // seg_bits).astype(np.int64)),
-            "pos": pa.array(pos.astype(np.int64)),
-        })
-
-    def build_segment(group):
-        import pandas as pd
-
-        seg = int(group["seg"].iloc[0])
-        local = group["pos"].to_numpy() - seg * seg_bits
-        bits = np.zeros(seg_bits // 8, dtype=np.uint8)
-        np.bitwise_or.at(bits, local >> 3,
-                         np.uint8(1) << (local & 7).astype(np.uint8))
-        return pd.DataFrame({"seg": [seg], "bits": [bits.tobytes()]})
-
-    segs = snapshot_ds.map_batches(snap_positions, batch_format="pyarrow") \
-        .groupby("seg").map_groups(build_segment)
-    bloom = np.zeros(m_bits // 8, dtype=np.uint8)
-    for row in segs.take_all():
-        i = row["seg"] * (seg_bits // 8)
-        bloom[i:i + seg_bits // 8] = np.frombuffer(row["bits"],
-                                                   dtype=np.uint8)
-    bloom_ref = ray.put(bloom)
+    bloom_ref = ray.put(bloom_from_positions(
+        snapshot_ds, lambda b: _band_positions(b, text_col),
+        m_bits=m_bits))
 
     def keep_far(batch: pa.Table) -> pa.Table:
         bits = ray.get(bloom_ref)
@@ -1237,9 +1232,19 @@ def cross_corpus_pairs(ds_a, ds_b, *, id_col: str = "doc_id",
                               ("similarity", pa.float64()),
                               ("method", pa.string())]).empty_table()
         if n > max_bucket:
-            group = group.slice(0, max_bucket)
-            sides = sides[:max_bucket]
-            n = max_bucket
+            # cap DETERMINISTICALLY and keep BOTH sides: the smallest
+            # max_bucket/2 ids per side. A plain slice(0, max_bucket)
+            # keeps whatever rows the shuffle happened to order first —
+            # it can drop one side entirely and differs run to run.
+            ids_np = group.column("id").to_numpy(zero_copy_only=False)
+            half = max(1, max_bucket // 2)
+            keep = [si[np.argsort(ids_np[si], kind="stable")][:half]
+                    for si in (np.nonzero(sides == 0)[0],
+                               np.nonzero(sides == 1)[0])]
+            sel = np.sort(np.concatenate(keep))
+            group = group.take(pa.array(sel))
+            sides = sides[sel]
+            n = len(sel)
         ids = group.column("id").to_pylist()
         sigs = np.frombuffer(
             b"".join(group.column("sig").to_pylist()),
@@ -1421,12 +1426,17 @@ def jaccard_prefix_join(ds, *, id_col: str = "doc_id",
     rank = {t: i for i, (_, t) in enumerate(order)}
     rref = ray.put(rank)
 
+    # MUST split exactly like stage 1's RE2 \s+ (ASCII whitespace):
+    # str.split() splits on UNICODE whitespace, so a doc with \xa0
+    # would emit stage-2 tokens stage 1 never ranked -> KeyError
+    ws_re = re.compile(r"\s+", re.ASCII)
+
     def prefixes(batch: pa.Table) -> pa.Table:
         rk = ray.get(rref)
         out_tok, out_id, out_set = [], [], []
         for i, t in zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
-            toks = {w for w in (t or "").split() if w}
+            toks = {w for w in ws_re.split(t or "") if w}
             if not toks:
                 continue
             ranks = np.sort(np.array([rk[w] for w in toks], np.int64))

@@ -39,6 +39,31 @@ def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 
+def _collect_broadcast_matrix(ds, id_col: str, emb_col: str,
+                              max_rows: int, *, fallback_hint: str):
+    """Driver-side collect of a SMALL (ids, normalized-matrix) broadcast
+    side, SORTED by id — iter_batches yields dataset (file/shuffle)
+    order, and broadcast consumers searchsorted/suffix-slice on ids.
+    Raises past ``max_rows``, naming the scale path to use instead."""
+    slim = ds.map_batches(
+        lambda b: pa.table({"id": pc.cast(b.column(id_col), pa.int64()),
+                            "emb": b.column(emb_col)}),
+        batch_format="pyarrow")
+    id_parts, mat_parts, n_rows = [], [], 0
+    for b in slim.iter_batches(batch_format="pyarrow", batch_size=8192):
+        n_rows += b.num_rows
+        if n_rows > max_rows:
+            raise ValueError(
+                f"corpus too large to broadcast (>{max_rows} rows); "
+                f"use the {fallback_hint}")
+        id_parts.append(b.column("id").to_numpy(zero_copy_only=False))
+        mat_parts.append(_batch_matrix(b, "emb"))
+    all_ids = np.concatenate(id_parts).astype(np.int64)
+    M = _normalize(np.vstack(mat_parts))
+    order = np.argsort(all_ids, kind="stable")
+    return all_ids[order], M[order]
+
+
 class PartialTopK:
     """map_batches actor: emit per-batch top-k (query_id, vec_id, sim)."""
 
@@ -109,14 +134,21 @@ def load_queries(sf_dir_or_path: str, *, n_queries: int = 5,
 # per-worker stage cache (see pipelines/dedup.py): stateless tasks reuse
 # warm worker processes; the ray.put broadcast is fetched once per worker
 # (keyed by the ObjectRef) — same amortization an actor pool gives,
-# without paying pool spin-up on small/interactive inputs
+# without paying pool spin-up on small/interactive inputs. BOUNDED:
+# unlike dedup's param-keyed cache, these keys hold per-call ObjectRefs
+# — an unbounded dict would grow worker heap with every query AND pin
+# each broadcast object in plasma forever (the ref in the key keeps it
+# alive). FIFO-evicting past a handful of live query sets releases both.
 _STAGE_CACHE: dict = {}
+_STAGE_CACHE_MAX = 4
 
 
 def _cached_stage(cls, **kw):
     key = (cls.__name__,) + tuple(sorted(kw.items(), key=lambda x: x[0]))
     st = _STAGE_CACHE.get(key)
     if st is None:
+        while len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
+            _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
         st = _STAGE_CACHE.setdefault(key, cls(**kw))
     return st
 
@@ -355,24 +387,9 @@ def embedding_near_dup_pairs(ds, *, id_col: str = "vec_id",
     """
     import ray
 
-    def to_mat(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "id": pa.compute.cast(batch.column(id_col), pa.int64()),
-            "emb": batch.column(emb_col),
-        })
-
-    slim = ds.map_batches(to_mat, batch_format="pyarrow")
-    id_parts, mat_parts, n_rows = [], [], 0
-    for b in slim.iter_batches(batch_format="pyarrow", batch_size=8192):
-        n_rows += b.num_rows
-        if n_rows > max_broadcast_rows:
-            raise ValueError(
-                f"corpus too large to broadcast (>{max_broadcast_rows} "
-                "rows); use the LSH-bucketed near-dup path")
-        id_parts.append(b.column("id").to_numpy(zero_copy_only=False))
-        mat_parts.append(_batch_matrix(b, "emb"))
-    all_ids = np.concatenate(id_parts).astype(np.int64)
-    M = _normalize(np.vstack(mat_parts))
+    all_ids, M = _collect_broadcast_matrix(
+        ds, id_col, emb_col, max_broadcast_rows,
+        fallback_hint="LSH-bucketed near-dup path")
     ref = ray.put((all_ids, M))
 
     empty = pa.table({
@@ -383,6 +400,8 @@ def embedding_near_dup_pairs(ds, *, id_col: str = "vec_id",
     })
 
     def pairs_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:              # bids.min() would raise
+            return empty
         ids_all, Mat = ray.get(ref)          # ids_all sorted ascending
         E = _normalize(_batch_matrix(batch, emb_col))
         bids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -477,26 +496,20 @@ def top_similar_pairs(ds, *, k_pairs: int = 50, id_col: str = "vec_id",
     """
     import ray
 
-    def to_mat(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "id": pa.compute.cast(batch.column(id_col), pa.int64()),
-            "emb": batch.column(emb_col),
-        })
-
-    slim = ds.map_batches(to_mat, batch_format="pyarrow")
-    id_parts, mat_parts, n_rows = [], [], 0
-    for b in slim.iter_batches(batch_format="pyarrow", batch_size=8192):
-        n_rows += b.num_rows
-        if n_rows > max_broadcast_rows:
-            raise ValueError("corpus too large to broadcast; "
-                             "use the LSH-bucketed path")
-        id_parts.append(b.column("id").to_numpy(zero_copy_only=False))
-        mat_parts.append(_batch_matrix(b, "emb"))
-    all_ids = np.concatenate(id_parts).astype(np.int64)
-    M = _normalize(np.vstack(mat_parts))
+    all_ids, M = _collect_broadcast_matrix(
+        ds, id_col, emb_col, max_broadcast_rows,
+        fallback_hint="LSH-bucketed path")
     ref = ray.put((all_ids, M))
 
+    empty = pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "similarity": pa.array([], pa.float64()),
+    })
+
     def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
         ids_all, mat = ray.get(ref)
         ids = pa.compute.cast(batch.column(id_col), pa.int64()) \
             .to_numpy(zero_copy_only=False)
@@ -538,20 +551,9 @@ def knn_graph_stats(ds, *, k: int = 10, id_col: str = "vec_id",
     """
     import ray
 
-    ids_parts, mat_parts, n_rows = [], [], 0
-    slim = ds.map_batches(
-        lambda b: pa.table({"id": pc.cast(b.column(id_col), pa.int64()),
-                            "emb": b.column(emb_col)}),
-        batch_format="pyarrow")
-    for b in slim.iter_batches(batch_format="pyarrow", batch_size=8192):
-        n_rows += b.num_rows
-        if n_rows > max_broadcast_rows:
-            raise ValueError("corpus too large to broadcast; "
-                             "use the IVF/LSH-bucketed path")
-        ids_parts.append(b.column("id").to_numpy(zero_copy_only=False))
-        mat_parts.append(_batch_matrix(b, "emb"))
-    all_ids = np.concatenate(ids_parts).astype(np.int64)
-    M = _normalize(np.vstack(mat_parts))
+    all_ids, M = _collect_broadcast_matrix(
+        ds, id_col, emb_col, max_broadcast_rows,
+        fallback_hint="IVF/LSH-bucketed path")
     ref = ray.put((all_ids, M))
 
     def block_knn(batch: pa.Table) -> pa.Table:

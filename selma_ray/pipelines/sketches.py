@@ -240,6 +240,12 @@ class KllSketch:
 
     def add(self, values: np.ndarray) -> "KllSketch":
         values = np.asarray(values, np.float64)
+        # nulls arrive as NaN (arrow->numpy float conversion); NaN sorts
+        # to the top compactor ranks and silently poisons every high
+        # quantile, so drop them here — quantiles are over OBSERVED
+        # values, matching SQL aggregate null semantics
+        if np.isnan(values).any():
+            values = values[~np.isnan(values)]
         cap = self._cap(0)
         for start in range(0, len(values), cap):
             self.levels[0] = np.concatenate(

@@ -4675,3 +4675,75 @@ class TestTopUserShare:
         assert got.loc[10, "value_share"] == 0.91
         assert got.loc[50, "n_top_users"] == 5
         assert got.loc[50, "top_cents"] == 910 + 4 * 10
+
+
+class TestDeepReviewRegressions:
+    """Regressions for bugs found by full-file review: order/Unicode/
+    degenerate-bucket edge cases that the happy-path oracles miss."""
+
+    def test_embedding_near_dup_unsorted_ids(self, ray_session):
+        """ids arriving in shuffle order (not ascending) must yield the
+        same pairs — the broadcast matrix is sorted before searchsorted
+        suffix-slicing."""
+        import ray.data
+
+        from selma_ray.pipelines.similarity import embedding_near_dup_pairs
+
+        vecs = {5: [1.0, 0.0], 1: [1.0, 0.0], 3: [0.0, 1.0]}
+        t = pa.table({
+            "vec_id": pa.array([5, 1, 3], pa.int64()),   # descending-ish
+            "embedding": pa.array([vecs[5], vecs[1], vecs[3]],
+                                  pa.list_(pa.float64())),
+        })
+        out = embedding_near_dup_pairs(
+            ray.data.from_arrow(t), threshold=0.9).to_pandas()
+        got = sorted(zip(out["id_a"], out["id_b"]))
+        assert got == [(1, 5)]
+
+    def test_simhash_degenerate_bucket_links_all(self, ray_session):
+        """Identical docs beyond max_bucket must still link to the
+        representative (not silently escape dedup via truncation)."""
+        import ray.data
+
+        from selma_ray.pipelines.dedup import simhash_pairs
+
+        n = 12
+        t = pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(["same tokens every time here"] * n),
+        })
+        pairs = simhash_pairs(ray.data.from_arrow(t),
+                              max_bucket=4).to_pandas()
+        linked = set(pairs["id_a"]) | set(pairs["id_b"])
+        assert linked == set(range(n))
+
+    def test_jaccard_prefix_join_unicode_whitespace(self, ray_session):
+        """NBSP must tokenize the same in the df-rank and prefix stages
+        (RE2 ASCII \\s) instead of KeyError-crashing the prefix task."""
+        import ray.data
+
+        from selma_ray.pipelines.dedup import jaccard_prefix_join
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["hello\xa0world extra tokens",
+                              "hello\xa0world extra tokens"]),
+        })
+        out = jaccard_prefix_join(ray.data.from_arrow(t),
+                                  threshold=0.8).to_pandas()
+        assert list(zip(out["id_a"], out["id_b"])) == [(1, 2)]
+
+    def test_dup_spans_ignores_empty_docs(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.dedup import dup_span_pairs
+
+        words = " ".join(f"w{i}" for i in range(20))
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([words, words, "", ""]),
+        })
+        out = dup_span_pairs(ray.data.from_arrow(t),
+                             window=16, stride=8).to_pandas()
+        got = sorted(zip(out["id_a"], out["id_b"]))
+        assert got == [(1, 2)]  # the empty docs pair with nothing
