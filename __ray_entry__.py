@@ -3648,8 +3648,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM c GROUP BY event_type
             )
             SELECT c.event_id, c.event_type,
-                   (c.cents - (m.s / m.n))
-                       / sqrt(m.ss / m.n - (m.s / m.n) * (m.s / m.n)) AS z
+                   CASE WHEN m.ss / m.n - (m.s / m.n) * (m.s / m.n) <= 0
+                        THEN 0.0
+                        ELSE (c.cents - (m.s / m.n))
+                            / sqrt(m.ss / m.n - (m.s / m.n)
+                                   * (m.s / m.n)) END AS z
             FROM c JOIN m ON c.event_type = m.event_type
         """,
         "events_cube": r"""

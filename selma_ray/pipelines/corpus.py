@@ -780,7 +780,12 @@ def ngram_overlap(ds, *, n: int = 3, id_col: str = "doc_id",
             "gram": pa.array(grams, pa.large_string()),
         })
 
-    ex = coalesce_small(ds.map_batches(explode, batch_format="pyarrow"))
+    # ex feeds BOTH the df build and the join probe: materialize so the
+    # per-doc explode (the expensive pass) and the upstream read run
+    # once, not once per consumer — same pattern as pmi_collocations /
+    # unigram_logprob in this file
+    ex = coalesce_small(
+        ds.map_batches(explode, batch_format="pyarrow")).materialize()
 
     def df_partial(batch: pa.Table) -> pa.Table:
         g = batch.select(["gram"]).group_by("gram").aggregate(
@@ -872,10 +877,16 @@ def source_vocab_overlap(ds, *, group_col: str = "source",
             "term": pa.array(list(ws), pa.large_string()),
         })
 
+    def drop_count(batch: pa.Table) -> pa.Table:
+        return batch.select(["grp", "term"])
+
+    # distinct via groupby().count() (vectorized sort-based aggregate),
+    # not per-group map_groups slices — the key set is vocab x groups
+    # cardinality and the per-group path pays a Python call per pair
     distinct = coalesce_small(
         ds.map_batches(pairs, batch_format="pyarrow")) \
-        .groupby(["grp", "term"]).map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow") \
+        .groupby(["grp", "term"]).count() \
+        .map_batches(drop_count, batch_format="pyarrow") \
         .materialize()
 
     # per-group vocab sizes: tiny (one row per group) -> broadcast

@@ -151,10 +151,11 @@ def events_asof_orders(events_ds, orders_path: str):
 
     Ray Data has no asof-join primitive; this is the broadcast-small-side
     composition: the (custkey, orderdate) pairs are packed into ONE sorted
-    int64 composite array (key<<52 | time_us), ray.put once, and each
-    event batch resolves matches with a single vectorized searchsorted —
-    no shuffle, no per-row Python. Emits the matched DATE (not an order
-    id) so ties on (custkey, date) stay deterministic.
+    uint64 composite array (dense key rank x measured time span +
+    relative time), ray.put once, and each event batch resolves matches
+    with a single vectorized searchsorted — no shuffle, no per-row
+    Python. Emits the matched DATE (not an order id) so ties on
+    (custkey, date) stay deterministic.
 
     Partitioning assumption: the order side fits a worker heap (~16B/row;
     dimension-scale). For fact-to-fact asof at 100 TB, hash-partition
@@ -164,35 +165,56 @@ def events_asof_orders(events_ds, orders_path: str):
     import ray
     import pyarrow.parquet as pq
 
-    SHIFT = 52                       # time fits 52 bits (µs until 2112)
-    MASK = (1 << SHIFT) - 1
-
     o = pq.read_table(orders_path, columns=["o_custkey", "o_orderdate"])
     ck = o.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
     od = pc.cast(o.column("o_orderdate"), pa.int64()).to_numpy(
         zero_copy_only=False)
-    comp = (ck << SHIFT) | od
+    # Composite = dense_key_rank * time_span + relative_time, in uint64.
+    # A fixed bit split (key << 52) silently ALIASES keys past its bit
+    # budget (custkey 4097 == custkey 1 at 52 time bits); dense ranks x
+    # measured span use exactly the bits the data needs, with a loud
+    # guard instead of silent wraparound past 2^64.
+    keys = np.unique(ck)
+    t0 = np.int64(od.min()) if len(od) else np.int64(0)
+    span = np.uint64((int(od.max()) - int(t0) + 2) if len(od) else 2)
+    if len(keys) and int(len(keys)) * int(span) >= (1 << 64):
+        raise ValueError(
+            "asof composite exceeds 64 bits (keys x time span); "
+            "hash-partition both sides by key and run the merge per "
+            "partition (see docstring)")
+    rank = np.searchsorted(keys, ck).astype(np.uint64)
+    comp = rank * span + (od - t0).astype(np.uint64)
     comp.sort()
-    ref = ray.put(comp)
+    ref = ray.put((comp, keys))
 
     def asof(batch: pa.Table) -> pa.Table:
-        orders_comp = ray.get(ref)
+        orders_comp, keys_r = ray.get(ref)
         uid = batch.column("user_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
         ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
             zero_copy_only=False)
-        q = (uid << SHIFT) | np.minimum(ts, MASK)
+        r = np.searchsorted(keys_r, uid)
+        known = r < len(keys_r)
+        r_c = np.minimum(r, max(len(keys_r) - 1, 0)).astype(np.uint64)
+        known &= keys_r[r_c.astype(np.int64)] == uid
+        # clamp event times into the key's span cell: earlier-than-all
+        # probes resolve to rel 0 (validated below), later-than-all to
+        # the key's last order — exactly the as-of semantics
+        rel = np.clip(ts - t0, 0, int(span) - 1).astype(np.uint64)
+        q = r_c * span + rel
         idx = np.searchsorted(orders_comp, q, side="right") - 1
-        valid = (idx >= 0) & (
-            (orders_comp[np.maximum(idx, 0)] >> SHIFT) == uid)
+        valid = known & (idx >= 0)
+        idx_c = np.maximum(idx, 0)
+        same_key = orders_comp[idx_c] // span == r_c
+        matched = (orders_comp[idx_c] % span).astype(np.int64) + t0
+        valid &= same_key & (matched <= ts)
         sel = np.nonzero(valid)[0]
-        matched = orders_comp[idx[sel]] & MASK
         take = pa.array(sel, pa.int64())
         return pa.table({
             "event_id": pc.take(batch.column("event_id"), take),
             "user_id": pc.take(batch.column("user_id"), take),
             "ts": pc.take(batch.column("ts"), take),
-            "last_order_date": pa.array(matched, pa.int64()).cast(
+            "last_order_date": pa.array(matched[sel], pa.int64()).cast(
                 pa.timestamp("us")),
         })
 
@@ -202,42 +224,65 @@ def events_asof_orders(events_ds, orders_path: str):
 def events_range_self_join(events_ds, events_path: str, *,
                            window_s: int = 300):
     """Range join: pairs of events by the same user within ``window_s``
-    seconds (a.ts <= b.ts < a.ts + window, a.event_id != b.event_id,
-    emitted once with a.ts <= b.ts).
+    seconds (a.ts <= b.ts < a.ts + window, a.event_id != b.event_id).
+    A tied-timestamp pair satisfies a.ts <= b.ts in BOTH directions, so
+    it appears twice — once per orientation — exactly like the SQL
+    inequality join the oracle runs.
 
     Broadcast-small-side composition of a range join (Ray Data has no
-    native one): the right side packs into a sorted (user<<52 | ts)
-    composite array; each left batch finds its window with TWO
-    vectorized searchsorted calls and expands matches with repeat/
-    arange arithmetic — no shuffle, no per-row Python. Same documented
-    scale fallback as the as-of join: hash-partition both sides by user
-    and run the identical merge per partition.
+    native one): the right side packs into a sorted uint64 composite
+    (dense user rank x padded time span + relative ts — a fixed bit
+    split would silently alias users past its bit budget); each left
+    batch finds its window with TWO vectorized searchsorted calls and
+    expands matches with repeat/arange arithmetic — no shuffle, no
+    per-row Python. Same documented scale fallback as the as-of join:
+    hash-partition both sides by user and run the identical merge per
+    partition.
     """
     import ray
     import pyarrow.parquet as pq
 
-    SHIFT = 52
     win_us = np.int64(window_s * 1_000_000)
 
     t = pq.read_table(events_path, columns=["user_id", "ts", "event_id"])
     uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
     ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
     eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    comp = (uid << SHIFT) | ts
+    keys = np.unique(uid)
+    t0 = np.int64(ts.min()) if len(ts) else np.int64(0)
+    # pad the span so q + win stays inside the user's cell (no bleed
+    # into the next rank's range)
+    span = np.uint64((int(ts.max()) - int(t0) if len(ts) else 0)
+                     + int(win_us) + 2)
+    if len(keys) and int(len(keys)) * int(span) >= (1 << 64):
+        raise ValueError(
+            "range-join composite exceeds 64 bits (users x time span); "
+            "hash-partition both sides by user and run the merge per "
+            "partition (see docstring)")
+    rank = np.searchsorted(keys, uid).astype(np.uint64)
+    comp = rank * span + (ts - t0).astype(np.uint64)
     order = np.argsort(comp, kind="stable")
-    ref = ray.put((comp[order], eid[order], ts[order]))
+    ref = ray.put((comp[order], eid[order], ts[order], keys))
 
     def pairs(batch: pa.Table) -> pa.Table:
-        comp_r, eid_r, ts_r = ray.get(ref)
+        comp_r, eid_r, ts_r, keys_r = ray.get(ref)
         uid_l = batch.column("user_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
         ts_l = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
             zero_copy_only=False)
         eid_l = batch.column("event_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        q = (uid_l << SHIFT) | ts_l
+        r = np.searchsorted(keys_r, uid_l)
+        known = (r < len(keys_r))
+        r_c = np.minimum(r, max(len(keys_r) - 1, 0))
+        known &= keys_r[r_c] == uid_l
+        # left events are rows of the same table, so ts_l - t0 >= 0;
+        # unknown users get an empty [lo, hi) window via known-mask
+        q = r_c.astype(np.uint64) * span \
+            + np.clip(ts_l - t0, 0, int(span) - 1).astype(np.uint64)
         lo = np.searchsorted(comp_r, q, side="left")
-        hi = np.searchsorted(comp_r, q + win_us, side="left")
+        hi = np.searchsorted(comp_r, q + np.uint64(win_us), side="left")
+        hi = np.where(known, hi, lo)
         counts = hi - lo
         li = np.repeat(np.arange(len(q)), counts)
         # within-window offsets: flat arange minus each row's start
@@ -1907,10 +1952,15 @@ def zscore_by_type(events_ds):
         types = batch.column("event_type").to_pylist()
         means = np.array([stats[t][0] for t in types])
         stds = np.array([stats[t][1] for t in types])
+        # a constant-valued type has std 0; define z as 0.0 there (the
+        # value sits exactly at its mean) instead of emitting inf/nan
+        z = np.divide(c - means, stds,
+                      out=np.zeros(len(types), np.float64),
+                      where=stds > 0)
         return pa.table({
             "event_id": batch.column("event_id"),
             "event_type": batch.column("event_type"),
-            "z": pa.array((c - means) / stds, pa.float64()),
+            "z": pa.array(z, pa.float64()),
         })
 
     return events_ds.select_columns(["event_id", "event_type", "value"]) \
@@ -2118,8 +2168,10 @@ def user_event_sequences(events_ds, *, sep: str = ">"):
 
 
 def debounce_events(events_ds, *, gap_secs: float = 3600.0):
-    """Drop an event when the SAME user fired the SAME event type less
-    than ``gap_secs`` earlier (vs the previous RAW event, i.e. the
+    """Drop an event when the SAME user fired the SAME event type
+    ``gap_secs`` or less earlier — an event exactly gap_secs after its
+    predecessor is dropped too; keep requires diff STRICTLY greater,
+    matching the oracle's ``> gap`` (vs the previous RAW event, i.e. the
     LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts,
     event_id) formulation — deliberately, so an exact SQL oracle
     exists; a compare-to-last-KEPT debounce is the same in-task scan
@@ -3099,8 +3151,12 @@ def snapshot_column_diff(ds_a, ds_b, *, key_col: str,
         n = batch.num_rows
         cols, changed = [], []
         for c in compare_cols:
-            neq = pc.not_equal(batch.column(f"{c}_a"),
-                               batch.column(f"{c}_b"))
+            ca, cb = batch.column(f"{c}_a"), batch.column(f"{c}_b")
+            # not_equal is NULL when either side is null, and pc.sum
+            # skips nulls — a value changing to/from NULL would count
+            # as unchanged. null<->value IS a change; null<->null isn't.
+            neq = pc.coalesce(pc.not_equal(ca, cb),
+                              pc.xor(pc.is_null(ca), pc.is_null(cb)))
             cols.append(c)
             changed.append(int(pc.sum(pc.cast(neq, pa.int64()))
                                .as_py() or 0))

@@ -4747,3 +4747,63 @@ class TestDeepReviewRegressions:
                              window=16, stride=8).to_pandas()
         got = sorted(zip(out["id_a"], out["id_b"]))
         assert got == [(1, 2)]  # the empty docs pair with nothing
+
+
+class TestCompositeKeyPacking:
+    """Regressions for the asof/range-join composite packing: a fixed
+    key<<52 bit split aliased keys >= 2048 (custkey 4097 == custkey 1),
+    which the sf0.01 oracle could never catch (max key 1499). The dense
+    rank x span composite must stay exact for arbitrary key ranges."""
+
+    def _events(self, uids, tss, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "event_id": pa.array(list(range(len(uids))), pa.int64()),
+            "user_id": pa.array(uids, pa.int64()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+        })
+        p = str(tmp_path / "ev.parquet")
+        pq.write_table(t, p)
+        return t, p
+
+    def test_asof_no_key_aliasing(self, tmp_path, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from selma_ray.pipelines.relational import events_asof_orders
+
+        day = 86_400_000_000
+        # custkeys 1 and 4097 alias under (key << 52); give them orders
+        # on DIFFERENT days so aliasing would cross-match
+        orders = pa.table({
+            "o_custkey": pa.array([1, 4097], pa.int64()),
+            "o_orderdate": pa.array([10 * day, 20 * day],
+                                    pa.timestamp("us")),
+        })
+        op = str(tmp_path / "orders.parquet")
+        pq.write_table(orders, op)
+        ev, _ = self._events([1, 4097, 2048], [15 * day, 25 * day, 15 * day],
+                             tmp_path)
+        out = events_asof_orders(ray.data.from_arrow(ev), op).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        # user 1 must match ITS day-10 order, not user 4097's day-20;
+        # user 2048 has no orders and must not match at all
+        assert out["user_id"].tolist() == [1, 4097]
+        assert [d.timestamp() for d in out["last_order_date"]] == \
+            [10 * 86400.0, 20 * 86400.0]
+
+    def test_range_join_no_key_aliasing(self, tmp_path, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.relational import events_range_self_join
+
+        sec = 1_000_000
+        # users 1 and 4097 fire within the same 300s window: aliasing
+        # would pair them cross-user
+        ev, path = self._events([1, 4097, 1], [0, 100 * sec, 200 * sec],
+                                tmp_path)
+        out = events_range_self_join(ray.data.from_arrow(ev), path) \
+            .to_pandas()
+        pairs = sorted(zip(out["event_a"], out["event_b"]))
+        assert pairs == [(0, 2)]  # only user 1's own two events
