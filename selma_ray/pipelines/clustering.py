@@ -260,6 +260,12 @@ def cluster_exemplars(ds, *, k: int = 8, iters: int = 10,
     def candidates(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         m = _mat(batch, emb_col).astype(np.float64)
+        if not m.size:       # empty block: (0,0) won't broadcast vs (1,k,d)
+            return pa.table({
+                "cluster": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            })
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
@@ -388,6 +394,13 @@ def kcenter_select(ds, *, k: int = 16, id_col: str = "vec_id",
         return batch.select([id_col, emb_col]).slice(i.as_py(), 1)
 
     seeds = ds.map_batches(seed_pass, batch_format="pyarrow").take_all()
+    if not seeds:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "order": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "radius": pa.array([], pa.float64()),
+        }))
     seed = min(seeds, key=lambda r: r[id_col])
     centers = [np.asarray(seed[emb_col], np.float64)]
     chosen = [(0, int(seed[id_col]), 0.0)]
@@ -419,6 +432,10 @@ def kcenter_select(ds, *, k: int = 16, id_col: str = "vec_id",
 
         cands = ds.map_batches(far_pass, batch_format="pyarrow").take_all()
         top = max(cands, key=lambda r: (r["dist"], -r[id_col]))
+        if top["dist"] <= 0.0:
+            # covering radius hit 0: every vector IS a center already —
+            # further rounds would re-select duplicates of existing ids
+            break
         centers.append(np.asarray(top["vec"], np.float64))
         chosen.append((rnd, int(top[id_col]),
                        float(np.sqrt(top["dist"]))))
@@ -457,9 +474,16 @@ def embedding_drift(ds, *, label_col: str = "label",
                              "s": pa.array([], pa.float64()),
                              "n": pa.array([], pa.int64())})
         d = E.shape[1]
+        distinct_sides = sorted(set(sides.tolist()))
+        if len(distinct_sides) > 2:
+            # fail fast instead of silently reporting no drift: the op
+            # compares exactly two labeled slices
+            raise ValueError(
+                f"embedding_drift expects exactly 2 side labels, got "
+                f"{distinct_sides}")
         out_l, out_sd, out_dim, out_s, out_n = [], [], [], [], []
         for lab in np.unique(labels):
-            for sd in ("a", "b"):
+            for sd in distinct_sides:
                 m = (labels == lab) & (sides == sd)
                 if not m.any():
                     continue
@@ -485,7 +509,11 @@ def embedding_drift(ds, *, label_col: str = "label",
         s = g.column("sum(s)").to_numpy(zero_copy_only=False)
         n = g.column("sum(n)").to_numpy(zero_copy_only=False)
         cv = s / n
-        ca, cb = cv[sides == "a"], cv[sides == "b"]
+        # the two slices are whatever side labels the data carries,
+        # compared in ascending label order ("a"/"b", "new"/"ref", ...)
+        uniq = sorted(set(sides.tolist()))
+        ca = cv[sides == uniq[0]]
+        cb = cv[sides == uniq[1]] if len(uniq) > 1 else cv[:0]
         lab = group.column(label_col)[0].as_py()
         if not len(ca) or not len(cb):
             return pa.table({label_col: pa.array([lab], pa.int64()),

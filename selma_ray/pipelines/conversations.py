@@ -121,8 +121,12 @@ def pack_context_windows(ds, *, budget: int = 128, text_col: str = "text"):
         return pa.table({
             "conv_id": batch.column("conv_id"),
             "turn_idx": pc.cast(batch.column("turn_idx"), pa.int64()),
-            "n_tokens": pc.cast(pc.count_substring_regex(
+            # null text counts as 0 tokens: a null n_tokens would turn
+            # the whole column float64/NaN in pack() and poison every
+            # later cumsum in the conversation
+            "n_tokens": pc.fill_null(pc.cast(pc.count_substring_regex(
                 batch.column(text_col), pattern=r"\S+"), pa.int64()),
+                pa.scalar(0, pa.int64())),
         })
 
     def pack(group: pa.Table) -> pa.Table:
@@ -335,9 +339,12 @@ def pack_sequences_global(ds, *, budget: int = 512, id_col: str = "doc_id",
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        buckets = pc.divide(ids, pa.scalar(bucket_width, pa.int64()))
+        # numpy floor division, NOT pc.divide: Arrow integer divide
+        # truncates toward zero, so a negative id would land in a
+        # different bucket here than in pass 1's Python `//` (floor)
+        buckets = ids.to_numpy(zero_copy_only=False) // bucket_width
         return pa.table({id_col: ids, "n_tokens": toks,
-                         "bucket": pc.cast(buckets, pa.int64())})
+                         "bucket": pa.array(buckets, pa.int64())})
 
     def scan(group: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(off_ref)

@@ -60,6 +60,10 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             lambda b: pa.table({"node": pa.array([], pa.int64()),
                                 "rank": pa.array([], pa.float64())}),
             batch_format="pyarrow")
+    # cap hash partitions to graph size: Acero rejects the empty/
+    # schemaless partitions a tiny graph leaves at num_partitions=8
+    # (same guard as connected_components / bfs_depth)
+    num_partitions = max(1, min(num_partitions, n // 4 or 1))
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         g = batch.select(["src"]).group_by("src").aggregate(

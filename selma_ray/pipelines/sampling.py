@@ -192,23 +192,21 @@ def mixture_sample_by_budget(ds, *, default_budget: int,
                for i in t.column(id_col).to_pylist()]
         return t.append_column("hk", pa.array(hks, pa.string()))
 
-    def bulk_keep(batch: pa.Table) -> pa.Table:
+    def annotate_route(batch: pa.Table) -> pa.Table:
+        # route: 0 = bulk keep (earlier bucket), 1 = boundary bucket
+        # (needs the exact ordered scan), 2 = drop (later bucket)
         t = annotate(batch)
-        keep = []
+        route = []
         for s, hk in zip(t.column(source_col).to_pylist(),
                          t.column("hk").to_pylist()):
             bnd, _ = boundary.get(s, (None, 0))
-            keep.append(bnd is None or int(hk[:2], 16) < bnd)
-        return t.filter(pa.array(keep, pa.bool_())).drop_columns(["hk"])
-
-    def boundary_only(batch: pa.Table) -> pa.Table:
-        t = annotate(batch)
-        keep = []
-        for s, hk in zip(t.column(source_col).to_pylist(),
-                         t.column("hk").to_pylist()):
-            bnd, _ = boundary.get(s, (None, 0))
-            keep.append(bnd is not None and int(hk[:2], 16) == bnd)
-        return t.filter(pa.array(keep, pa.bool_()))
+            if bnd is None or int(hk[:2], 16) < bnd:
+                route.append(0)
+            elif int(hk[:2], 16) == bnd:
+                route.append(1)
+            else:
+                route.append(2)
+        return t.append_column("route", pa.array(route, pa.int8()))
 
     def exact_scan(group):
         import pandas as pd  # noqa: F401
@@ -221,10 +219,23 @@ def mixture_sample_by_budget(ds, *, default_budget: int,
         return g.loc[before < budget,
                      [id_col, source_col, "n_tokens"]]
 
-    bulk = ds.map_batches(bulk_keep, batch_format="pyarrow")
+    # annotate ONCE: tokenize + hash each doc a single time, then route
+    # from the slim (text-free) table — two annotate passes would
+    # re-execute the input and re-tokenize the full corpus per consumer
+    slim = ds.map_batches(annotate_route, batch_format="pyarrow")
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["hk", "route"])
+
     if all(bnd is None for bnd, _ in boundary.values()):
-        return bulk  # budget exceeds every source: nothing to refine
-    bound = ds.map_batches(boundary_only, batch_format="pyarrow") \
+        # budget exceeds every source: single consumer, stay lazy
+        return slim.map_batches(strip, batch_format="pyarrow")
+    slim = slim.materialize()    # consumed twice; tiny rows, no text
+    bulk = slim.filter(expr="route == 0") \
+        .map_batches(strip, batch_format="pyarrow")
+    bound = slim.filter(expr="route == 1") \
+        .map_batches(lambda b: b.drop_columns(["route"]),
+                     batch_format="pyarrow") \
         .groupby(source_col).map_groups(exact_scan, batch_format="pandas")
     return bulk.union(bound)
 
@@ -297,8 +308,11 @@ def cap_per_group(ds, *, group_col: str, id_col: str = "doc_id",
         df = batch.select(cols).to_pandas()
         df["__h"] = hs
         df = df.sort_values([group_col, "__h", id_col])
+        # dropna=False: pandas silently EXCLUDES NaN groups by default,
+        # which would delete every null-group row here instead of
+        # capping them as their own group
         return pa.Table.from_pandas(
-            df.groupby(group_col, sort=False).head(k),
+            df.groupby(group_col, sort=False, dropna=False).head(k),
             preserve_index=False)
 
     def final(group):
@@ -600,7 +614,11 @@ def shuffle_quality(ds, *, pos_col: str = "position",
         out_b.append(b1[straddle] + 1)
         return pa.table({
             "pos": pa.array(np.concatenate(out_p), pa.int64()),
-            "grp": pa.array(np.concatenate(out_g)),
+            # explicit type (the INPUT column's): an empty block would
+            # otherwise infer grp as null-typed and break schema
+            # unification with the real blocks at the groupby
+            "grp": pa.array(np.concatenate(out_g),
+                            batch.schema.field(group_col).type),
             "bucket": pa.array(np.concatenate(out_b), pa.int64()),
         })
 
@@ -626,8 +644,9 @@ def shuffle_quality(ds, *, pos_col: str = "position",
 
     import ray.data
 
-    n_pairs = int(agg["sum(p_pairs)"])
-    same = int(agg["sum(p_same)"])
+    # .sum() returns None on a fully empty dataset
+    n_pairs = int(agg["sum(p_pairs)"]) if agg else 0
+    same = int(agg["sum(p_same)"]) if agg else 0
     return ray.data.from_arrow(pa.table({
         "n_pairs": pa.array([n_pairs], pa.int64()),
         "same_group_pairs": pa.array([same], pa.int64()),

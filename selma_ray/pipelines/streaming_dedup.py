@@ -160,10 +160,19 @@ def restore_index(shards, out_dir: str) -> int:
 
     import ray
 
-    paths = sorted(glob.glob(os.path.join(out_dir, "shard-*.parquet")))
-    if len(paths) != len(shards):
+    found = glob.glob(os.path.join(out_dir, "shard-*.parquet"))
+    if len(found) != len(shards):
         raise ValueError(
-            f"checkpoint has {len(paths)} shards, index has "
+            f"checkpoint has {len(found)} shards, index has "
             f"{len(shards)} — shard count must match")
+    # route file K to shard K BY INDEX, exactly as checkpoint_index
+    # named them: a lexicographic sort puts shard-10 before shard-2,
+    # silently loading fingerprints into the wrong actors for >= 10
+    # shards (every hash%N lookup then misses and re-admits dups)
+    paths = [os.path.join(out_dir, f"shard-{k}.parquet")
+             for k in range(len(shards))]
+    missing = [p for p in paths if p not in set(found)]
+    if missing:
+        raise ValueError(f"checkpoint is missing shard files: {missing}")
     refs = [s.load.remote(p) for s, p in zip(shards, paths)]
     return sum(ray.get(refs))

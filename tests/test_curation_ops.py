@@ -4807,3 +4807,31 @@ class TestCompositeKeyPacking:
             .to_pandas()
         pairs = sorted(zip(out["event_a"], out["event_b"]))
         assert pairs == [(0, 2)]  # only user 1's own two events
+
+
+def test_streaming_dedup_restore_many_shards(ray_session, tmp_path):
+    """restore_index must route shard-K.parquet to shard K BY INDEX:
+    with >= 10 shards a lexicographic file sort puts shard-10 before
+    shard-2, loading fingerprints into the wrong actors, after which
+    every hash%N lookup misses and duplicates are silently re-admitted."""
+    import ray.data
+
+    from selma_ray.pipelines.streaming_dedup import (
+        checkpoint_index,
+        restore_index,
+        streaming_exact_dedup,
+    )
+
+    texts = [f"document number {i}" for i in range(40)]
+    a = ray.data.from_items([{"text": t} for t in texts])
+    out, shards = streaming_exact_dedup(a, num_shards=12)
+    assert out.count() == 40
+    ckpt = str(tmp_path / "dedup_index12")
+    assert checkpoint_index(shards, ckpt) == 40
+
+    # restart with fresh actors: every original text must be rejected
+    b = ray.data.from_items(
+        [{"text": t} for t in texts] + [{"text": "fresh"}])
+    out2, shards2 = streaming_exact_dedup(b, num_shards=12)
+    restore_index(shards2, ckpt)
+    assert [r["text"] for r in out2.take_all()] == ["fresh"]
