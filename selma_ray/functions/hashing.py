@@ -103,7 +103,16 @@ _COEFF_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 def minhash_signatures(hash_sets: list[np.ndarray], k: int = 128) -> np.ndarray:
     """MinHash signatures, vectorized: for each doc's shingle-hash array,
-    sig[j] = min((a_j * h + b_j) mod p). Returns (n_docs, k) uint64."""
+    sig[j] = min(((a_j * h) mod 2^64 + b_j) mod p). Returns (n_docs, k)
+    uint64.
+
+    Honesty note: ``a_j * h`` WRAPS in uint64 before the mod-p, so this
+    is a multiply-wrap mixing family, not a textbook mod-p universal
+    hash — the formal collision bound doesn't apply, but the wrap mixes
+    well empirically (recall parity vs exact Jaccard is tested) and the
+    exact same wrapped arithmetic is mirrored bit-for-bit by the DuckDB
+    oracle, so it is load-bearing: do not 'fix' the overflow without
+    changing the oracle in lockstep."""
     if k not in _COEFF_CACHE:
         _COEFF_CACHE[k] = _coeffs(k)
     a, b = _COEFF_CACHE[k]
@@ -143,8 +152,9 @@ def simhash64(text: str) -> int:
     toks = tokens(text)
     if not toks:
         return 0
-    hs = np.fromiter((md5_64(t.encode()) for t in toks), dtype=np.uint64,
-                     count=len(toks))
+    hs = np.fromiter(
+        (md5_64(t.encode("utf-8", "surrogatepass")) for t in toks),
+        dtype=np.uint64, count=len(toks))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int64)
     acc = (2 * bits - 1).sum(axis=0)

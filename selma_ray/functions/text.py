@@ -111,6 +111,11 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         zero_copy_only=False).astype("float64")
     n_punct = pc.count_substring_regex(texts, r"[^\w\s]").to_numpy(
         zero_copy_only=False).astype("float64")
+    # null text rows surface as NaN counts (arrow->numpy); score them
+    # as empty strings instead of crashing on int(NaN) below
+    n_chars = np.nan_to_num(n_chars)
+    n_tokens = np.nan_to_num(n_tokens)
+    n_punct = np.nan_to_num(n_punct)
     with np.errstate(divide="ignore", invalid="ignore"):
         mean_tok = np.where(n_tokens > 0, n_chars / np.maximum(n_tokens, 1), 0.0)
         punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)

@@ -40,6 +40,19 @@ def _mark_done(stage_dir: str, info: dict) -> None:
     os.replace(tmp, os.path.join(stage_dir, DONE))
 
 
+def _fresh_dir(stage_dir: str) -> None:
+    """Clear a stage dir before (re)writing it: a run that died between
+    write_parquet and _mark_done leaves partial files, and write_parquet
+    APPENDS uniquely-named files — recomputing next to the leftovers
+    would duplicate every surviving row downstream (same hazard
+    run_extraction handles for its per-shard dirs)."""
+    import shutil
+
+    if os.path.isdir(stage_dir):
+        shutil.rmtree(stage_dir)
+    os.makedirs(stage_dir, exist_ok=True)
+
+
 def curate_corpus(input_path: str, out_root: str, *,
                   min_words: int = 3, batch_size: int = 64,
                   window_budget: int = 128, concurrency=None,
@@ -82,7 +95,7 @@ def curate_corpus(input_path: str, out_root: str, *,
             return batch.filter(m)
 
         kept = ds.map_batches(keep_only, batch_format="pyarrow")
-        os.makedirs(qf_dir, exist_ok=True)
+        _fresh_dir(qf_dir)
         kept.write_parquet(qf_dir)
         n_kept = ray.data.read_parquet(qf_dir).count()
         _mark_done(qf_dir, {"rows_kept": n_kept})
@@ -106,7 +119,7 @@ def curate_corpus(input_path: str, out_root: str, *,
         keyed = ds.map_batches(row_key, batch_format="pyarrow")
         survivors = exact_dedup(keyed, id_col="row_key",
                                 text_col="extracted_text")
-        os.makedirs(dd_dir, exist_ok=True)
+        _fresh_dir(dd_dir)
         survivors.drop_columns(["row_key", "text_hash"]) \
             .write_parquet(dd_dir)
         _mark_done(dd_dir, {
@@ -126,7 +139,7 @@ def curate_corpus(input_path: str, out_root: str, *,
                                   text_col="extracted_text",
                                   eval_text_col="text",
                                   ngram=decontam_ngram)
-            os.makedirs(dc_dir, exist_ok=True)
+            _fresh_dir(dc_dir)
             clean.write_parquet(dc_dir)
             _mark_done(dc_dir, {
                 "rows_out": ray.data.read_parquet(dc_dir).count()})
@@ -140,7 +153,7 @@ def curate_corpus(input_path: str, out_root: str, *,
         ds = ray.data.read_parquet(pack_src)
         packed = pack_context_windows(ds, budget=window_budget,
                                       text_col="extracted_text")
-        os.makedirs(pk_dir, exist_ok=True)
+        _fresh_dir(pk_dir)
         packed.write_parquet(pk_dir)
         _mark_done(pk_dir, {
             "rows_out": ray.data.read_parquet(pk_dir).count()})

@@ -46,24 +46,50 @@ def extract_transcripts(ds, *, sanitizer_config=None, keep_html=False,
     return out
 
 
-def _shard_id_for(path: str) -> str:
-    return posixpath.basename(path).replace(".parquet", "").replace(".", "_")
+def _shard_id_rel(path: str, root: str) -> str:
+    """Shard id from the path RELATIVE to the input root.
+
+    Basename-only ids silently COLLIDE for hive layouts
+    (date=2020/part-0.parquet vs date=2021/part-0.parquet -> both
+    'part-0'), dropping input files from the run. The 's-' prefix
+    keeps digit-only ids (0001.parquet) from being inferred back as
+    integers by the hive-partition read in the metrics roll-up, which
+    would break the string-keyed mark-done matching."""
+    rel = path[len(root):].lstrip("/") if path.startswith(root) \
+        else posixpath.basename(path)
+    rel = rel.replace(".parquet", "")
+    return "s-" + rel.replace("/", "__").replace("=", "-").replace(".", "_")
 
 
 def list_input_shards(input_path: str) -> dict[str, str]:
-    """Deterministic shard-id → file map from the input layout."""
+    """Deterministic shard-id → file map from the input layout. Ids
+    derive from root-relative paths (collision-free for nested/hive
+    layouts); files keep the input's URI scheme so remote (s3://, ...)
+    paths stay readable downstream."""
     import pyarrow.fs as pafs
 
+    scheme = input_path.split("://", 1)[0] if "://" in input_path else ""
     fs, root = pafs.FileSystem.from_uri(
         input_path if "://" in input_path else f"file://{os.path.abspath(input_path)}")
     info = fs.get_file_info(root)
     if info.type == pafs.FileType.File:
         files = [root]
+        root = posixpath.dirname(root)
     else:
         files = [f.path for f in fs.get_file_info(
             pafs.FileSelector(root, recursive=True))
             if f.type == pafs.FileType.File and f.path.endswith(".parquet")]
-    return {_shard_id_for(p): p for p in sorted(files)}
+    out = {}
+    for p in sorted(files):
+        sid = _shard_id_rel(p, root)
+        if sid in out:
+            raise ValueError(
+                f"shard id collision: {out[sid]!r} and {p!r} both map "
+                f"to {sid!r}")
+        # re-attach the scheme: pafs strips it, and a scheme-less
+        # remote path would be (mis)read as a local one downstream
+        out[sid] = f"{scheme}://{p}" if scheme and scheme != "file" else p
+    return out
 
 
 class _AttachShard:

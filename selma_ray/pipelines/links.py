@@ -53,11 +53,21 @@ def _get_rewriter():
 
 
 def domain_of(href: str) -> str:
-    """Host part of an absolute URL; '' for relative/opaque refs."""
+    """Normalized host of an absolute URL; '' for relative/opaque refs.
+
+    Normalized = userinfo and port stripped, lowercased — otherwise
+    'Example.com', 'example.com:8080' and 'user@example.com' count as
+    three distinct domains and fragment every per-domain rollup."""
     if "://" not in href:
         return ""
-    rest = href.split("://", 1)[1]
-    return rest.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0]
+    authority = href.split("://", 1)[1] \
+        .split("/", 1)[0].split("?", 1)[0].split("#", 1)[0]
+    host = authority.rsplit("@", 1)[-1]          # drop userinfo
+    if host.startswith("["):                     # [ipv6]:port
+        host = host.split("]", 1)[0] + "]"
+    else:
+        host = host.split(":", 1)[0]             # drop port
+    return host.lower()
 
 
 def harvest_links_batch(batch: pa.Table, *, text_col: str = "text",

@@ -339,11 +339,14 @@ def clustered_merge_join(dir_a: str, dir_b: str, *, key_col: str,
 
     import ray.data
 
-    def ranges_of(d: str) -> dict[int, str]:
-        out = {}
-        for p in glob.glob(os.path.join(d, "range=*", "*.parquet")):
+    def ranges_of(d: str) -> dict[int, list[str]]:
+        # accumulate EVERY part file per range (a single-file overwrite
+        # would silently drop rows from externally-produced multi-file
+        # ranges — same accumulation bucketed_hash_join.buckets_of does)
+        out: dict[int, list[str]] = {}
+        for p in sorted(glob.glob(os.path.join(d, "range=*", "*.parquet"))):
             rid = int(os.path.basename(os.path.dirname(p)).split("=")[1])
-            out[rid] = p
+            out.setdefault(rid, []).append(p)
         return out
 
     ra, rb = ranges_of(dir_a), ranges_of(dir_b)
@@ -354,8 +357,8 @@ def clustered_merge_join(dir_a: str, dir_b: str, *, key_col: str,
 
         outs = []
         for rid in batch.column("rid").to_pylist():
-            a = pq.read_table(ra[rid])
-            b = pq.read_table(rb[rid])
+            a = pa.concat_tables([pq.read_table(p) for p in ra[rid]])
+            b = pa.concat_tables([pq.read_table(p) for p in rb[rid]])
             b = b.rename_columns([
                 c if c == key_col else c + suffix_b
                 for c in b.column_names])
@@ -693,8 +696,15 @@ def read_text_corpus(path: str, *, min_chars: int = 1, **read_kwargs):
         for p, blob in zip(batch.column("path").to_pylist(),
                            batch.column("bytes").to_pylist()):
             fid = int(hashlib.md5(p.encode()).hexdigest()[:10], 16)
-            for i, line in enumerate(
-                    blob.decode("utf-8", "replace").splitlines()):
+            lines = blob.decode("utf-8", "replace").splitlines()
+            if len(lines) > (1 << 20):
+                # the id packs the line number into 20 bits; past that
+                # it would CARRY into the file-hash bits and collide
+                # with another file's ids — fail loudly instead
+                raise ValueError(
+                    f"{p}: {len(lines)} lines exceeds the 2^20-per-file "
+                    "doc-id budget; split the file or widen the id")
+            for i, line in enumerate(lines):
                 if len(line) < min_chars:
                     continue
                 out_id.append((fid << 20) | i)
