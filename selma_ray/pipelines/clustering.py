@@ -512,6 +512,13 @@ def embedding_drift(ds, *, label_col: str = "label",
         # the two slices are whatever side labels the data carries,
         # compared in ascending label order ("a"/"b", "new"/"ref", ...)
         uniq = sorted(set(sides.tolist()))
+        if len(uniq) > 2:
+            # the per-batch guard can miss a 3rd label split across
+            # batches (each batch seeing <=2); this group sees the
+            # GLOBAL per-label side set post-aggregate, so enforce here
+            raise ValueError(
+                f"embedding_drift expects exactly 2 side labels, got "
+                f"{uniq}")
         ca = cv[sides == uniq[0]]
         cb = cv[sides == uniq[1]] if len(uniq) > 1 else cv[:0]
         lab = group.column(label_col)[0].as_py()

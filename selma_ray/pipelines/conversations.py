@@ -273,6 +273,10 @@ def _token_bucket_partials(batch: pa.Table, *, id_col: str, text_col: str,
 
     toks = pc.cast(token_count_batch(batch.column(text_col)),
                    pa.int64()).to_pylist()
+    if batch.column(id_col).null_count:
+        raise ValueError(
+            f"pack_sequences_global: null {id_col!r} — packing orders "
+            f"docs by id, which is undefined for null keys")
     ids = batch.column(id_col).to_pylist()
     acc: dict[int, int] = {}
     for i, n in zip(ids, toks):
@@ -339,6 +343,13 @@ def pack_sequences_global(ds, *, budget: int = 512, id_col: str = "doc_id",
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        if ids.null_count:
+            # a null-bearing int column converts to float64+NaN here,
+            # and pa.array(NaN, int64) crashes opaquely downstream —
+            # fail loudly with the same message as pass 1
+            raise ValueError(
+                f"pack_sequences_global: null {id_col!r} — packing "
+                f"orders docs by id, which is undefined for null keys")
         # numpy floor division, NOT pc.divide: Arrow integer divide
         # truncates toward zero, so a negative id would land in a
         # different bucket here than in pass 1's Python `//` (floor)

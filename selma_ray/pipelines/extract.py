@@ -92,6 +92,22 @@ def list_input_shards(input_path: str) -> dict[str, str]:
     return out
 
 
+def build_path_to_shard(todo: dict[str, str]) -> dict[str, str]:
+    """Invert shard→file into a lookup keyed by BOTH the scheme-qualified
+    path and the scheme-stripped form: ``include_paths=True`` surfaces
+    ``fragment.path``, which pyarrow filesystems report WITHOUT the URI
+    scheme — so for remote inputs (s3://bucket/key) the batch column
+    carries ``bucket/key`` while ``list_input_shards`` returns
+    ``s3://bucket/key``. Registering both forms keeps the lookup exact
+    for local and remote layouts alike."""
+    out: dict[str, str] = {}
+    for sid, p in todo.items():
+        out[p] = sid
+        if "://" in p:
+            out[p.split("://", 1)[1]] = sid
+    return out
+
+
 class _AttachShard:
     """Vectorized path→shard-id mapping (the small side is a plain dict
     shipped once in the task closure, not per batch)."""
@@ -145,7 +161,7 @@ def run_extraction(input_path: str, out_dir: str, *,
         if os.path.isdir(shard_dir):
             shutil.rmtree(shard_dir)
 
-    path_to_shard = {p: sid for sid, p in todo.items()}
+    path_to_shard = build_path_to_shard(todo)
     ds = ray.data.read_parquet(
         list(todo.values()),
         columns=columns or TRANSCRIPT_COLUMNS,   # prune at the read

@@ -189,6 +189,16 @@ def events_asof_orders(events_ds, orders_path: str):
 
     def asof(batch: pa.Table) -> pa.Table:
         orders_comp, keys_r = ray.get(ref)
+        if len(keys_r) == 0:
+            # empty order side: no event can match (guards the
+            # keys_r[r_c] membership check below against 0-length index)
+            none = pa.array([], pa.int64())
+            return pa.table({
+                "event_id": pc.take(batch.column("event_id"), none),
+                "user_id": pc.take(batch.column("user_id"), none),
+                "ts": pc.take(batch.column("ts"), none),
+                "last_order_date": none.cast(pa.timestamp("us")),
+            })
         uid = batch.column("user_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
         ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
@@ -266,6 +276,13 @@ def events_range_self_join(events_ds, events_path: str, *,
 
     def pairs(batch: pa.Table) -> pa.Table:
         comp_r, eid_r, ts_r, keys_r = ray.get(ref)
+        if len(keys_r) == 0:
+            # empty right side (same latent 0-length-index pattern as
+            # the as-of join; unreachable for the self-join but kept
+            # safe for reuse with a disjoint right table)
+            none = pa.array([], pa.int64())
+            return pa.table({"user_id": none, "event_a": none,
+                             "event_b": none, "gap_us": none})
         uid_l = batch.column("user_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
         ts_l = pc.cast(batch.column("ts"), pa.int64()).to_numpy(

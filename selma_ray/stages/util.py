@@ -88,6 +88,14 @@ def key_u64(arr):
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
+        if pa.types.is_unsigned_integer(arr.type):
+            # bit-preserving widen: a checked cast to int64 raises
+            # ArrowInvalid for uint64 values above 2^63; going through
+            # uint64 then viewing the bits keeps every width exact
+            arr = arr.cast(pa.uint64())
+            if arr.null_count:
+                arr = arr.fill_null((1 << 63) + 41)
+            return arr.to_numpy(zero_copy_only=False).astype(np.uint64)
         arr = arr.cast(pa.int64())
         if arr.null_count:
             arr = arr.fill_null(-(1 << 62) + 41)

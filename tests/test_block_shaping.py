@@ -162,3 +162,24 @@ def test_key_u64_null_and_big_int_keys():
     b1 = key_buckets(arr, 16)
     b2 = key_buckets(arr, 16)
     assert list(b1) == list(b2)
+
+
+def test_key_u64_uint64_above_2_63():
+    """uint64 keys past 2^63 must hash bit-exactly, not raise
+    ArrowInvalid from a checked int64 cast."""
+    import numpy as np
+    import pyarrow as pa
+
+    from selma_ray.stages.util import key_u64
+
+    hi_a = (1 << 63) + 7
+    hi_b = (1 << 64) - 1
+    arr = pa.array([hi_a, None, hi_b, 5], pa.uint64())
+    v = key_u64(arr)
+    assert v.dtype == np.uint64
+    assert v[0] == np.uint64(hi_a)
+    assert v[2] == np.uint64(hi_b)
+    assert v[3] == np.uint64(5)
+    assert len({int(x) for x in v}) == 4  # sentinel distinct from keys
+    # smaller unsigned widths stay exact too
+    assert key_u64(pa.array([250], pa.uint8()))[0] == np.uint64(250)

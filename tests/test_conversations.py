@@ -139,6 +139,21 @@ class TestPackSequencesGlobal:
         b = self._run(toks, ray_session, budget=20, parts=7)
         assert a == b
 
+    def test_null_doc_id_raises_clearly(self, ray_session):
+        """Null ids must fail with the op's own ValueError, not an
+        opaque NaN->int64 ArrowInvalid from the numpy float detour."""
+        import pytest
+        import ray.data
+
+        from selma_ray.pipelines.conversations import pack_sequences_global
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, None, 3], pa.int64()),
+            "text": pa.array(["a b", "c d", "e f"]),
+        }))
+        with pytest.raises(Exception, match="null 'doc_id'"):
+            pack_sequences_global(ds, budget=4).take_all()
+
     def test_oversized_doc_spans_windows(self, ray_session):
         # a 70-token doc with budget 32 starts at its cum_before window
         toks = [10, 70, 10]

@@ -3675,6 +3675,28 @@ class TestEmbeddingDrift:
         got = embedding_drift(ray.data.from_arrow(t)).to_pandas()
         assert abs(got["label_drift_cosine"].iloc[0]) < 1e-12
 
+    def test_three_sides_split_across_batches_raises(self, ray_session):
+        """A 3rd side label split so each BATCH sees <= 2 must still
+        fail loudly (the per-batch guard alone silently compared only
+        the two lexicographically-smallest labels)."""
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from selma_ray.pipelines.clustering import embedding_drift
+
+        def block(side):
+            return pa.table({
+                "label": pa.array([1, 1], pa.int32()),
+                "side": pa.array([side, side]),
+                "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                      pa.list_(pa.float32())),
+            })
+
+        ds = ray.data.from_arrow([block("a"), block("b"), block("c")])
+        with pytest.raises(Exception, match="exactly 2 side labels"):
+            embedding_drift(ds).to_pandas()
+
 
 class TestSessionPaths:
     def test_paths_split_on_gap(self, ray_session):
@@ -4807,6 +4829,24 @@ class TestCompositeKeyPacking:
             .to_pandas()
         pairs = sorted(zip(out["event_a"], out["event_b"]))
         assert pairs == [(0, 2)]  # only user 1's own two events
+
+    def test_asof_empty_orders_side(self, tmp_path, ray_session):
+        """Empty order file + non-empty events: the 0-length keys_r
+        index must short-circuit to an empty result, not IndexError."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from selma_ray.pipelines.relational import events_asof_orders
+
+        orders = pa.table({
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+        })
+        op = str(tmp_path / "orders_empty.parquet")
+        pq.write_table(orders, op)
+        ev, _ = self._events([1, 2], [10_000_000, 20_000_000], tmp_path)
+        out = events_asof_orders(ray.data.from_arrow(ev), op)
+        assert out.count() == 0
 
 
 def test_streaming_dedup_restore_many_shards(ray_session, tmp_path):

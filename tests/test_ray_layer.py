@@ -138,6 +138,35 @@ def test_run_extraction_resume(tmp_path, ray_session):
     assert s3["metrics"]["turns_processed"] == table.num_rows
 
 
+def test_path_to_shard_resolves_scheme_stripped_paths():
+    """include_paths=True surfaces fragment.path WITHOUT the URI scheme,
+    while list_input_shards keeps it (s3://bucket/key) so the files stay
+    readable. The lookup dict must therefore carry BOTH forms, or every
+    remote-input batch KeyErrors on its first path."""
+    import pyarrow as pa
+
+    from selma_ray.pipelines.extract import _AttachShard, build_path_to_shard
+
+    todo = {
+        "s-part-0": "s3://bucket/prefix/part-0.parquet",
+        "s-part-1": "s3://bucket/prefix/part-1.parquet",
+        "s-local": "/data/local/part-2.parquet",
+    }
+    lookup = build_path_to_shard(todo)
+    # scheme-qualified, scheme-stripped, and local forms all resolve
+    assert lookup["s3://bucket/prefix/part-0.parquet"] == "s-part-0"
+    assert lookup["bucket/prefix/part-0.parquet"] == "s-part-0"
+    assert lookup["/data/local/part-2.parquet"] == "s-local"
+
+    batch = pa.table({
+        "path": pa.array(["bucket/prefix/part-1.parquet",
+                          "/data/local/part-2.parquet"]),
+        "text": pa.array(["a", "b"]),
+    })
+    out = _AttachShard(lookup)(batch)
+    assert out.column("shard").to_pylist() == ["s-part-1", "s-local"]
+
+
 def test_manifest_atomic_and_summary(tmp_path):
     man = Manifest(str(tmp_path / "m"))
     man.mark_done("s1", metrics={"rows": 10, "bytes": 100})
