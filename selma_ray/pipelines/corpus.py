@@ -1203,42 +1203,60 @@ def vocab_coverage(ds, *, text_col: str = "text",
     planning table (the knee of this curve is where a bigger vocab
     stops paying).
 
-    Rides the term_frequencies reduction (combiner -> groupby(term)),
-    then sorts + cumsums the reduced vocab table in one task. Ordering
-    is (count DESC, term ASC) on both sides so ties at the k boundary
-    resolve identically. Exact integers, one final division.
+    Rides the term_frequencies reduction (combiner -> groupby(term)).
+    Coverage at k is a sum over the k LARGEST counts, so terms are
+    irrelevant past the reduction (tied counts at the k boundary
+    contribute the same sum whichever tied term is "in"): a per-block
+    top-max(ks) COUNT prune (np.partition, counts only — no strings)
+    plus a per-block total row is all that leaves each vocab block.
+    The driver folds <= blocks x max(ks) pruned counts — bounded by
+    layout, never by vocabulary size (the previous shape repartition(1)'d
+    the full distinct vocab into one task, ~10^9 rows at 100 TB).
+    Exact integers, one final division.
     """
     from ray.data.aggregate import Sum
+
+    import ray.data
 
     partial = ds.map_batches(_partial_terms,
                              fn_kwargs={"text_col": text_col},
                              batch_format="pyarrow")
     agg = coalesce_small(partial).groupby("term") \
         .aggregate(Sum("partial_n"))
+    kmax = max(ks)
 
-    def finish(batch: pa.Table) -> pa.Table:
-        t = batch.select(["term"]).column("term").to_pylist()
-        n = batch.column("sum(partial_n)").to_numpy(zero_copy_only=False)
-        order = np.lexsort((np.asarray(t, dtype=object), -n))
-        srt = n[order]
-        cum = np.cumsum(srt)
-        total = int(cum[-1]) if len(cum) else 0
-        out_k, out_c = [], []
-        for k in ks:
-            covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
-            out_k.append(k)
-            out_c.append(covered)
+    def prune(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(partial_n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        total = int(n.sum())
+        if len(n) > kmax:
+            n = -np.partition(-n, kmax - 1)[:kmax]
+        # top counts (kind=0) + one block-total row (kind=1)
         return pa.table({
-            "k": pa.array(out_k, pa.int64()),
-            "covered_tokens": pa.array(out_c, pa.int64()),
-            "total_tokens": pa.array([total] * len(ks), pa.int64()),
-            "value_coverage": pa.array(
-                [c / total if total else 0.0 for c in out_c],
-                pa.float64()),
+            "cnt": pa.array(np.concatenate([n, [total]]), pa.int64()),
+            "kind": pa.array([0] * len(n) + [1], pa.int8()),
         })
 
-    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
-                                          batch_size=None)
+    top_counts, total = [], 0
+    for b in agg.map_batches(prune, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+        kind = b.column("kind").to_numpy(zero_copy_only=False)
+        total += int(cnt[kind == 1].sum())
+        top_counts.append(cnt[kind == 0])
+    merged = np.sort(np.concatenate(top_counts))[::-1] if top_counts \
+        else np.array([], np.int64)
+    cum = np.cumsum(merged[:kmax])
+    out_k = list(ks)
+    out_c = [int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+             for k in ks]
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array(out_k, pa.int64()),
+        "covered_tokens": pa.array(out_c, pa.int64()),
+        "total_tokens": pa.array([total] * len(ks), pa.int64()),
+        "value_coverage": pa.array(
+            [c / total if total else 0.0 for c in out_c], pa.float64()),
+    }))
 
 
 def feature_hash_audit(ds, *, text_col: str = "text",
@@ -1250,10 +1268,17 @@ def feature_hash_audit(ds, *, text_col: str = "text",
 
     Hash = md5 low-64 (the KMV sketch's DuckDB-parity hash) mod dim.
     Distinct terms reduce via the usual combiner + groupby; the audit
-    itself runs over the reduced vocab in one task. collision_rate =
+    itself is a SECOND bounded reduction, never a full-vocab task:
+    each vocab block emits its distinct (dim, bucket) pairs (<=
+    sum(dims)+1 rows per block, independent of block size) plus a
+    sentinel row carrying the block's term count; one tiny
+    groupby(dim, bucket) dedups the pairs globally, and the driver
+    folds <= sum(dims)+1 result rows. collision_rate =
     1 - buckets_used / n_terms (0 = injective on this corpus).
     """
     from ray.data.aggregate import Sum
+
+    import ray.data
 
     from ..pipelines.sketches import kmv_hash64
 
@@ -1263,26 +1288,42 @@ def feature_hash_audit(ds, *, text_col: str = "text",
     vocab = coalesce_small(partial).groupby("term") \
         .aggregate(Sum("partial_n"))
 
-    def finish(batch: pa.Table) -> pa.Table:
+    def prune(batch: pa.Table) -> pa.Table:
         terms = batch.column("term").to_pylist()
         hs = np.array([kmv_hash64(t) for t in terms], np.uint64)
-        n = len(terms)
-        out_d, out_u = [], []
+        out_d, out_b, out_n = [], [], []
         for d in dims:
-            used = len(np.unique(hs % np.uint64(d)))
-            out_d.append(d)
-            out_u.append(used)
+            bs = np.unique(hs % np.uint64(d)) if len(hs) else \
+                np.array([], np.uint64)
+            out_d.extend([int(d)] * len(bs))
+            out_b.extend(int(x) for x in bs)
+            out_n.extend([0] * len(bs))
+        # sentinel (dim=-1, bucket=0): block term count, sums globally
+        out_d.append(-1)
+        out_b.append(0)
+        out_n.append(len(terms))
         return pa.table({
             "dim": pa.array(out_d, pa.int64()),
-            "n_terms": pa.array([n] * len(dims), pa.int64()),
-            "buckets_used": pa.array(out_u, pa.int64()),
-            "value_collision_rate": pa.array(
-                [1.0 - u / n if n else 0.0 for u in out_u],
-                pa.float64()),
+            "bucket": pa.array(out_b, pa.int64()),
+            "pn": pa.array(out_n, pa.int64()),
         })
 
-    return vocab.repartition(1).map_batches(finish, batch_format="pyarrow",
-                                            batch_size=None)
+    used = coalesce_small(vocab.map_batches(prune, batch_format="pyarrow")) \
+        .groupby(["dim", "bucket"]).aggregate(Sum("pn")).take_all()
+    n = sum(r["sum(pn)"] for r in used if r["dim"] == -1)
+    by_dim = {int(d): 0 for d in dims}
+    for r in used:
+        if r["dim"] != -1:
+            by_dim[int(r["dim"])] += 1
+    out_d = [int(d) for d in dims]
+    out_u = [by_dim[d] for d in out_d]
+    return ray.data.from_arrow(pa.table({
+        "dim": pa.array(out_d, pa.int64()),
+        "n_terms": pa.array([n] * len(dims), pa.int64()),
+        "buckets_used": pa.array(out_u, pa.int64()),
+        "value_collision_rate": pa.array(
+            [1.0 - u / n if n else 0.0 for u in out_u], pa.float64()),
+    }))
 
 
 def corpus_card(ds, *, text_col: str = "text"):
@@ -1420,13 +1461,24 @@ def distinctive_terms(ds, *, group_col: str = "lang",
     in-group vs out-of-group usage, with the corpus itself as the
     prior (the standard fix for raw PMI's rare-term explosion).
 
-    One (group, term) count reduction (per-batch combiner -> groupby);
-    the zeta math runs over the reduced vocab-x-groups table in a
-    single task (vocab-bounded; shard by term range above that).
-    math.sqrt/np.log keep IEEE parity with the SQL formula — checked
+    One (group, term) count reduction (per-batch combiner -> groupby),
+    materialized once and consumed twice:
+    - a tiny per-block combiner folds the per-GROUP totals (n_groups
+      rows at the driver; the only driver-side state);
+    - the zeta math runs per TERM-hash bucket (bucketed_map_groups —
+      all rows of a term co-locate, y_all is a vectorized
+      transform-sum), with an in-bucket per-group top-k prune, so no
+      task ever holds more than one bucket (~vocab/num_buckets rows)
+      and the final per-group selection sees only
+      buckets x groups x top_k pruned rows.
+    np.log/np.sqrt keep IEEE parity with the SQL formula — checked
     at atol.
     """
+    import pandas as pd
+
     from ray.data.aggregate import Sum
+
+    from ..stages.util import bucketed_map_groups
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
@@ -1446,57 +1498,76 @@ def distinctive_terms(ds, *, group_col: str = "lang",
         })
 
     counts = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
-        .groupby(["g", "term"]).aggregate(Sum("p_n"))
+        .groupby(["g", "term"]).aggregate(Sum("p_n")) \
+        .materialize()   # consumed twice: group totals, then zeta pass
 
-    def finish(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({
-            "g": batch.column("g").to_pylist(),
-            "term": batch.column("term").to_pylist(),
-            "n": batch.column("sum(p_n)").to_pylist(),
+    def grp_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["g", "sum(p_n)"]).group_by("g") \
+            .aggregate([("sum(p_n)", "sum")])
+        return pa.table({
+            "g": agg.column("g"),
+            "gp_n": pc.cast(agg.column("sum(p_n)_sum"), pa.int64()),
         })
-        tot_term = df.groupby("term")["n"].sum()
-        tot_grp = df.groupby("g")["n"].sum()
-        total = int(df["n"].sum())
-        a0 = alpha * total
-        rows = []
-        for g, sub in df.groupby("g"):
-            ni = int(tot_grp[g])
-            nj = total - ni
-            for _, r in sub.iterrows():
-                y_i = int(r["n"])
-                y_all = int(tot_term[r["term"]])
-                y_j = y_all - y_i
-                a_w = alpha * y_all
-                li = np.log((y_i + a_w) / (ni + a0 - y_i - a_w))
-                lj = np.log((y_j + a_w) / (nj + a0 - y_j - a_w))
-                var = 1.0 / (y_i + a_w) + 1.0 / (y_j + a_w)
-                rows.append((g, r["term"], y_i, y_j,
-                             (li - lj) / np.sqrt(var)))
+
+    tot_rows = coalesce_small(
+        counts.map_batches(grp_partial, batch_format="pyarrow")) \
+        .groupby("g").aggregate(Sum("gp_n")).take_all()
+    tot_grp = {r["g"]: int(r["sum(gp_n)"]) for r in tot_rows}
+    total = sum(tot_grp.values())
+    a0 = alpha * total
+
+    def select_topk(df: pd.DataFrame) -> pd.DataFrame:
         # rank by ROUNDED zeta (half-away) so the top-k boundary is
         # engine-stable; ties break by term
-        rows.sort(key=lambda x: (x[0],
-                                 -np.floor(x[4] * 1e6 + 0.5) / 1e6,
-                                 x[1]))
-        out = []
-        seen: dict = {}
-        for row in rows:
-            c = seen.get(row[0], 0)
-            if c < top_k:
-                out.append(row)
-                seen[row[0]] = c + 1
+        df = df.assign(_r=np.floor(df["value_zeta"].to_numpy() * 1e6
+                                   + 0.5) / 1e6)
+        df = df.sort_values(["grp", "_r", "term"],
+                            ascending=[True, False, True])
+        return df.groupby("grp", sort=False).head(top_k) \
+            .drop(columns="_r")
+
+    def zeta_bucket(tbl: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "grp": tbl.column("g").to_pylist(),
+            "term": tbl.column("term").to_pylist(),
+            "n": tbl.column("sum(p_n)").to_pylist(),
+        })
+        y_i = df["n"].to_numpy(np.float64)
+        y_all = df.groupby("term")["n"].transform("sum") \
+            .to_numpy(np.float64)
+        y_j = y_all - y_i
+        ni = df["grp"].map(tot_grp).to_numpy(np.float64)
+        nj = total - ni
+        a_w = alpha * y_all
+        li = np.log((y_i + a_w) / (ni + a0 - y_i - a_w))
+        lj = np.log((y_j + a_w) / (nj + a0 - y_j - a_w))
+        var = 1.0 / (y_i + a_w) + 1.0 / (y_j + a_w)
+        df = pd.DataFrame({
+            "grp": df["grp"],
+            "term": df["term"],
+            "n_in": df["n"].astype("int64"),
+            "n_out": y_j.astype(np.int64),
+            "value_zeta": (li - lj) / np.sqrt(var),
+        })
+        # in-bucket prune: the global per-group top-k is a subset of
+        # the union of per-bucket top-ks (every term lives wholly in
+        # one bucket, and (rounded zeta desc, term asc) totally orders)
+        out = select_topk(df)
         return pa.table({
-            "grp": pa.array([r[0] for r in out]),
-            "term": pa.array([r[1] for r in out], pa.string()),
-            "n_in": pa.array([r[2] for r in out], pa.int64()),
-            "n_out": pa.array([r[3] for r in out], pa.int64()),
-            "value_zeta": pa.array([float(r[4]) for r in out],
+            "grp": pa.array(out["grp"].tolist()),
+            "term": pa.array(out["term"].tolist(), pa.string()),
+            "n_in": pa.array(out["n_in"].tolist(), pa.int64()),
+            "n_out": pa.array(out["n_out"].tolist(), pa.int64()),
+            "value_zeta": pa.array(out["value_zeta"].tolist(),
                                    pa.float64()),
         })
 
-    return counts.repartition(1).map_batches(finish, batch_format="pyarrow",
-                                             batch_size=None)
+    pruned = bucketed_map_groups(counts, "term", zeta_bucket)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return select_topk(group)
+
+    return pruned.groupby("grp").map_groups(final, batch_format="pandas")
 
 
 def term_burstiness(ds, *, text_col: str = "text"):
@@ -1511,6 +1582,12 @@ def term_burstiness(ds, *, text_col: str = "text"):
     one groupby(term); fano = (D*Q - S^2) / (D*S) evaluates from
     exact integer moments with ONE float division. Zero-count docs
     contribute through D without ever materializing zeros.
+
+    Scale shape: the reduced moment table is materialized once, the
+    single marker row ('' term, global doc count D) is read with a
+    tiny filtered pass, and the fano fold runs VECTORIZED per block
+    with D in the closure — per-term independent, so no task ever
+    holds the full vocabulary (the previous shape repartition(1)'d it).
     """
     from ray.data.aggregate import Sum
 
@@ -1549,29 +1626,41 @@ def term_burstiness(ds, *, text_col: str = "text"):
         return pa.concat_tables([out, marker])
 
     agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
-        .groupby("term").aggregate(Sum("p_s"), Sum("p_q"), Sum("p_d"))
+        .groupby("term").aggregate(Sum("p_s"), Sum("p_q"), Sum("p_d")) \
+        .materialize()   # consumed twice: marker-row read, fano fold
+
+    def marker_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("term"), pa.scalar("")))
+
+    marker = agg.map_batches(marker_only, batch_format="pyarrow").take_all()
+    D = sum(int(r["sum(p_d)"]) for r in marker)
 
     def finish(batch: pa.Table) -> pa.Table:
-        terms = batch.column("term").to_pylist()
-        s = batch.column("sum(p_s)").to_pylist()
-        q = batch.column("sum(p_q)").to_pylist()
-        d = batch.column("sum(p_d)").to_pylist()
-        D = sum(dd for t, dd in zip(terms, d) if t == "")
-        out_t, out_s, out_f = [], [], []
-        for t, ss, qq in zip(terms, s, q):
-            if t == "":
-                continue
-            out_t.append(t)
-            out_s.append(ss)
-            out_f.append((D * qq - ss * ss) / (D * ss))
+        keep = pc.not_equal(batch.column("term"), pa.scalar(""))
+        b = batch.filter(keep)
+        s = b.column("sum(p_s)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = b.column("sum(p_q)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # exact integer moments, one float division. int64 vector math
+        # holds while D*q and s^2 fit 2^63; past that (planet-scale
+        # counts) fall back to Python's arbitrary-precision ints so the
+        # numerator stays exact before the single division
+        qmax = int(q.max()) if len(q) else 0
+        smax = int(s.max()) if len(s) else 0
+        if D * qmax < (1 << 62) and smax * smax < (1 << 62):
+            fano = (D * q - s * s).astype(np.float64) / (D * s)
+        else:
+            fano = np.array(
+                [(D * int(qq) - int(ss) * int(ss)) / (D * int(ss))
+                 for ss, qq in zip(s, q)], np.float64)
         return pa.table({
-            "term": pa.array(out_t, pa.string()),
-            "n_total": pa.array(out_s, pa.int64()),
-            "value_fano": pa.array(out_f, pa.float64()),
+            "term": b.column("term").cast(pa.string()),
+            "n_total": pa.array(s, pa.int64()),
+            "value_fano": pa.array(fano, pa.float64()),
         })
 
-    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
-                                          batch_size=None)
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def bigram_entropy_by_group(ds, *, group_col: str = "lang",

@@ -4156,6 +4156,29 @@ class TestVocabCoverage:
         assert got.loc[10, "covered_tokens"] == 8   # k > vocab: all
         assert got.loc[2, "value_coverage"] == 0.75
 
+    def test_block_prune_fires_and_stays_exact(self, ray_session):
+        """Vocab (300 terms) >> max(ks) (5) across 7 blocks: the
+        per-block top-k COUNT prune must kick in and still reproduce
+        the exact naive coverage curve (the k hottest terms' counts
+        survive any partitioning because a global top-k is a subset
+        of the union of per-block top-ks)."""
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import vocab_coverage
+
+        # term wNNN appears (i % 17) + 1 times, one doc per term
+        freqs = {f"w{i:03d}": (i % 17) + 1 for i in range(300)}
+        docs = [" ".join([w] * c) for w, c in freqs.items()]
+        t = pa.table({"text": pa.array(docs)})
+        got = vocab_coverage(ray.data.from_arrow(t).repartition(7),
+                             ks=(3, 5)).to_pandas().set_index("k")
+        counts = sorted(freqs.values(), reverse=True)
+        total = sum(counts)
+        assert got.loc[3, "covered_tokens"] == sum(counts[:3])
+        assert got.loc[5, "covered_tokens"] == sum(counts[:5])
+        assert (got["total_tokens"] == total).all()
+
 
 class TestFeatureHashAudit:
     def test_collision_accounting(self, ray_session):
@@ -4482,6 +4505,70 @@ class TestDistinctiveTerms:
         assert got.loc["de", "term"] == "onlyde"
         assert got.loc["en", "value_zeta"] > 0
         assert got.loc["en", "n_out"] == 0
+
+    def test_bucketed_zeta_matches_naive(self, ray_session):
+        """120-term vocab over 7 blocks: the per-term-hash-bucket zeta
+        pass + two-level top-k must reproduce the naive single-process
+        Fightin' Words ranking exactly."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.corpus import distinctive_terms
+
+        rows_lang, rows_text = [], []
+        for i in range(120):
+            lang = ["en", "de", "fr"][i % 3]
+            # term tNNN leans toward its own lang but appears elsewhere
+            rows_lang.append(lang)
+            rows_text.append(" ".join([f"t{i:03d}"] * ((i % 5) + 1)
+                                      + [f"t{(i * 7) % 120:03d}"]))
+        t = pa.table({"lang": pa.array(rows_lang),
+                      "text": pa.array(rows_text)})
+
+        alpha, top_k = 0.01, 4
+        got = distinctive_terms(ray.data.from_arrow(t).repartition(7),
+                                group_col="lang", top_k=top_k,
+                                alpha=alpha).to_pandas()
+
+        # naive reference
+        counts: dict = {}
+        for lang, text in zip(rows_lang, rows_text):
+            for w in text.split():
+                counts[(lang, w)] = counts.get((lang, w), 0) + 1
+        tot_term: dict = {}
+        tot_grp: dict = {}
+        for (g, w), n in counts.items():
+            tot_term[w] = tot_term.get(w, 0) + n
+            tot_grp[g] = tot_grp.get(g, 0) + n
+        total = sum(tot_grp.values())
+        a0 = alpha * total
+        rows = []
+        for (g, w), y_i in counts.items():
+            y_all = tot_term[w]
+            y_j = y_all - y_i
+            a_w = alpha * y_all
+            ni, nj = tot_grp[g], total - tot_grp[g]
+            li = np.log((y_i + a_w) / (ni + a0 - y_i - a_w))
+            lj = np.log((y_j + a_w) / (nj + a0 - y_j - a_w))
+            var = 1.0 / (y_i + a_w) + 1.0 / (y_j + a_w)
+            rows.append((g, w, (li - lj) / np.sqrt(var)))
+        rows.sort(key=lambda x: (x[0],
+                                 -np.floor(x[2] * 1e6 + 0.5) / 1e6,
+                                 x[1]))
+        want: dict = {}
+        for g, w, z in rows:
+            want.setdefault(g, [])
+            if len(want[g]) < top_k:
+                want[g].append((w, z))
+
+        for g, pairs in want.items():
+            sub = got[got["grp"] == g].sort_values(
+                "value_zeta", ascending=False)
+            assert sub["term"].tolist() == [w for w, _ in pairs]
+            np.testing.assert_allclose(
+                sub["value_zeta"].to_numpy(),
+                [z for _, z in pairs], atol=1e-9)
 
 
 class TestTermBurstiness:

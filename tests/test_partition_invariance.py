@@ -123,9 +123,11 @@ def test_event_ops_partition_invariant(name, ray_session):
 
 def _doc_cases():
     from selma_ray.pipelines.corpus import (
+        distinctive_terms,
         doc_ttr,
         feature_hash_audit,
         length_buckets,
+        term_burstiness,
         vocab_coverage,
     )
     from selma_ray.pipelines.dedup import (
@@ -141,6 +143,9 @@ def _doc_cases():
         "length_buckets": length_buckets,
         "vocab_coverage": lambda ds: vocab_coverage(ds, ks=(3, 10)),
         "hash_audit": lambda ds: feature_hash_audit(ds, dims=(8, 64)),
+        "distinctive": lambda ds: distinctive_terms(ds, group_col="lang",
+                                                    top_k=3),
+        "burstiness": term_burstiness,
         "dup_families": dup_family_histogram,
         "cross_source": cross_source_dup_matrix,
         "keep_best": exact_dedup_keep_best,
