@@ -1662,18 +1662,29 @@ def compact_latest(events_ds, *, key_cols: list[str],
     Two-level argmax: a per-batch combiner keeps one candidate row per
     key per block (so the shuffle carries keys x blocks rows, not the
     log), then one groupby(keys) picks the global winner with the same
-    deterministic (order_col DESC, tie_col DESC) rule.
+    deterministic (order_col DESC, tie_col DESC) rule. The combiner is
+    zero-copy Arrow (sort_indices + adjacent-key first-mask, the
+    exact_dedup_combine_batch idiom) — the full stream never pays an
+    Arrow->pandas round trip.
     """
-    import pandas as pd
+    def keep_latest(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[(k, "ascending") for k in key_cols]
+            + [(order_col, "descending"), (tie_col, "descending")])
+        srt = batch.take(order)
+        first = np.ones(srt.num_rows, bool)
+        if srt.num_rows:
+            first[1:] = False
+            # a row starts a new key when ANY key column changed
+            for k in key_cols:
+                col = srt.column(k).to_numpy(zero_copy_only=False)
+                first[1:] |= col[1:] != col[:-1]
+        return srt.filter(pa.array(first))
 
-    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values([order_col, tie_col],
-                              ascending=[False, False]) \
-            .drop_duplicates(subset=key_cols, keep="first")
-
-    combined = events_ds.map_batches(keep_latest, batch_format="pandas")
+    combined = events_ds.map_batches(keep_latest, batch_format="pyarrow")
     return coalesce_small(combined).groupby(key_cols) \
-        .map_groups(keep_latest, batch_format="pandas")
+        .map_groups(keep_latest, batch_format="pyarrow")
 
 
 def user_first_last(events_ds):
@@ -1681,42 +1692,60 @@ def user_first_last(events_ds):
     (user_id, first_event:int64, first_ts, last_event:int64, last_ts).
 
     Two-level argmin/argmax: each block keeps one candidate row per
-    user (vectorized pandas idxmin/idxmax over the (ts, event_id)
-    order), the groupby folds candidates with the same rule — the
-    shuffle carries 2 x users x blocks rows. Ties on ts break by
+    user, the groupby folds candidates with the same rule — the
+    shuffle carries users x blocks rows. Ties on ts break by
     event_id, so the result is deterministic and SQL-mirrorable with
-    ordered first()/last() aggregates.
+    ordered first()/last() aggregates. The combiner is zero-copy
+    Arrow (one sort_indices + adjacent-user first/last masks, the
+    exact_dedup_combine_batch idiom) — no pandas round trip on the
+    full stream.
     """
-    import pandas as pd
-
-    def ends(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.sort_values(["ts", "event_id"])
-        first = g.drop_duplicates("user_id", keep="first")
-        last = g.drop_duplicates("user_id", keep="last")
-        m = first.merge(last, on="user_id", suffixes=("_f", "_l"))
-        return pd.DataFrame({
-            "user_id": m["user_id"].astype("int64"),
-            "first_event": m["event_id_f"].astype("int64"),
-            "first_ts": m["ts_f"],
-            "last_event": m["event_id_l"].astype("int64"),
-            "last_ts": m["ts_l"],
+    def ends(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch, sort_keys=[("user_id", "ascending"),
+                              ("ts", "ascending"),
+                              ("event_id", "ascending")])
+        srt = batch.take(order)
+        uid = srt.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        first = np.ones(n, bool)
+        last = np.ones(n, bool)
+        if n:
+            edge = uid[1:] != uid[:-1]
+            first[1:] = edge
+            last[:-1] = edge
+        f = srt.filter(pa.array(first))
+        l = srt.filter(pa.array(last))
+        # sorted by user on both sides, so rows align per user
+        return pa.table({
+            "user_id": f.column("user_id").cast(pa.int64()),
+            "first_event": f.column("event_id").cast(pa.int64()),
+            "first_ts": f.column("ts"),
+            "last_event": l.column("event_id").cast(pa.int64()),
+            "last_ts": l.column("ts"),
         })
 
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
-        f = group.sort_values(["first_ts", "first_event"]).iloc[0]
-        l = group.sort_values(["last_ts", "last_event"]).iloc[-1]
-        return pd.DataFrame({
-            "user_id": [int(group["user_id"].iloc[0])],
-            "first_event": [int(f["first_event"])],
-            "first_ts": [f["first_ts"]],
-            "last_event": [int(l["last_event"])],
-            "last_ts": [l["last_ts"]],
+    def fold(group: pa.Table) -> pa.Table:
+        fo = pc.sort_indices(
+            group, sort_keys=[("first_ts", "ascending"),
+                              ("first_event", "ascending")])
+        lo = pc.sort_indices(
+            group, sort_keys=[("last_ts", "descending"),
+                              ("last_event", "descending")])
+        f = group.take(fo.slice(0, 1))
+        l = group.take(lo.slice(0, 1))
+        return pa.table({
+            "user_id": f.column("user_id"),
+            "first_event": f.column("first_event"),
+            "first_ts": f.column("first_ts"),
+            "last_event": l.column("last_event"),
+            "last_ts": l.column("last_ts"),
         })
 
     combined = events_ds.select_columns(["event_id", "user_id", "ts"]) \
-        .map_batches(ends, batch_format="pandas")
+        .map_batches(ends, batch_format="pyarrow")
     return coalesce_small(combined).groupby("user_id") \
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
 
 
 def funnel_steps(events_ds, steps: list[str]):
