@@ -1274,9 +1274,10 @@ def _q_interarrival(sf_dir: str):
 
 
 def _q_dedup_comparison(sf_dir: str):
-    """Exact vs MinHash vs SimHash dedup triage table (rows-only:
-    fuzzy methods; the exact row is covered by exact_dedup's
-    oracle)."""
+    """Exact vs MinHash vs SimHash dedup triage table — oracle-checked:
+    the SQL composes the exact-md5 distinct count with the minhash
+    (ngram=3, threshold=0.7) and simhash pair oracles under the
+    drop-larger-id survivor rule."""
     from selma_ray.pipelines.dedup import dedup_comparison
 
     return dedup_comparison(_read(sf_dir, "documents"))
@@ -1632,8 +1633,9 @@ def _q_daily_change(sf_dir: str):
 
 
 def _q_contrastive_pairs(sf_dir: str):
-    """Contrastive anchor/positive/negative prep (rows-only:
-    md5-deterministic negatives; invariants unit-tested)."""
+    """Contrastive anchor/positive/negative prep — oracle-checked:
+    the md5-deterministic pool/negative selection is rebuilt in SQL
+    (DuckDB md5 + byte-recomposed upper-32 hash)."""
     from selma_ray.pipelines.corpus import contrastive_pairs
 
     return contrastive_pairs(_read(sf_dir, "documents"))
@@ -1687,9 +1689,9 @@ def _q_time_to_conversion(sf_dir: str):
 
 
 def _q_span_corruption(sf_dir: str):
-    """T5-style span-corruption prep (rows-only: md5-deterministic
-    masking has no SQL analog; determinism + round-trip invariants
-    are unit-tested)."""
+    """T5-style span-corruption prep — oracle-checked: the
+    md5-deterministic masking loop is replayed as a recursive CTE and
+    the inputs/targets strings rebuilt with ordered string_agg."""
     from selma_ray.pipelines.corpus import span_corruption
 
     return span_corruption(_read(sf_dir, "documents"))
@@ -1725,9 +1727,10 @@ def _q_cms_term_counts(sf_dir: str):
 
 
 def _q_hll_daily_users(sf_dir: str):
-    """Per-day HyperLogLog DAU (rows-only: ~1.6% sketch error at
-    p=12; the exact oracle path is daily_active_users / the exact-
-    below-saturation path is daily_active_kmv)."""
+    """Per-day HyperLogLog DAU — oracle-checked: the register array
+    (md5_number_lower hash, top-12-bit index, leading-zero rho) and
+    the linear-counting estimate are rebuilt exactly in SQL (per-day
+    DAU sits below the 2.5m threshold at test scales)."""
     from selma_ray.pipelines.sketches import hll_distinct
 
     def day(batch: pa.Table) -> pa.Table:
@@ -2762,16 +2765,17 @@ def _language_id_oracle() -> str:
     """
 
 
-def _minhash_pairs_oracle() -> str:
-    """Exact SQL mirror of pipelines.dedup.minhash_lsh_pairs at the
-    _q_minhash_pairs parameters (k=128, bands=16, ngram=2,
-    threshold=0.5): word hashes via md5_number_upper (== md5_64),
-    2-gram polynomial combine with uint64 WRAPAROUND (split-limb
-    multiply in HUGEINT — numpy wraps mod 2^64 before the mod-p),
-    minhash over literal-embedded coefficients, 16x8 band-equality
-    candidates, est-Jaccard = matching-signature fraction (dyadic
-    n/128, bit-exact in both engines). max_bucket=2000 truncation
-    cannot trigger at sf<=0.01 corpus sizes."""
+def _minhash_pairs_oracle(ngram: int = 2, threshold: float = 0.5) -> str:
+    """Exact SQL mirror of pipelines.dedup.minhash_lsh_pairs (k=128,
+    bands=16) at the given ngram/threshold: word hashes via
+    md5_number_upper (== md5_64), n-gram polynomial combine with uint64
+    WRAPAROUND (split-limb multiply in HUGEINT — numpy wraps mod 2^64
+    before the mod-p), minhash over literal-embedded coefficients,
+    16x8 band-equality candidates, est-Jaccard = matching-signature
+    fraction (dyadic n/128, bit-exact in both engines). Docs with
+    <= ngram words collapse to ONE folded shingle exactly like
+    shingle_hashes. max_bucket=2000 truncation cannot trigger at
+    sf<=0.01 corpus sizes."""
     from selma_ray.functions.hashing import _POLY_A, _coeffs
 
     a, b = _coeffs(128)
@@ -2781,6 +2785,49 @@ def _minhash_pairs_oracle() -> str:
     big_a = int(_POLY_A)
     a_hi, a_lo = big_a >> 32, big_a & 0xFFFFFFFF
     m64 = 1 << 64
+
+    def wrap_mul(expr: str) -> str:
+        # (expr * _POLY_A) mod 2^64 via split-limb HUGEINT multiply
+        return (f"((({expr}) * {a_lo}) % {m64}::HUGEINT"
+                f" + ((({expr}) * {a_hi}) % 4294967296::HUGEINT)"
+                f" * 4294967296::HUGEINT) % {m64}::HUGEINT")
+
+    if ngram == 2:
+        sh_raw = f"""
+          SELECT w1.doc_id,
+                 ({wrap_mul('w1.h')} + w2.h) % {m64}::HUGEINT AS s
+          FROM wh w1 JOIN wh w2
+            ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+          WHERE w1.nw >= 2
+          UNION ALL
+          SELECT doc_id, h AS s FROM wh WHERE nw = 1
+        """
+    elif ngram == 3:
+        # rolling for nw >= 3 (nw == 3 rolling == the <=n fold), the
+        # shingle_hashes fold for nw = 2, the bare hash for nw = 1
+        sh_raw = f"""
+          SELECT doc_id, (t3 + h3) % {m64}::HUGEINT AS s FROM (
+            SELECT doc_id, h3, {wrap_mul('t2')} AS t3 FROM (
+              SELECT doc_id, h3, (t1 + h2) % {m64}::HUGEINT AS t2 FROM (
+                SELECT w1.doc_id, {wrap_mul('w1.h')} AS t1,
+                       w2.h AS h2, w3.h AS h3
+                FROM wh w1
+                JOIN wh w2 ON w2.doc_id = w1.doc_id
+                          AND w2.pos = w1.pos + 1
+                JOIN wh w3 ON w3.doc_id = w1.doc_id
+                          AND w3.pos = w1.pos + 2
+                WHERE w1.nw >= 3) a) b) c
+          UNION ALL
+          SELECT w1.doc_id,
+                 ({wrap_mul('w1.h')} + w2.h) % {m64}::HUGEINT AS s
+          FROM wh w1 JOIN wh w2
+            ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+          WHERE w1.nw = 2
+          UNION ALL
+          SELECT doc_id, h AS s FROM wh WHERE nw = 1
+        """
+    else:
+        raise ValueError(f"unsupported oracle ngram {ngram}")
     return f"""
         WITH coeffs(j, a, b) AS (VALUES {coeff_rows}),
         words AS (
@@ -2794,16 +2841,7 @@ def _minhash_pairs_oracle() -> str:
                LATERAL (SELECT unnest(generate_series(1, len(ws))) AS p)
           WHERE len(ws) > 0
         ), sh_raw AS (
-          SELECT w1.doc_id,
-                 (( (w1.h * {a_lo}) % {m64}::HUGEINT
-                    + ((w1.h * {a_hi}) % 4294967296::HUGEINT)
-                      * 4294967296::HUGEINT
-                  ) % {m64}::HUGEINT + w2.h) % {m64}::HUGEINT AS s
-          FROM wh w1 JOIN wh w2
-            ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
-          WHERE w1.nw >= 2
-          UNION ALL
-          SELECT doc_id, h AS s FROM wh WHERE nw = 1
+          {sh_raw}
         ), shingles AS (
           SELECT DISTINCT doc_id, s FROM sh_raw
         ), sigs AS (
@@ -2838,7 +2876,54 @@ def _minhash_pairs_oracle() -> str:
           GROUP BY c.id_a, c.id_b
         )
         SELECT id_a, id_b, similarity, 'minhash_lsh' AS method
-        FROM est WHERE similarity >= 0.5
+        FROM est WHERE similarity >= {threshold}
+    """
+
+
+def _simhash_pairs_oracle() -> str:
+    """Exact SQL mirror of functions.hashing.simhash64 + the 4x16-bit
+    banding: DuckDB md5_number_upper == md5_64 (first 8 digest bytes,
+    little-endian), bit votes per token occurrence, pairs share >= 1
+    band and hamming <= 3. similarity = 1 - d/64 is dyadic-exact in
+    both engines. (max_bucket=5000 truncation can't trigger at
+    sf<=0.01 corpus sizes.)"""
+    return r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text,''), '\S+'))
+                         AS w
+              FROM documents
+            ), bits AS (
+              SELECT doc_id, bs.bit,
+                     sum(CASE WHEN (md5_number_upper(w) >> bs.bit) & 1 = 1
+                              THEN 1 ELSE -1 END) AS acc
+              FROM tok, (SELECT unnest(generate_series(0, 63)) AS bit) bs
+              GROUP BY doc_id, bs.bit
+            ), sh AS (
+              SELECT d.doc_id, coalesce(b.simhash, 0::UBIGINT) AS simhash
+              FROM documents d LEFT JOIN (
+                SELECT doc_id,
+                       bit_or(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                                   ELSE 0::UBIGINT END) AS simhash
+                FROM bits GROUP BY doc_id) b USING (doc_id)
+            ), bands AS (
+              SELECT doc_id, simhash,
+                     (bs.b << 16) | ((simhash >> (16 * bs.b)::UBIGINT)
+                                     & 65535::UBIGINT)::BIGINT AS band_key
+              FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) bs
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   1.0 - bit_count(xor(sa.simhash, sb.simhash)) / 64.0
+                       AS similarity,
+                   'simhash' AS method
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
     """
 
 
@@ -2989,49 +3074,31 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_pairs_oracle(),
         "minhash_clusters": _minhash_clusters_oracle(),
         "near_dedup_incremental": _near_dedup_incremental_oracle(),
-        # Exact SQL mirror of functions.hashing.simhash64 + the 4x16-bit
-        # banding: DuckDB md5_number_upper == md5_64 (first 8 digest
-        # bytes, little-endian), bit votes per token occurrence, pairs
-        # share >=1 band and hamming <= 3. similarity = 1 - d/64 is
-        # dyadic-exact in both engines. (max_bucket=5000 truncation
-        # can't trigger at sf<=0.01 corpus sizes.)
-        "simhash_pairs": r"""
-            WITH tok AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(coalesce(text,''), '\S+'))
-                         AS w
-              FROM documents
-            ), bits AS (
-              SELECT doc_id, bs.bit,
-                     sum(CASE WHEN (md5_number_upper(w) >> bs.bit) & 1 = 1
-                              THEN 1 ELSE -1 END) AS acc
-              FROM tok, (SELECT unnest(generate_series(0, 63)) AS bit) bs
-              GROUP BY doc_id, bs.bit
-            ), sh AS (
-              SELECT d.doc_id, coalesce(b.simhash, 0::UBIGINT) AS simhash
-              FROM documents d LEFT JOIN (
-                SELECT doc_id,
-                       bit_or(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
-                                   ELSE 0::UBIGINT END) AS simhash
-                FROM bits GROUP BY doc_id) b USING (doc_id)
-            ), bands AS (
-              SELECT doc_id, simhash,
-                     (bs.b << 16) | ((simhash >> (16 * bs.b)::UBIGINT)
-                                     & 65535::UBIGINT)::BIGINT AS band_key
-              FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) bs
-            ), cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-            )
-            SELECT c.id_a, c.id_b,
-                   1.0 - bit_count(xor(sa.simhash, sb.simhash)) / 64.0
-                       AS similarity,
-                   'simhash' AS method
-            FROM cand c
-            JOIN sh sa ON sa.doc_id = c.id_a
-            JOIN sh sb ON sb.doc_id = c.id_b
-            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        "simhash_pairs": _simhash_pairs_oracle(),
+        "dedup_comparison": f"""
+            -- composition of the three method oracles above: docs_kept
+            -- is n - |distinct id_b| (the drop-larger-id survivor rule
+            -- minhash_dedup / drop_ids_from_pairs apply) for the fuzzy
+            -- families, and the distinct-md5 count for exact
+            WITH mh AS ({_minhash_pairs_oracle(ngram=3, threshold=0.7)}),
+            shp AS ({_simhash_pairs_oracle()}),
+            base AS (SELECT count(*)::BIGINT AS n FROM documents),
+            ex AS (SELECT count(DISTINCT md5(text))::BIGINT AS kept
+                   FROM documents),
+            mhk AS (SELECT count(DISTINCT id_b)::BIGINT AS dropped FROM mh),
+            shk AS (SELECT count(DISTINCT id_b)::BIGINT AS dropped FROM shp)
+            SELECT 'exact_md5' AS method, base.n AS docs_in,
+                   ex.kept AS docs_kept,
+                   1.0 - ex.kept::DOUBLE / base.n AS value_reduction
+            FROM base, ex
+            UNION ALL
+            SELECT 'minhash_lsh', base.n, base.n - mhk.dropped,
+                   1.0 - (base.n - mhk.dropped)::DOUBLE / base.n
+            FROM base, mhk
+            UNION ALL
+            SELECT 'simhash', base.n, base.n - shk.dropped,
+                   1.0 - (base.n - shk.dropped)::DOUBLE / base.n
+            FROM base, shk
         """,
         "doc_stats": r"""
             SELECT doc_id,
@@ -4868,6 +4935,213 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::DOUBLE AS est_dau,
                    count(DISTINCT user_id)::BIGINT AS sketch_size
             FROM events GROUP BY 1
+        """,
+        "span_corruption": r"""
+            -- Exact SQL mirror of corpus.span_corruption (mask_rate
+            -- 0.15, mean_span 3): the sequential per-doc masking loop
+            -- is a RECURSIVE CTE — each step hashes (doc_id:pos) with
+            -- the same big-endian upper-32-bit md5 read, takes gap =
+            -- h % 41, span len = min(1 + (h>>8) % 5, budget-used,
+            -- n-start), and advances pos past the span + 1. Inputs /
+            -- targets strings rebuild via ordered string_agg with the
+            -- <extra_id_K> sentinels at each span start.
+            WITH RECURSIVE info AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text,''), '\S+') AS ws,
+                     len(regexp_extract_all(coalesce(text,''), '\S+'))
+                         ::BIGINT AS n,
+                     floor(0.15 * len(regexp_extract_all(
+                         coalesce(text,''), '\S+')))::BIGINT AS budget
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, n, budget,
+                     0::BIGINT AS pos, 0::BIGINT AS used,
+                     CAST(NULL AS BIGINT) AS s_start,
+                     CAST(NULL AS BIGINT) AS s_len
+              FROM info WHERE n > 0
+              UNION ALL
+              SELECT doc_id, n, budget,
+                     start + ln + 1 AS pos,
+                     used + ln AS used,
+                     start AS s_start, ln AS s_len
+              FROM (
+                SELECT doc_id, n, budget, used, start,
+                       least(1 + ((h // 256) % 5),
+                             budget - used, n - start) AS ln
+                FROM (
+                  SELECT doc_id, n, budget, used,
+                         pos + (h % 41) AS start, h
+                  FROM (
+                    SELECT doc_id, n, budget, pos, used,
+                           ((m & 255::UBIGINT) * 16777216::UBIGINT
+                            + ((m >> 8) & 255::UBIGINT) * 65536::UBIGINT
+                            + ((m >> 16) & 255::UBIGINT) * 256::UBIGINT
+                            + ((m >> 24) & 255::UBIGINT))::BIGINT AS h
+                    FROM (
+                      SELECT doc_id, n, budget, pos, used,
+                             md5_number_upper(doc_id::VARCHAR || ':'
+                                 || pos::VARCHAR) AS m
+                      FROM spans
+                      WHERE used < budget AND pos < n) t0) t1) t2
+                WHERE start < n) t3
+            ), mask AS (
+              SELECT doc_id, s_start, s_len,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s_start) - 1 AS k
+              FROM spans WHERE s_start IS NOT NULL
+            ), maskpos AS (
+              SELECT doc_id, s_start + u.g AS p0
+              FROM mask,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, s_len - 1)) AS g) u
+            ), input_items AS (
+              SELECT i.doc_id, t.p - 1 AS key, i.ws[t.p] AS item
+              FROM info i,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, i.n)) AS p) t
+              WHERE i.n > 0 AND NOT EXISTS (
+                  SELECT 1 FROM maskpos m
+                  WHERE m.doc_id = i.doc_id AND m.p0 = t.p - 1)
+              UNION ALL
+              SELECT doc_id, s_start AS key,
+                     '<extra_id_' || k || '>' AS item
+              FROM mask
+            ), inputs AS (
+              SELECT doc_id,
+                     string_agg(item, ' ' ORDER BY key) AS inputs
+              FROM input_items GROUP BY doc_id
+            ), target_items AS (
+              SELECT doc_id, s_start AS key, -1 AS sub,
+                     '<extra_id_' || k || '>' AS item
+              FROM mask
+              UNION ALL
+              SELECT m.doc_id, m.p0 AS key, 0 AS sub,
+                     i.ws[(m.p0 + 1)::INT] AS item
+              FROM maskpos m JOIN info i USING (doc_id)
+            ), targets AS (
+              SELECT doc_id,
+                     string_agg(item, ' ' ORDER BY key, sub) AS targets
+              FROM target_items GROUP BY doc_id
+            ), nm AS (
+              SELECT doc_id, sum(s_len)::BIGINT AS n_masked
+              FROM mask GROUP BY doc_id
+            )
+            SELECT f.doc_id,
+                   coalesce(ii.inputs, '') AS inputs,
+                   coalesce(tt.targets, '') AS targets,
+                   coalesce(nm.n_masked, 0)::BIGINT AS n_masked
+            FROM info f
+            LEFT JOIN inputs ii USING (doc_id)
+            LEFT JOIN targets tt USING (doc_id)
+            LEFT JOIN nm USING (doc_id)
+        """,
+        "contrastive_pairs": r"""
+            -- Exact SQL mirror of corpus.contrastive_pairs (chunk=32,
+            -- pool=256): pool = the 256 docs with lowest
+            -- md5(doc_id) hex (id tiebreak), negative chunk = first
+            -- 32 tokens (or the raw text when tokenization is empty),
+            -- anchor/positive = adjacent 32-token chunks, negative
+            -- slot = upper-32-bits-of-md5(doc:ci) % pool with a +1
+            -- step on self-collision (both-collide => skip, only
+            -- possible at pool size 1).
+            WITH pool AS (
+              SELECT doc_id AS pid, coalesce(text, '') AS ptx,
+                     row_number() OVER (
+                         ORDER BY md5(doc_id::VARCHAR), doc_id) - 1
+                         AS slot
+              FROM documents
+              QUALIFY slot < 256
+            ), pl AS (
+              SELECT slot, pid,
+                     CASE WHEN len(regexp_extract_all(ptx, '\S+')) > 0
+                          THEN array_to_string(list_slice(
+                               regexp_extract_all(ptx, '\S+'), 1, 32),
+                               ' ')
+                          ELSE ptx END AS ntx
+              FROM pool
+            ), plen AS (SELECT count(*)::BIGINT AS L FROM pl),
+            docs AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text,''), '\S+') AS ws
+              FROM documents
+            ), chunks AS (
+              SELECT doc_id, c.ci,
+                     array_to_string(list_slice(
+                         ws, c.ci * 32 + 1, c.ci * 32 + 32), ' ') AS chunk
+              FROM docs,
+                   LATERAL (SELECT unnest(generate_series(0,
+                       CAST(ceil(len(ws) / 32.0) AS BIGINT) - 1)) AS ci) c
+              WHERE len(ws) > 0
+            ), anchors AS (
+              -- h = int(md5_hex[:8], 16): big-endian digest[0:4] =
+              -- byte-reversed low 32 bits of md5_number_upper (which
+              -- is the LITTLE-endian read of digest[0:8])
+              SELECT doc_id, ci, anchor, positive,
+                     ((m & 255::UBIGINT) * 16777216::UBIGINT
+                      + ((m >> 8) & 255::UBIGINT) * 65536::UBIGINT
+                      + ((m >> 16) & 255::UBIGINT) * 256::UBIGINT
+                      + ((m >> 24) & 255::UBIGINT))::BIGINT AS h
+              FROM (
+                SELECT a.doc_id, a.ci, a.chunk AS anchor,
+                       b.chunk AS positive,
+                       md5_number_upper(a.doc_id::VARCHAR || ':'
+                                        || a.ci::VARCHAR) AS m
+                FROM chunks a JOIN chunks b
+                  ON b.doc_id = a.doc_id AND b.ci = a.ci + 1)
+            )
+            SELECT an.doc_id AS anchor_id, an.ci AS chunk_idx,
+                   an.anchor, an.positive,
+                   CASE WHEN p1.pid <> an.doc_id THEN p1.ntx
+                        ELSE p2.ntx END AS negative
+            FROM anchors an
+            CROSS JOIN plen
+            JOIN pl p1 ON p1.slot = an.h % plen.L
+            JOIN pl p2 ON p2.slot = (an.h + 1) % plen.L
+            WHERE p1.pid <> an.doc_id OR p2.pid <> an.doc_id
+        """,
+        "hll_daily_users": r"""
+            -- Exact SQL mirror of sketches.hll_registers/hll_estimate
+            -- at p=12: same md5_number_lower hash, register index =
+            -- top 12 bits, rho = leading zeros of the remaining 52
+            -- bits + 1 (53 - bit_length via bin()), register fold =
+            -- max, LINEAR COUNTING m*ln(m/zeros) below the 2.5m
+            -- threshold — which per-day DAU at sf<=0.1 always is, so
+            -- the float matches within the checker's atol (the raw
+            -- harmonic-mean branch would be summation-order
+            -- sensitive; it cannot trigger here).
+            WITH hv AS (
+              SELECT DISTINCT date_trunc('day', ts)::TIMESTAMP AS day,
+                     md5_number_lower(user_id::VARCHAR) AS h
+              FROM events
+            ), rr AS (
+              SELECT day,
+                     (h >> 52)::BIGINT AS idx,
+                     CASE WHEN (h % 4503599627370496::UBIGINT)
+                               = 0::UBIGINT THEN 53
+                          ELSE 53 - length(bin((h %
+                               4503599627370496::UBIGINT)::BIGINT))
+                     END AS rho
+              FROM hv
+            ), regs AS (
+              SELECT day, idx, max(rho) AS r FROM rr GROUP BY day, idx
+            ), stats AS (
+              SELECT day,
+                     count(*)::BIGINT AS used,
+                     sum(power(2.0, -r)) AS s_present
+              FROM regs GROUP BY day
+            )
+            SELECT day,
+                   CASE WHEN used < 4096
+                             AND (0.7213 / (1.0 + 1.079 / 4096.0))
+                                 * 4096.0 * 4096.0
+                                 / ((4096 - used) * 1.0 + s_present)
+                                 <= 2.5 * 4096.0
+                        THEN 4096.0 * ln(4096.0 / (4096 - used))
+                        ELSE (0.7213 / (1.0 + 1.079 / 4096.0))
+                             * 4096.0 * 4096.0
+                             / ((4096 - used) * 1.0 + s_present)
+                   END AS est_distinct
+            FROM stats
         """,
         "psi_drift": r"""
             WITH c AS (
