@@ -860,9 +860,10 @@ def _q_zscore_by_type(sf_dir: str):
 
 
 def _q_bpe_merges(sf_dir: str):
-    """BPE vocabulary training (rows-only: the merge loop is iterative;
-    parity vs a naive full-recount reference is tested in
-    tests/test_curation_ops.py::TestBpe)."""
+    """BPE vocabulary training — oracle-checked: the merge loop is
+    replayed as a recursive CTE with token-bracketed rewrites
+    (_bpe_train_cte); parity vs naive-recount and Sennrich-regex
+    references is additionally tested in TestBpe."""
     from selma_ray.pipelines.bpe import train_bpe
 
     merges_ds, _ = train_bpe(_read(sf_dir, "documents"), n_merges=100,
@@ -872,7 +873,10 @@ def _q_bpe_merges(sf_dir: str):
 
 def _q_bpe_token_counts(sf_dir: str):
     """Per-doc BPE token counts under a vocab learned on the same
-    corpus (rows-only; deterministic end-to-end test in TestBpe)."""
+    corpus — oracle-checked: the SQL trains the same merges
+    (recursive CTE) and reads each word's final token count from the
+    last training state (== greedy encode by the rank-order
+    equivalence)."""
     from selma_ray.pipelines.bpe import bpe_token_counts, train_bpe
 
     docs = _read(sf_dir, "documents")
@@ -2877,6 +2881,60 @@ def _minhash_pairs_oracle(ngram: int = 2, threshold: float = 0.5) -> str:
         )
         SELECT id_a, id_b, similarity, 'minhash_lsh' AS method
         FROM est WHERE similarity >= {threshold}
+    """
+
+
+def _bpe_train_cte(n_merges: int = 100, vocab_top: int = 5000) -> str:
+    """Recursive-CTE replay of pipelines.bpe.learn_bpe_from_histogram
+    over the term_frequencies histogram: each iteration aggregates
+    adjacent-pair counts over the working table (DuckDB evaluates the
+    recursive reference as the previous iteration's rows), picks the
+    (count DESC, left ASC, right ASC) winner, and rewrites every word
+    with a token-BRACKETED replace — each token rides as
+    chr(30)||tok||chr(31), so substring replacement can neither cross
+    token boundaries nor chain into overlapping matches (plain
+    SEP-joined replace() merges 'i|n▁' when pair ('i','n') fires —
+    the exact corruption the brackets prevent). Left-to-right
+    non-overlapping replace == _merge_word. Ends early when no pair
+    remains, like the Python loop."""
+    return f"""
+        WITH RECURSIVE wtok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(coalesce(text,''), '\\S+')) AS w
+          FROM documents
+        ), hist AS (
+          SELECT w, count(*)::BIGINT AS cnt FROM wtok GROUP BY w
+          ORDER BY cnt DESC, w LIMIT {vocab_top}
+        ), init AS (
+          SELECT w,
+                 chr(30) || array_to_string(regexp_extract_all(w, '.'),
+                                            chr(31) || chr(30))
+                     || chr(31) || chr(30) || '▁' || chr(31) AS ws,
+                 cnt
+          FROM hist
+        ), s AS (
+          SELECT 0 AS it, w, ws, cnt,
+                 CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr
+          FROM init
+          UNION ALL
+          SELECT s.it + 1, s.w,
+                 replace(s.ws,
+                         chr(30) || b.a || chr(31)
+                             || chr(30) || b.b || chr(31),
+                         chr(30) || b.a || b.b || chr(31)),
+                 s.cnt, b.a, b.b
+          FROM s,
+               (SELECT a, b FROM (
+                  SELECT toks[i] AS a, toks[i + 1] AS b,
+                         sum(cnt)::BIGINT AS n
+                  FROM (SELECT string_split(
+                            substring(ws, 2, length(ws) - 2),
+                            chr(31) || chr(30)) AS toks, cnt
+                        FROM s) t,
+                       unnest(generate_series(1, len(t.toks) - 1)) u(i)
+                  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)) b
+          WHERE s.it < {n_merges}
+        )
     """
 
 
@@ -4935,6 +4993,31 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::DOUBLE AS est_dau,
                    count(DISTINCT user_id)::BIGINT AS sketch_size
             FROM events GROUP BY 1
+        """,
+        "bpe_merges": _bpe_train_cte() + """
+            SELECT DISTINCT (it - 1)::BIGINT AS rank,
+                   ml AS "left", mr AS "right"
+            FROM s WHERE it > 0
+        """,
+        "bpe_token_counts": _bpe_train_cte() + """
+            , final AS (
+              -- every corpus word's fully-merged token count: the
+              -- training state after the last iteration IS the
+              -- greedy encode (merges applied exhaustively in rank
+              -- order). vocab_top truncation would exclude tail
+              -- words — it cannot fire at sf<=0.01 vocab sizes.
+              SELECT w,
+                     len(string_split(substring(ws, 2, length(ws) - 2),
+                                      chr(31) || chr(30)))::BIGINT AS ntok
+              FROM s WHERE it = (SELECT max(it) FROM s)
+            )
+            SELECT d.doc_id,
+                   count(wt.w)::BIGINT AS n_words,
+                   coalesce(sum(f.ntok), 0)::BIGINT AS n_bpe_tokens
+            FROM documents d
+            LEFT JOIN wtok wt ON wt.doc_id = d.doc_id
+            LEFT JOIN final f ON f.w = wt.w
+            GROUP BY d.doc_id
         """,
         "span_corruption": r"""
             -- Exact SQL mirror of corpus.span_corruption (mask_rate

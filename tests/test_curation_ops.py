@@ -2460,6 +2460,46 @@ class TestBpe:
         want = self._naive_learn(hist, 60)
         assert got == want
 
+    def test_matches_sennrich_reference_on_real_corpus(self):
+        """Parity vs an INDEPENDENT implementation of the published
+        Sennrich learn_bpe algorithm (space-joined symbol strings +
+        boundary-anchored regex merge — no code shared with the
+        module) on real sf0.001 document text."""
+        import re
+
+        import pyarrow.parquet as pq
+
+        from selma_ray.pipelines.bpe import END, learn_bpe_from_histogram
+
+        texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                              columns=["text"]).column("text").to_pylist()
+        hist_d: dict = {}
+        for t in texts:
+            for w in (t or "").split():
+                hist_d[w] = hist_d.get(w, 0) + 1
+        hist = sorted(hist_d.items())
+        assert len(hist) >= 20   # nontrivial vocab
+
+        # Sennrich-style reference: vocab of space-joined symbols
+        vocab = {" ".join(list(w) + [END]): c for w, c in hist}
+        ref_merges = []
+        for _ in range(80):
+            stats: dict = {}
+            for word, c in vocab.items():
+                syms = word.split(" ")
+                for p in zip(syms, syms[1:]):
+                    stats[p] = stats.get(p, 0) + c
+            if not stats:
+                break
+            best = min(stats, key=lambda p: (-stats[p], p))
+            ref_merges.append(best)
+            pat = re.compile(r"(?<!\S)" + re.escape(" ".join(best))
+                             + r"(?!\S)")
+            vocab = {pat.sub("".join(best), word): c
+                     for word, c in vocab.items()}
+        got = learn_bpe_from_histogram(hist, 80)
+        assert got == ref_merges
+
     def test_encode_equals_sequential_merge_application(self):
         from selma_ray.pipelines.bpe import (END, _merge_word, encode_word,
                                              learn_bpe_from_histogram)
