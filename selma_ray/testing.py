@@ -46,3 +46,11 @@ class KillWorkerOnce:
                 os.close(fd)
                 os._exit(1)
         return self.inner(batch)
+
+
+class Identity:
+    """No-op batch stage for chaos wrappers that need an inner class
+    (inject a fault into a pipeline without changing its data)."""
+
+    def __call__(self, batch):
+        return batch

@@ -763,6 +763,43 @@ def test_extract_survives_worker_death(tmp_path, ray_session):
     assert chaotic["bytes_out"].tolist() == clean["bytes_out"].tolist()
 
 
+def test_join_survives_worker_death(tmp_path, ray_session):
+    """Worker death feeding a native hash-partitioned Dataset.join
+    (lines_by_priority): the killed task's block must be retried and
+    re-enter BOTH join exchanges, leaving the per-priority rollup
+    identical to an undisturbed run."""
+    import ray.data
+
+    from selma_ray.pipelines.relational import lines_by_priority
+    from selma_ray.testing import Identity, KillWorkerOnce
+
+    sf = "/root/testdata/sf0.001"
+    cols_l = ["l_orderkey", "l_extendedprice", "l_discount"]
+    cols_o = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+
+    def run(chaos: bool):
+        line = ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                     columns=cols_l)
+        if chaos:
+            line = line.map_batches(
+                KillWorkerOnce,
+                fn_constructor_kwargs=dict(
+                    latch=str(tmp_path / "kill.latch"),
+                    inner_cls=Identity),
+                batch_format="pyarrow", batch_size=512, concurrency=2)
+        orders = ray.data.read_parquet(f"{sf}/orders.parquet",
+                                       columns=cols_o)
+        return lines_by_priority(line, orders, num_partitions=4) \
+            .to_pandas().sort_values("o_orderpriority") \
+            .reset_index(drop=True)
+
+    clean = run(chaos=False)
+    chaotic = run(chaos=True)
+    assert os.path.exists(str(tmp_path / "kill.latch")), \
+        "fault was never injected"
+    assert chaotic.equals(clean)
+
+
 def test_sorted_extract_survives_worker_death(tmp_path, ray_session):
     """Same chaos, but with the ordering sort downstream: the retried
     task's blocks must flow through the all-to-all exchange and leave
