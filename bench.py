@@ -127,6 +127,30 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
     return out
 
 
+def bench_curate(sf_dir: str) -> dict:
+    """End-to-end curate_corpus (extract -> quality filter -> dedup ->
+    pack) over a fresh checkpoint root: total wall + per-stage seconds.
+    Uses a smaller transcript corpus than the headline extraction (the
+    composition re-extracts as its own stage 1) sized to keep the whole
+    run ~a minute at sf0.1/32cpus."""
+    from selma_ray.pipelines.curate import curate_corpus
+    from selma_ray.sources.transcripts import transcripts_parquet
+
+    n_convs = max(24, int(256_000 * _sf_of(sf_dir)))
+    inp = transcripts_parquet(n_convs)
+    out_root = f"/tmp/selma_bench_curate_{n_convs}"
+    shutil.rmtree(out_root, ignore_errors=True)   # cold run, no resume
+    t0 = time.perf_counter()
+    summary = curate_corpus(inp, out_root, concurrency=None)
+    total = round(time.perf_counter() - t0, 3)
+    return {
+        "sec": total,
+        "stages": {name: s.get("sec") for name, s in
+                   summary["stages"].items()},
+        "rows_packed": summary["stages"]["pack"].get("rows_out"),
+    }
+
+
 def _fixture_pass_rate() -> float:
     from selma_ray.engine.conformance import run_conformance
 
@@ -155,6 +179,9 @@ def run_once(sf_dir: str, num_cpus: int, with_queries: bool,
     }
     if with_queries:
         rec["queries"].update(bench_queries(sf_dir, num_cpus))
+        curate = bench_curate(sf_dir)
+        rec["queries"]["curate_corpus"] = curate["sec"]
+        rec["curate_stages"] = curate["stages"]
     return rec
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -77,11 +78,14 @@ def curate_corpus(input_path: str, out_root: str, *,
     # -- stage 1: extraction (per-shard resume) + quality columns ---------
     ex_dir = os.path.join(out_root, "extracted")
     qf_dir = os.path.join(out_root, "filtered")
+    t0 = time.perf_counter()
     ex = run_extraction(input_path, ex_dir, keep_spans=False,
                         batch_size=batch_size, concurrency=concurrency,
                         resume=resume)
+    ex["sec"] = round(time.perf_counter() - t0, 3)
     summary["stages"]["extract"] = ex
 
+    t0 = time.perf_counter()
     if not (resume and _stage_done(qf_dir)):
         ds = ray.data.read_parquet(ex_dir)
         ds = ds.map_batches(quality_filter_batch,
@@ -100,10 +104,12 @@ def curate_corpus(input_path: str, out_root: str, *,
         n_kept = ray.data.read_parquet(qf_dir).count()
         _mark_done(qf_dir, {"rows_kept": n_kept})
     with open(os.path.join(qf_dir, DONE)) as f:
-        summary["stages"]["quality_filter"] = json.load(f)
+        summary["stages"]["quality_filter"] = {
+            **json.load(f), "sec": round(time.perf_counter() - t0, 3)}
 
     # -- stage 2: exact dedup on extracted text (global) -------------------
     dd_dir = os.path.join(out_root, "deduped")
+    t0 = time.perf_counter()
     if not (resume and _stage_done(dd_dir)):
         from .dedup import exact_dedup
 
@@ -125,12 +131,14 @@ def curate_corpus(input_path: str, out_root: str, *,
         _mark_done(dd_dir, {
             "rows_out": ray.data.read_parquet(dd_dir).count()})
     with open(os.path.join(dd_dir, DONE)) as f:
-        summary["stages"]["dedup"] = json.load(f)
+        summary["stages"]["dedup"] = {
+            **json.load(f), "sec": round(time.perf_counter() - t0, 3)}
 
     # -- stage 2.5: benchmark decontamination (optional) --------------------
     pack_src = dd_dir
     if eval_path is not None:
         dc_dir = os.path.join(out_root, "decontaminated")
+        t0 = time.perf_counter()
         if not (resume and _stage_done(dc_dir)):
             from .contamination import decontaminate
 
@@ -144,11 +152,13 @@ def curate_corpus(input_path: str, out_root: str, *,
             _mark_done(dc_dir, {
                 "rows_out": ray.data.read_parquet(dc_dir).count()})
         with open(os.path.join(dc_dir, DONE)) as f:
-            summary["stages"]["decontaminate"] = json.load(f)
+            summary["stages"]["decontaminate"] = {
+                **json.load(f), "sec": round(time.perf_counter() - t0, 3)}
         pack_src = dc_dir
 
     # -- stage 3: context-window packing ----------------------------------
     pk_dir = os.path.join(out_root, "packed")
+    t0 = time.perf_counter()
     if not (resume and _stage_done(pk_dir)):
         ds = ray.data.read_parquet(pack_src)
         packed = pack_context_windows(ds, budget=window_budget,
@@ -158,6 +168,7 @@ def curate_corpus(input_path: str, out_root: str, *,
         _mark_done(pk_dir, {
             "rows_out": ray.data.read_parquet(pk_dir).count()})
     with open(os.path.join(pk_dir, DONE)) as f:
-        summary["stages"]["pack"] = json.load(f)
+        summary["stages"]["pack"] = {
+            **json.load(f), "sec": round(time.perf_counter() - t0, 3)}
 
     return summary

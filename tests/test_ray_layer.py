@@ -307,7 +307,10 @@ def test_curate_corpus_stages_and_resume(ray_session, tmp_path):
     s2 = curate_corpus(inp, out, concurrency=1)
     assert s2["stages"]["extract"]["shards_skipped"] \
         == s2["stages"]["extract"]["shards_total"]
-    assert s2["stages"]["dedup"] == s1["stages"]["dedup"]
+    # same checkpointed counts; wall seconds differ (resume ~0)
+    assert s2["stages"]["dedup"]["rows_out"] \
+        == s1["stages"]["dedup"]["rows_out"]
+    assert s2["stages"]["dedup"]["sec"] < s1["stages"]["dedup"]["sec"]
 
 
 def test_curate_corpus_decontamination_stage(ray_session, tmp_path):
