@@ -2403,17 +2403,24 @@ def _q_pdf_pages(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """Image leg of the multimodal suite: actor-pool REAL PNG decode
-    (pure-stdlib codec: zlib inflate + scanline unfilter) + classic
-    stats/histogram featurization -> (doc_id, features). Payloads are
-    deterministic per-doc synthesized PNGs, size varying with doc_id."""
-    from selma_ray.stages.imagecodec import synth_image
+    """Image leg of the multimodal suite: actor-pool REAL decode
+    (pure-stdlib codecs — PNG zlib inflate + scanline unfilter;
+    baseline JPEG Huffman + vectorized IDCT) + classic stats/histogram
+    featurization -> (doc_id, features). Payloads are deterministic
+    per-doc synthesized rasters, size varying with doc_id; every 3rd
+    doc ships as a JPEG so both codec paths run end-to-end."""
+    from selma_ray.stages.imagecodec import decode_png, synth_image
+    from selma_ray.stages.jpegcodec import encode_jpeg
     from selma_ray.stages.multimodal import DecodeImageFeatures, multimodal_stage
 
     def to_binary(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        payloads = [synth_image(d, w=32 + (d % 4) * 16,
-                                h=24 + (d % 3) * 8) for d in ids]
+        payloads = []
+        for d in ids:
+            png = synth_image(d, w=32 + (d % 4) * 16,
+                              h=24 + (d % 3) * 8)
+            payloads.append(encode_jpeg(decode_png(png), quality=90)
+                            if d % 3 == 0 else png)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "data": pa.array(payloads, pa.binary()),

@@ -32,13 +32,15 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return 'png' | 'bmp' | 'ppm' | None for a binary payload."""
+    """Return 'png' | 'bmp' | 'ppm' | 'jpeg' | None for a payload."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -267,6 +269,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "jpeg":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("unrecognized image format")
 
 

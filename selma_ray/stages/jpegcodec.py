@@ -1,0 +1,573 @@
+"""Pure-stdlib baseline JPEG codec (decode + scoped encode).
+
+No image library ships in this container, but baseline sequential JPEG
+(ITU-T T.81) is decodable with stdlib + numpy the same way PNG was:
+marker parse -> canonical Huffman entropy decode -> dequantize ->
+dezigzag -> vectorized 8x8 IDCT (one einsum over all blocks of a
+component) -> chroma upsample -> YCbCr->RGB. That covers the dominant
+real-world web image payload; out-of-scope variants raise
+NotImplementedError so `DecodeImageFeatures` can fall through to its
+documented fake under ``fake=True``.
+
+Scope (documented, not hidden):
+- decode: baseline + extended-sequential DCT (SOF0/SOF1), 8-bit,
+  grayscale or YCbCr (1 or 3 components), any sampling factors up to
+  4, restart markers, 16-bit quant tables. Progressive (SOF2),
+  arithmetic coding, hierarchical, 12-bit and CMYK raise
+  NotImplementedError.
+- encode (for round-trip tests + sinks): 8-bit gray / RGB, baseline,
+  Annex K quantization tables with libjpeg quality scaling, Annex K
+  Huffman tables, 4:4:4 or 4:2:0 chroma, optional restart interval.
+
+All algorithms and constant tables are from the public JPEG standard
+(ITU-T T.81 Annex K) — reference intent only; no library code.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- constants --------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+_UNZIG = np.argsort(ZIGZAG)
+
+# ITU-T T.81 Annex K.1 quantization tables (zigzag order applied later;
+# these are in natural row-major order)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int64)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# orthonormal 8x8 DCT-II basis: C[u, k] = a(u) cos((2k+1) u pi / 16)
+_C = np.zeros((8, 8), np.float64)
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _k in range(8):
+        _C[_u, _k] = _a * np.cos((2 * _k + 1) * _u * np.pi / 16.0)
+
+
+def sniff_jpeg(payload: bytes) -> bool:
+    return payload[:2] == b"\xff\xd8"
+
+
+# -- Huffman ---------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(symbol -> (code, length)) from BITS/HUFFVAL, T.81 C.2."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_lut(bits: list[int], vals: list[int]):
+    """16-bit-prefix lookup: window -> (symbol, code length). O(1)
+    decode per symbol instead of bit-by-bit tree walking."""
+    sym = np.full(1 << 16, -1, np.int16)
+    ln = np.zeros(1 << 16, np.uint8)
+    for s, (code, length) in _canonical_codes(bits, vals).items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    return sym, ln
+
+
+class _BitReader:
+    """MSB-first bit reader over UNSTUFFED scan bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, need: int):
+        while self.n < need:
+            # past-end pad with 1-bits (T.81 F.1.2.3 pads with 1s)
+            b = self.data[self.i] if self.i < len(self.data) else 0xFF
+            self.i += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFF
+            self.n += 8
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def skip(self, k: int):
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill(k)
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: map s magnitude bits to a signed coefficient."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+# -- decoder ---------------------------------------------------------------
+
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "dc", "ac", "pred", "blocks")
+
+
+def _split_scan(data: bytes, start: int):
+    """Entropy segments split at RST markers; returns (segments,
+    index of the byte after the scan)."""
+    segs = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # real marker: end of scan
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """bytes -> (h, w, channels) uint8 (channels 1 or 3)."""
+    if not sniff_jpeg(payload):
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    comps: list[_Component] = []
+    h = w = 0
+    restart = 0
+    i = 2
+    n = len(payload)
+    while i < n:
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        m = payload[i + 1]
+        i += 2
+        if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+            continue
+        if m == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[i:i + 2])
+        seg = payload[i + 2:i + seglen]
+        if m == 0xDB:                           # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if prec:
+                    tbl = np.frombuffer(seg[p:p + 128], ">u2").astype(
+                        np.int64)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p:p + 64], np.uint8).astype(
+                        np.int64)
+                    p += 64
+                qt[tid] = tbl                    # zigzag order
+        elif m == 0xC4:                          # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1:p + 17])
+                cnt = sum(bits)
+                vals = list(seg[p + 17:p + 17 + cnt])
+                huff[(cls, tid)] = _decode_lut(bits, vals)
+                p += 17 + cnt
+        elif m in (0xC0, 0xC1):                  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK?) not supported")
+            comps = []
+            for c in range(nc):
+                comp = _Component()
+                comp.cid = seg[6 + 3 * c]
+                comp.h = seg[7 + 3 * c] >> 4
+                comp.v = seg[7 + 3 * c] & 15
+                comp.tq = seg[8 + 3 * c]
+                comp.pred = 0
+                comps.append(comp)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended-sequential JPEG (SOF0/SOF1) "
+                "is supported")
+        elif m == 0xDD:                          # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:                          # SOS
+            ns = seg[0]
+            by_id = {c.cid: c for c in comps}
+            order = []
+            for s in range(ns):
+                c = by_id[seg[1 + 2 * s]]
+                c.dc = huff[(0, seg[2 + 2 * s] >> 4)]
+                c.ac = huff[(1, seg[2 + 2 * s] & 15)]
+                order.append(c)
+            segs, i = _split_scan(payload, i + seglen)
+            _decode_scan(segs, order, comps, h, w, restart)
+            continue
+        i += seglen
+    if not comps or comps[0].blocks is None:
+        raise ValueError("corrupt JPEG: no decoded scan")
+    return _assemble(comps, qt, h, w)
+
+
+def _decode_scan(segs, order, comps, h, w, restart):
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+    for c in comps:
+        c.blocks = np.zeros((mcuy * c.v, mcux * c.h, 64), np.int64)
+        c.pred = 0
+    si = 0
+    rd = _BitReader(segs[0])
+    for mi in range(n_mcu):
+        if restart and mi and mi % restart == 0:
+            si += 1
+            if si >= len(segs):
+                raise ValueError("corrupt JPEG: missing restart segment")
+            rd = _BitReader(segs[si])
+            for c in comps:
+                c.pred = 0
+        my, mx = divmod(mi, mcux)
+        for c in order:
+            for by in range(c.v):
+                for bx in range(c.h):
+                    blk = _decode_block(rd, c)
+                    c.blocks[my * c.v + by, mx * c.h + bx] = blk
+
+
+def _decode_block(rd: _BitReader, c: _Component) -> np.ndarray:
+    coef = np.zeros(64, np.int64)
+    dsym, dlen = c.dc
+    win = rd.peek16()
+    s = int(dsym[win])
+    if s < 0:
+        raise ValueError("corrupt JPEG: bad DC code")
+    rd.skip(int(dlen[win]))
+    diff = _extend(rd.read(s), s) if s else 0
+    c.pred += diff
+    coef[0] = c.pred
+    asym, alen = c.ac
+    k = 1
+    while k < 64:
+        win = rd.peek16()
+        sym = int(asym[win])
+        if sym < 0:
+            raise ValueError("corrupt JPEG: bad AC code")
+        rd.skip(int(alen[win]))
+        if sym == 0x00:
+            break
+        if sym == 0xF0:
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 15
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC run past block end")
+        coef[k] = _extend(rd.read(size), size)
+        k += 1
+    return coef
+
+
+def _assemble(comps, qt, h, w) -> np.ndarray:
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    planes = []
+    for c in comps:
+        q = qt[c.tq]                      # zigzag order
+        by, bx, _ = c.blocks.shape
+        deq = (c.blocks * q[None, None, :])[:, :, _UNZIG] \
+            .reshape(by, bx, 8, 8).astype(np.float64)
+        # IDCT for every block at once: x = C^T X C
+        pix = np.einsum("ur,yxuv,vs->yxrs", _C, deq, _C,
+                        optimize=True) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # nearest-neighbor upsample to full grid
+        plane = np.repeat(np.repeat(plane, vmax // c.v, axis=0),
+                          hmax // c.h, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -- encoder (scoped: tests + sinks) ---------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)        # byte stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)   # pad with 1-bits
+
+
+def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float, H/W multiples of 8 -> (H/8, W/8, 8, 8) DCT."""
+    hh, ww = plane.shape
+    blocks = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    return np.einsum("ur,yxrs,vs->yxuv", _C, blocks, _C, optimize=True)
+
+
+def _encode_plane(wr, blocks_q: np.ndarray, dc_codes, ac_codes,
+                  order: list[tuple[int, int]], pred: int) -> int:
+    """Entropy-encode zigzagged quantized blocks in the given
+    (by, bx) order; returns the new DC predictor."""
+    for by, bx in order:
+        z = blocks_q[by, bx]
+        diff = int(z[0]) - pred
+        pred = int(z[0])
+        s = int(abs(diff)).bit_length()
+        code, ln = dc_codes[s]
+        wr.write(code, ln)
+        if s:
+            wr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(z[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                wr.write(code, ln)
+                run -= 16
+            s = int(abs(v)).bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            wr.write(code, ln)
+            wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]
+            wr.write(code, ln)
+    return pred
+
+
+def encode_jpeg(img: np.ndarray, *, quality: int = 85,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 -> baseline
+    JFIF bytes. ``subsample`` emits 4:2:0 chroma (2x2-box-averaged);
+    default is 4:4:4."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_jpeg takes 1- or 3-channel uint8")
+    x = img.astype(np.float64)
+    if ch == 3:
+        r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    else:
+        planes = [x[:, :, 0]]
+        subsample = False
+    ql = _scale_quant(QUANT_LUMA, quality)
+    qc = _scale_quant(QUANT_CHROMA, quality)
+
+    def pad_to(p: np.ndarray, mult: int) -> np.ndarray:
+        ph = (-p.shape[0]) % mult
+        pw = (-p.shape[1]) % mult
+        return np.pad(p, ((0, ph), (0, pw)), mode="edge")
+
+    samp = (2, 2) if subsample else (1, 1)
+    prepared = []
+    for ci, p in enumerate(planes):
+        if ci == 0:
+            p = pad_to(p, 8 * samp[0])
+        else:
+            if subsample:
+                p = pad_to(p, 8 * samp[0])      # align to luma MCU grid
+                p = p.reshape(p.shape[0] // 2, 2,
+                              p.shape[1] // 2, 2).mean(axis=(1, 3))
+            else:
+                p = pad_to(p, 8)
+        q = ql if ci == 0 else qc
+        d = _fdct_blocks(p - 128.0)
+        zz = np.round(d.reshape(d.shape[0], d.shape[1], 64)
+                      [:, :, ZIGZAG] / q[None, None, :]).astype(np.int64)
+        prepared.append(zz)
+
+    dc_l = _canonical_codes(*HUFF_DC_LUMA)
+    ac_l = _canonical_codes(*HUFF_AC_LUMA)
+    dc_c = _canonical_codes(*HUFF_DC_CHROMA)
+    ac_c = _canonical_codes(*HUFF_AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) \
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
+    for tid, q in ((0, ql), (1, qc))[:1 if ch == 1 else 2]:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(v) for v in q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ch, 8, h, w, ch)
+    for ci in range(ch):
+        sf = (samp[0] << 4) | samp[1] if ci == 0 else 0x11
+        out += bytes([ci + 1, sf if ch == 3 else 0x11,
+                      0 if ci == 0 else 1])
+    for cls, tid, (bits, vals) in (
+            (0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA),
+            (0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA))[
+                :2 if ch == 1 else 4]:
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(vals)) + bytes([(cls << 4) | tid]) \
+            + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ch, ch)
+    for ci in range(ch):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    wr = _BitWriter()
+    luma = prepared[0]
+    mcuy = luma.shape[0] // samp[1]
+    mcux = luma.shape[1] // samp[0]
+    preds = [0] * ch
+    rst = 0
+    for mi in range(mcuy * mcux):
+        if restart_interval and mi and mi % restart_interval == 0:
+            wr.flush()
+            out += wr.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            wr = _BitWriter()
+            preds = [0] * ch
+        my, mx = divmod(mi, mcux)
+        order_l = [(my * samp[1] + by, mx * samp[0] + bx)
+                   for by in range(samp[1]) for bx in range(samp[0])]
+        preds[0] = _encode_plane(wr, luma, dc_l, ac_l, order_l, preds[0])
+        for ci in range(1, ch):
+            preds[ci] = _encode_plane(wr, prepared[ci], dc_c, ac_c,
+                                      [(my, mx)], preds[ci])
+    wr.flush()
+    out += wr.out
+    out += b"\xff\xd9"                                  # EOI
+    return bytes(out)

@@ -1,11 +1,13 @@
 """Multimodal actor-pool stages (image/audio as opaque binary columns).
 
-The container has no image/audio codec LIBRARIES, but two decode paths
-are fully REAL via the stdlib: PCM WAV audio (``wave``) and PNG/BMP/PPM
-images (``selma_ray.stages.imagecodec``, zlib + numpy). Payloads in
-those formats decode for real; other formats (JPEG/MP3/video/PDF) have
-no pure-stdlib decode, so `decode_impl` raises NotImplementedError for
-them unless ``fake=True``, in which case a deterministic fake
+The container has no image/audio codec LIBRARIES, but the dominant
+decode paths are fully REAL via the stdlib: PCM WAV audio (``wave``),
+PNG/BMP/PPM images (``selma_ray.stages.imagecodec``, zlib + numpy) and
+baseline JPEG (``selma_ray.stages.jpegcodec``, Huffman + vectorized
+IDCT). Payloads in those formats decode for real; the rest (MP3/MP4,
+progressive JPEG) have no pure-stdlib decode, so `decode_impl` raises
+NotImplementedError for them unless ``fake=True``, in which case a
+deterministic fake
 (crc32-seeded feature vector) stands in so the Ray-side plumbing —
 schema, batch size, actor signature, output layout — is real and tested
 end-to-end regardless.
@@ -27,15 +29,16 @@ import pyarrow as pa
 class DecodeImageFeatures:
     """map_batches actor: binary image column -> feature vector column.
 
-    PNG/BMP/PPM payloads get a REAL decode (pure-stdlib codec in
-    ``selma_ray.stages.imagecodec``) and a deterministic classic
+    PNG/BMP/PPM/baseline-JPEG payloads get a REAL decode (pure-stdlib
+    codecs in ``selma_ray.stages.imagecodec`` /
+    ``selma_ray.stages.jpegcodec``) and a deterministic classic
     feature vector: [log1p(h), log1p(w), channels, mean, std,
     horizontal edge energy, vertical edge energy, dynamic range] plus a
     (dim-8)-bin normalized luminance histogram — the cheap visual
     frontend used for near-dup/quality triage before a learned model.
     A learned encoder would load ONCE here in __init__ (per actor);
     __call__ then runs batched inference. Unrecognized formats
-    (JPEG etc. — no codec in this container) raise unless ``fake=True``
+    (MP3/MP4 containers, progressive JPEG) raise unless ``fake=True``
     (crc32-seeded stand-in).
     """
 
@@ -76,15 +79,19 @@ class DecodeImageFeatures:
                 return self._featurize(decode_image(payload))
             # fake=True must survive corrupt payloads that pass the
             # magic-byte sniff (truncated IDAT -> zlib.error, bad
-            # structure -> ValueError), not just unknown formats
-            except (ValueError, zlib.error, IndexError):
+            # structure -> ValueError) and sniffable-but-out-of-scope
+            # variants (progressive JPEG -> NotImplementedError), not
+            # just unknown formats
+            except (ValueError, zlib.error, IndexError,
+                    NotImplementedError):
                 if not self.fake:
                     raise
         elif not self.fake:
             raise NotImplementedError(
-                "only PNG/BMP/PPM decode in this environment (no image "
-                "codec libraries); run with fake=True for the "
-                "deterministic stand-in on other formats")
+                "only PNG/BMP/PPM/baseline-JPEG decode in this "
+                "environment (no image codec libraries); run with "
+                "fake=True for the deterministic stand-in on other "
+                "formats")
         # deterministic fake: crc32-seeded pseudo-features
         seed = zlib.crc32(payload)
         rng = np.random.default_rng(seed)

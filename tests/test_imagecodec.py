@@ -91,7 +91,8 @@ def test_sniff_and_dispatch():
     assert sniff_format(png) == "png"
     assert sniff_format(b"BMxxxx") == "bmp"
     assert sniff_format(b"P6 1 1 255 ") == "ppm"
-    assert sniff_format(b"\xff\xd8jpeg") is None
+    assert sniff_format(b"\xff\xd8jpeg") == "jpeg"
+    assert sniff_format(b"\x00\x01unknown") is None
     assert decode_image(png).shape == (6, 8, 3)
     with pytest.raises(ValueError):
         decode_image(b"not an image")
@@ -133,6 +134,9 @@ def test_decode_image_features_real_path():
         DecodeImageFeatures(dim=8, fake=False).decode_impl(synth_image(3))
     # unknown format still raises without fake
     with pytest.raises(NotImplementedError):
+        dec.decode_impl(b"\x00\x01not-an-image")
+    # corrupt-but-sniffable JPEG raises the codec's error without fake
+    with pytest.raises(ValueError):
         dec.decode_impl(b"\xff\xd8jpeg-ish")
 
 

@@ -1,0 +1,151 @@
+"""Pure-stdlib baseline JPEG codec tests: encode->decode round trips
+at several qualities/samplings, marker-level edge cases, and the
+DecodeImageFeatures integration (JPEG payloads now real-decode)."""
+
+import numpy as np
+import pytest
+
+from selma_ray.stages.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+    sniff_jpeg,
+)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(yy * 4) % 256, (xx * 3) % 256,
+                     ((yy + xx) * 2) % 256], axis=2).astype(np.uint8)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("quality,tol_max,tol_mean",
+                             [(95, 6, 1.0), (85, 10, 2.0), (60, 16, 4.0)])
+    def test_rgb_444(self, quality, tol_max, tol_mean):
+        img = _gradient(37, 53)
+        out = decode_jpeg(encode_jpeg(img, quality=quality))
+        assert out.shape == (37, 53, 3)
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= tol_max
+        assert err.mean() <= tol_mean
+
+    def test_rgb_420_subsampled(self):
+        img = _gradient(33, 47)   # odd dims force edge padding
+        out = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))
+        assert out.shape == (33, 47, 3)
+        err = np.abs(out.astype(int) - img.astype(int))
+        # chroma is 2x2 box-averaged + nearest-upsampled: looser bound
+        assert err.mean() <= 4.0
+
+    def test_restart_markers(self):
+        img = _gradient(40, 56)
+        a = decode_jpeg(encode_jpeg(img, quality=90))
+        b = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=2))
+        # restarts change framing, not pixels
+        assert np.array_equal(a, b)
+
+    def test_grayscale(self):
+        yy, xx = np.mgrid[0:25, 0:31]
+        g = ((yy * 7 + xx * 5) % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=90))
+        assert out.shape == (25, 31, 1)
+        assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 10
+
+    def test_solid_color_near_exact(self):
+        img = np.full((16, 24, 3), 128, np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=85))
+        assert np.abs(out.astype(int) - 128).max() <= 1
+
+    def test_high_frequency_noise_bounded(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        # noise is the worst case for DCT quantization; just bound it
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 16
+
+    def test_tiny_and_nonmultiple_sizes(self):
+        for h, w in [(1, 1), (3, 5), (8, 8), (9, 17)]:
+            img = _gradient(h, w)
+            out = decode_jpeg(encode_jpeg(img, quality=90))
+            assert out.shape == (h, w, 3)
+
+
+class TestMarkers:
+    def test_sniff(self):
+        assert sniff_jpeg(encode_jpeg(_gradient(8, 8)))
+        assert not sniff_jpeg(b"\x89PNG")
+        assert not sniff_jpeg(b"")
+
+    def test_progressive_rejected(self):
+        data = bytearray(encode_jpeg(_gradient(16, 16)))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = 0xC2          # flip SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError, match="baseline"):
+            decode_jpeg(bytes(data))
+
+    def test_not_jpeg_raises_valueerror(self):
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+    def test_byte_stuffing_survives(self):
+        # white image produces 0xFF-heavy entropy bytes somewhere
+        # across qualities; mainly asserts no crash + exact shape
+        img = np.full((24, 24, 3), 255, np.uint8)
+        for q in (50, 85, 95):
+            out = decode_jpeg(encode_jpeg(img, quality=q))
+            assert out.shape == (24, 24, 3)
+            assert np.abs(out.astype(int) - 255).max() <= 2
+
+    def test_16bit_quant_table_path(self):
+        # rewrite the 8-bit DQT as a 16-bit one; decode must agree
+        import struct
+
+        data = encode_jpeg(_gradient(16, 16), quality=90)
+        base = decode_jpeg(data)
+        i = data.find(b"\xff\xdb")
+        (ln,) = struct.unpack(">H", data[i + 2:i + 4])
+        tid = data[i + 4]
+        q8 = data[i + 5:i + 5 + 64]
+        seg16 = b"\xff\xdb" + struct.pack(">H", 3 + 128) \
+            + bytes([(1 << 4) | tid]) \
+            + b"".join(struct.pack(">H", v) for v in q8)
+        patched = data[:i] + seg16 + data[i + 2 + ln:]
+        assert np.array_equal(decode_jpeg(patched), base)
+
+
+class TestStageIntegration:
+    def test_decode_image_features_real_jpeg(self):
+        import pyarrow as pa
+
+        from selma_ray.stages.imagecodec import sniff_format
+        from selma_ray.stages.multimodal import DecodeImageFeatures
+
+        img = _gradient(32, 32)
+        payload = encode_jpeg(img, quality=90)
+        assert sniff_format(payload) == "jpeg"
+
+        stage = DecodeImageFeatures(fake=False, dim=16)
+        batch = pa.table({"data": pa.array([payload], pa.binary())})
+        out = stage(batch)
+        feats = np.asarray(out.column("features").to_pylist()[0])
+        # must equal featurizing the decoded raster (real path taken)
+        want = stage._featurize(decode_jpeg(payload))
+        np.testing.assert_allclose(feats, want, rtol=1e-6)
+
+    def test_progressive_falls_back_to_fake(self):
+        import pyarrow as pa
+
+        from selma_ray.stages.multimodal import DecodeImageFeatures
+
+        data = bytearray(encode_jpeg(_gradient(16, 16)))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = 0xC2
+        stage = DecodeImageFeatures(fake=True, dim=16)
+        out = stage(pa.table({"data": pa.array([bytes(data)],
+                                               pa.binary())}))
+        assert len(out.column("features").to_pylist()[0]) == 16
+        strict = DecodeImageFeatures(fake=False, dim=16)
+        with pytest.raises(NotImplementedError):
+            strict(pa.table({"data": pa.array([bytes(data)],
+                                              pa.binary())}))
