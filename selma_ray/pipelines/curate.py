@@ -160,7 +160,11 @@ def curate_corpus(input_path: str, out_root: str, *,
     pk_dir = os.path.join(out_root, "packed")
     t0 = time.perf_counter()
     if not (resume and _stage_done(pk_dir)):
-        ds = ray.data.read_parquet(pack_src)
+        # prune at the read: packing needs only the window key columns
+        # + text for token counts — decoding the full checkpoint schema
+        # (metrics, title, shard) was 4x the stage's wall time
+        ds = ray.data.read_parquet(
+            pack_src, columns=["conv_id", "turn_idx", "extracted_text"])
         packed = pack_context_windows(ds, budget=window_budget,
                                       text_col="extracted_text")
         _fresh_dir(pk_dir)
