@@ -1989,9 +1989,11 @@ def _docs_as_conv_turns(sf_dir: str):
 
 
 def _q_conversation_near_dups(sf_dir: str):
-    """Conversation-level near-dup mining (rows-only: LSH banding).
-    Near-dup pairs are planted deterministically: every conversation
-    gets a '-v2' copy with every 5th turn dropped."""
+    """Conversation-level near-dup mining — oracle-checked: the SQL
+    rebuilds the per-turn md5 fingerprint pseudo-docs and runs the
+    full MinHash-LSH machinery (ngram=2). Near-dup pairs are planted
+    deterministically: every conversation gets a '-v2' copy with
+    every 5th turn dropped."""
     from selma_ray.pipelines.conversations import conversation_near_dups
 
     def plant(batch: pa.Table) -> pa.Table:
@@ -2093,9 +2095,10 @@ def _q_explode_embeddings(sf_dir: str):
 
 
 def _q_cross_corpus_pairs(sf_dir: str):
-    """Cross-corpus near-dup mining (rows-only: LSH banding): corpus B
-    is every 4th document with its last word dropped — those rows must
-    pair with their A originals."""
+    """Cross-corpus near-dup mining — oracle-checked: the SQL builds
+    corpus B (every 4th document, last word dropped), runs the banding
+    machinery over A UNION B, and pairs only across sides. Mutated
+    rows must pair with their A originals."""
     from selma_ray.pipelines.dedup import cross_corpus_pairs
 
     a = _read(sf_dir, "documents")
@@ -2776,8 +2779,10 @@ def _language_id_oracle() -> str:
     """
 
 
-def _minhash_pairs_oracle(ngram: int = 2, threshold: float = 0.5) -> str:
-    """Exact SQL mirror of pipelines.dedup.minhash_lsh_pairs (k=128,
+def _minhash_pairs_oracle(ngram: int = 2, threshold: float = 0.5,
+                          corpus_sql: str | None = None,
+                          cross_sides: bool = False) -> str:
+    """Exact SQL mirror of the MinHash-LSH banding machinery (k=128,
     bands=16) at the given ngram/threshold: word hashes via
     md5_number_upper (== md5_64), n-gram polynomial combine with uint64
     WRAPAROUND (split-limb multiply in HUGEINT — numpy wraps mod 2^64
@@ -2785,8 +2790,15 @@ def _minhash_pairs_oracle(ngram: int = 2, threshold: float = 0.5) -> str:
     16x8 band-equality candidates, est-Jaccard = matching-signature
     fraction (dyadic n/128, bit-exact in both engines). Docs with
     <= ngram words collapse to ONE folded shingle exactly like
-    shingle_hashes. max_bucket=2000 truncation cannot trigger at
-    sf<=0.01 corpus sizes."""
+    shingle_hashes. max_bucket truncation cannot trigger at sf<=0.01
+    corpus sizes.
+
+    ``corpus_sql`` overrides the default documents tokenization with
+    any SELECT yielding (doc_id, ws LIST<VARCHAR>) — used by the
+    conversation-fingerprint and cross-corpus oracles.
+    ``cross_sides=True`` mirrors cross_corpus_pairs: candidates pair
+    only across the two sides (A ids < 500000, B ids >= 500000) and
+    the method label is 'minhash_cross'."""
     from selma_ray.functions.hashing import _POLY_A, _coeffs
 
     a, b = _coeffs(128)
@@ -2839,12 +2851,21 @@ def _minhash_pairs_oracle(ngram: int = 2, threshold: float = 0.5) -> str:
         """
     else:
         raise ValueError(f"unsupported oracle ngram {ngram}")
+    if corpus_sql is None:
+        corpus_sql = ("SELECT doc_id, regexp_extract_all("
+                      "coalesce(text,''), '\\S+') AS ws FROM documents")
+    if cross_sides:
+        cand_cond = ("x.band = y.band AND x.band_sig = y.band_sig "
+                     "AND x.doc_id < 500000 AND y.doc_id >= 500000")
+        method = "minhash_cross"
+    else:
+        cand_cond = ("x.band = y.band AND x.band_sig = y.band_sig "
+                     "AND x.doc_id < y.doc_id")
+        method = "minhash_lsh"
     return f"""
         WITH coeffs(j, a, b) AS (VALUES {coeff_rows}),
         words AS (
-          SELECT doc_id,
-                 regexp_extract_all(coalesce(text,''), '\\S+') AS ws
-          FROM documents
+          {corpus_sql}
         ), wh AS (
           SELECT doc_id, p AS pos, md5_number_upper(ws[p])::HUGEINT AS h,
                  len(ws) AS nw
@@ -2858,7 +2879,7 @@ def _minhash_pairs_oracle(ngram: int = 2, threshold: float = 0.5) -> str:
         ), sigs AS (
           SELECT d.doc_id, c.j,
                  coalesce(m.sig, 18446744073709551615::HUGEINT) AS sig
-          FROM documents d
+          FROM words d
           CROSS JOIN coeffs c
           LEFT JOIN (
             SELECT sh.doc_id, c2.j,
@@ -2875,8 +2896,7 @@ def _minhash_pairs_oracle(ngram: int = 2, threshold: float = 0.5) -> str:
         ), cand AS (
           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
           FROM bands x JOIN bands y
-            ON x.band = y.band AND x.band_sig = y.band_sig
-               AND x.doc_id < y.doc_id
+            ON {cand_cond}
         ), est AS (
           SELECT c.id_a, c.id_b,
                  sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / 128.0
@@ -2886,7 +2906,7 @@ def _minhash_pairs_oracle(ngram: int = 2, threshold: float = 0.5) -> str:
           JOIN sigs sb ON sb.doc_id = c.id_b AND sb.j = sa.j
           GROUP BY c.id_a, c.id_b
         )
-        SELECT id_a, id_b, similarity, 'minhash_lsh' AS method
+        SELECT id_a, id_b, similarity, '{method}' AS method
         FROM est WHERE similarity >= {threshold}
     """
 
@@ -3140,6 +3160,37 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters": _minhash_clusters_oracle(),
         "near_dedup_incremental": _near_dedup_incremental_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
+        # conversation pseudo-docs: per-turn md5 fingerprints in turn
+        # order (conv=source, turn=doc_id), plus the planted '-v2'
+        # copies with every 5th turn dropped; then the standard
+        # MinHash machinery over turn-BIGRAM shingles (ngram=2)
+        "conversation_near_dups": _minhash_pairs_oracle(
+            ngram=2, threshold=0.7, corpus_sql="""
+            SELECT conv_id AS doc_id,
+                   list(md5(coalesce(text, '')) ORDER BY turn_idx) AS ws
+            FROM (
+              SELECT source AS conv_id, doc_id AS turn_idx, text
+              FROM documents
+              UNION ALL
+              SELECT source || '-v2', doc_id, text
+              FROM documents WHERE doc_id % 5 <> 0
+            ) GROUP BY conv_id
+        """),
+        # corpus B = every 4th doc, id+500000, last word dropped;
+        # candidates pair only across sides (cross_sides)
+        "cross_corpus_pairs": _minhash_pairs_oracle(
+            ngram=3, threshold=0.6, cross_sides=True, corpus_sql="""
+            SELECT doc_id,
+                   regexp_extract_all(coalesce(text,''), '\\S+') AS ws
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 500000,
+                   list_slice(regexp_extract_all(coalesce(text,''),
+                                                 '\\S+'),
+                              1, len(regexp_extract_all(
+                                  coalesce(text,''), '\\S+')) - 1)
+            FROM documents WHERE doc_id % 4 = 0
+        """),
         "dedup_comparison": f"""
             -- composition of the three method oracles above: docs_kept
             -- is n - |distinct id_b| (the drop-larger-id survivor rule
