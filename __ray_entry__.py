@@ -543,9 +543,11 @@ def _q_char_entropy(sf_dir: str):
 
 
 def _q_cdc_chunks(sf_dir: str):
-    """Content-defined chunking (rows-only: the rolling-hash cut rule
-    is not SQL-expressible; shift-invariance and boundary determinism
-    are verified in tests/test_curation_ops.py)."""
+    """Content-defined chunking — oracle-checked: the Karp-Rabin
+    window hash is position-local, so the SQL computes per-position
+    candidates with split-limb HUGEINT wraparound math and recurses
+    only over chunks for the min/max walk (shift-invariance and
+    boundary determinism additionally unit-tested)."""
     from selma_ray.pipelines.corpus import cdc_chunks
 
     return cdc_chunks(_read(sf_dir, "documents"), min_size=32,
@@ -2911,6 +2913,93 @@ def _minhash_pairs_oracle(ngram: int = 2, threshold: float = 0.5,
     """
 
 
+def _cdc_chunks_oracle(window: int = 16, mask_bits: int = 6,
+                       min_size: int = 32, max_size: int = 256) -> str:
+    """Exact SQL mirror of corpus._cdc_boundaries + cdc_chunks: the
+    Karp-Rabin window hash is position-local (w_i = (S_i - S_{i-w}) *
+    B^i mod 2^64 over prefix sums of c_j * B^-j), so candidates
+    compute per (doc, position) with split-limb HUGEINT wraparound
+    multiplies, and only the min/max-size walk recurses — one
+    recursive step per CHUNK, not per byte. The test corpus is pure
+    ASCII (verified: octet_length == length for every sf tier), so
+    character positions equal byte offsets and DuckDB's
+    ord/substring/md5 reproduce the byte-level chunker exactly."""
+    B = 0x100000001B3
+    BINV = pow(B, -1, 1 << 64)
+    m64 = 1 << 64
+    mask = (1 << mask_bits) - 1
+
+    def wrap_mul(x: str, lo, hi) -> str:
+        return (f"((({x}) * {lo}) % {m64}::HUGEINT"
+                f" + ((({x}) * {hi}) % 4294967296::HUGEINT)"
+                f" * 4294967296::HUGEINT) % {m64}::HUGEINT")
+
+    def cut(d: str, cur: str, n: str) -> str:
+        return (f"coalesce((SELECT min(pos) FROM cand WHERE "
+                f"cand.doc_id = {d} AND pos >= {cur} + {min_size} "
+                f"AND pos < least({cur} + {max_size}, {n})), "
+                f"least({cur} + {max_size}, {n}))")
+
+    return f"""
+        WITH RECURSIVE lens AS (
+          SELECT doc_id, coalesce(text, '') AS text,
+                 length(coalesce(text, ''))::BIGINT AS n FROM documents
+        ), maxn AS (SELECT max(n)::BIGINT AS m FROM lens),
+        pows AS (
+          SELECT 1::BIGINT AS p, {B}::HUGEINT AS pw,
+                 {BINV}::HUGEINT AS ipw
+          UNION ALL
+          SELECT p + 1,
+                 {wrap_mul('pw', B & 0xFFFFFFFF, B >> 32)},
+                 {wrap_mul('ipw', BINV & 0xFFFFFFFF, BINV >> 32)}
+          FROM pows, maxn WHERE p < maxn.m
+        ), chars AS (
+          SELECT l.doc_id, u.p,
+                 ord(substring(l.text, u.p::INT, 1))::HUGEINT AS c, l.n
+          FROM lens l,
+               LATERAL (SELECT unnest(generate_series(1, l.n)) AS p) u
+          WHERE l.n > 0
+        ), terms AS (
+          SELECT ch.doc_id, ch.p, ch.n,
+                 (ch.c * pw2.ipw) % {m64}::HUGEINT AS t
+          FROM chars ch JOIN pows pw2 ON pw2.p = ch.p
+        ), prefix AS (
+          SELECT doc_id, p, n,
+                 sum(t) OVER (PARTITION BY doc_id ORDER BY p)
+                     % {m64}::HUGEINT AS s
+          FROM terms
+        ), winh AS (
+          SELECT a.doc_id, a.p,
+                 ((a.s - b.s + {m64}::HUGEINT) % {m64}::HUGEINT) AS d,
+                 pw3.pw
+          FROM prefix a
+          JOIN prefix b ON b.doc_id = a.doc_id AND b.p = a.p - {window}
+          JOIN pows pw3 ON pw3.p = a.p
+        ), cand AS (
+          SELECT doc_id, p AS pos
+          FROM (
+            SELECT doc_id, p,
+                   {wrap_mul('d', '(pw % 4294967296::HUGEINT)',
+                             '(pw // 4294967296::HUGEINT)')} AS w
+            FROM winh)
+          WHERE w % {mask + 1} = {mask}
+        ), walk AS (
+          SELECT doc_id, n, 0::BIGINT AS k, 0::BIGINT AS start,
+                 {cut('lens.doc_id', '0', 'lens.n')} AS cut
+          FROM lens WHERE n > 0
+          UNION ALL
+          SELECT walk.doc_id, walk.n, walk.k + 1, walk.cut,
+                 {cut('walk.doc_id', 'walk.cut', 'walk.n')}
+          FROM walk WHERE walk.cut < walk.n
+        )
+        SELECT w.doc_id, w.k AS chunk_idx, w.start,
+               (w.cut - w.start)::BIGINT AS length,
+               md5(substring(l.text, (w.start + 1)::INT,
+                             (w.cut - w.start)::INT)) AS chunk_md5
+        FROM walk w JOIN lens l USING (doc_id)
+    """
+
+
 def _bpe_train_cte(n_merges: int = 100, vocab_top: int = 5000) -> str:
     """Recursive-CTE replay of pipelines.bpe.learn_bpe_from_histogram
     over the term_frequencies histogram: each iteration aggregates
@@ -5052,6 +5141,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::BIGINT AS sketch_size
             FROM events GROUP BY 1
         """,
+        "cdc_chunks": _cdc_chunks_oracle(),
         "bpe_merges": _bpe_train_cte() + """
             SELECT DISTINCT (it - 1)::BIGINT AS rank,
                    ml AS "left", mr AS "right"
