@@ -2438,6 +2438,37 @@ def _q_multimodal_features(sf_dir: str):
     return out.select_columns(["doc_id", "features"])
 
 
+def _q_image_near_dup(sf_dir: str):
+    """Perceptual-hash (aHash) image near-dup mining (rows-only: the
+    decode side is zlib/Huffman, not SQL; planted-recall and
+    no-false-pair properties are unit-tested in
+    tests/test_jpegcodec.py::TestImagePHash). Near-dups are planted
+    deterministically: every 4th doc's synthesized PNG is re-encoded
+    as JPEG q85 under id+500000 — byte-level dedup can never pair
+    them, aHash must."""
+    from selma_ray.pipelines.dedup import image_phash_pairs
+    from selma_ray.stages.imagecodec import decode_png, synth_image
+    from selma_ray.stages.jpegcodec import encode_jpeg
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in batch.column("doc_id").to_pylist():
+            png = synth_image(d, w=32 + (d % 4) * 16, h=24 + (d % 3) * 8)
+            ids.append(d)
+            payloads.append(png)
+            if d % 4 == 0:
+                ids.append(d + 500_000)
+                payloads.append(encode_jpeg(decode_png(png), quality=85))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "data": pa.array(payloads, pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents").map_batches(to_binary,
+                                                batch_format="pyarrow")
+    return image_phash_pairs(ds, batch_size=64, concurrency=(1, 4))
+
+
 def _q_video_frames(sf_dir: str):
     """Video leg of the multimodal suite: actor-pool REAL animated-GIF
     decode (pure-stdlib LZW codec) -> evenly-spaced frame sample ->
@@ -2678,6 +2709,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dups": _q_cross_source_dups,
         "pricing_summary": _q_pricing_summary,
         "multimodal_features": _q_multimodal_features,
+        "image_near_dup": _q_image_near_dup,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "pdf_pages": _q_pdf_pages,

@@ -427,6 +427,39 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return _dedup_pairs(pairs, "simhash")
 
 
+def image_phash_pairs(ds, *, id_col: str = "doc_id",
+                      data_col: str = "data", max_dist: int = 3,
+                      max_bucket: int = 5000, concurrency=(1, 8),
+                      batch_size: int = 16, fake: bool = False):
+    """IMAGE near-duplicate candidate pairs (id_a < id_b, similarity =
+    1 - hamming/64 with hamming <= max_dist) over a binary image
+    column — the multimodal dedup tier byte-exact dedup cannot see
+    (the same photo re-encoded PNG vs JPEG, or at two qualities,
+    hashes identically under aHash but never under md5).
+
+    Composition: a decode actor pool (``ImagePHashBands``, small
+    batches because payloads are big) emits the same banded rows as
+    the text SimHash stage, then the identical hamming-bucket
+    machinery runs — only 26-byte band rows ride the shuffle, never
+    image bytes. Partitioning assumption: as with simhash, a band
+    bucket (images sharing one 16-bit hash band) fits a task; the
+    degenerate-bucket cap compares against the smallest id past
+    ``max_bucket``.
+    """
+    from ..stages.multimodal import ImagePHashBands
+
+    banded = ds.map_batches(
+        ImagePHashBands,
+        fn_constructor_kwargs=dict(id_col=id_col, data_col=data_col,
+                                   fake=fake),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    pairs = coalesce_small(banded).groupby("band_key").map_groups(
+        _simhash_bucket_pairs(max_dist, max_bucket),
+        batch_format="pyarrow")
+    return _dedup_pairs(pairs, "image_phash")
+
+
 # -- exact n-gram Jaccard ----------------------------------------------------
 
 

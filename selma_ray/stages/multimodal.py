@@ -179,15 +179,18 @@ class ResizeImage:
             try:
                 return encode_png(
                     nearest_resize(decode_image(payload), self.w, self.h))
-            # corrupt-but-sniffable images must not kill a fake=True run
-            except (ValueError, zlib.error, IndexError):
+            # corrupt-but-sniffable images (and out-of-scope variants
+            # like progressive JPEG) must not kill a fake=True run
+            except (ValueError, zlib.error, IndexError,
+                    NotImplementedError):
                 if not self.fake:
                     raise
         elif not self.fake:
             raise NotImplementedError(
-                "only PNG/BMP/PPM decode in this environment (no image "
-                "codec libraries); run with fake=True for the "
-                "deterministic stand-in on other formats")
+                "only PNG/BMP/PPM/baseline-JPEG decode in this "
+                "environment (no image codec libraries); run with "
+                "fake=True for the deterministic stand-in on other "
+                "formats")
         need = self.w * self.h
         reps = -(-need // len(payload))  # ceil
         return (payload * reps)[:need]
@@ -200,6 +203,71 @@ class ResizeImage:
                 .append_column(self.out_col, pa.array(out, pa.binary()))
                 .append_column("width", pa.array([self.w] * n, pa.int32()))
                 .append_column("height", pa.array([self.h] * n, pa.int32())))
+
+
+class ImagePHashBands:
+    """map_batches actor: binary image column -> 4 (band_key, id,
+    simhash) rows carrying the image's 64-bit AVERAGE HASH (aHash).
+
+    aHash = decode -> Rec.601 luminance -> nearest-resize to 8x8 ->
+    bit per cell (lum > mean) — the classic perceptual fingerprint
+    that survives re-encoding (PNG vs JPEG of the same raster hash
+    identically at sane qualities) and small quality changes, which
+    exact byte/md5 dedup cannot see. Emitting the same (band_key, id,
+    simhash) rows as the text SimHash stage lets the hamming-banded
+    bucket machinery (4x16-bit bands => hamming<=3 guarantees a
+    band collision) run unchanged downstream. Undecodable payloads
+    raise unless ``fake=True`` (crc32-seeded stand-in hash).
+    """
+
+    def __init__(self, id_col: str = "doc_id", data_col: str = "data",
+                 fake: bool = False):
+        self.id_col = id_col
+        self.data_col = data_col
+        self.fake = fake
+
+    def phash_impl(self, payload: bytes) -> int:
+        from selma_ray.stages.imagecodec import (decode_image,
+                                                 nearest_resize,
+                                                 sniff_format)
+
+        payload = payload or b""
+        if sniff_format(payload) is not None:
+            try:
+                img = decode_image(payload)
+                x = img.astype(np.float32)
+                rgb = x[:, :, :3] if img.shape[2] >= 3 else \
+                    np.repeat(x[:, :, :1], 3, axis=2)
+                lum = rgb @ np.array([0.299, 0.587, 0.114], np.float32)
+                cell = nearest_resize(lum[:, :, None].astype(np.uint8),
+                                      8, 8)[:, :, 0].astype(np.float32)
+                bits = (cell > cell.mean()).flatten()
+                return int(np.packbits(bits).view(">u8")[0])
+            except (ValueError, zlib.error, IndexError,
+                    NotImplementedError):
+                if not self.fake:
+                    raise
+        elif not self.fake:
+            raise NotImplementedError(
+                "only PNG/BMP/PPM/baseline-JPEG decode in this "
+                "environment; run with fake=True for the deterministic "
+                "stand-in on other formats")
+        return zlib.crc32(payload) * 0x9E3779B97F4A7C15 % (1 << 64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        out_key, out_id, out_h = [], [], []
+        for i, p in zip(ids, batch.column(self.data_col).to_pylist()):
+            h = self.phash_impl(p)
+            for b in range(4):
+                out_key.append((b << 16) | ((h >> (16 * b)) & 0xFFFF))
+                out_id.append(i)
+                out_h.append(h)
+        return pa.table({
+            "band_key": pa.array(out_key, pa.int64()),
+            "id": pa.array(out_id, pa.int64()),
+            "simhash": pa.array(out_h, pa.uint64()),
+        })
 
 
 def multimodal_stage(ds, cls=DecodeImageFeatures, *, batch_size: int = 16,

@@ -114,6 +114,60 @@ class TestMarkers:
         assert np.array_equal(decode_jpeg(patched), base)
 
 
+class TestImagePHash:
+    def test_reencode_pairs_distinct_do_not(self, ray_session):
+        """aHash near-dup mining: the same raster as PNG and as JPEG
+        (two qualities) must pair; structurally different rasters must
+        not."""
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import image_phash_pairs
+        from selma_ray.stages.imagecodec import decode_png, synth_image
+
+        rows = []
+        for d in (1, 2, 3):
+            png = synth_image(d, w=48, h=32)
+            raster = decode_png(png)
+            rows.append((d, png))
+            rows.append((d + 100, encode_jpeg(raster, quality=85)))
+            rows.append((d + 200, encode_jpeg(raster, quality=60,
+                                              subsample=True)))
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "data": pa.array([r[1] for r in rows], pa.binary()),
+        })).repartition(3)
+        out = image_phash_pairs(ds, concurrency=1).to_pandas()
+        got = {tuple(p) for p in zip(out["id_a"], out["id_b"])}
+        # every re-encoding of a raster pairs with its original + the
+        # other re-encoding (triangle), across all three seeds
+        for d in (1, 2, 3):
+            assert (d, d + 100) in got
+            assert (d, d + 200) in got
+            assert (d + 100, d + 200) in got
+        # no cross-raster pairs
+        for a, b in got:
+            assert a % 100 == b % 100
+        assert (out["method"] == "image_phash").all()
+
+    def test_undecodable_raises_without_fake(self, ray_session):
+        from selma_ray.stages.multimodal import ImagePHashBands
+
+        import pyarrow as pa
+        import pytest
+
+        stage = ImagePHashBands(fake=False)
+        with pytest.raises(NotImplementedError):
+            stage(pa.table({"doc_id": pa.array([1], pa.int64()),
+                            "data": pa.array([b"\x00\x01mp4ish"],
+                                             pa.binary())}))
+        fake = ImagePHashBands(fake=True)
+        out = fake(pa.table({"doc_id": pa.array([1], pa.int64()),
+                             "data": pa.array([b"\x00\x01mp4ish"],
+                                              pa.binary())}))
+        assert out.num_rows == 4   # 4 band rows from the stand-in hash
+
+
 class TestStageIntegration:
     def test_decode_image_features_real_jpeg(self):
         import pyarrow as pa
