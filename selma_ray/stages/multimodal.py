@@ -161,23 +161,37 @@ class ResizeImage:
     """
 
     def __init__(self, data_col: str = "data", out_col: str = "resized",
-                 w: int = 64, h: int = 64, fake: bool = True):
+                 w: int = 64, h: int = 64, fake: bool = True,
+                 out_format: str = "png", quality: int = 85):
+        if out_format not in ("png", "jpeg"):
+            raise ValueError("out_format must be 'png' or 'jpeg'")
         self.data_col = data_col
         self.out_col = out_col
         self.w = w
         self.h = h
         self.fake = fake
+        self.out_format = out_format
+        self.quality = quality
         # codec init would go here (once per actor)
 
+    def _reencode(self, img) -> bytes:
+        if self.out_format == "jpeg":
+            from selma_ray.stages.jpegcodec import encode_jpeg
+
+            return encode_jpeg(img, quality=self.quality)
+        from selma_ray.stages.imagecodec import encode_png
+
+        return encode_png(img)
+
     def resize_impl(self, payload: bytes) -> bytes:
-        from selma_ray.stages.imagecodec import (decode_image, encode_png,
+        from selma_ray.stages.imagecodec import (decode_image,
                                                  nearest_resize,
                                                  sniff_format)
 
         payload = payload or b"\0"
         if sniff_format(payload) is not None:
             try:
-                return encode_png(
+                return self._reencode(
                     nearest_resize(decode_image(payload), self.w, self.h))
             # corrupt-but-sniffable images (and out-of-scope variants
             # like progressive JPEG) must not kill a fake=True run

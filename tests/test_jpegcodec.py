@@ -150,6 +150,26 @@ class TestImagePHash:
             assert a % 100 == b % 100
         assert (out["method"] == "image_phash").all()
 
+    def test_resize_to_jpeg_roundtrip(self):
+        """ResizeImage(out_format='jpeg'): decode -> resize -> JPEG
+        re-encode; output decodes to the right shape and stays close
+        to the direct nearest-resize."""
+        import numpy as np
+
+        from selma_ray.stages.imagecodec import (decode_png,
+                                                 nearest_resize,
+                                                 synth_image)
+        from selma_ray.stages.multimodal import ResizeImage
+
+        st = ResizeImage(w=12, h=10, fake=False, out_format="jpeg",
+                         quality=95)
+        out = st.resize_impl(synth_image(5, w=48, h=32))
+        img = decode_jpeg(out)
+        assert img.shape == (10, 12, 3)
+        want = nearest_resize(decode_png(synth_image(5, w=48, h=32)),
+                              12, 10)
+        assert np.abs(img.astype(int) - want.astype(int)).mean() < 6.0
+
     def test_undecodable_raises_without_fake(self, ray_session):
         from selma_ray.stages.multimodal import ImagePHashBands
 
