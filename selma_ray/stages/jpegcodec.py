@@ -469,11 +469,12 @@ def _encode_plane(wr, blocks_q: np.ndarray, dc_codes, ac_codes,
 
 
 def encode_jpeg(img: np.ndarray, *, quality: int = 85,
-                subsample: bool = False,
+                subsample=False,
                 restart_interval: int = 0) -> bytes:
     """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 -> baseline
-    JFIF bytes. ``subsample`` emits 4:2:0 chroma (2x2-box-averaged);
-    default is 4:4:4."""
+    JFIF bytes. ``subsample``: False = 4:4:4, True = 4:2:0
+    (2x2-box-averaged chroma), or an explicit (h_factor, v_factor)
+    luma sampling pair — (2, 1) = 4:2:2, (1, 2) = 4:4:0."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -493,23 +494,31 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
     ql = _scale_quant(QUANT_LUMA, quality)
     qc = _scale_quant(QUANT_CHROMA, quality)
 
-    def pad_to(p: np.ndarray, mult: int) -> np.ndarray:
-        ph = (-p.shape[0]) % mult
-        pw = (-p.shape[1]) % mult
+    def pad_to(p: np.ndarray, mh: int, mw: int) -> np.ndarray:
+        ph = (-p.shape[0]) % mh
+        pw = (-p.shape[1]) % mw
         return np.pad(p, ((0, ph), (0, pw)), mode="edge")
 
-    samp = (2, 2) if subsample else (1, 1)
+    if subsample is True:
+        samp = (2, 2)
+    elif subsample:
+        samp = (int(subsample[0]), int(subsample[1]))
+        if samp[0] not in (1, 2) or samp[1] not in (1, 2):
+            raise ValueError("sampling factors must be 1 or 2")
+    else:
+        samp = (1, 1)
+    sh, sv = samp
     prepared = []
     for ci, p in enumerate(planes):
         if ci == 0:
-            p = pad_to(p, 8 * samp[0])
+            p = pad_to(p, 8 * sv, 8 * sh)
         else:
-            if subsample:
-                p = pad_to(p, 8 * samp[0])      # align to luma MCU grid
-                p = p.reshape(p.shape[0] // 2, 2,
-                              p.shape[1] // 2, 2).mean(axis=(1, 3))
+            if samp != (1, 1):
+                p = pad_to(p, 8 * sv, 8 * sh)   # align to luma MCU grid
+                p = p.reshape(p.shape[0] // sv, sv,
+                              p.shape[1] // sh, sh).mean(axis=(1, 3))
             else:
-                p = pad_to(p, 8)
+                p = pad_to(p, 8, 8)
         q = ql if ci == 0 else qc
         d = _fdct_blocks(p - 128.0)
         zz = np.round(d.reshape(d.shape[0], d.shape[1], 64)

@@ -37,6 +37,16 @@ class TestRoundTrip:
         # chroma is 2x2 box-averaged + nearest-upsampled: looser bound
         assert err.mean() <= 4.0
 
+    @pytest.mark.parametrize("samp", [(2, 1), (1, 2)])
+    def test_asymmetric_subsampling(self, samp):
+        """4:2:2 and 4:4:0 exercise the decoder's asymmetric chroma
+        upsample (np.repeat along one axis only)."""
+        img = _gradient(33, 47)
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsample=samp))
+        assert out.shape == (33, 47, 3)
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() <= 3.0
+
     def test_restart_markers(self):
         img = _gradient(40, 56)
         a = decode_jpeg(encode_jpeg(img, quality=90))
