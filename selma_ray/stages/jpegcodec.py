@@ -220,7 +220,18 @@ def _split_scan(data: bytes, start: int):
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """bytes -> (h, w, channels) uint8 (channels 1 or 3)."""
+    """bytes -> (h, w, channels) uint8 (channels 1 or 3). Raises
+    ValueError on corrupt/truncated data, NotImplementedError on
+    out-of-scope variants — never struct.error/IndexError (the stage
+    fakes catch codec errors by those two types)."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt JPEG: truncated or malformed "
+                         f"({type(e).__name__})") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if not sniff_jpeg(payload):
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}

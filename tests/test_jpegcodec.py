@@ -81,6 +81,48 @@ class TestRoundTrip:
             assert out.shape == (h, w, 3)
 
 
+class TestFuzz:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.integers(0, 2 ** 32 - 1),
+           st.sampled_from([50, 75, 90, 100]),
+           st.sampled_from([False, True, (2, 1), (1, 2)]))
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip_never_crashes_and_bounds_error(
+            self, h, w, seed, quality, samp):
+        """Any raster size (1..40), content, quality and sampling must
+        encode -> decode to the exact shape with bounded error — the
+        codec may never crash or change geometry."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # mix smooth + noise so both DC-heavy and AC-heavy paths run
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = ((yy * 5 + xx * 3) % 256).astype(np.float64)
+        img = np.clip(base[:, :, None]
+                      + rng.normal(0, 40, (h, w, 3)), 0, 255) \
+            .astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=quality,
+                                      subsample=samp))
+        assert out.shape == (h, w, 3)
+        err = np.abs(out.astype(int) - img.astype(int))
+        # noise at q50/4:2:0 is the worst case; geometry + sanity only
+        assert err.mean() < 64
+
+    @given(st.binary(min_size=0, max_size=200))
+    @settings(max_examples=60, deadline=None)
+    def test_garbage_after_soi_raises_cleanly(self, tail):
+        """SOI + arbitrary bytes must raise ValueError /
+        NotImplementedError (clean codec errors the stage fakes can
+        catch), never IndexError/struct.error or a hang."""
+        import pytest
+
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(b"\xff\xd8" + tail)
+
+
 class TestMarkers:
     def test_sniff(self):
         assert sniff_jpeg(encode_jpeg(_gradient(8, 8)))
