@@ -116,10 +116,11 @@ def pack_context_windows(ds, *, budget: int = 128, text_col: str = "text"):
     shuffle; token counts are computed map-side (vectorized RE2)
     before the wide step. The per-conversation cumsum runs VECTORIZED
     across a whole bucket (sort by (conv, turn), segment-reset prefix
-    sum) via bucketed_map_groups: a per-key groupby(conv_id)
-    .map_groups here paid Ray's per-group task overhead x millions of
-    conversations — the bucketed shape was measured 30x faster on the
-    curate bench and is layout-stable at any conversation count.
+    sum) via bucketed_map_groups, replacing one numpy call per
+    conversation with one per bucket; together with the pruned
+    checkpoint read this took the curate pack stage from 46.6s to
+    11.5s at sf0.1, and the bucket count (not the conversation count)
+    bounds reducer fan-in at any scale.
     """
     import numpy as np
 
