@@ -127,7 +127,7 @@ def curate_corpus(input_path: str, out_root: str, *,
                                 text_col="extracted_text")
         _fresh_dir(dd_dir)
         survivors.drop_columns(["row_key", "text_hash"]) \
-            .write_parquet(dd_dir)
+            .write_parquet(dd_dir, min_rows_per_file=16384)
         _mark_done(dd_dir, {
             "rows_out": ray.data.read_parquet(dd_dir).count()})
     with open(os.path.join(dd_dir, DONE)) as f:
@@ -148,7 +148,7 @@ def curate_corpus(input_path: str, out_root: str, *,
                                   eval_text_col="text",
                                   ngram=decontam_ngram)
             _fresh_dir(dc_dir)
-            clean.write_parquet(dc_dir)
+            clean.write_parquet(dc_dir, min_rows_per_file=16384)
             _mark_done(dc_dir, {
                 "rows_out": ray.data.read_parquet(dc_dir).count()})
         with open(os.path.join(dc_dir, DONE)) as f:
@@ -168,7 +168,7 @@ def curate_corpus(input_path: str, out_root: str, *,
         packed = pack_context_windows(ds, budget=window_budget,
                                       text_col="extracted_text")
         _fresh_dir(pk_dir)
-        packed.write_parquet(pk_dir)
+        packed.write_parquet(pk_dir, min_rows_per_file=16384)
         _mark_done(pk_dir, {
             "rows_out": ray.data.read_parquet(pk_dir).count()})
     with open(os.path.join(pk_dir, DONE)) as f:
