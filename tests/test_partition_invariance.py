@@ -159,3 +159,21 @@ def _doc_cases():
 @pytest.mark.parametrize("name", sorted(_doc_cases()))
 def test_doc_ops_partition_invariant(name, ray_session):
     _run_both(_doc_cases()[name], _docs_table())
+
+
+def test_image_phash_pairs_partition_invariant(ray_session):
+    from selma_ray.pipelines.dedup import image_phash_pairs
+    from selma_ray.stages.imagecodec import decode_png, synth_image
+    from selma_ray.stages.jpegcodec import encode_jpeg
+
+    ids, payloads = [], []
+    for d in range(24):
+        png = synth_image(d, w=40, h=24)
+        ids.append(d)
+        payloads.append(png)
+        if d % 3 == 0:
+            ids.append(d + 1000)
+            payloads.append(encode_jpeg(decode_png(png), quality=90))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "data": pa.array(payloads, pa.binary())})
+    _run_both(lambda ds: image_phash_pairs(ds, concurrency=1), t)
