@@ -886,6 +886,20 @@ def _q_bpe_token_counts(sf_dir: str):
     return bpe_token_counts(docs, merges, concurrency=2)
 
 
+def _q_bpe_tokenize(sf_dir: str):
+    """Per-doc BPE token-ID sequences under a corpus-learned vocab —
+    oracle-checked: the SQL trains the same merges (recursive CTE),
+    assigns ids (sorted base chars, then merges by rank, first-glued
+    wins ties) and rebuilds each doc's comma-joined id sequence."""
+    from selma_ray.pipelines.bpe import bpe_tokenize, bpe_vocab, train_bpe
+
+    docs = _read(sf_dir, "documents")
+    _, merges, hist = train_bpe(docs, n_merges=100, vocab_top=5000,
+                                return_hist=True)
+    return bpe_tokenize(docs, merges, bpe_vocab(hist, merges),
+                        concurrency=2)
+
+
 def _q_pca_embeddings(sf_dir: str):
     """Distributed PCA projection (rows-only: eigendecomposition is not
     SQL-expressible; parity vs single-process numpy PCA is tested in
@@ -2608,6 +2622,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean": _q_winsorized_mean,
         "zscore_by_type": _q_zscore_by_type,
         "bpe_token_counts": _q_bpe_token_counts,
+        "bpe_tokenize": _q_bpe_tokenize,
         "quantity_price_corr": _q_quantity_price_corr,
         "mad_outliers": _q_mad_outliers,
         "urgent_lines_semi": _q_urgent_lines_semi,
@@ -5178,6 +5193,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT (it - 1)::BIGINT AS rank,
                    ml AS "left", mr AS "right"
             FROM s WHERE it > 0
+        """,
+        "bpe_tokenize": _bpe_train_cte() + """
+            , vbase AS (
+              SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS sym
+              FROM hist
+              UNION SELECT '▁'
+            ), vnum AS (
+              SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS vid
+              FROM vbase
+            ), nb AS (SELECT count(*)::BIGINT AS n FROM vnum),
+            vall AS (
+              SELECT sym, vid FROM vnum
+              UNION ALL
+              -- merges take n_base + rank; duplicate glued strings
+              -- keep the FIRST id (min below), like dict.setdefault
+              SELECT ml || mr AS sym, nb.n + it - 1 AS vid
+              FROM (SELECT DISTINCT it, ml, mr FROM s WHERE it > 0), nb
+            ), vocab AS (
+              SELECT sym, min(vid)::BIGINT AS vid FROM vall GROUP BY sym
+            ), ftoks AS (
+              SELECT w, string_split(substring(ws, 2, length(ws) - 2),
+                                     chr(31) || chr(30)) AS toks
+              FROM s WHERE it = (SELECT max(it) FROM s)
+            ), dwords AS (
+              SELECT d.doc_id, u.p AS wpos, d.ws0[u.p] AS w
+              FROM (SELECT doc_id,
+                           regexp_extract_all(coalesce(text,''),
+                                              '\\S+') AS ws0
+                    FROM documents) d,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, len(d.ws0))) AS p) u
+            ), ids AS (
+              SELECT dw.doc_id, dw.wpos, ti.i, v.vid
+              FROM dwords dw
+              JOIN ftoks f ON f.w = dw.w,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, len(f.toks))) AS i) ti
+              JOIN vocab v ON v.sym = f.toks[ti.i]
+            ), per_doc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_bpe_tokens,
+                     string_agg(vid::VARCHAR, ','
+                                ORDER BY wpos, i) AS token_ids
+              FROM ids GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+                   coalesce(p.token_ids, '') AS token_ids
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "bpe_token_counts": _bpe_train_cte() + """
             , final AS (

@@ -96,10 +96,11 @@ def learn_bpe_from_histogram(hist: list[tuple[str, int]],
 
 
 def train_bpe(ds, *, n_merges: int = 200, vocab_top: int = 20000,
-              text_col: str = "text"):
+              text_col: str = "text", return_hist: bool = False):
     """Learn BPE merges from a document Dataset. Returns
     (merges_ds, merges) where merges_ds has (rank:int64, left, right)
-    and merges is the ordered python list of pairs.
+    and merges is the ordered python list of pairs (plus the histogram
+    when ``return_hist`` — for vocab construction).
 
     Scale shape: the corpus collapses to its bounded word histogram via
     the distributed term-frequency pass (ONE shuffle, top-``vocab_top``
@@ -120,7 +121,29 @@ def train_bpe(ds, *, n_merges: int = 200, vocab_top: int = 20000,
         "left": pa.array([m[0] for m in merges], pa.string()),
         "right": pa.array([m[1] for m in merges], pa.string()),
     })
+    if return_hist:
+        return ray.data.from_arrow(tbl), merges, hist
     return ray.data.from_arrow(tbl), merges
+
+
+def bpe_vocab(hist: list[tuple[str, int]],
+              merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic token -> id map: base symbols (sorted distinct
+    characters of the histogram words, plus the end-of-word marker)
+    take ids 0..B-1 in codepoint order, then each merge's glued string
+    takes B+rank. If two merges glue to the same string (possible:
+    (a,bc) and (ab,c)), the FIRST occurrence keeps the id — mirrored
+    by min(vid) in the SQL oracle."""
+    base = {END}
+    for w, _ in hist:
+        base.update(w)
+    vocab: dict[str, int] = {}
+    for i, sym in enumerate(sorted(base)):
+        vocab[sym] = i
+    nb = len(vocab)
+    for r, (a, b) in enumerate(merges):
+        vocab.setdefault(a + b, nb + r)
+    return vocab
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -205,4 +228,68 @@ def bpe_token_counts(ds, merges: list[tuple[str, str]], *,
         BpeTokenCounter,
         fn_constructor_kwargs=dict(merges_ref=ref, id_col=id_col,
                                    text_col=text_col),
+        concurrency=concurrency, batch_format="pyarrow")
+
+
+class BpeTokenizer:
+    """Actor-pool stage: per-doc BPE token-ID sequences — the actual
+    training-prep output (vs BpeTokenCounter's counts).
+
+    Merge ranks + vocab are built once per actor in __init__ from the
+    broadcast (merges, vocab) pair; a word->ids memo makes each
+    distinct word cost one encode per actor. Tokens outside the vocab
+    (characters never seen in training) map to -1 (UNK). Emits
+    (doc_id:int64, n_bpe_tokens:int64, token_ids:string —
+    comma-joined ids in document order)."""
+
+    def __init__(self, merges_ref, vocab_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        merges = ray.get(merges_ref) if not isinstance(merges_ref, list) \
+            else merges_ref
+        vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, dict) \
+            else vocab_ref
+        self.ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self.vocab = vocab
+        self.id_col = id_col
+        self.text_col = text_col
+        self.memo: dict[str, list[int]] = {}
+
+    def _word_ids(self, w: str) -> list[int]:
+        ids = self.memo.get(w)
+        if ids is None:
+            ids = [self.vocab.get(t, -1)
+                   for t in encode_word(w, self.ranks)]
+            self.memo[w] = ids
+        return ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_n, out_ids = [], []
+        for t in batch.column(self.text_col).to_pylist():
+            ids: list[int] = []
+            for w in (t or "").split():
+                ids.extend(self._word_ids(w))
+            out_n.append(len(ids))
+            out_ids.append(",".join(str(i) for i in ids))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_bpe_tokens": pa.array(out_n, pa.int64()),
+            "token_ids": pa.array(out_ids, pa.string()),
+        })
+
+
+def bpe_tokenize(ds, merges: list[tuple[str, str]],
+                 vocab: dict[str, int], *, id_col: str = "doc_id",
+                 text_col: str = "text", concurrency: int = 4):
+    """Map-only BPE tokenization to id sequences; merges + vocab
+    broadcast once (ray.put) and compiled per actor."""
+    import ray
+
+    mref = ray.put([list(m) for m in merges])
+    vref = ray.put(vocab)
+    return ds.map_batches(
+        BpeTokenizer,
+        fn_constructor_kwargs=dict(merges_ref=mref, vocab_ref=vref,
+                                   id_col=id_col, text_col=text_col),
         concurrency=concurrency, batch_format="pyarrow")

@@ -2513,6 +2513,38 @@ class TestBpe:
                 seq = _merge_word(seq, m, m[0] + m[1])
             assert encode_word(w, ranks) == list(seq), w
 
+    def test_tokenize_ids_invert_to_text(self, ray_session):
+        """bpe_tokenize's id sequences must invert (through the vocab)
+        to the original text: concatenating the decoded tokens and
+        splitting on the end-of-word marker reproduces every word."""
+        import pandas as pd
+        import ray.data
+
+        from selma_ray.pipelines.bpe import (END, bpe_tokenize, bpe_vocab,
+                                             train_bpe)
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["low lower lowest", "newest new news",
+                     "wide wider widest low"],
+        })
+        ds = ray.data.from_pandas(docs).repartition(2)
+        _, merges, hist = train_bpe(ds, n_merges=30, vocab_top=100,
+                                    return_hist=True)
+        vocab = bpe_vocab(hist, merges)
+        inv = {}
+        for sym, vid in vocab.items():
+            inv.setdefault(vid, sym)
+        got = bpe_tokenize(ds, merges, vocab, concurrency=1) \
+            .to_pandas().set_index("doc_id").sort_index()
+        for _, row in docs.iterrows():
+            ids = [int(x) for x in
+                   got.loc[row["doc_id"], "token_ids"].split(",")]
+            assert got.loc[row["doc_id"], "n_bpe_tokens"] == len(ids)
+            assert -1 not in ids   # corpus-trained: no UNK
+            decoded = "".join(inv[i] for i in ids)
+            assert decoded.rstrip(END).split(END) == row["text"].split()
+
     def test_train_and_count_end_to_end(self, ray_session):
         import pandas as pd
         import ray.data
