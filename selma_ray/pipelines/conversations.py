@@ -211,36 +211,48 @@ def packed_sequences(ds, *, budget: int = 128, text_col: str = "text",
 
     Unlike pack_context_windows (which ships only token counts), here
     the text itself MUST co-locate — sequence assembly is the one op
-    where payload rides the shuffle. Mitigations: ONE groupby(conv_id)
-    (never a global sort), and everything else (token counts, window
-    ids, concat) happens inside the group task. Conversations are the
+    where payload rides the shuffle. Mitigations: one hash-BUCKET
+    exchange on conv_id (never a global sort, never a per-conversation
+    task), and everything else (token counts, window ids, concat)
+    happens inside the bucket task with a segment-reset cumsum across
+    every conversation in the bucket. Conversations are the
     partitioning unit, so the skew cap is the largest single
-    conversation — the same bound conversation_assembly already carries.
+    conversation — the same bound conversation_assembly carries.
     """
     import numpy as np
     import pandas as pd
 
-    def assemble(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("turn_idx")
-        texts = g[text_col].fillna("").tolist()
-        n_tok = np.array([len(t.split()) for t in texts], dtype=np.int64)
-        start = np.cumsum(n_tok) - n_tok
-        widx = start // budget
-        conv = g["conv_id"].iloc[0]
-        rows = []
-        for w in np.unique(widx):
-            m = widx == w
-            rows.append({
-                "conv_id": conv,
-                "window_idx": int(w),
-                "n_turns": int(m.sum()),
-                "n_tokens": int(n_tok[m].sum()),
-                "text": sep.join(t for t, keep in zip(texts, m) if keep),
-            })
-        return pd.DataFrame(rows)
+    from ..stages.util import bucketed_map_groups
 
-    return ds.groupby("conv_id").map_groups(assemble,
-                                            batch_format="pandas")
+    def assemble_bucket(tbl: pa.Table) -> pa.Table:
+        g = tbl.to_pandas().sort_values(["conv_id", "turn_idx"]) \
+            .reset_index(drop=True)
+        texts = g[text_col].fillna("")
+        n_tok = np.fromiter((len(t.split()) for t in texts),
+                            dtype=np.int64, count=len(texts))
+        conv = g["conv_id"].to_numpy()
+        n = len(conv)
+        first = np.ones(n, bool)
+        if n:
+            first[1:] = conv[1:] != conv[:-1]
+        before = np.cumsum(n_tok) - n_tok
+        seg_first = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0)) if n else first
+        widx = (before - before[seg_first]) // budget if n else before
+        g = g.assign(_w=widx, _n=n_tok, _t=texts)
+        out = g.groupby(["conv_id", "_w"], sort=False).agg(
+            n_turns=("_w", "size"),
+            n_tokens=("_n", "sum"),
+            text=("_t", sep.join)).reset_index()
+        return pa.Table.from_pandas(pd.DataFrame({
+            "conv_id": out["conv_id"],
+            "window_idx": out["_w"].astype("int64"),
+            "n_turns": out["n_turns"].astype("int64"),
+            "n_tokens": out["n_tokens"].astype("int64"),
+            "text": out["text"],
+        }), preserve_index=False)
+
+    return bucketed_map_groups(ds, "conv_id", assemble_bucket)
 
 
 def turn_pairs(ds, *, user_role: str = "user",
@@ -251,22 +263,29 @@ def turn_pairs(ds, *, user_role: str = "user",
     (prompt, response) row — the SFT-pair extraction op, i.e. a
     LEAD(...) OVER (PARTITION BY conv_id ORDER BY turn_idx) window.
 
-    Shuffle shape: ONE groupby(conv_id); pairing is a neighbor
-    operation so the turn text must co-locate per conversation (same
-    bound as packed_sequences — skew cap is the largest single
-    conversation; pathological conversations should be length-capped
-    upstream). Everything inside the group task is a vectorized
-    sort + shift, O(turns of that conversation).
+    Shuffle shape: one hash-BUCKET exchange on conv_id (the turn text
+    must co-locate per conversation — same skew bound as
+    packed_sequences: the largest single conversation; pathological
+    conversations should be length-capped upstream). The shift runs
+    once per BUCKET, vectorized across every conversation in it, with
+    a same-conversation mask guarding the bucket's conversation
+    boundaries — one pandas conversion per bucket instead of one per
+    conversation.
 
     Returns (conv_id, prompt_idx:int64, response_idx:int64,
     prompt, response).
     """
     import pandas as pd
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("turn_idx").reset_index(drop=True)
+    from ..stages.util import bucketed_map_groups
+
+    def pairs_bucket(tbl: pa.Table) -> pa.Table:
+        g = tbl.to_pandas().sort_values(["conv_id", "turn_idx"]) \
+            .reset_index(drop=True)
         nxt_role = g["role"].shift(-1)
-        keep = (g["role"] == user_role) & (nxt_role == assistant_role)
+        same_conv = g["conv_id"].shift(-1) == g["conv_id"]
+        keep = (g["role"] == user_role) & (nxt_role == assistant_role) \
+            & same_conv
         out = pd.DataFrame({
             "conv_id": g.loc[keep, "conv_id"],
             "prompt_idx": g.loc[keep, "turn_idx"].astype("int64"),
@@ -275,16 +294,16 @@ def turn_pairs(ds, *, user_role: str = "user",
             "response": g[text_col].shift(-1)[keep],
         })
         if out.empty:
-            return pd.DataFrame({
+            out = pd.DataFrame({
                 "conv_id": pd.Series([], dtype="object"),
                 "prompt_idx": pd.Series([], dtype="int64"),
                 "response_idx": pd.Series([], dtype="int64"),
                 "prompt": pd.Series([], dtype="object"),
                 "response": pd.Series([], dtype="object"),
             })
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby("conv_id").map_groups(pairs, batch_format="pandas")
+    return bucketed_map_groups(ds, "conv_id", pairs_bucket)
 
 
 def _token_bucket_partials(batch: pa.Table, *, id_col: str, text_col: str,

@@ -277,12 +277,15 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
     pass 1 computes (term, df) (per-batch combiner -> tiny groupby) and
     collects ONLY the over-``max_df`` terms — by Zipf's law a short
     list — into a broadcast skip-set; pass 2 explodes (term, doc_id)
-    pairs, drops skipped terms in-batch, and one groupby(term) assembles
-    each posting list. With ``max_df=None`` pass 1 is skipped entirely
-    and every term is indexed (fine at test scale; cap it in
-    production)."""
-    import pandas as pd
+    pairs, drops skipped terms in-batch, and assembles posting lists
+    per TERM-HASH BUCKET (sort by (term, doc_id) inside the bucket,
+    one join per segment) — never one task or pandas frame per term,
+    so the assembly stays bounded at any vocabulary size. With
+    ``max_df=None`` pass 1 is skipped entirely and every term is
+    indexed (fine at test scale; cap it in production)."""
     import ray
+
+    from ..stages.util import bucketed_map_groups
 
     skip_ref = None
     if max_df is not None:
@@ -305,16 +308,34 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 t = t.filter(mask)
         return t
 
-    def assemble(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())
-        return pd.DataFrame({
-            "term": [group["term"].iloc[0]],
-            "df": np.array([len(ids)], dtype=np.int64),
-            "postings": [",".join(str(i) for i in ids)],
+    def assemble_bucket(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            tbl, sort_keys=[("term", "ascending"),
+                            ("doc_id", "ascending")])
+        g = tbl.take(order)
+        terms = g.column("term").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(terms)
+        if n == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        bounds = np.nonzero(np.concatenate(
+            ([True], terms[1:] != terms[:-1], [True])))[0]
+        out_t, out_d, out_p = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            out_t.append(terms[s])
+            out_d.append(e - s)
+            out_p.append(",".join(str(i) for i in ids[s:e]))
+        return pa.table({
+            "term": pa.array(out_t, pa.string()),
+            "df": pa.array(out_d, pa.int64()),
+            "postings": pa.array(out_p, pa.string()),
         })
 
-    return ds.map_batches(pairs, batch_format="pyarrow") \
-        .groupby("term").map_groups(assemble, batch_format="pandas")
+    return bucketed_map_groups(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        "term", assemble_bucket)
 
 
 def length_percentile_filter(ds, *, q: float = 0.99, id_col: str = "doc_id",

@@ -1454,34 +1454,50 @@ def mad_outliers(events_ds, *, k: int = 3):
     order-reproducible in floating point, which is why the robust
     variant is the one that ships.
 
-    Shuffle shape: ONE groupby(user_id); per-group work is two sorts of
-    that user's values (in-task numpy). Groups are per-entity sized; if
-    a single entity outgrows a task, swap the in-task sort for the
-    histogram-refine pass used by events_quantiles_scalable.
+    Shuffle shape: one hash-BUCKET exchange on user_id (users x blocks
+    rows of 3 slim columns); per-USER work inside the bucket is two
+    sorts of that user's values — in-process numpy per segment, one
+    pandas/Arrow conversion per bucket rather than one per entity.
+    Per-entity segments are user-sized; if a single entity outgrows a
+    task, swap the in-segment sort for the histogram-refine pass used
+    by events_quantiles_scalable.
     """
     import math
 
-    import pandas as pd
+    from ..stages.util import bucketed_map_groups
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        v = np.rint(group["value"].to_numpy(dtype=np.float64)
-                    * 100).astype(np.int64)
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            tbl, sort_keys=[("user_id", "ascending")])
+        g = tbl.take(order)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        v = np.rint(g.column("value").to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * 100).astype(np.int64)
         n = len(v)
-        qi = max(0, math.ceil(0.5 * n) - 1)
-        med = int(np.sort(v)[qi])
+        med = np.empty(n, np.int64)
+        mad = np.empty(n, np.int64)
+        bounds = np.nonzero(np.concatenate(
+            ([True], uid[1:] != uid[:-1], [True])))[0] if n else []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = v[s:e]
+            qi = max(0, math.ceil(0.5 * (e - s)) - 1)
+            m = int(np.sort(seg)[qi])
+            a = np.abs(seg - m)
+            med[s:e] = m
+            mad[s:e] = int(np.sort(a)[qi])
         ad = np.abs(v - med)
-        mad = int(np.sort(ad)[qi])
-        return pd.DataFrame({
-            "event_id": group["event_id"].astype("int64"),
-            "user_id": group["user_id"].astype("int64"),
-            "value_cents": v,
-            "med_cents": np.full(n, med, dtype=np.int64),
-            "mad_cents": np.full(n, mad, dtype=np.int64),
-            "is_outlier": ad > k * mad,
+        return pa.table({
+            "event_id": g.column("event_id").cast(pa.int64()),
+            "user_id": g.column("user_id").cast(pa.int64()),
+            "value_cents": pa.array(v, pa.int64()),
+            "med_cents": pa.array(med, pa.int64()),
+            "mad_cents": pa.array(mad, pa.int64()),
+            "is_outlier": pa.array(ad > k * mad),
         })
 
-    return events_ds.select_columns(["event_id", "user_id", "value"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return bucketed_map_groups(
+        events_ds.select_columns(["event_id", "user_id", "value"]),
+        "user_id", per_bucket)
 
 
 def _key_bloom_positions(col, m_bits) -> "np.ndarray":
@@ -1626,31 +1642,50 @@ def rolling_avg_events(events_ds, *, window_rows: int = 5):
     aggregate (``AVG(...) OVER (PARTITION BY user ORDER BY ts ROWS
     BETWEEN k-1 PRECEDING AND CURRENT ROW)``).
 
-    ONE groupby(user_id); in-task pandas rolling sum over exact int64
-    cents with a single final division, so every value is bit-exact
+    One hash-BUCKET exchange on user_id; the rolling sum runs per
+    bucket as a segment-guarded prefix-sum over exact int64 cents
+    (window sum = cum[i] - cum[i-w], clamped at each user's segment
+    start) with a single final division, so every value is bit-exact
     against the SQL oracle (never rolling-mean floats directly —
-    incremental float means drift). Same per-entity group-size bound
-    as running_totals.
+    incremental float means drift) and no per-entity task or pandas
+    conversion exists at any user count.
     """
-    import pandas as pd
+    from ..stages.util import bucketed_map_groups
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        cents = np.rint(g["value"].to_numpy(dtype=np.float64)
-                        * 100).astype(np.int64)
-        s = pd.Series(cents)
-        wsum = s.rolling(window_rows, min_periods=1).sum().to_numpy()
-        wcnt = s.rolling(window_rows, min_periods=1).count().to_numpy()
-        return pd.DataFrame({
-            "event_id": g["event_id"].astype("int64"),
-            "user_id": g["user_id"].astype("int64"),
-            "ts": g["ts"],
-            "avg_cents": wsum / wcnt,
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            tbl, sort_keys=[("user_id", "ascending"),
+                            ("ts", "ascending"),
+                            ("event_id", "ascending")])
+        g = tbl.take(order)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.rint(g.column("value").to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * 100).astype(np.int64)
+        n = len(cents)
+        first = np.ones(n, bool)
+        if n:
+            first[1:] = uid[1:] != uid[:-1]
+        seg_first = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0)) if n else first
+        pos = np.arange(n) - seg_first          # 0-based rank in segment
+        cum = np.cumsum(cents)
+        # exclusive prefix before the window start, clamped to segment
+        start = np.maximum(np.arange(n) - window_rows + 1, seg_first)
+        prev = np.where(start > 0, cum[start - 1], 0)
+        # start == 0 only for the very first row(s); subtract nothing
+        prev = np.where(start == 0, 0, prev)
+        wsum = cum - prev
+        wcnt = np.minimum(pos + 1, window_rows)
+        return pa.table({
+            "event_id": g.column("event_id").cast(pa.int64()),
+            "user_id": g.column("user_id").cast(pa.int64()),
+            "ts": g.column("ts"),
+            "avg_cents": pa.array(wsum / wcnt, pa.float64()),
         })
 
-    return events_ds.select_columns(
-        ["event_id", "user_id", "ts", "value"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return bucketed_map_groups(
+        events_ds.select_columns(["event_id", "user_id", "ts", "value"]),
+        "user_id", per_bucket)
 
 
 def compact_latest(events_ds, *, key_cols: list[str],
