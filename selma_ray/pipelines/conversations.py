@@ -99,9 +99,13 @@ def assemble_conversations(ds, *, text_col: str = "text", sep: str = "\n"):
     layouts, pass the dataset through ``ds.sort(["conv_id","turn_idx"])``
     first (one global shuffle) or widen the merge to re-sort turn lists.
     """
+    from ..stages.util import per_key_in_buckets
+
     segs = ds.map_batches(_segments(text_col, sep), batch_format="pyarrow")
-    return coalesce_small(segs).groupby("conv_id").map_groups(
-        _merge_segments(sep), batch_format="pyarrow")
+    # per-conversation merge at per-BUCKET task cost (the fn keeps its
+    # one-conversation contract; conversation count never appears in
+    # the task count)
+    return per_key_in_buckets(segs, "conv_id", _merge_segments(sep))
 
 
 def pack_context_windows(ds, *, budget: int = 128, text_col: str = "text"):

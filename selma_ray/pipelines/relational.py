@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.util import coalesce_small
+from ..stages.util import coalesce_small, per_key_in_buckets
 
 
 def _cents(col, scale: int = 100) -> pa.Array:
@@ -346,8 +346,7 @@ def sessionize_events(events_ds, *, gap_s: int = 1800):
             "session_idx": pa.array(np.cumsum(breaks), pa.int64()),
         })
 
-    return events_ds.groupby("user_id").map_groups(
-        assign, batch_format="pyarrow")
+    return per_key_in_buckets(events_ds, "user_id", assign)
 
 
 def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
@@ -959,8 +958,7 @@ def running_totals(events_ds):
             "running_value": pa.array(np.cumsum(vals), pa.float64()),
         })
 
-    return events_ds.groupby("user_id").map_groups(
-        scan, batch_format="pyarrow")
+    return per_key_in_buckets(events_ds, "user_id", scan)
 
 
 def daily_active_users(events_ds):
@@ -1838,8 +1836,7 @@ def funnel_steps(events_ds, steps: list[str]):
 
     slim = events_ds.select_columns(["user_id", "event_type", "ts"]) \
         .map_batches(keep_steps, batch_format="pyarrow")
-    depths = slim.groupby("user_id").map_groups(
-        depth, batch_format="pyarrow")
+    depths = per_key_in_buckets(slim, "user_id", depth)
     agg = coalesce_small(depths.map_batches(hist, batch_format="pyarrow")) \
         .groupby("depth").aggregate(Sum("n")).take_all()
 
@@ -1910,8 +1907,7 @@ def cohort_retention(events_ds):
 
     acted = events_ds.select_columns(["user_id", "ts"]) \
         .map_batches(pairs, batch_format="pyarrow")
-    labeled = acted.groupby("user_id").map_groups(
-        offsets, batch_format="pyarrow")
+    labeled = per_key_in_buckets(acted, "user_id", offsets)
     agg = coalesce_small(labeled.map_batches(hist, batch_format="pyarrow")) \
         .groupby(["cohort_week", "week_offset"]).aggregate(Sum("n"))
 
@@ -2216,8 +2212,7 @@ def lag_deltas(events_ds):
             "value_delta": pa.array(vals[1:] - vals[:-1], pa.float64()),
         })
 
-    return events_ds.groupby("user_id").map_groups(
-        scan, batch_format="pyarrow")
+    return per_key_in_buckets(events_ds, "user_id", scan)
 
 
 def user_event_sequences(events_ds, *, sep: str = ">"):
@@ -2244,8 +2239,9 @@ def user_event_sequences(events_ds, *, sep: str = ">"):
             "seq": pa.array([sep.join(types)], pa.string()),
         })
 
-    return events_ds.map_batches(slim, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(assemble, batch_format="pyarrow")
+    return per_key_in_buckets(
+        events_ds.map_batches(slim, batch_format="pyarrow"),
+        "user_id", assemble)
 
 
 def debounce_events(events_ds, *, gap_secs: float = 3600.0):
@@ -2315,8 +2311,7 @@ def user_event_entropy(events_ds):
                                        pa.float64()),
         })
 
-    return counts.groupby("user_id").map_groups(
-        finish, batch_format="pyarrow")
+    return per_key_in_buckets(counts, "user_id", finish)
 
 
 def percent_rank_by_group(events_ds, *, group_col: str = "event_type",
@@ -2580,9 +2575,9 @@ def rolling_sum_range(events_ds, *, window_secs: float = 3600.0):
             "wsum_cents": pa.array(csum[right] - csum[left], pa.int64()),
         })
 
-    return events_ds.select_columns(
-        ["event_id", "user_id", "ts", "value"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return per_key_in_buckets(
+        events_ds.select_columns(["event_id", "user_id", "ts", "value"]),
+        "user_id", per_user)
 
 
 def impute_group_mean(ds, *, group_col: str = "event_type",
@@ -2699,9 +2694,10 @@ def last_touch_attribution(events_ds, *, convert_type: str = "purchase",
             "secs_since_click": pa.array(secs, pa.float64()),
         })
 
-    return events_ds.select_columns(
-        ["event_id", "user_id", "event_type", "ts"]) \
-        .groupby("user_id").map_groups(scan, batch_format="pyarrow")
+    return per_key_in_buckets(
+        events_ds.select_columns(
+            ["event_id", "user_id", "event_type", "ts"]),
+        "user_id", scan)
 
 
 def events_timeseries_filled(events_ds):
@@ -2963,9 +2959,10 @@ def time_to_conversion(events_ds, *, from_type: str = "click",
             "secs_to_conv": pa.array(secs, pa.float64()),
         })
 
-    return events_ds.select_columns(
-        ["event_id", "user_id", "event_type", "ts"]) \
-        .groupby("user_id").map_groups(scan, batch_format="pyarrow")
+    return per_key_in_buckets(
+        events_ds.select_columns(
+            ["event_id", "user_id", "event_type", "ts"]),
+        "user_id", scan)
 
 
 def session_paths(events_ds, *, gap_secs: float = 1800.0, k: int = 25,
@@ -3006,9 +3003,10 @@ def session_paths(events_ds, *, gap_secs: float = 1800.0, k: int = 25,
             "partial_n": pa.array(list(paths.values()), pa.int64()),
         })
 
-    partial = events_ds.select_columns(
-        ["event_id", "user_id", "ts", "event_type"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    partial = per_key_in_buckets(
+        events_ds.select_columns(
+            ["event_id", "user_id", "ts", "event_type"]),
+        "user_id", per_user)
 
     agg = coalesce_small(partial).groupby("path").aggregate(
         Sum("partial_n"))
@@ -3947,8 +3945,9 @@ def session_stats(events_ds, *, gap_secs: float = 1800.0):
                                           pa.float64()),
         })
 
-    return events_ds.select_columns(["event_id", "user_id", "ts"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return per_key_in_buckets(
+        events_ds.select_columns(["event_id", "user_id", "ts"]),
+        "user_id", per_user)
 
 
 def type_cooccurrence_lift(events_ds, *, gap_secs: float = 1800.0):
@@ -4005,9 +4004,10 @@ def type_cooccurrence_lift(events_ds, *, gap_secs: float = 1800.0):
         })
 
     counts = coalesce_small(
-        events_ds.select_columns(["event_id", "user_id", "ts",
-                                  "event_type"])
-        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")) \
+        per_key_in_buckets(
+            events_ds.select_columns(["event_id", "user_id", "ts",
+                                      "event_type"]),
+            "user_id", per_user)) \
         .groupby(["a", "b"]).aggregate(Sum("partial_n")).take_all()
 
     singles, pairs = {}, {}
@@ -4225,8 +4225,9 @@ def interarrival_histogram(events_ds, *, n_bins: int = 20):
                          "partial_n": pa.array(counts, pa.int64())})
 
     agg = coalesce_small(
-        events_ds.select_columns(["event_id", "user_id", "ts"])
-        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")) \
+        per_key_in_buckets(
+            events_ds.select_columns(["event_id", "user_id", "ts"]),
+            "user_id", per_user)) \
         .groupby("bin").aggregate(Sum("partial_n"))
     return agg.map_batches(
         lambda b: pa.table({
