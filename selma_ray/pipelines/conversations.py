@@ -492,8 +492,11 @@ def role_transitions(turns_ds, *, conv_col: str = "conv_id",
                          "partial_n": pc.cast(agg.column("count_all"),
                                               pa.int64())})
 
-    partial = turns_ds.map_batches(slim, batch_format="pyarrow") \
-        .groupby(conv_col).map_groups(transitions, batch_format="pyarrow")
+    from ..stages.util import per_key_in_buckets
+
+    partial = per_key_in_buckets(
+        turns_ds.map_batches(slim, batch_format="pyarrow"),
+        conv_col, transitions)
 
     agg = coalesce_small(partial).groupby(["prev_role", "role"]) \
         .aggregate(Sum("partial_n"))
@@ -551,5 +554,6 @@ def repeated_turn_report(turns_ds, *, conv_col: str = "conv_id",
             "max_repeat": pa.array([int(max(n))], pa.int64()),
         })
 
-    return counts.groupby(conv_col).map_groups(finish,
-                                               batch_format="pyarrow")
+    from ..stages.util import per_key_in_buckets
+
+    return per_key_in_buckets(counts, conv_col, finish)

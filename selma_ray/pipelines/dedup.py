@@ -45,7 +45,8 @@ from ..functions.hashing import (
     shingle_hashes,
     simhash64,
 )
-from ..stages.util import coalesce_small, split_blocks
+from ..stages.util import (coalesce_small, per_key_in_buckets,
+                           split_blocks)
 
 PAIR_SCHEMA = pa.schema([
     ("id_a", pa.int64()),
@@ -128,11 +129,12 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
                                 pc.min(group.column(id_col))), True).as_py()
         return group.slice(idx, 1)
 
-    return ds.map_batches(
-        exact_dedup_combine_batch,
-        fn_kwargs={"id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow",
-    ).groupby("text_hash").map_groups(first_global, batch_format="pyarrow")
+    return per_key_in_buckets(
+        ds.map_batches(
+            exact_dedup_combine_batch,
+            fn_kwargs={"id_col": id_col, "text_col": text_col},
+            batch_format="pyarrow"),
+        "text_hash", first_global)
 
 
 def exact_dedup_combine_batch(batch: pa.Table, *, id_col: str = "doc_id",
@@ -284,10 +286,9 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     banded = ds.map_batches(_minhash_band_fn, **kwargs)
-    pairs = split_blocks(banded, target_rows=16384) \
-        .groupby("band_key").map_groups(
-            _bucket_pairs_fn(k, threshold, max_bucket),
-            batch_format="pyarrow")
+    pairs = per_key_in_buckets(
+        banded, "band_key", _bucket_pairs_fn(k, threshold, max_bucket),
+        target_rows=16384)
     # a pair can surface in several bands: keep one copy (aggregate, not
     # per-group map_groups — pairs are tiny but numerous)
     return _dedup_pairs(pairs, "minhash_lsh")
@@ -422,8 +423,8 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     banded = ds.map_batches(_simhash_band_fn, **kwargs)
-    pairs = coalesce_small(banded).groupby("band_key").map_groups(
-        _simhash_bucket_pairs(max_dist, max_bucket), batch_format="pyarrow")
+    pairs = per_key_in_buckets(
+        banded, "band_key", _simhash_bucket_pairs(max_dist, max_bucket))
     return _dedup_pairs(pairs, "simhash")
 
 
@@ -454,9 +455,8 @@ def image_phash_pairs(ds, *, id_col: str = "doc_id",
                                    fake=fake),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
-    pairs = coalesce_small(banded).groupby("band_key").map_groups(
-        _simhash_bucket_pairs(max_dist, max_bucket),
-        batch_format="pyarrow")
+    pairs = per_key_in_buckets(
+        banded, "band_key", _simhash_bucket_pairs(max_dist, max_bucket))
     return _dedup_pairs(pairs, "image_phash")
 
 
@@ -711,8 +711,10 @@ def dup_span_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     from ray.data.aggregate import Count
 
     wins = coalesce_small(ds.map_batches(windows, batch_format="pyarrow"))
-    pairs = wins.groupby("h").map_groups(bucket_pairs,
-                                         batch_format="pandas")
+    pairs = per_key_in_buckets(
+        wins, "h",
+        lambda t: pa.Table.from_pandas(bucket_pairs(t.to_pandas()),
+                                       preserve_index=False))
     agg = coalesce_small(pairs).groupby(["id_a", "id_b"]) \
         .aggregate(Count())
 
@@ -1010,8 +1012,10 @@ def passage_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return df[[id_col]].iloc[:1].assign(
             keep_idx=",".join(map(str, sorted(df["chunk_idx"].tolist()))))
 
-    keep_lists = winners.map_batches(unpack, batch_format="pyarrow") \
-        .groupby(id_col).map_groups(collect, batch_format="pandas")
+    keep_lists = per_key_in_buckets(
+        winners.map_batches(unpack, batch_format="pyarrow"), id_col,
+        lambda t: pa.Table.from_pandas(collect(t.to_pandas()),
+                                       preserve_index=False))
 
     joined = ds.select_columns([id_col, text_col]).join(
         keep_lists, join_type="left_outer",
@@ -1140,10 +1144,9 @@ def fuzzy_pairs(ds, *, col: str = "p_name"):
     def batch_distinct(batch: pa.Table) -> pa.Table:
         return pa.table({"name": pc.unique(batch.column(col))})
 
-    distinct = coalesce_small(
-        ds.map_batches(batch_distinct, batch_format="pyarrow")) \
-        .groupby("name").map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow")
+    distinct = per_key_in_buckets(
+        ds.map_batches(batch_distinct, batch_format="pyarrow"),
+        "name", lambda g: g.slice(0, 1))
 
     def expand(batch: pa.Table) -> pa.Table:
         keys, names = [], []
@@ -1165,9 +1168,9 @@ def fuzzy_pairs(ds, *, col: str = "p_name"):
         return pa.table({"name_a": pa.array(a_out, pa.large_string()),
                          "name_b": pa.array(b_out, pa.large_string())})
 
-    cand = coalesce_small(
-        distinct.map_batches(expand, batch_format="pyarrow")) \
-        .groupby("k").map_groups(bucket_pairs, batch_format="pyarrow")
+    cand = per_key_in_buckets(
+        distinct.map_batches(expand, batch_format="pyarrow"),
+        "k", bucket_pairs)
 
     def finish(group: pa.Table) -> pa.Table:
         g = group.slice(0, 1)
@@ -1177,8 +1180,7 @@ def fuzzy_pairs(ds, *, col: str = "p_name"):
             "dist": pa.array([1], pa.int64()),
         })
 
-    return coalesce_small(cand).groupby(["name_a", "name_b"]) \
-        .map_groups(finish, batch_format="pyarrow")
+    return per_key_in_buckets(cand, ["name_a", "name_b"], finish)
 
 
 def corpus_diff(new_ds, old_ds, *, id_col: str = "doc_id",
@@ -1298,9 +1300,8 @@ def cross_corpus_pairs(ds_a, ds_b, *, id_col: str = "doc_id",
             "method": pa.array(["minhash_cross"] * len(a_out)),
         })
 
-    pairs = split_blocks(banded, target_rows=16384) \
-        .groupby("band_key").map_groups(bucket_cross,
-                                        batch_format="pyarrow")
+    pairs = per_key_in_buckets(banded, "band_key", bucket_cross,
+                               target_rows=16384)
     return _dedup_pairs(pairs, "minhash_cross")
 
 
@@ -1390,9 +1391,9 @@ def cross_source_dup_matrix(ds, *, source_col: str = "source",
             "partial_n": pa.array([1] * len(a), pa.int64()),
         })
 
-    per_hash = coalesce_small(
-        ds.map_batches(partial, batch_format="pyarrow")) \
-        .groupby("text_hash").map_groups(pairs, batch_format="pyarrow")
+    per_hash = per_key_in_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "text_hash", pairs)
 
     out = coalesce_small(per_hash).groupby(["source_a", "source_b"]) \
         .aggregate(Sum("partial_n"))
@@ -1511,14 +1512,12 @@ def jaccard_prefix_join(ds, *, id_col: str = "doc_id",
             "jaccard": pa.array(j_out, pa.float64()),
         })
 
-    pairs = cand.groupby("ptok").map_groups(bucket_pairs,
-                                            batch_format="pyarrow")
+    pairs = per_key_in_buckets(cand, "ptok", bucket_pairs)
 
     def first(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    return coalesce_small(pairs).groupby(["id_a", "id_b"]) \
-        .map_groups(first, batch_format="pyarrow")
+    return per_key_in_buckets(pairs, ["id_a", "id_b"], first)
 
 
 def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
@@ -1553,9 +1552,9 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
                               (id_col, "ascending")])
         return group.take(order).slice(0, 1).drop_columns(["text_hash"])
 
-    return ds.map_batches(best_in_batch, batch_format="pyarrow") \
-        .groupby("text_hash").map_groups(best_global,
-                                         batch_format="pyarrow")
+    return per_key_in_buckets(
+        ds.map_batches(best_in_batch, batch_format="pyarrow"),
+        "text_hash", best_global)
 
 
 def dedup_comparison(ds, *, id_col: str = "doc_id",

@@ -24,10 +24,11 @@ def _distinct_int(ds, col: str, out_name: str):
         return pa.table({
             out_name: pc.unique(pc.cast(batch.column(col), pa.int64()))})
 
-    return coalesce_small(
-        ds.map_batches(per_batch, batch_format="pyarrow")) \
-        .groupby(out_name).map_groups(lambda g: g.slice(0, 1),
-                                      batch_format="pyarrow")
+    from ..stages.util import per_key_in_buckets
+
+    return per_key_in_buckets(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        out_name, lambda g: g.slice(0, 1))
 
 
 def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
@@ -50,10 +51,12 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             "dst": pc.cast(b.column(dst_col), pa.int64()),
         }), batch_format="pyarrow").materialize()
 
-    nodes = _distinct_int(edges, "src", "node") \
-        .union(_distinct_int(edges, "dst", "node")) \
-        .groupby("node").map_groups(lambda g: g.slice(0, 1),
-                                    batch_format="pyarrow").materialize()
+    from ..stages.util import per_key_in_buckets
+
+    nodes = per_key_in_buckets(
+        _distinct_int(edges, "src", "node")
+        .union(_distinct_int(edges, "dst", "node")),
+        "node", lambda g: g.slice(0, 1)).materialize()
     n = nodes.count()
     if n == 0:
         return nodes.map_batches(

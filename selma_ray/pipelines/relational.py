@@ -1250,8 +1250,12 @@ def rank_rows(ds, *, key_col: str = "n_chars", id_col: str = "doc_id",
             "tile": tile.astype(np.int64),
         })
 
-    return ds.select_columns([id_col, key_col]) \
-        .groupby(key_col).map_groups(number, batch_format="pandas")
+    import pandas as _pd
+
+    return per_key_in_buckets(
+        ds.select_columns([id_col, key_col]), key_col,
+        lambda t: pa.Table.from_pandas(number(t.to_pandas()),
+                                       preserve_index=False))
 
 
 def events_rollup_sets(ds):
@@ -1716,8 +1720,7 @@ def compact_latest(events_ds, *, key_cols: list[str],
         return srt.filter(pa.array(first))
 
     combined = events_ds.map_batches(keep_latest, batch_format="pyarrow")
-    return coalesce_small(combined).groupby(key_cols) \
-        .map_groups(keep_latest, batch_format="pyarrow")
+    return per_key_in_buckets(combined, key_cols, keep_latest)
 
 
 def user_first_last(events_ds):
@@ -1777,8 +1780,7 @@ def user_first_last(events_ds):
 
     combined = events_ds.select_columns(["event_id", "user_id", "ts"]) \
         .map_batches(ends, batch_format="pyarrow")
-    return coalesce_small(combined).groupby("user_id") \
-        .map_groups(fold, batch_format="pyarrow")
+    return per_key_in_buckets(combined, "user_id", fold)
 
 
 def funnel_steps(events_ds, steps: list[str]):
@@ -2268,8 +2270,8 @@ def debounce_events(events_ds, *, gap_secs: float = 3600.0):
         return g.select(["event_id", "user_id", "event_type", "ts",
                          "value"]).filter(pa.array(keep))
 
-    return events_ds.groupby(["user_id", "event_type"]).map_groups(
-        scan, batch_format="pyarrow")
+    return per_key_in_buckets(events_ds, ["user_id", "event_type"],
+                              scan)
 
 
 def user_event_entropy(events_ds):

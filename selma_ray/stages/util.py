@@ -116,7 +116,7 @@ def key_buckets(arr, num_buckets: int):
         .astype(np.int32)
 
 
-def per_key_in_buckets(ds, key_col: str, fn, *, num_buckets: int = 256,
+def per_key_in_buckets(ds, key_col, fn, *, num_buckets: int = 256,
                        target_rows: int = 65536):
     """Per-KEY ``map_groups`` semantics at per-BUCKET task cost.
 
@@ -129,6 +129,7 @@ def per_key_in_buckets(ds, key_col: str, fn, *, num_buckets: int = 256,
     never appears in the task count: per-entity overhead drops from a
     task launch (~tens of microseconds at best) to a function call,
     and the reducer fan-in is bounded by ``num_buckets`` at any scale.
+    ``key_col`` may be a single column name or a list (composite key).
     Use for per-entity ops whose fn is not worth hand-vectorizing
     across entities; use :func:`bucketed_map_groups` directly when it
     is."""
@@ -136,18 +137,23 @@ def per_key_in_buckets(ds, key_col: str, fn, *, num_buckets: int = 256,
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    cols = [key_col] if isinstance(key_col, str) else list(key_col)
+
     def run(tbl: "pa.Table") -> "pa.Table":
-        order = pc.sort_indices(tbl,
-                                sort_keys=[(key_col, "ascending")])
+        order = pc.sort_indices(
+            tbl, sort_keys=[(c, "ascending") for c in cols])
         g = tbl.take(order)
-        keys = g.column(key_col).to_numpy(zero_copy_only=False)
-        bounds = np.nonzero(np.concatenate(
-            ([True], keys[1:] != keys[:-1], [True])))[0]
+        n = g.num_rows
+        edge = np.zeros(max(n - 1, 0), bool)
+        for c in cols:
+            kv = g.column(c).to_numpy(zero_copy_only=False)
+            edge |= kv[1:] != kv[:-1]
+        bounds = np.nonzero(np.concatenate(([True], edge, [True])))[0]
         outs = [fn(g.slice(s, e - s))
                 for s, e in zip(bounds[:-1], bounds[1:])]
         return pa.concat_tables(outs, promote_options="default")
 
-    return bucketed_map_groups(ds, key_col, run,
+    return bucketed_map_groups(ds, cols, run,
                                num_buckets=num_buckets,
                                target_rows=target_rows)
 
@@ -167,11 +173,19 @@ def bucketed_map_groups(ds, key_col: str, fn, *, num_buckets: int = 256,
     of key cardinality (at 100 TB raise it; each bucket must fit one
     task's heap). ``fn`` receives all rows of one bucket (the key
     column included, ``_bucket`` already dropped) and returns any
-    reduced table."""
+    reduced table. ``key_col`` may be a single name or a list
+    (composite key: per-column hashes fold through splitmix64)."""
+    import numpy as np
     import pyarrow as pa
 
+    cols = [key_col] if isinstance(key_col, str) else list(key_col)
+
     def tag(batch: "pa.Table") -> "pa.Table":
-        b = key_buckets(batch.column(key_col), num_buckets)
+        acc = None
+        for c in cols:
+            h = splitmix64(key_u64(batch.column(c)))
+            acc = h if acc is None else splitmix64(acc ^ h)
+        b = (acc % np.uint64(num_buckets)).astype(np.int32)
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
     def run(group: "pa.Table") -> "pa.Table":
