@@ -288,7 +288,7 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     banded = ds.map_batches(_minhash_band_fn, **kwargs)
     pairs = per_key_in_buckets(
         banded, "band_key", _bucket_pairs_fn(k, threshold, max_bucket),
-        target_rows=16384)
+        target_rows=16384, min_rows=2)
     # a pair can surface in several bands: keep one copy (aggregate, not
     # per-group map_groups — pairs are tiny but numerous)
     return _dedup_pairs(pairs, "minhash_lsh")
@@ -424,7 +424,8 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         kwargs["concurrency"] = concurrency
     banded = ds.map_batches(_simhash_band_fn, **kwargs)
     pairs = per_key_in_buckets(
-        banded, "band_key", _simhash_bucket_pairs(max_dist, max_bucket))
+        banded, "band_key", _simhash_bucket_pairs(max_dist, max_bucket),
+        min_rows=2)
     return _dedup_pairs(pairs, "simhash")
 
 
@@ -456,7 +457,8 @@ def image_phash_pairs(ds, *, id_col: str = "doc_id",
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
     pairs = per_key_in_buckets(
-        banded, "band_key", _simhash_bucket_pairs(max_dist, max_bucket))
+        banded, "band_key", _simhash_bucket_pairs(max_dist, max_bucket),
+        min_rows=2)
     return _dedup_pairs(pairs, "image_phash")
 
 
@@ -714,7 +716,8 @@ def dup_span_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     pairs = per_key_in_buckets(
         wins, "h",
         lambda t: pa.Table.from_pandas(bucket_pairs(t.to_pandas()),
-                                       preserve_index=False))
+                                       preserve_index=False),
+        min_rows=2)
     agg = coalesce_small(pairs).groupby(["id_a", "id_b"]) \
         .aggregate(Count())
 
@@ -1170,7 +1173,7 @@ def fuzzy_pairs(ds, *, col: str = "p_name"):
 
     cand = per_key_in_buckets(
         distinct.map_batches(expand, batch_format="pyarrow"),
-        "k", bucket_pairs)
+        "k", bucket_pairs, min_rows=2)
 
     def finish(group: pa.Table) -> pa.Table:
         g = group.slice(0, 1)
@@ -1301,7 +1304,7 @@ def cross_corpus_pairs(ds_a, ds_b, *, id_col: str = "doc_id",
         })
 
     pairs = per_key_in_buckets(banded, "band_key", bucket_cross,
-                               target_rows=16384)
+                               target_rows=16384, min_rows=2)
     return _dedup_pairs(pairs, "minhash_cross")
 
 
@@ -1391,6 +1394,8 @@ def cross_source_dup_matrix(ds, *, source_col: str = "source",
             "partial_n": pa.array([1] * len(a), pa.int64()),
         })
 
+    # NOTE: no min_rows skip — a single-(hash, source) group still
+    # contributes its diagonal (s, s) row
     per_hash = per_key_in_buckets(
         ds.map_batches(partial, batch_format="pyarrow"),
         "text_hash", pairs)
@@ -1512,7 +1517,8 @@ def jaccard_prefix_join(ds, *, id_col: str = "doc_id",
             "jaccard": pa.array(j_out, pa.float64()),
         })
 
-    pairs = per_key_in_buckets(cand, "ptok", bucket_pairs)
+    pairs = per_key_in_buckets(cand, "ptok", bucket_pairs,
+                               min_rows=2)
 
     def first(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)

@@ -117,7 +117,7 @@ def key_buckets(arr, num_buckets: int):
 
 
 def per_key_in_buckets(ds, key_col, fn, *, num_buckets: int = 256,
-                       target_rows: int = 65536):
+                       target_rows: int = 65536, min_rows: int = 1):
     """Per-KEY ``map_groups`` semantics at per-BUCKET task cost.
 
     ``fn`` keeps the exact ``groupby(key).map_groups`` contract — it
@@ -130,6 +130,12 @@ def per_key_in_buckets(ds, key_col, fn, *, num_buckets: int = 256,
     task launch (~tens of microseconds at best) to a function call,
     and the reducer fan-in is bounded by ``num_buckets`` at any scale.
     ``key_col`` may be a single column name or a list (composite key).
+    ``min_rows`` skips key groups smaller than it WITHOUT calling
+    ``fn`` — set it when small groups provably contribute nothing
+    (pair mining needs >= 2 rows per bucket key; most band keys are
+    singletons, and per-singleton fn/empty-table churn dominates
+    otherwise). One representative call on a sub-threshold slice
+    supplies the output schema when every group was skipped.
     Use for per-entity ops whose fn is not worth hand-vectorizing
     across entities; use :func:`bucketed_map_groups` directly when it
     is."""
@@ -150,7 +156,12 @@ def per_key_in_buckets(ds, key_col, fn, *, num_buckets: int = 256,
             edge |= kv[1:] != kv[:-1]
         bounds = np.nonzero(np.concatenate(([True], edge, [True])))[0]
         outs = [fn(g.slice(s, e - s))
-                for s, e in zip(bounds[:-1], bounds[1:])]
+                for s, e in zip(bounds[:-1], bounds[1:])
+                if e - s >= min_rows]
+        if not outs:
+            # schema-only: fn of a sub-threshold slice yields its
+            # (empty) output table
+            outs = [fn(g.slice(0, min(n, max(min_rows - 1, 1))))]
         return pa.concat_tables(outs, promote_options="default")
 
     return bucketed_map_groups(ds, cols, run,
