@@ -164,6 +164,65 @@ def test_key_u64_null_and_big_int_keys():
     assert list(b1) == list(b2)
 
 
+def test_per_key_in_buckets_matches_groupby_map_groups(ray_session):
+    """per_key_in_buckets must be output-equivalent to Ray's
+    groupby(key).map_groups for a per-key fn — single key, composite
+    key, string keys, and across partitionings."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from selma_ray.stages.util import per_key_in_buckets
+
+    n = 2000
+    t = pa.table({
+        "k": pa.array((np.arange(n) * 7) % 97, pa.int64()),
+        "s": pa.array([f"g{i % 13}" for i in range(n)]),
+        "v": pa.array(np.arange(n) % 31, pa.int64()),
+    })
+
+    def agg(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": group.column("k").slice(0, 1),
+            "s": group.column("s").slice(0, 1),
+            "total": pa.array(
+                [int(pa.compute.sum(group.column("v")).as_py())],
+                pa.int64()),
+            "n": pa.array([group.num_rows], pa.int64()),
+        })
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for parts in (1, 7):
+        src = ray.data.from_arrow(t).repartition(parts)
+        want = norm(src.groupby(["k", "s"]).map_groups(
+            agg, batch_format="pyarrow"))
+        got = norm(per_key_in_buckets(src, ["k", "s"], agg,
+                                      num_buckets=16))
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    # min_rows skip: pair-style fn that emits nothing under 2 rows
+    def pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"k": group.column("k").slice(0, 1),
+                         "n": pa.array([group.num_rows], pa.int64())})
+
+    # keys 0..96: each appears ~20x, plus one singleton key 1000
+    t2 = pa.table({"k": pa.array(list((np.arange(n) * 7) % 97)
+                                 + [1000], pa.int64())})
+    src2 = ray.data.from_arrow(t2).repartition(5)
+    base = norm(src2.groupby("k").map_groups(pairs,
+                                             batch_format="pyarrow"))
+    skip = norm(per_key_in_buckets(src2, "k", pairs, num_buckets=8,
+                                   min_rows=2))
+    pd.testing.assert_frame_equal(skip, base, check_exact=True)
+
+
 def test_key_u64_uint64_above_2_63():
     """uint64 keys past 2^63 must hash bit-exactly, not raise
     ArrowInvalid from a checked int64 cast."""
