@@ -1684,6 +1684,55 @@ def term_burstiness(ds, *, text_col: str = "text"):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _partial_bigrams(batch: pa.Table, group_col: str,
+                     text_col: str) -> pa.Table:
+    """Vectorized per-batch bigram combiner: (g, w1, w2, partial_n)
+    per distinct within-doc word bigram in the batch. Tokenization
+    matches Python ``str.split()`` / SQL ``regexp_extract_all('\\S+')``:
+    utf8_split_whitespace only emits empty tokens at string edges
+    (interior runs collapse), so filtering empties from the flat
+    token stream preserves adjacency; bigrams are then the
+    (flat[i], flat[i+1]) pairs whose parent row matches."""
+    toks = batch.column(text_col)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    g = batch.column(group_col)
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    lists = pc.utf8_split_whitespace(toks)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat = flat.filter(keep)
+    parent = parent.filter(keep)
+    p = parent.to_numpy(zero_copy_only=False)
+    n = len(p)
+    empty = pa.table({
+        "g": pa.array([], g.type),
+        "w1": pa.array([], pa.large_string()),
+        "w2": pa.array([], pa.large_string()),
+        "partial_n": pa.array([], pa.int64()),
+    })
+    if n < 2:
+        return empty
+    same = pa.array(p[1:] == p[:-1])
+    w1 = flat.slice(0, n - 1).filter(same)
+    if len(w1) == 0:
+        return empty
+    tb = pa.table({
+        "g": g.take(pa.array(p[:-1][p[1:] == p[:-1]])),
+        "w1": w1.cast(pa.large_string()),
+        "w2": flat.slice(1, n - 1).filter(same).cast(pa.large_string()),
+    })
+    agg = tb.group_by(["g", "w1", "w2"]).aggregate([("w2", "count")])
+    return pa.table({
+        "g": agg.column("g"),
+        "w1": agg.column("w1"),
+        "w2": agg.column("w2"),
+        "partial_n": pc.cast(agg.column("w2_count"), pa.int64()),
+    })
+
+
 def bigram_entropy_by_group(ds, *, group_col: str = "lang",
                             text_col: str = "text"):
     """Per-group bigram conditional entropy -> (group, n_bigrams,
@@ -1691,114 +1740,233 @@ def bigram_entropy_by_group(ds, *, group_col: str = "lang",
     within-doc word bigrams — the predictability/repetitiveness signal
     (templated or looping text scores near 0; diverse prose higher).
 
-    Per-batch (group, w1, w2) Counter combiner -> one groupby sum;
-    the entropy fold H = -sum (n_xy/N) ln(n_xy / n_x.) runs per group
-    over its reduced bigram table (vocab^2-bounded) with exact integer
-    counts and np.log for SQL ln parity.
+    Fully decomposed — no task ever holds a group's bigram table
+    (unbounded at web scale: ~10^10 distinct bigrams per major
+    language). H = -(1/N) [sum_xy n_xy ln n_xy - sum_x n_x. ln n_x.]
+    splits into per-(g, w1) partial terms:
+
+      1. vectorized per-batch (g, w1, w2) combiner -> groupby sum
+         gives exact global bigram counts n_xy, one row each;
+      2. per-row n ln n, combined per (g, w1) -> groupby(g, w1) sums
+         yield n_x. and sum_y n_xy ln n_xy per prefix word;
+      3. per-(g, w1) partial = sum_nlogn - n_x. ln n_x., combined per
+         g -> groupby(g) sums give the numerator and N;
+      4. H = -numerator / N.
+
+    Every shuffle after step 1 carries per-prefix (then per-group)
+    scalars, so task memory is bounded by block size at any corpus
+    size. np.log throughout for SQL ln parity (fp-order differences
+    vs the oracle's single-expression fold are ~1e-12 relative).
     """
     from ray.data.aggregate import Sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: dict = {}
-        for g, t in zip(batch.column(group_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            toks = (t or "").split()
-            for i in range(len(toks) - 1):
-                key = (g, toks[i], toks[i + 1])
-                counts[key] = counts.get(key, 0) + 1
-        return pa.table({
-            "g": pa.array([k[0] for k in counts]),
-            "w1": pa.array([k[1] for k in counts], pa.large_string()),
-            "w2": pa.array([k[2] for k in counts], pa.large_string()),
-            "partial_n": pa.array(list(counts.values()), pa.int64()),
-        })
-
-    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
+    agg = coalesce_small(
+        ds.map_batches(_partial_bigrams, batch_format="pyarrow",
+                       fn_kwargs={"group_col": group_col,
+                                  "text_col": text_col})) \
         .groupby(["g", "w1", "w2"]).aggregate(Sum("partial_n"))
 
-    def finish(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({
-            "w1": group.column("w1").to_pylist(),
-            "n": group.column("sum(partial_n)").to_pylist(),
+    def w1_partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(partial_n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nf = n.astype(np.float64)
+        tb = pa.table({
+            "g": batch.column("g"),
+            "w1": batch.column("w1"),
+            "pn": pa.array(n, pa.int64()),
+            "pnlogn": pa.array(nf * np.log(nf), pa.float64()),
         })
-        nx = df.groupby("w1")["n"].transform("sum").to_numpy(np.float64)
-        n = df["n"].to_numpy(np.float64)
-        N = n.sum()
-        h = float(-((n / N) * np.log(n / nx)).sum())
+        c = tb.group_by(["g", "w1"]).aggregate(
+            [("pn", "sum"), ("pnlogn", "sum")])
         return pa.table({
-            "grp": pa.array([group.column("g")[0].as_py()]),
-            "n_bigrams": pa.array([int(N)], pa.int64()),
-            "value_entropy": pa.array([h], pa.float64()),
+            "g": c.column("g"),
+            "w1": c.column("w1"),
+            "pn": pc.cast(c.column("pn_sum"), pa.int64()),
+            "pnlogn": c.column("pnlogn_sum"),
         })
 
-    return agg.groupby("g").map_groups(finish, batch_format="pyarrow")
+    agg2 = coalesce_small(
+        agg.map_batches(w1_partial, batch_format="pyarrow")) \
+        .groupby(["g", "w1"]).aggregate(Sum("pn"), Sum("pnlogn"))
+
+    def g_partial(batch: pa.Table) -> pa.Table:
+        nx = batch.column("sum(pn)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        snl = batch.column("sum(pnlogn)").to_numpy(zero_copy_only=False)
+        nxf = nx.astype(np.float64)
+        tb = pa.table({
+            "g": batch.column("g"),
+            "pN": pa.array(nx, pa.int64()),
+            "pnum": pa.array(snl - nxf * np.log(nxf), pa.float64()),
+        })
+        c = tb.group_by("g").aggregate([("pN", "sum"), ("pnum", "sum")])
+        return pa.table({
+            "g": c.column("g"),
+            "pN": pc.cast(c.column("pN_sum"), pa.int64()),
+            "pnum": c.column("pnum_sum"),
+        })
+
+    agg3 = coalesce_small(
+        agg2.map_batches(g_partial, batch_format="pyarrow")) \
+        .groupby("g").aggregate(Sum("pN"), Sum("pnum"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        N = batch.column("sum(pN)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        num = batch.column("sum(pnum)").to_numpy(zero_copy_only=False)
+        h = np.where(N > 0, -(num / np.maximum(N, 1)), 0.0)
+        return pa.table({
+            "grp": batch.column("g"),
+            "n_bigrams": pa.array(N, pa.int64()),
+            "value_entropy": pa.array(h + 0.0, pa.float64()),
+        })
+
+    return agg3.map_batches(finish, batch_format="pyarrow")
+
+
+def _partial_group_terms(batch: pa.Table, group_col: str,
+                         text_col: str) -> pa.Table:
+    """Vectorized per-batch (g, term, partial_n) combiner — the
+    group-keyed sibling of ``_partial_terms``: utf8_split_whitespace
+    -> list_flatten + list_parent_indices (maps each token back to
+    its row's group value) -> one hash groupby per batch."""
+    toks = batch.column(text_col)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    g = batch.column(group_col)
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    lists = pc.utf8_split_whitespace(toks)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat = flat.filter(keep)
+    parent = parent.filter(keep)
+    tb = pa.table({
+        "g": g.take(parent),
+        "term": flat.cast(pa.large_string()),
+    })
+    agg = tb.group_by(["g", "term"]).aggregate([("term", "count")])
+    return pa.table({
+        "g": agg.column("g"),
+        "term": agg.column("term"),
+        "partial_n": pc.cast(agg.column("term_count"), pa.int64()),
+    })
 
 
 def source_cross_entropy(ds, *, group_col: str = "source",
-                         text_col: str = "text"):
+                         text_col: str = "text",
+                         num_buckets: int = 64):
     """Pairwise unigram cross-entropy matrix -> (src_a, src_b,
     value_ce): H(P_a, Q_b) = -sum_w p_a(w) ln q_b(w) with add-1
     smoothing over the JOINT vocab — "how surprising is corpus A
     under corpus B's unigram LM", the distributional counterpart of
     source_vocab_overlap's set view (low off-diagonal = transferable).
 
-    One (group, term) count reduction; the groups^2 x vocab fold runs
-    in a single task over the reduced table (both bounded), exact
-    counts, np.log for ln parity.
+    Fully decomposed — no task ever holds the joint vocabulary (~10^9
+    distinct tokens at 100 TB). The fold uses the algebraic split
+
+      H(P_a, Q_b) = ln(T_b + V) - (1/T_a) * S(a, b),
+      S(a, b)     = sum_w n_a(w) * ln(n_b(w) + 1),
+
+    where only terms present in BOTH corpora contribute to S
+    (n_b = 0 gives ln 1 = 0), T_g are per-group token totals and V is
+    the joint distinct-vocab size. Execution shape:
+
+      1. vectorized per-batch (g, term) combiner -> groupby(g, term)
+         sum: exact global counts, one row per (group, term);
+      2. per-group totals T_g via a per-batch combiner + tiny
+         groupby(g) sum (G rows to the driver);
+      3. ONE bucketed exchange on term (``bucketed_map_groups``): each
+         bucket task self-joins its slice of the count table on term —
+         per-term work is |groups containing the term|^2, G-bounded —
+         emitting per-bucket partial S(a, b) sums, plus a marker row
+         carrying the bucket's distinct-term count (each term lives in
+         exactly one bucket, so the marker sum is exactly V);
+      4. groupby over the G^2-sized partial table, then a driver-side
+         assembly of the G x G matrix from the tiny S / T / V
+         aggregates.
+
+    Task memory is bounded by vocab x G / num_buckets (raise
+    ``num_buckets`` at scale); the shuffles after step 1 carry
+    G^2 + bucket-count rows. np.log for SQL ln parity.
     """
     from ray.data.aggregate import Sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: dict = {}
-        for g, t in zip(batch.column(group_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            for w in (t or "").split():
-                key = (g, w)
-                counts[key] = counts.get(key, 0) + 1
+    import ray.data as rd
+
+    from ..stages.util import bucketed_map_groups
+
+    agg = coalesce_small(
+        ds.map_batches(_partial_group_terms, batch_format="pyarrow",
+                       fn_kwargs={"group_col": group_col,
+                                  "text_col": text_col})) \
+        .groupby(["g", "term"]).aggregate(Sum("partial_n")) \
+        .materialize()   # consumed twice: totals + the S fold
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        tb = pa.table({
+            "g": batch.column("g"),
+            "pt": pc.cast(batch.column("sum(partial_n)"), pa.int64()),
+        })
+        c = tb.group_by("g").aggregate([("pt", "sum")])
         return pa.table({
-            "g": pa.array([k[0] for k in counts]),
-            "term": pa.array([k[1] for k in counts], pa.large_string()),
-            "partial_n": pa.array(list(counts.values()), pa.int64()),
+            "g": c.column("g"),
+            "pt": pc.cast(c.column("pt_sum"), pa.int64()),
         })
 
-    agg = coalesce_small(ds.map_batches(partial, batch_format="pyarrow")) \
-        .groupby(["g", "term"]).aggregate(Sum("partial_n"))
+    totals_rows = coalesce_small(
+        agg.map_batches(tot_partial, batch_format="pyarrow")) \
+        .groupby("g").aggregate(Sum("pt")).take_all()
+    totals = {r["g"]: int(r["sum(pt)"]) for r in totals_rows}
 
-    def finish(batch: pa.Table) -> pa.Table:
+    def fold(bucket: pa.Table) -> pa.Table:
         import pandas as pd
 
         df = pd.DataFrame({
-            "g": batch.column("g").to_pylist(),
-            "term": batch.column("term").to_pylist(),
-            "n": batch.column("sum(partial_n)").to_pylist(),
+            "g": bucket.column("g").to_pylist(),
+            "term": bucket.column("term").to_pylist(),
+            "n": bucket.column("sum(partial_n)").to_pylist(),
         })
-        vocab = sorted(df["term"].unique())
-        v = len(vocab)
-        groups = sorted(df["g"].unique())
-        mats = {}
-        for g in groups:
-            sub = df[df["g"] == g].set_index("term")["n"]
-            cnt = np.array([int(sub.get(w, 0)) for w in vocab],
-                           np.int64)
-            tot = int(cnt.sum())
-            mats[g] = (cnt, tot)
-        out_a, out_b, out_ce = [], [], []
-        for a in groups:
-            ca, ta = mats[a]
-            pa_ = ca / ta
-            for b in groups:
-                cb, tb = mats[b]
-                qb = (cb + 1.0) / (tb + v)
-                out_a.append(a)
-                out_b.append(b)
-                out_ce.append(float(-(pa_ * np.log(qb)).sum()))
+        m = df.merge(df, on="term", suffixes=("_a", "_b"))
+        s = m["n_a"].to_numpy(np.float64) \
+            * np.log(m["n_b"].to_numpy(np.float64) + 1.0)
+        part = pd.DataFrame({
+            "src_a": m["g_a"], "src_b": m["g_b"], "s": s,
+        }).groupby(["src_a", "src_b"], as_index=False)["s"].sum()
         return pa.table({
-            "src_a": pa.array(out_a),
-            "src_b": pa.array(out_b),
-            "value_ce": pa.array(out_ce, pa.float64()),
+            "kind": pa.array(["s"] * len(part) + ["v"]),
+            "src_a": pa.array(list(part["src_a"]) + [""]),
+            "src_b": pa.array(list(part["src_b"]) + [""]),
+            "partial_s": pa.array(
+                list(part["s"]) + [0.0], pa.float64()),
+            "n_terms": pa.array(
+                [0] * len(part) + [int(df["term"].nunique())],
+                pa.int64()),
         })
 
-    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
-                                          batch_size=None)
+    reduced = bucketed_map_groups(agg, "term", fold,
+                                  num_buckets=num_buckets) \
+        .groupby(["kind", "src_a", "src_b"]) \
+        .aggregate(Sum("partial_s"), Sum("n_terms")).take_all()
+
+    v = sum(int(r["sum(n_terms)"]) for r in reduced
+            if r["kind"] == "v")
+    s_map = {(r["src_a"], r["src_b"]): float(r["sum(partial_s)"])
+             for r in reduced if r["kind"] == "s"}
+
+    groups = sorted(totals)
+    out_a, out_b, out_ce = [], [], []
+    for a in groups:
+        ta = totals[a]
+        for b in groups:
+            out_a.append(a)
+            out_b.append(b)
+            out_ce.append(
+                float(np.log(totals[b] + v)
+                      - s_map.get((a, b), 0.0) / ta))
+    return rd.from_arrow(pa.table({
+        "src_a": pa.array(out_a, pa.string()),
+        "src_b": pa.array(out_b, pa.string()),
+        "value_ce": pa.array(out_ce, pa.float64()),
+    }))

@@ -161,6 +161,36 @@ def test_doc_ops_partition_invariant(name, ray_session):
     _run_both(_doc_cases()[name], _docs_table())
 
 
+def _float_cases():
+    """Ops whose result is a distributed FLOAT sum: blocking changes
+    the addition order, so equality is to 1e-9 (the oracle compare
+    tolerance), not bit-exact."""
+    from selma_ray.pipelines.corpus import (
+        bigram_entropy_by_group,
+        source_cross_entropy,
+    )
+
+    return {
+        "bigram_entropy": bigram_entropy_by_group,
+        "source_cross_entropy": lambda ds: source_cross_entropy(
+            ds, num_buckets=16),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_float_cases()))
+def test_float_doc_ops_partition_invariant(name, ray_session):
+    import pandas as pd
+    import ray.data
+
+    fn = _float_cases()[name]
+    table = _docs_table()
+    one = _norm(fn(ray.data.from_arrow(table)).to_pandas())
+    many = _norm(fn(ray.data.from_arrow(table).repartition(7))
+                 .to_pandas())
+    pd.testing.assert_frame_equal(one, many, check_exact=False,
+                                  atol=1e-9, rtol=0)
+
+
 def test_image_phash_pairs_partition_invariant(ray_session):
     from selma_ray.pipelines.dedup import image_phash_pairs
     from selma_ray.stages.imagecodec import decode_png, synth_image
