@@ -315,17 +315,67 @@ def _dedup_pairs(pairs, method: str):
 def drop_ids_from_pairs(pairs) -> "set[int]":
     """Survivor rule: drop the larger id of every pair. The pairs table
     is tiny relative to the corpus (dups only), so collecting ids to the
-    driver/broadcast is fine; at 100 TB the same rule runs as a
-    hash-partitioned anti-join on id."""
+    driver/broadcast is fine; past ``max_broadcast_ids``
+    :func:`minhash_dedup` routes the same rule through
+    :func:`anti_join_survivors` instead of this collect."""
     return {r["id_b"] for r in pairs.select_columns(["id_b"]).take_all()}
 
 
+def _with_null_sentinel(ds2, col: str, dtype: "pa.DataType"):
+    # An all-empty join side leaves Ray's hash-shuffle partitions
+    # schemaless and Acero rejects the key ref; one NULL-keyed row
+    # (null never equals anything in a hash join) pins the schema.
+    import ray.data
+
+    sentinel = ray.data.from_arrow(
+        pa.table({col: pa.array([None], dtype)}))
+    return ds2.union(sentinel)
+
+
+def anti_join_survivors(ds, pairs, *, id_col: str = "doc_id",
+                        num_partitions: int = 8):
+    """Survivor filter at fact scale: distinct drop ids (the ``id_b``
+    of every pair) feed a native hash-partitioned ``left_anti`` join
+    against the corpus — no driver collect, no broadcast. Right shape
+    when the pair set itself is too big for the object-store broadcast
+    (a dup-heavy crawl at 100 TB); the join shuffles the corpus once,
+    keyed on id."""
+
+    def slim(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id_b")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"id_b": pc.unique(ids)})
+
+    drop_keys = _with_null_sentinel(
+        pairs.map_batches(slim, batch_format="pyarrow"),
+        "id_b", pa.int64())
+    return ds.join(drop_keys, join_type="left_anti",
+                   num_partitions=num_partitions,
+                   on=(id_col,), right_on=("id_b",))
+
+
 def minhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                  **kw):
-    """Dataset -> Dataset with near-duplicates (larger ids) removed."""
+                  max_broadcast_ids: int = 2_000_000,
+                  num_partitions: int = 8, **kw):
+    """Dataset -> Dataset with near-duplicates (larger ids) removed.
+
+    Picks the survivor-filter shape from the measured pair count: up to
+    ``max_broadcast_ids`` pairs the drop-id set collects to the driver
+    and broadcasts (``ray.put`` once, map-only filter — corpus text
+    never rides a shuffle); past it the filter switches automatically
+    to :func:`anti_join_survivors`, the hash-partitioned ``left_anti``
+    join the incremental path (:func:`dedup_against`) uses, so a
+    dup-heavy corpus can never outgrow the driver. The pairs dataset is
+    materialized once (dup-pairs only, far smaller than the corpus)
+    and feeds whichever path is chosen."""
     import ray
 
-    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, **kw)
+    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col,
+                              **kw).materialize()
+    if pairs.count() > max_broadcast_ids:
+        return anti_join_survivors(ds, pairs, id_col=id_col,
+                                   num_partitions=num_partitions)
     drop = drop_ids_from_pairs(pairs)
     drop_ref = ray.put(drop)
 
@@ -917,14 +967,6 @@ def dedup_against(incoming_ds, snapshot_ds, *, text_col: str = "text",
         hs = {md5_64_signed((t or "").encode("utf-8", "surrogatepass"))
               for t in batch.column(text_col).to_pylist()}
         return pa.table({"snap_h": pa.array(sorted(hs), pa.int64())})
-
-    def _with_null_sentinel(ds2, col: str, dtype: pa.DataType):
-        # An all-empty join side leaves Ray's hash-shuffle partitions
-        # schemaless and Acero rejects the key ref; one NULL-keyed row
-        # (null never equals anything in a hash join) pins the schema.
-        sentinel = ray.data.from_arrow(
-            pa.table({col: pa.array([None], dtype)}))
-        return ds2.union(sentinel)
 
     snap_keys = _with_null_sentinel(
         snapshot_ds.map_batches(slim_snap, batch_format="pyarrow"),

@@ -4789,6 +4789,62 @@ class TestDedupComparison:
         assert got.loc["simhash", "docs_kept"] <= 4
 
 
+class TestMinhashDedupAntiJoinFallback:
+    def test_join_path_matches_broadcast(self, ray_session):
+        """Dup-heavy corpus: forcing the pair count over
+        max_broadcast_ids must route through the left_anti join and
+        keep EXACTLY the survivors the broadcast path keeps."""
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import minhash_dedup
+
+        # three dup families (verbatim copies -> est Jaccard 1.0) plus
+        # unique docs that must all survive
+        fams = ["the quick brown fox jumps over the lazy dog today",
+                "pack my box with five dozen assorted liquor jugs",
+                "sphinx of black quartz judge my vow at once now"]
+        texts = [fams[i % 3] for i in range(30)] \
+            + [f"unique document number {i} with its own words {i * 7}"
+               for i in range(10)]
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })
+
+        via_broadcast = minhash_dedup(
+            ray.data.from_arrow(t)).to_pandas()
+        via_join = minhash_dedup(
+            ray.data.from_arrow(t).repartition(4),
+            max_broadcast_ids=0).to_pandas()
+
+        assert sorted(via_join.columns) == sorted(via_broadcast.columns)
+        assert set(via_join["doc_id"]) == set(via_broadcast["doc_id"])
+        # each family collapses to its smallest id; uniques survive
+        kept = set(via_join["doc_id"])
+        assert {0, 1, 2}.issubset(kept)
+        assert set(range(30, 40)).issubset(kept)
+        assert len(kept & set(range(3, 30))) == 0
+
+    def test_join_path_no_pairs(self, ray_session):
+        """All-unique corpus under the forced join path: the empty
+        pair side must not break the anti-join (sentinel guard)."""
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import minhash_dedup
+
+        t = pa.table({
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array(
+                [f"totally distinct content row {i} token{i * 13}"
+                 for i in range(8)]),
+        })
+        out = minhash_dedup(ray.data.from_arrow(t),
+                            max_broadcast_ids=-1).to_pandas()
+        assert set(out["doc_id"]) == set(range(8))
+
+
 class TestInterarrivalHistogram:
     def test_log_bins(self, ray_session):
         import datetime as dt
