@@ -268,6 +268,7 @@ def _bucket_pairs_fn(k: int, threshold: float, max_bucket: int):
 def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 128, bands: int = 16, ngram: int = 3,
                       threshold: float = 0.7, max_bucket: int = 2000,
+                      max_band_rows: int | None = None,
                       concurrency=None):
     """Dataset -> candidate duplicate pairs (id_a < id_b, est-Jaccard >=
     threshold), deduplicated across bands.
@@ -279,6 +280,15 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     small/interactive input for no setup amortization. Pass
     ``concurrency`` to cap in-flight tasks if the stage must share a
     cluster with heavier neighbors.
+
+    ``max_band_rows`` arms the hot-key safety valve on the band
+    exchange: a degenerate band key (e.g. an all-identical corpus
+    collapsing into ONE band bucket) is deterministically subsampled
+    to that many member rows BEFORE the shuffle, bounding bucket-task
+    memory; pairs are then mined among the ~max_band_rows sampled
+    members (documented truncation — ``max_bucket``'s representative
+    linking still applies inside). Opt-in (one extra slim count
+    shuffle); set it when the corpus may be adversarially repetitive.
     """
     kwargs = dict(fn_kwargs=dict(
         id_col=id_col, text_col=text_col, k=k, bands=bands, ngram=ngram),
@@ -288,7 +298,9 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     banded = ds.map_batches(_minhash_band_fn, **kwargs)
     pairs = per_key_in_buckets(
         banded, "band_key", _bucket_pairs_fn(k, threshold, max_bucket),
-        target_rows=16384, min_rows=2)
+        target_rows=16384, min_rows=2,
+        max_key_rows=max_band_rows,
+        sample_col="id" if max_band_rows is not None else None)
     # a pair can surface in several bands: keep one copy (aggregate, not
     # per-group map_groups — pairs are tiny but numerous)
     return _dedup_pairs(pairs, "minhash_lsh")

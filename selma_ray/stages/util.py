@@ -116,8 +116,100 @@ def key_buckets(arr, num_buckets: int):
         .astype(np.int32)
 
 
+def _key_hash_fold(batch, cols):
+    """Composite-key uint64 hash per row: per-column key_u64 hashes
+    folded through splitmix64 (the same fold ``bucketed_map_groups``
+    uses for bucket assignment)."""
+    acc = None
+    for c in cols:
+        h = splitmix64(key_u64(batch.column(c)))
+        acc = h if acc is None else splitmix64(acc ^ h)
+    return acc
+
+
+def cap_hot_keys(ds, key_col, *, max_key_rows: int, sample_col: str,
+                 target_rows: int = 65536):
+    """Safety valve for degenerate keys feeding a per-key exchange:
+    deterministically subsample any key whose global row count exceeds
+    ``max_key_rows`` down to ~``max_key_rows`` rows BEFORE the shuffle,
+    so no bucket task ever has to hold an unbounded group (e.g. one
+    LSH band collecting an all-identical corpus).
+
+    Two passes: (1) a slim count pass (per-batch key-count combiner ->
+    one groupby sum over DISTINCT keys) finds the hot keys — few by
+    definition — whose per-key keep thresholds broadcast via
+    ``ray.put``; (2) a map-only filter keeps a hot key's row iff
+    ``splitmix64(keyhash ^ hash(sample_col))`` falls under
+    ``2^64 * max_key_rows / count`` — a deterministic, partition- and
+    order-invariant uniform subsample of expected size
+    ``max_key_rows`` (binomial concentration keeps the realized size
+    within a few percent at valve scales). ``sample_col`` names the
+    per-row identity column (e.g. the doc id) that seeds the draw.
+
+    TRUNCATION SEMANTICS (documented contract): keys over the cap are
+    processed over the sampled subset only — for pair miners that
+    yields pairs among ~max_key_rows representative members (the
+    cluster stays connected through them); exactness below the cap is
+    untouched. Returns ``ds`` unchanged when no key is hot.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    cols = [key_col] if isinstance(key_col, str) else list(key_col)
+
+    def count_partial(batch: "pa.Table") -> "pa.Table":
+        kh = _key_hash_fold(batch, cols)
+        t = pa.table({"kh": pa.array(kh, pa.uint64()),
+                      "pn": pa.array(np.ones(len(kh), np.int64))})
+        c = t.group_by("kh").aggregate([("pn", "sum")])
+        return pa.table({"kh": c.column("kh"),
+                         "pn": pc.cast(c.column("pn_sum"), pa.int64())})
+
+    def over_cap(batch: "pa.Table") -> "pa.Table":
+        n = batch.column("sum(pn)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = n > max_key_rows
+        return pa.table({
+            "kh": batch.column("kh").filter(pa.array(keep)),
+            "n": pa.array(n[keep], pa.int64()),
+        })
+
+    hot_rows = coalesce_small(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        target_rows) \
+        .groupby("kh").aggregate(Sum("pn")) \
+        .map_batches(over_cap, batch_format="pyarrow").take_all()
+    if not hot_rows:
+        return ds
+    thresholds = {
+        int(r["kh"]): np.uint64(
+            min(int((1 << 64) * max_key_rows / int(r["n"])),
+                (1 << 64) - 1))
+        for r in hot_rows}
+    thr_ref = ray.put(thresholds)
+
+    def subsample(batch: "pa.Table") -> "pa.Table":
+        thr = ray.get(thr_ref)
+        kh = _key_hash_fold(batch, cols)
+        draw = splitmix64(splitmix64(kh)
+                          ^ splitmix64(key_u64(
+                              batch.column(sample_col))))
+        lim = np.full(len(kh), np.uint64(0xFFFFFFFFFFFFFFFF),
+                      np.uint64)
+        for h, t in thr.items():
+            lim[kh == np.uint64(h)] = t
+        return batch.filter(pa.array(draw < lim))
+
+    return ds.map_batches(subsample, batch_format="pyarrow")
+
+
 def per_key_in_buckets(ds, key_col, fn, *, num_buckets: int = 256,
-                       target_rows: int = 65536, min_rows: int = 1):
+                       target_rows: int = 65536, min_rows: int = 1,
+                       max_key_rows: int | None = None,
+                       sample_col: str | None = None):
     """Per-KEY ``map_groups`` semantics at per-BUCKET task cost.
 
     ``fn`` keeps the exact ``groupby(key).map_groups`` contract — it
@@ -136,6 +228,13 @@ def per_key_in_buckets(ds, key_col, fn, *, num_buckets: int = 256,
     singletons, and per-singleton fn/empty-table churn dominates
     otherwise). One representative call on a sub-threshold slice
     supplies the output schema when every group was skipped.
+    ``max_key_rows`` (requires ``sample_col``) arms the hot-key safety
+    valve: keys whose global row count exceeds it are deterministically
+    subsampled to the cap via :func:`cap_hot_keys` BEFORE the shuffle
+    (so one degenerate key can never blow a bucket task's memory) and
+    exactly truncated to the cap inside the bucket — opt-in because
+    the count pre-pass costs one extra slim shuffle; arm it on pair
+    miners exposed to adversarial/degenerate corpora.
     Use for per-entity ops whose fn is not worth hand-vectorizing
     across entities; use :func:`bucketed_map_groups` directly when it
     is."""
@@ -144,6 +243,29 @@ def per_key_in_buckets(ds, key_col, fn, *, num_buckets: int = 256,
     import pyarrow.compute as pc
 
     cols = [key_col] if isinstance(key_col, str) else list(key_col)
+
+    if max_key_rows is not None:
+        if sample_col is None:
+            raise ValueError("max_key_rows requires sample_col (the "
+                             "per-row identity column seeding the "
+                             "deterministic subsample)")
+        ds = cap_hot_keys(ds, cols, max_key_rows=max_key_rows,
+                          sample_col=sample_col,
+                          target_rows=target_rows)
+
+    def _truncate(slice_tbl: "pa.Table") -> "pa.Table":
+        # exact in-bucket cap: the pre-shuffle subsample is expected-
+        # size, so trim any residue above the cap deterministically by
+        # the SAME per-row draw cap_hot_keys thresholds on (smallest
+        # draws win — the two stages keep one consistent sample)
+        if max_key_rows is None or slice_tbl.num_rows <= max_key_rows:
+            return slice_tbl
+        kh = _key_hash_fold(slice_tbl, cols)
+        draw = splitmix64(splitmix64(kh)
+                          ^ splitmix64(key_u64(
+                              slice_tbl.column(sample_col))))
+        keep = np.argsort(draw, kind="stable")[:max_key_rows]
+        return slice_tbl.take(pa.array(np.sort(keep)))
 
     def run(tbl: "pa.Table") -> "pa.Table":
         order = pc.sort_indices(
@@ -155,7 +277,7 @@ def per_key_in_buckets(ds, key_col, fn, *, num_buckets: int = 256,
             kv = g.column(c).to_numpy(zero_copy_only=False)
             edge |= kv[1:] != kv[:-1]
         bounds = np.nonzero(np.concatenate(([True], edge, [True])))[0]
-        outs = [fn(g.slice(s, e - s))
+        outs = [fn(_truncate(g.slice(s, e - s)))
                 for s, e in zip(bounds[:-1], bounds[1:])
                 if e - s >= min_rows]
         if not outs:

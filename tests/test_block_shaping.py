@@ -223,6 +223,93 @@ def test_per_key_in_buckets_matches_groupby_map_groups(ray_session):
     pd.testing.assert_frame_equal(skip, base, check_exact=True)
 
 
+def test_per_key_in_buckets_hot_key_cap(ray_session):
+    """The max_key_rows safety valve: a pathological hot key is
+    deterministically truncated to the cap (so its group can never
+    blow a bucket task's heap), keys below the cap stay EXACT, and
+    the sampled result is identical across partitionings."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from selma_ray.stages.util import per_key_in_buckets
+
+    # key 7 is degenerate (5000 rows); keys 0..4 are small and exact
+    hot_n, cap = 5000, 200
+    t = pa.table({
+        "k": pa.array([7] * hot_n + list(range(5)) * 10, pa.int64()),
+        "rid": pa.array(range(hot_n + 50), pa.int64()),
+    })
+
+    def size_and_sum(group: pa.Table) -> pa.Table:
+        rid = group.column("rid").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": group.column("k").slice(0, 1),
+            "n": pa.array([group.num_rows], pa.int64()),
+            "rid_sum": pa.array([int(rid.sum())], pa.int64()),
+        })
+
+    def run(parts):
+        src = ray.data.from_arrow(t).repartition(parts)
+        df = per_key_in_buckets(src, "k", size_and_sum, num_buckets=8,
+                                max_key_rows=cap, sample_col="rid") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        return df
+
+    one, many = run(1), run(9)
+    pd.testing.assert_frame_equal(one, many, check_exact=True)
+    got = one.set_index("k")
+    # hot key truncated EXACTLY to the cap
+    assert got.loc[7, "n"] == cap
+    # small keys bit-exact (10 rows each, untouched by the valve)
+    for k in range(5):
+        assert got.loc[k, "n"] == 10
+    want_small = {k: sum(r for r in range(hot_n, hot_n + 50)
+                         if (r - hot_n) % 5 == k) for k in range(5)}
+    for k in range(5):
+        assert got.loc[k, "rid_sum"] == want_small[k]
+    # the truncated sample is a real subset of the hot key's rows
+    assert 0 < got.loc[7, "rid_sum"] < sum(range(hot_n))
+
+    # arming the valve without a sample column is an error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        per_key_in_buckets(ray.data.from_arrow(t), "k", size_and_sum,
+                           max_key_rows=cap)
+
+
+def test_minhash_valve_on_degenerate_corpus(ray_session):
+    """An all-identical corpus collapses every band into one hot key;
+    with max_band_rows armed the pair miner completes with bounded
+    group size and still links sampled members to a representative."""
+    import pyarrow as pa
+    import ray.data
+
+    from selma_ray.pipelines.dedup import minhash_lsh_pairs
+
+    n = 1200
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["same exact degenerate text body here"] * n),
+    })
+    out = minhash_lsh_pairs(ray.data.from_arrow(t).repartition(6),
+                            max_band_rows=64).to_pandas()
+    assert len(out) > 0
+    ids = set(out["id_a"]) | set(out["id_b"])
+    assert ids <= set(range(n))
+    # truncation semantics: pairs are mined among the sampled members
+    # only — far fewer distinct ids than the corpus
+    assert len(ids) <= 64 * 16
+    assert (out["similarity"] == 1.0).all()
+    # deterministic across partitionings
+    out2 = minhash_lsh_pairs(ray.data.from_arrow(t).repartition(3),
+                             max_band_rows=64).to_pandas()
+    a = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = out2.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_key_u64_uint64_above_2_63():
     """uint64 keys past 2^63 must hash bit-exactly, not raise
     ArrowInvalid from a checked int64 cast."""
