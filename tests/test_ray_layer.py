@@ -803,6 +803,48 @@ def test_join_survives_worker_death(tmp_path, ray_session):
     assert chaotic.equals(clean)
 
 
+def test_bucketed_exchange_survives_worker_death(tmp_path, ray_session):
+    """Worker death feeding the bucketed per-key exchange
+    (per_key_in_buckets under exact_dedup): the killed task's block
+    must be retried, re-tagged with the same deterministic bucket,
+    and leave the survivor set identical to an undisturbed run — the
+    property the 30+ bucketed ops all lean on."""
+    import pyarrow as pa
+    import ray.data
+
+    from selma_ray.pipelines.dedup import exact_dedup
+    from selma_ray.testing import Identity, KillWorkerOnce
+
+    # dup-heavy corpus so the exchange actually collapses groups
+    texts = [f"shared body {i % 37}" for i in range(600)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(600), pa.int64()),
+        "text": pa.array(texts),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(tbl, src)
+
+    def run(chaos: bool):
+        ds = ray.data.read_parquet(str(src))
+        if chaos:
+            ds = ds.map_batches(
+                KillWorkerOnce,
+                fn_constructor_kwargs=dict(
+                    latch=str(tmp_path / "kill.latch"),
+                    inner_cls=Identity),
+                batch_format="pyarrow", batch_size=64, concurrency=2)
+        return exact_dedup(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    clean = run(chaos=False)
+    chaotic = run(chaos=True)
+    assert os.path.exists(str(tmp_path / "kill.latch")), \
+        "fault was never injected"
+    assert chaotic.equals(clean)
+    # survivor rule held through the fault: min id per distinct text
+    assert chaotic["doc_id"].tolist() == list(range(37))
+
+
 def test_sorted_extract_survives_worker_death(tmp_path, ray_session):
     """Same chaos, but with the ordering sort downstream: the retried
     task's blocks must flow through the all-to-all exchange and leave
