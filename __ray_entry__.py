@@ -1169,13 +1169,18 @@ def _q_kll_quantiles(sf_dir: str):
 
 def _q_kll_quantiles_by_type(sf_dir: str):
     """Fully distributed per-group KLL: sketch rows shuffle on the
-    group key, merge+finalize in the group task. Approximate ->
-    rows-only; exact oracle path is events_quantiles."""
+    group key, merge+finalize in the group task. k=4096 exceeds every
+    per-type count at correctness scale (~2000 rows/type at sf0.01),
+    so no compactor ever fires and the sketch IS the sorted data —
+    the quantile is the exact nearest-rank value and SQL-checkable
+    (the daily_active_kmv below-saturation contract). At 100 TB the
+    same pipeline degrades gracefully to ~1/k-error summaries while
+    the shuffle still carries only sketch rows."""
     from selma_ray.pipelines.sketches import kll_quantiles_by_group
 
     return kll_quantiles_by_group(_read(sf_dir, "events"),
                                   key_col="event_type", value_col="value",
-                                  qs=(0.5, 0.9, 0.99), k=400)
+                                  qs=(0.5, 0.9, 0.99), k=4096)
 
 
 def _q_lag_deltas(sf_dir: str):
@@ -5187,6 +5192,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::DOUBLE AS est_dau,
                    count(DISTINCT user_id)::BIGINT AS sketch_size
             FROM events GROUP BY 1
+        """,
+        # below level-0 capacity (k=4096 > rows/type at sf0.01) the
+        # KLL sketch holds every value, so its quantile rule is the
+        # exact nearest-rank statistic: the greatest(1, ceil(q*n))-th
+        # smallest value. q::DOUBLE keeps the rank arithmetic in IEEE
+        # doubles, bit-matching numpy's ceil(q * n).
+        "kll_quantiles_by_type": r"""
+            WITH r AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events WHERE value IS NOT NULL)
+            SELECT event_type, q, value
+            FROM r, (VALUES (0.5::DOUBLE), (0.9::DOUBLE),
+                            (0.99::DOUBLE)) qs(q)
+            WHERE rk = greatest(1, ceil(q * n))::BIGINT
         """,
         "cdc_chunks": _cdc_chunks_oracle(),
         "bpe_merges": _bpe_train_cte() + """
