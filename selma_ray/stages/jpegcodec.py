@@ -10,14 +10,18 @@ NotImplementedError so `DecodeImageFeatures` can fall through to its
 documented fake under ``fake=True``.
 
 Scope (documented, not hidden):
-- decode: baseline + extended-sequential DCT (SOF0/SOF1), 8-bit,
-  grayscale or YCbCr (1 or 3 components), any sampling factors up to
-  4, restart markers, 16-bit quant tables. Progressive (SOF2),
-  arithmetic coding, hierarchical, 12-bit and CMYK raise
-  NotImplementedError.
+- decode: baseline + extended-sequential DCT (SOF0/SOF1) AND
+  progressive DCT (SOF2: spectral selection + successive
+  approximation, T.81 G.1.2), 8-bit, grayscale or YCbCr (1 or 3
+  components), any sampling factors up to 4, restart markers, 16-bit
+  quant tables. Arithmetic coding, hierarchical, 12-bit and CMYK
+  raise NotImplementedError.
 - encode (for round-trip tests + sinks): 8-bit gray / RGB, baseline,
   Annex K quantization tables with libjpeg quality scaling, Annex K
-  Huffman tables, 4:4:4 or 4:2:0 chroma, optional restart interval.
+  Huffman tables, 4:4:4 or 4:2:0 chroma, optional restart interval;
+  plus a scoped progressive encoder (test-vector generator) whose
+  output must decode bit-identically to the baseline encoding of the
+  same image.
 
 All algorithms and constant tables are from the public JPEG standard
 (ITU-T T.81 Annex K) — reference intent only; no library code.
@@ -239,6 +243,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[_Component] = []
     h = w = 0
     restart = 0
+    progressive = False
     i = 2
     n = len(payload)
     while i < n:
@@ -275,7 +280,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + cnt])
                 huff[(cls, tid)] = _decode_lut(bits, vals)
                 p += 17 + cnt
-        elif m in (0xC0, 0xC1):                  # SOF0/1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):            # SOF0/1 seq, SOF2 prog
+            progressive = m == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -290,12 +296,13 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 comp.v = seg[7 + 3 * c] & 15
                 comp.tq = seg[8 + 3 * c]
                 comp.pred = 0
+                comp.blocks = None
                 comps.append(comp)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/extended-sequential JPEG (SOF0/SOF1) "
-                "is supported")
+                "only baseline/extended-sequential/progressive JPEG "
+                "(SOF0/SOF1/SOF2) is supported")
         elif m == 0xDD:                          # DRI
             (restart,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:                          # SOS
@@ -304,11 +311,21 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             order = []
             for s in range(ns):
                 c = by_id[seg[1 + 2 * s]]
-                c.dc = huff[(0, seg[2 + 2 * s] >> 4)]
-                c.ac = huff[(1, seg[2 + 2 * s] & 15)]
+                c.dc = huff.get((0, seg[2 + 2 * s] >> 4))
+                c.ac = huff.get((1, seg[2 + 2 * s] & 15))
                 order.append(c)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
             segs, i = _split_scan(payload, i + seglen)
-            _decode_scan(segs, order, comps, h, w, restart)
+            if progressive:
+                _decode_scan_progressive(segs, order, comps, h, w,
+                                         restart, ss, se, ah, al)
+            else:
+                if any(c.dc is None or c.ac is None for c in order):
+                    raise ValueError(
+                        "corrupt JPEG: scan references missing "
+                        "Huffman table")
+                _decode_scan(segs, order, comps, h, w, restart)
             continue
         i += seglen
     if not comps or comps[0].blocks is None:
@@ -374,6 +391,192 @@ def _decode_block(rd: _BitReader, c: _Component) -> np.ndarray:
         coef[k] = _extend(rd.read(size), size)
         k += 1
     return coef
+
+
+# -- progressive scans (T.81 G.1.2: spectral selection + successive
+# approximation, Huffman entropy only) --------------------------------------
+
+
+def _huff_symbol(rd: _BitReader, table) -> int:
+    if table is None:
+        raise ValueError("corrupt JPEG: scan references missing "
+                         "Huffman table")
+    sym_lut, len_lut = table
+    win = rd.peek16()
+    s = int(sym_lut[win])
+    if s < 0:
+        raise ValueError("corrupt JPEG: bad Huffman code")
+    rd.skip(int(len_lut[win]))
+    return s
+
+
+def _dc_first_block(rd: _BitReader, c: _Component, blk, al: int):
+    """DC first scan (Ss=0, Ah=0): baseline DC decode of the
+    point-transformed value, stored shifted left by Al."""
+    s = _huff_symbol(rd, c.dc)
+    diff = _extend(rd.read(s), s) if s else 0
+    c.pred += diff
+    blk[0] = c.pred << al
+
+
+def _dc_refine_block(rd: _BitReader, blk, al: int):
+    """DC refinement (Ss=0, Ah>0): one raw bit per block appended at
+    position Al (two's-complement OR is exact for the negatives)."""
+    if rd.read(1):
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _ac_first_block(rd: _BitReader, c: _Component, blk,
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC first scan over band [Ss, Se]: baseline run/size coding plus
+    EOBn run codes (r < 15, SSSS = 0 -> 2^r + extra end-of-bands).
+    Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_symbol(rd, c.ac)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:                    # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.read(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC run past band end")
+        blk[k] = _extend(rd.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _refine_nonzero(rd: _BitReader, blk, k: int, se: int, p1: int):
+    """Append correction bits to every nonzero-history coefficient in
+    [k, Se] (the EOB-run tail of a refinement block)."""
+    while k <= se:
+        v = int(blk[k])
+        if v != 0 and rd.read(1) and (v & p1) == 0:
+            blk[k] = v + (p1 if v > 0 else -p1)
+        k += 1
+
+
+def _ac_refine_block(rd: _BitReader, c: _Component, blk,
+                     ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement (Ah > 0): newly
+    significant coefficients arrive as run/1 codes whose run counts
+    ZERO-HISTORY positions only; every nonzero-history coefficient
+    passed over (and every one in an EOB-run tail) consumes one
+    correction bit. T.81 G.1.2.3."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_symbol(rd, c.ac)
+            r, s = sym >> 4, sym & 15
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "corrupt JPEG: refinement magnitude > 1")
+                newval = p1 if rd.read(1) else -p1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += rd.read(r)
+                break
+            # advance past r zero-history positions, refining nonzero
+            # ones on the way (ZRL: r=15 consumes 16 zero positions
+            # via the trailing k += 1)
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if rd.read(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        _refine_nonzero(rd, blk, k, se, p1)
+        return eobrun - 1
+    return 0
+
+
+def _decode_scan_progressive(segs, order, comps, h, w, restart,
+                             ss, se, ah, al):
+    """One progressive scan: interleaved MCU order when the scan lists
+    several components (DC scans only), otherwise the single
+    component's own ceil(dim/8) block raster (T.81 A.2.2 — sampling
+    factors don't apply to non-interleaved scans). Coefficient arrays
+    persist across scans on the components."""
+    if ss == 0 and se != 0:
+        raise ValueError("corrupt JPEG: progressive DC scan with "
+                         "Se != 0 (baseline stream under SOF2?)")
+    if ss > se or se > 63:
+        raise ValueError("corrupt JPEG: bad spectral band")
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        if c.blocks is None:
+            c.blocks = np.zeros((mcuy * c.v, mcux * c.h, 64), np.int64)
+    for c in order:
+        c.pred = 0
+    if ss > 0 and len(order) != 1:
+        raise ValueError("corrupt JPEG: interleaved AC scan")
+    si = 0
+    rd = _BitReader(segs[0])
+    eobrun = 0
+    if ss == 0 and len(order) > 1:
+        for mi in range(mcux * mcuy):
+            if restart and mi and mi % restart == 0:
+                si += 1
+                if si >= len(segs):
+                    raise ValueError(
+                        "corrupt JPEG: missing restart segment")
+                rd = _BitReader(segs[si])
+                for c in order:
+                    c.pred = 0
+            my, mx = divmod(mi, mcux)
+            for c in order:
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        blk = c.blocks[my * c.v + by, mx * c.h + bx]
+                        if ah == 0:
+                            _dc_first_block(rd, c, blk, al)
+                        else:
+                            _dc_refine_block(rd, blk, al)
+        return
+    c = order[0]
+    bw = (-(-(w * c.h) // hmax) + 7) // 8
+    bh = (-(-(h * c.v) // vmax) + 7) // 8
+    for bi in range(bw * bh):
+        if restart and bi and bi % restart == 0:
+            si += 1
+            if si >= len(segs):
+                raise ValueError("corrupt JPEG: missing restart segment")
+            rd = _BitReader(segs[si])
+            c.pred = 0
+            eobrun = 0
+        by, bx = divmod(bi, bw)
+        blk = c.blocks[by, bx]
+        if ss == 0:
+            if ah == 0:
+                _dc_first_block(rd, c, blk, al)
+            else:
+                _dc_refine_block(rd, blk, al)
+        elif ah == 0:
+            eobrun = _ac_first_block(rd, c, blk, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(rd, c, blk, ss, se, al, eobrun)
 
 
 def _assemble(comps, qt, h, w) -> np.ndarray:
@@ -479,13 +682,10 @@ def _encode_plane(wr, blocks_q: np.ndarray, dc_codes, ac_codes,
     return pred
 
 
-def encode_jpeg(img: np.ndarray, *, quality: int = 85,
-                subsample=False,
-                restart_interval: int = 0) -> bytes:
-    """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 -> baseline
-    JFIF bytes. ``subsample``: False = 4:4:4, True = 4:2:0
-    (2x2-box-averaged chroma), or an explicit (h_factor, v_factor)
-    luma sampling pair — (2, 1) = 4:2:2, (1, 2) = 4:4:0."""
+def _prepare_planes(img: np.ndarray, quality: int, subsample):
+    """Shared encoder front half: color transform, optional chroma
+    subsampling, pad, forward DCT, quantize, zigzag. Returns
+    (prepared zz-blocks per component, samp, ch, h, w, ql, qc)."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -535,6 +735,18 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
         zz = np.round(d.reshape(d.shape[0], d.shape[1], 64)
                       [:, :, ZIGZAG] / q[None, None, :]).astype(np.int64)
         prepared.append(zz)
+    return prepared, samp, ch, h, w, ql, qc
+
+
+def encode_jpeg(img: np.ndarray, *, quality: int = 85,
+                subsample=False,
+                restart_interval: int = 0) -> bytes:
+    """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 -> baseline
+    JFIF bytes. ``subsample``: False = 4:4:4, True = 4:2:0
+    (2x2-box-averaged chroma), or an explicit (h_factor, v_factor)
+    luma sampling pair — (2, 1) = 4:2:2, (1, 2) = 4:4:0."""
+    prepared, samp, ch, h, w, ql, qc = _prepare_planes(
+        img, quality, subsample)
 
     dc_l = _canonical_codes(*HUFF_DC_LUMA)
     ac_l = _canonical_codes(*HUFF_AC_LUMA)
@@ -590,4 +802,278 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
     wr.flush()
     out += wr.out
     out += b"\xff\xd9"                                  # EOI
+    return bytes(out)
+
+
+# -- progressive encoder (scoped: test-vector generator) --------------------
+#
+# Annex K AC tables define no EOBn symbols above EOB0, so a progressive
+# stream with real EOB runs needs its own table. A flat 9-bit canonical
+# table over every symbol a progressive AC scan can emit (run/size with
+# size 1..10, EOBn for runs up to 2^14, ZRL) is trivially valid
+# (176 * 2^-9 < 1, all-ones code unused) — poor compression, which is
+# fine for a generator whose only job is exercising the decoder.
+
+_PROG_AC_SYMBOLS = sorted({(r << 4) | s for r in range(16)
+                           for s in range(1, 11)}
+                          | {r << 4 for r in range(15)} | {0xF0})
+HUFF_AC_PROG = ([0] * 8 + [len(_PROG_AC_SYMBOLS)] + [0] * 7,
+                _PROG_AC_SYMBOLS)
+
+
+class _ProgACWriter:
+    """AC-scan entropy state shared across one scan's blocks. Two
+    correction-bit buffers with distinct wire positions (T.81
+    G.1.2.2-3): ``pend_run`` holds bits belonging to blocks folded
+    into the pending EOB run — the decoder reads them right after the
+    EOBn code — while ``pend_cur`` holds bits for history coefficients
+    passed since the last emitted symbol of the CURRENT block, read
+    after that symbol's sign bit / ZRL."""
+
+    def __init__(self, wr: _BitWriter, ac_codes):
+        self.wr = wr
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pend_run: list[int] = []
+        self.pend_cur: list[int] = []
+
+    def emit_symbol(self, sym: int):
+        code, ln = self.ac[sym]
+        self.wr.write(code, ln)
+
+    def emit_cur(self):
+        for b in self.pend_cur:
+            self.wr.write(b, 1)
+        self.pend_cur = []
+
+    def flush_eob(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.emit_symbol(r << 4)
+            if r:
+                self.wr.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            for b in self.pend_run:
+                self.wr.write(b, 1)
+            self.pend_run = []
+
+    def count_eob(self):
+        """Close the current block into the EOB run; its buffered
+        segment bits travel with the run."""
+        self.eobrun += 1
+        self.pend_run += self.pend_cur
+        self.pend_cur = []
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+
+def _encode_ac_first(st: _ProgACWriter, z: np.ndarray, ss: int, se: int,
+                     al: int):
+    """One block of an AC first scan: run/size over the
+    point-transformed band, EOB folded into the shared run."""
+    t = [int(np.sign(v)) * (abs(int(v)) >> al) for v in z[ss:se + 1]]
+    nz = [i for i, v in enumerate(t) if v]
+    if not nz:
+        st.count_eob()
+        return
+    st.flush_eob()
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = t[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            st.emit_symbol(0xF0)
+            run -= 16
+        s = abs(v).bit_length()
+        st.emit_symbol((run << 4) | s)
+        st.wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if nz[-1] < se - ss:
+        st.count_eob()
+
+
+def _encode_ac_refine(st: _ProgACWriter, z: np.ndarray, ss: int, se: int,
+                      al: int):
+    """One block of an AC refinement scan, the libjpeg-shaped
+    realization of T.81 figure G.7: runs count zero-HISTORY positions,
+    history coefficients buffer one correction bit each, ZRLs flush
+    the buffer in positional order."""
+    temps = [abs(int(v)) >> al for v in z[ss:se + 1]]
+    signs = [1 if int(v) >= 0 else 0 for v in z[ss:se + 1]]
+    eob = -1
+    for i, tv in enumerate(temps):
+        if tv == 1:
+            eob = i
+    run = 0
+    for i, tv in enumerate(temps):
+        if tv == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            st.flush_eob()
+            st.emit_symbol(0xF0)
+            run -= 16
+            st.emit_cur()
+        if tv > 1:
+            st.pend_cur.append(tv & 1)
+            continue
+        st.flush_eob()
+        st.emit_symbol((run << 4) | 1)
+        st.wr.write(signs[i], 1)
+        st.emit_cur()
+        run = 0
+    if run > 0 or st.pend_cur:
+        st.count_eob()
+
+
+def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 85,
+                            subsample=False) -> bytes:
+    """(h, w[, 1|3]) uint8 -> progressive (SOF2) JFIF bytes with a
+    libjpeg-style scan script (interleaved DC first/refine, per-
+    component spectral-selection AC scans, two successive-approximation
+    levels on luma AC). Quantized coefficients are identical to
+    :func:`encode_jpeg` at the same quality/subsampling, so
+    ``decode_jpeg`` of both must agree bit-for-bit — the round-trip
+    contract the progressive decoder is tested against."""
+    prepared, samp, ch, h, w, ql, qc = _prepare_planes(
+        img, quality, subsample)
+    sh, sv = samp
+
+    dc_codes = [_canonical_codes(*HUFF_DC_LUMA)] + \
+        [_canonical_codes(*HUFF_DC_CHROMA)] * (ch - 1)
+    ac_codes = _canonical_codes(*HUFF_AC_PROG)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) \
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, ql), (1, qc))[:1 if ch == 1 else 2]:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(v) for v in q)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ch, 8, h, w, ch)
+    for ci in range(ch):
+        sf = (sh << 4) | sv if ci == 0 else 0x11
+        out += bytes([ci + 1, sf if ch == 3 else 0x11,
+                      0 if ci == 0 else 1])
+    for cls, tid, (bits, vals) in (
+            (0, 0, HUFF_DC_LUMA), (0, 1, HUFF_DC_CHROMA))[
+                :1 if ch == 1 else 2]:
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(vals)) + bytes([(cls << 4) | tid]) \
+            + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(
+        ">H", 19 + len(HUFF_AC_PROG[1])) + bytes([0x10]) \
+        + bytes(HUFF_AC_PROG[0]) + bytes(HUFF_AC_PROG[1])
+
+    if ch == 3:
+        script = [
+            ((0, 1, 2), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((1,), 1, 63, 0, 1),
+            ((2,), 1, 63, 0, 1),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0, 1, 2), 0, 0, 1, 0),
+            ((2,), 1, 63, 1, 0),
+            ((0,), 1, 63, 1, 0),
+            ((1,), 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+
+    luma = prepared[0]
+    mcuy = luma.shape[0] // sv
+    mcux = luma.shape[1] // sh
+
+    def comp_block_order(ci: int):
+        """Non-interleaved block raster: ceil(comp_dim/8), which may be
+        SMALLER than the MCU-padded prepared grid for luma."""
+        fh, fv = (sh, sv) if ci == 0 else (1, 1)
+        bw = (-(-(w * fh) // sh) + 7) // 8
+        bh = (-(-(h * fv) // sv) + 7) // 8
+        return bw, bh
+
+    for comps_idx, ss, se, ah, al in script:
+        ns = len(comps_idx)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comps_idx:
+            td = 0 if ci == 0 else 1
+            out += bytes([ci + 1, (td << 4) | 0])
+        out += bytes([ss, se, (ah << 4) | al])
+        wr = _BitWriter()
+        if ss == 0 and ah == 0:                       # DC first
+            preds = {ci: 0 for ci in comps_idx}
+            if ns > 1:
+                for mi in range(mcuy * mcux):
+                    my, mx = divmod(mi, mcux)
+                    for ci in comps_idx:
+                        blocks = [(my * sv + by, mx * sh + bx)
+                                  for by in range(sv)
+                                  for bx in range(sh)] \
+                            if ci == 0 else [(my, mx)]
+                        for by, bx in blocks:
+                            v = int(prepared[ci][by, bx, 0]) >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            s = abs(diff).bit_length()
+                            code, ln = dc_codes[ci][s]
+                            wr.write(code, ln)
+                            if s:
+                                wr.write(diff if diff >= 0
+                                         else diff + (1 << s) - 1, s)
+            else:
+                ci = comps_idx[0]
+                bw, bh = comp_block_order(ci)
+                for bi in range(bw * bh):
+                    by, bx = divmod(bi, bw)
+                    v = int(prepared[ci][by, bx, 0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = abs(diff).bit_length()
+                    code, ln = dc_codes[ci][s]
+                    wr.write(code, ln)
+                    if s:
+                        wr.write(diff if diff >= 0
+                                 else diff + (1 << s) - 1, s)
+        elif ss == 0:                                  # DC refine
+            if ns > 1:
+                for mi in range(mcuy * mcux):
+                    my, mx = divmod(mi, mcux)
+                    for ci in comps_idx:
+                        blocks = [(my * sv + by, mx * sh + bx)
+                                  for by in range(sv)
+                                  for bx in range(sh)] \
+                            if ci == 0 else [(my, mx)]
+                        for by, bx in blocks:
+                            wr.write((int(prepared[ci][by, bx, 0])
+                                      >> al) & 1, 1)
+            else:
+                ci = comps_idx[0]
+                bw, bh = comp_block_order(ci)
+                for bi in range(bw * bh):
+                    by, bx = divmod(bi, bw)
+                    wr.write((int(prepared[ci][by, bx, 0]) >> al) & 1,
+                             1)
+        else:                                          # AC scans
+            ci = comps_idx[0]
+            bw, bh = comp_block_order(ci)
+            st = _ProgACWriter(wr, ac_codes)
+            for bi in range(bw * bh):
+                by, bx = divmod(bi, bw)
+                z = prepared[ci][by, bx]
+                if ah == 0:
+                    _encode_ac_first(st, z, ss, se, al)
+                else:
+                    _encode_ac_refine(st, z, ss, se, al)
+            st.flush_eob()
+        wr.flush()
+        out += wr.out
+    out += b"\xff\xd9"
     return bytes(out)

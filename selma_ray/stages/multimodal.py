@@ -3,9 +3,9 @@
 The container has no image/audio codec LIBRARIES, but the dominant
 decode paths are fully REAL via the stdlib: PCM WAV audio (``wave``),
 PNG/BMP/PPM images (``selma_ray.stages.imagecodec``, zlib + numpy) and
-baseline JPEG (``selma_ray.stages.jpegcodec``, Huffman + vectorized
-IDCT). Payloads in those formats decode for real; the rest (MP3/MP4,
-progressive JPEG) have no pure-stdlib decode, so `decode_impl` raises
+baseline + progressive JPEG (``selma_ray.stages.jpegcodec``, Huffman +
+vectorized IDCT). Payloads in those formats decode for real; the rest
+(MP3/MP4) have no pure-stdlib decode, so `decode_impl` raises
 NotImplementedError for them unless ``fake=True``, in which case a
 deterministic fake
 (crc32-seeded feature vector) stands in so the Ray-side plumbing —
@@ -38,8 +38,8 @@ class DecodeImageFeatures:
     frontend used for near-dup/quality triage before a learned model.
     A learned encoder would load ONCE here in __init__ (per actor);
     __call__ then runs batched inference. Unrecognized formats
-    (MP3/MP4 containers, progressive JPEG) raise unless ``fake=True``
-    (crc32-seeded stand-in).
+    (MP3/MP4 containers, arithmetic-coded/12-bit/CMYK JPEG) raise
+    unless ``fake=True`` (crc32-seeded stand-in).
     """
 
     def __init__(self, data_col: str = "data", out_col: str = "features",
@@ -80,15 +80,15 @@ class DecodeImageFeatures:
             # fake=True must survive corrupt payloads that pass the
             # magic-byte sniff (truncated IDAT -> zlib.error, bad
             # structure -> ValueError) and sniffable-but-out-of-scope
-            # variants (progressive JPEG -> NotImplementedError), not
-            # just unknown formats
+            # variants (arithmetic-coded JPEG -> NotImplementedError),
+            # not just unknown formats
             except (ValueError, zlib.error, IndexError,
                     NotImplementedError):
                 if not self.fake:
                     raise
         elif not self.fake:
             raise NotImplementedError(
-                "only PNG/BMP/PPM/baseline-JPEG decode in this "
+                "only PNG/BMP/PPM/JPEG decode in this "
                 "environment (no image codec libraries); run with "
                 "fake=True for the deterministic stand-in on other "
                 "formats")
@@ -194,14 +194,14 @@ class ResizeImage:
                 return self._reencode(
                     nearest_resize(decode_image(payload), self.w, self.h))
             # corrupt-but-sniffable images (and out-of-scope variants
-            # like progressive JPEG) must not kill a fake=True run
+            # like arithmetic-coded JPEG) must not kill a fake=True run
             except (ValueError, zlib.error, IndexError,
                     NotImplementedError):
                 if not self.fake:
                     raise
         elif not self.fake:
             raise NotImplementedError(
-                "only PNG/BMP/PPM/baseline-JPEG decode in this "
+                "only PNG/BMP/PPM/JPEG decode in this "
                 "environment (no image codec libraries); run with "
                 "fake=True for the deterministic stand-in on other "
                 "formats")
@@ -263,7 +263,7 @@ class ImagePHashBands:
                     raise
         elif not self.fake:
             raise NotImplementedError(
-                "only PNG/BMP/PPM/baseline-JPEG decode in this "
+                "only PNG/BMP/PPM/JPEG decode in this "
                 "environment; run with fake=True for the deterministic "
                 "stand-in on other formats")
         return zlib.crc32(payload) * 0x9E3779B97F4A7C15 % (1 << 64)
