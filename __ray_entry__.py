@@ -2426,6 +2426,62 @@ def _q_pdf_pages(sf_dir: str):
     return out.map_batches(flatten, batch_format="pyarrow")
 
 
+def _q_media_probe(sf_dir: str):
+    """ffprobe-style media triage: every doc gets a deterministic
+    synthesized payload of a doc_id-dependent FORMAT (mp4 / mp3 / wav /
+    gif round-robin), the actor-pool stage probes the real
+    container/header layer (ISO-BMFF box walk + sample tables, MPEG
+    frame headers, RIFF, GIF blocks — no codec decode), and the SQL
+    oracle recomputes the expected metadata from the same synthesis
+    arithmetic — value equality proves each parser recovers the
+    container structure exactly."""
+    from selma_ray.stages.gifcodec import synth_gif
+    from selma_ray.stages.mediacontainers import synth_mp3, synth_mp4
+    from selma_ray.stages.multimodal import (ProbeMediaMetadata,
+                                             multimodal_stage, synth_wav)
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            if d % 4 == 0:
+                payloads.append(synth_mp4(d, n_samples=4 + d % 7))
+            elif d % 4 == 1:
+                payloads.append(synth_mp3(d, n_frames=8 + d % 9))
+            elif d % 4 == 2:
+                payloads.append(synth_wav(d, secs=0.1 + (d % 5) * 0.05))
+            else:
+                payloads.append(synth_gif(d, n_frames=2 + d % 7))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "data": pa.array(payloads, pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents").map_batches(to_binary,
+                                                batch_format="pyarrow")
+    cap = 4 if _sf_of(sf_dir) <= 0.01 else 16
+    out = multimodal_stage(ds, ProbeMediaMetadata, batch_size=32,
+                           concurrency=(1, cap))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        # -1 sentinel for fields the format legitimately lacks (audio
+        # has no geometry) so the value compare is null-free on both
+        # sides; the STAGE keeps real nulls
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_format": batch.column("media_format"),
+            "media_width": pc.fill_null(
+                pc.cast(batch.column("media_width"), pa.int64()), -1),
+            "media_height": pc.fill_null(
+                pc.cast(batch.column("media_height"), pa.int64()), -1),
+            "media_units": pc.cast(batch.column("media_units"),
+                                   pa.int64()),
+            "media_duration": batch.column("media_duration"),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_multimodal_features(sf_dir: str):
     """Image leg of the multimodal suite: actor-pool REAL decode
     (pure-stdlib codecs — PNG zlib inflate + scanline unfilter;
@@ -2733,6 +2789,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "pdf_pages": _q_pdf_pages,
+        "media_probe": _q_media_probe,
         "extract_tables": _q_extract_tables,
         "extract_outline": _q_extract_outline,
         "extract_links": _q_extract_links,
@@ -3295,6 +3352,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, page,
                    string_agg(line, chr(10) ORDER BY li) AS text
             FROM lt GROUP BY doc_id, page
+        """,
+        # media_probe: the Ray side PARSES synthesized containers
+        # (box walk / frame headers); the oracle recomputes the
+        # expected metadata from the same synthesis arithmetic.
+        # q::DOUBLE-style care: duration expressions mirror the Python
+        # fp order exactly (int products -> one double division); the
+        # wav frame count floor matches int(8000*secs) because the
+        # binary float product always lands at-or-above the decimal
+        # value here.
+        "media_probe": """
+            WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents)
+            SELECT doc_id,
+              CASE m WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3'
+                     WHEN 2 THEN 'wav' ELSE 'gif' END AS media_format,
+              coalesce(CASE m WHEN 0 THEN 64 WHEN 3 THEN 24 END,
+                       -1)::BIGINT AS media_width,
+              coalesce(CASE m WHEN 0 THEN 48 WHEN 3 THEN 16 END,
+                       -1)::BIGINT AS media_height,
+              CASE m WHEN 0 THEN 4 + doc_id % 7
+                     WHEN 1 THEN 8 + doc_id % 9
+                     WHEN 2 THEN floor(8000 * (0.1::DOUBLE
+                                       + (doc_id % 5) * 0.05::DOUBLE))
+                     ELSE 2 + doc_id % 7 END::BIGINT AS media_units,
+              CASE m WHEN 0 THEN (4 + doc_id % 7) * 25 / 600.0
+                     WHEN 1 THEN (8 + doc_id % 9) * 1152.0 / 44100
+                     WHEN 2 THEN floor(8000 * (0.1::DOUBLE
+                                       + (doc_id % 5) * 0.05::DOUBLE))
+                          / 8000.0
+                     ELSE (2 + doc_id % 7) * 4 / 100.0
+                END AS media_duration
+            FROM d
         """,
         "language_id": _language_id_oracle(),
         "minhash_lsh_pairs": _minhash_pairs_oracle(),

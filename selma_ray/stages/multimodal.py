@@ -125,6 +125,8 @@ class SampleVideoFrames:
 
     def sample_impl(self, payload: bytes) -> list[bytes]:
         from selma_ray.stages.gifcodec import sample_gif_frames, sniff_gif
+        from selma_ray.stages.mediacontainers import (sample_mp4_frames,
+                                                      sniff_mp4)
 
         payload = payload or b""
         if sniff_gif(payload):
@@ -134,10 +136,20 @@ class SampleVideoFrames:
             except (ValueError, zlib.error, IndexError):
                 if not self.fake:
                     raise
+        elif sniff_mp4(payload):
+            # REAL container-level sampling: evenly-spaced samples by
+            # byte range via the stsz/stsc/stco tables. The returned
+            # payloads are raw codec bitstream (no video codec libs
+            # here) — exactly what a decoder pool's input stage ships.
+            try:
+                return sample_mp4_frames(payload, self.n_frames)
+            except (ValueError, IndexError, NotImplementedError):
+                if not self.fake:
+                    raise
         elif not self.fake:
             raise NotImplementedError(
-                "non-GIF video codecs are not available in this "
-                "environment")
+                "non-GIF/MP4 video containers are not available in "
+                "this environment")
         k = max(1, len(payload) // max(1, self.n_frames))
         return [payload[i * k:(i + 1) * k] for i in range(self.n_frames)]
 
@@ -473,3 +485,132 @@ class DecodeAudioFeatures:
         return (batch
                 .append_column(self.out_col, frames)
                 .append_column("n_windows", n_win))
+
+
+class ProbeMediaMetadata:
+    """map_batches actor: binary media column -> typed metadata columns
+    (the ffprobe-style triage pass a 100 TB media crawl runs FIRST,
+    before any decode pool): ``media_format`` (string),
+    ``media_width`` / ``media_height`` / ``media_units`` (nullable
+    int64; units = video samples / audio frames / GIF frames / PDF
+    pages) and ``media_duration`` (nullable float64 seconds).
+
+    Every probed field is REAL — container/header layer only, no codec
+    decode: ISO-BMFF box walk + sample tables (mp4), MPEG frame-header
+    walk (mp3), RIFF header (wav), GIF logical screen + frame blocks,
+    PNG IHDR / BMP header / PPM header / JPEG SOF scan, PDF page
+    parse. Unknown or corrupt payloads probe to format
+    'unknown'/'corrupt' with null fields rather than raising — a probe
+    pass must classify everything, not crash on anything.
+    """
+
+    FIELDS = ("media_format", "media_width", "media_height",
+              "media_units", "media_duration")
+
+    def __init__(self, data_col: str = "data"):
+        self.data_col = data_col
+
+    @staticmethod
+    def _jpeg_dims(payload: bytes):
+        import struct as _s
+
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                break
+            m = payload[i + 1]
+            i += 2
+            if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+                continue
+            if m == 0xD9:
+                break
+            (ln,) = _s.unpack(">H", payload[i:i + 2])
+            if m in (0xC0, 0xC1, 0xC2):
+                h, w = _s.unpack(">HH", payload[i + 3:i + 7])
+                return w, h
+            i += ln
+        raise ValueError("no SOF")
+
+    def probe_impl(self, payload: bytes) -> dict:
+        import io
+        import struct as _s
+        import wave
+
+        from selma_ray.stages.gifcodec import decode_gif, sniff_gif
+        from selma_ray.stages.imagecodec import sniff_format
+        from selma_ray.stages.mediacontainers import (parse_mp3,
+                                                      parse_mp4,
+                                                      sniff_mp3,
+                                                      sniff_mp4)
+
+        payload = payload or b""
+        out = {"media_format": "unknown", "media_width": None,
+               "media_height": None, "media_units": None,
+               "media_duration": None}
+        try:
+            if sniff_mp4(payload):
+                info = parse_mp4(payload)
+                trk = next((t for t in info["tracks"]
+                            if "n_samples" in t), {})
+                out.update(media_format="mp4",
+                           media_width=trk.get("width"),
+                           media_height=trk.get("height"),
+                           media_units=trk.get("n_samples"),
+                           media_duration=info["duration_sec"])
+            elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                with wave.open(io.BytesIO(payload), "rb") as wv:
+                    nf = wv.getnframes()
+                    out.update(media_format="wav", media_units=nf,
+                               media_duration=nf / wv.getframerate())
+            elif sniff_mp3(payload):
+                info = parse_mp3(payload)
+                out.update(media_format="mp3",
+                           media_units=info["n_frames"],
+                           media_duration=info["duration_sec"])
+            elif sniff_gif(payload):
+                w, h = _s.unpack("<HH", payload[6:10])
+                frames, delays = decode_gif(payload)
+                out.update(media_format="gif", media_width=w,
+                           media_height=h, media_units=len(frames),
+                           media_duration=sum(delays) / 100.0)
+            elif payload[:5] == b"%PDF-":
+                from selma_ray.stages.pdfcodec import parse_pdf_pages
+
+                pages = parse_pdf_pages(payload)
+                out.update(media_format="pdf",
+                           media_units=len(pages))
+            elif sniff_format(payload) is not None:
+                fmt = sniff_format(payload)
+                if fmt == "png":
+                    w, h = _s.unpack(">II", payload[16:24])
+                elif fmt == "bmp":
+                    w, h = _s.unpack("<ii", payload[18:26])
+                    h = abs(h)
+                elif fmt == "jpeg":
+                    w, h = self._jpeg_dims(payload)
+                else:                        # ppm ASCII header
+                    toks = payload[2:64].split()
+                    w, h = int(toks[0]), int(toks[1])
+                out.update(media_format=fmt, media_width=int(w),
+                           media_height=int(h), media_units=1)
+        except (ValueError, zlib.error, IndexError, KeyError,
+                NotImplementedError, EOFError, _s.error, wave.Error):
+            out["media_format"] = "corrupt"
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self.probe_impl(p)
+                for p in batch.column(self.data_col).to_pylist()]
+        batch = batch.append_column(
+            "media_format",
+            pa.array([r["media_format"] for r in rows], pa.string()))
+        for col, typ in (("media_width", pa.int64()),
+                         ("media_height", pa.int64()),
+                         ("media_units", pa.int64())):
+            batch = batch.append_column(
+                col, pa.array([r[col] for r in rows], typ))
+        return batch.append_column(
+            "media_duration",
+            pa.array([r["media_duration"] for r in rows],
+                     pa.float64()))

@@ -1,0 +1,192 @@
+"""Media CONTAINER layer tests: ISO-BMFF (MP4) box/sample-table
+parsing, MPEG-1 Layer III frame-header walking, the ffprobe-style
+ProbeMediaMetadata stage, and real MP4 sample extraction through
+SampleVideoFrames — all pure-stdlib, codec payload decode explicitly
+out of scope."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from selma_ray.stages.mediacontainers import (
+    parse_mp3,
+    parse_mp4,
+    sample_mp4_frames,
+    sniff_mp3,
+    sniff_mp4,
+    synth_mp3,
+    synth_mp4,
+)
+
+
+class TestMp4:
+    def test_parse_round_trip(self):
+        p = synth_mp4(7, n_samples=9, width=64, height=48,
+                      timescale=600, sample_dur=25)
+        assert sniff_mp4(p)
+        info = parse_mp4(p)
+        assert info["timescale"] == 600
+        assert abs(info["duration_sec"] - 9 * 25 / 600) < 1e-12
+        trk = info["tracks"][0]
+        assert (trk["width"], trk["height"]) == (64, 48)
+        assert trk["codec"] == "fake"
+        assert trk["n_samples"] == 9
+        # offsets are strictly increasing and consistent with sizes
+        offs, szs = trk["sample_offsets"], trk["sample_sizes"]
+        assert ((offs[1:] - offs[:-1]) == szs[:-1]).all()
+
+    def test_sample_extraction_matches_synthesis(self):
+        from hashlib import md5
+
+        seed = 11
+        p = synth_mp4(seed, n_samples=6)
+        frames = sample_mp4_frames(p, 6)
+        assert len(frames) == 6
+        for i, f in enumerate(frames):
+            sz = 16 + (md5(f"{seed}:{i}".encode()).digest()[0] % 48)
+            want = b"".join(
+                md5(f"{seed}:{i}:{b}".encode()).digest()
+                for b in range((sz + 15) // 16))[:sz]
+            assert f == want
+
+    def test_evenly_spaced_subset(self):
+        p = synth_mp4(3, n_samples=20)
+        frames = sample_mp4_frames(p, 4)
+        assert len(frames) == 4
+
+    def test_corrupt_raises_valueerror(self):
+        p = synth_mp4(1)
+        with pytest.raises(ValueError):
+            parse_mp4(p[:40])                     # truncated
+        with pytest.raises(ValueError):
+            parse_mp4(b"\x00\x00\x00\x0cftypisom")  # no moov
+        bad = bytearray(p)
+        i = p.find(b"moov")
+        bad[i - 4:i] = b"\x00\x00\x00\x02"        # size < 8
+        with pytest.raises(ValueError):
+            parse_mp4(bytes(bad))
+
+    def test_not_mp4(self):
+        assert not sniff_mp4(b"RIFF....WAVE")
+        with pytest.raises(ValueError):
+            parse_mp4(b"plainly not a container")
+
+
+class TestMp3:
+    def test_parse_cbr(self):
+        p = synth_mp3(5, n_frames=20, bitrate_kbps=128,
+                      sample_rate=44100)
+        assert sniff_mp3(p)
+        info = parse_mp3(p)
+        assert info["n_frames"] == 20
+        assert info["sample_rate"] == 44100
+        assert abs(info["duration_sec"] - 20 * 1152 / 44100) < 1e-12
+        assert not info["vbr"]
+        assert info["bitrate_mean"] == 128000.0
+
+    def test_parse_vbr(self):
+        info = parse_mp3(synth_mp3(5, n_frames=9, vbr=True))
+        assert info["vbr"]
+        assert info["n_frames"] == 9
+
+    def test_id3v2_tag_skipped(self):
+        body = synth_mp3(2, n_frames=5)
+        tagged = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) \
+            + bytes(10) + body
+        assert sniff_mp3(tagged)
+        assert parse_mp3(tagged)["n_frames"] == 5
+
+    def test_truncated_final_frame_dropped(self):
+        p = synth_mp3(3, n_frames=4)
+        assert parse_mp3(p[:-10])["n_frames"] == 3
+
+    def test_garbage_raises(self):
+        with pytest.raises(ValueError):
+            parse_mp3(b"\x00" * 64)
+        with pytest.raises(ValueError):
+            parse_mp3(b"\xff\xfb\x00\x00")   # free-format bitrate idx
+        with pytest.raises(NotImplementedError):
+            parse_mp3(b"\xff\xe2\x00\x00")   # MPEG-2.5 framing
+
+
+class TestProbeStage:
+    def test_probe_all_formats(self):
+        from selma_ray.stages.gifcodec import synth_gif
+        from selma_ray.stages.jpegcodec import (encode_jpeg,
+                                                encode_jpeg_progressive)
+        from selma_ray.stages.multimodal import (ProbeMediaMetadata,
+                                                 synth_wav)
+        from selma_ray.stages.pdfcodec import synth_pdf
+
+        img = np.zeros((10, 14, 3), np.uint8)
+        payloads = [
+            synth_mp4(3, n_samples=7),
+            synth_mp3(4, n_frames=11),
+            synth_wav(5, secs=0.25),
+            synth_gif(6, n_frames=5),
+            encode_jpeg(img),
+            encode_jpeg_progressive(img),
+            synth_pdf(7, n_pages=3),
+            b"not any media format",
+            b"\xff\xd8truncated jpeg",
+        ]
+        out = ProbeMediaMetadata()(
+            pa.table({"data": pa.array(payloads, pa.binary())}))
+        fmt = out.column("media_format").to_pylist()
+        assert fmt == ["mp4", "mp3", "wav", "gif", "jpeg", "jpeg",
+                       "pdf", "unknown", "corrupt"]
+        units = out.column("media_units").to_pylist()
+        assert units[:4] == [7, 11, 2000, 5]
+        assert units[6] == 3
+        dims = list(zip(out.column("media_width").to_pylist(),
+                        out.column("media_height").to_pylist()))
+        assert dims[0] == (64, 48)
+        assert dims[3] == (24, 16)
+        assert dims[4] == (14, 10) and dims[5] == (14, 10)
+        assert dims[1] == (None, None)           # audio: no geometry
+        dur = out.column("media_duration").to_pylist()
+        assert abs(dur[2] - 0.25) < 1e-12
+
+    def test_probe_never_raises_on_junk(self):
+        from selma_ray.stages.multimodal import ProbeMediaMetadata
+
+        junk = [b"", b"\x00" * 100, b"ID3garbage", b"RIFFxxxxWAVE",
+                bytes(range(256)),
+                synth_mp4(1)[:50], synth_mp3(1)[:3]]
+        out = ProbeMediaMetadata()(
+            pa.table({"data": pa.array(junk, pa.binary())}))
+        assert out.num_rows == len(junk)
+        for f in out.column("media_format").to_pylist():
+            assert f in ("unknown", "corrupt", "wav")
+
+
+class TestVideoFramesMp4:
+    def test_real_container_sampling_in_stage(self, ray_session):
+        """SampleVideoFrames over MP4 in strict (fake=False) mode:
+        frames are the REAL byte-range samples from the container,
+        via an actual Ray actor-pool run."""
+        import ray.data
+
+        from selma_ray.stages.multimodal import (SampleVideoFrames,
+                                                 multimodal_stage)
+
+        tbl = pa.table({
+            "vid": pa.array(range(8), pa.int64()),
+            "data": pa.array([synth_mp4(i, n_samples=5 + i)
+                              for i in range(8)], pa.binary()),
+        })
+        out = multimodal_stage(
+            ray.data.from_arrow(tbl), SampleVideoFrames,
+            batch_size=4, fake=False, n_frames=3,
+            concurrency=(1, 2)).to_pandas().sort_values("vid")
+        for i, frames in zip(out["vid"], out["frames"]):
+            assert len(frames) == 3
+            got = sample_mp4_frames(synth_mp4(i, n_samples=5 + i), 3)
+            assert [bytes(f) for f in frames] == got
+
+    def test_strict_mode_still_rejects_unknown_container(self):
+        from selma_ray.stages.multimodal import SampleVideoFrames
+
+        sv = SampleVideoFrames(fake=False)
+        with pytest.raises(NotImplementedError):
+            sv.sample_impl(b"\x1aE\xdf\xa3 webm-ish")
