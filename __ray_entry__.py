@@ -2482,6 +2482,54 @@ def _q_media_probe(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_media_stats(sf_dir: str):
+    """Per-format media rollup over the probe stage (the triage table
+    a crawl team reads first): count, total duration, mean units.
+    Composes _q_media_probe's real container parses with a per-batch
+    combiner + one tiny groupby(format) — int64/float sums, one final
+    division for bit-stable means."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    probed = _q_media_probe(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "media_format": batch.column("media_format"),
+            "pn": pa.array(np.ones(batch.num_rows, np.int64)),
+            "pu": pc.cast(batch.column("media_units"), pa.int64()),
+            "pd": batch.column("media_duration"),
+        })
+        c = t.group_by("media_format").aggregate(
+            [("pn", "sum"), ("pu", "sum"), ("pd", "sum")])
+        return pa.table({
+            "media_format": c.column("media_format"),
+            "pn": pc.cast(c.column("pn_sum"), pa.int64()),
+            "pu": pc.cast(c.column("pu_sum"), pa.int64()),
+            "pd": c.column("pd_sum"),
+        })
+
+    agg = probed.map_batches(partial, batch_format="pyarrow") \
+        .groupby("media_format") \
+        .aggregate(Sum("pn"), Sum("pu"), Sum("pd"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(pn)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u = batch.column("sum(pu)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch.column("sum(pd)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "media_format": batch.column("media_format"),
+            "n_files": pa.array(n, pa.int64()),
+            "total_units": pa.array(u, pa.int64()),
+            "total_duration": pa.array(d, pa.float64()),
+            "mean_units": pa.array(u / n, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_multimodal_features(sf_dir: str):
     """Image leg of the multimodal suite: actor-pool REAL decode
     (pure-stdlib codecs — PNG zlib inflate + scanline unfilter;
@@ -2790,6 +2838,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _q_video_frames,
         "pdf_pages": _q_pdf_pages,
         "media_probe": _q_media_probe,
+        "media_stats": _q_media_stats,
         "extract_tables": _q_extract_tables,
         "extract_outline": _q_extract_outline,
         "extract_links": _q_extract_links,
@@ -3383,6 +3432,33 @@ def oracle_sql() -> dict[str, str]:
                      ELSE (2 + doc_id % 7) * 4 / 100.0
                 END AS media_duration
             FROM d
+        """,
+        "media_stats": """
+            WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents),
+            p AS (
+              SELECT CASE m WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3'
+                            WHEN 2 THEN 'wav' ELSE 'gif'
+                     END AS media_format,
+                     CASE m WHEN 0 THEN 4 + doc_id % 7
+                            WHEN 1 THEN 8 + doc_id % 9
+                            WHEN 2 THEN floor(8000 * (0.1::DOUBLE
+                                     + (doc_id % 5) * 0.05::DOUBLE))
+                            ELSE 2 + doc_id % 7
+                       END::BIGINT AS units,
+                     CASE m WHEN 0 THEN (4 + doc_id % 7) * 25 / 600.0
+                            WHEN 1 THEN (8 + doc_id % 9) * 1152.0
+                                 / 44100
+                            WHEN 2 THEN floor(8000 * (0.1::DOUBLE
+                                     + (doc_id % 5) * 0.05::DOUBLE))
+                                 / 8000.0
+                            ELSE (2 + doc_id % 7) * 4 / 100.0
+                       END AS dur
+              FROM d)
+            SELECT media_format, count(*)::BIGINT AS n_files,
+                   sum(units)::BIGINT AS total_units,
+                   sum(dur) AS total_duration,
+                   sum(units) / count(*)::DOUBLE AS mean_units
+            FROM p GROUP BY media_format
         """,
         "language_id": _language_id_oracle(),
         "minhash_lsh_pairs": _minhash_pairs_oracle(),
