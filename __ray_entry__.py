@@ -1158,13 +1158,18 @@ def _q_events_quantiles_twopass(sf_dir: str):
 
 
 def _q_kll_quantiles(sf_dir: str):
-    """One-pass mergeable KLL-style quantile sketch; approximate
-    (rank error ~1/k), so checked rows-only — the exact oracles are
-    events_quantiles / events_quantiles_scalable."""
+    """One-pass mergeable KLL-style quantile sketch. k=16384 exceeds
+    the events row count at correctness scale (10k at sf0.01), so no
+    compactor fires, the merged sketch IS the sorted data, and the
+    quantiles are the exact nearest-rank values — SQL-checkable (the
+    below-saturation contract, same as kll_quantiles_by_type /
+    daily_active_kmv). At 100 TB the identical pipeline degrades
+    gracefully to ~1/k-error summaries with constant-size block
+    partials."""
     from selma_ray.pipelines.sketches import kll_quantiles
 
     return kll_quantiles(_read(sf_dir, "events"), value_col="value",
-                         qs=(0.1, 0.5, 0.9, 0.99), k=400)
+                         qs=(0.1, 0.5, 0.9, 0.99), k=16384)
 
 
 def _q_kll_quantiles_by_type(sf_dir: str):
@@ -5372,6 +5377,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, q, value
             FROM r, (VALUES (0.5::DOUBLE), (0.9::DOUBLE),
                             (0.99::DOUBLE)) qs(q)
+            WHERE rk = greatest(1, ceil(q * n))::BIGINT
+        """,
+        "kll_quantiles": r"""
+            WITH r AS (
+                SELECT value,
+                       row_number() OVER (ORDER BY value) AS rk,
+                       count(*) OVER () AS n
+                FROM events WHERE value IS NOT NULL)
+            SELECT q, value
+            FROM r, (VALUES (0.1::DOUBLE), (0.5::DOUBLE),
+                            (0.9::DOUBLE), (0.99::DOUBLE)) qs(q)
             WHERE rk = greatest(1, ceil(q * n))::BIGINT
         """,
         "cdc_chunks": _cdc_chunks_oracle(),
