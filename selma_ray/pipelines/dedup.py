@@ -1636,33 +1636,67 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
     what curation actually wants when duplicates differ in metadata
     quality (longer canonical copy, better source).
 
-    Same two-level argmax shape as compact_latest: a per-batch
-    combiner keeps one best candidate row per hash per block, then one
-    groupby(hash) picks the global winner under the identical
-    (score DESC, id ASC) rule — the shuffle carries hashes x blocks
-    candidate rows, never the corpus.
+    Text never rides the shuffle (the exact_dedup shape): a per-batch
+    combiner reduces each block to slim (text_hash, score, id)
+    candidate triples — one best per hash per block — a bucketed
+    per-hash argmax picks the global winner ids, and a second map-only
+    pass keeps winner rows (broadcast ``is_in`` below
+    ``max_broadcast_ids`` winners, native ``left_semi`` join past it).
+    ``ds`` is consumed twice; deterministic upstreams required (the
+    repo-wide partition-invariance contract).
     """
-    def best_in_batch(batch: pa.Table) -> pa.Table:
-        batch = add_md5(batch, text_col)
+    import ray
+
+    from ..stages.util import bucketed_map_groups
+
+    def slim(batch: pa.Table) -> pa.Table:
+        b = add_md5(batch, text_col)
         order = pc.sort_indices(
-            batch, sort_keys=[("text_hash", "ascending"),
-                              (score_col, "descending"),
-                              (id_col, "ascending")])
-        srt = batch.take(order)
+            b, sort_keys=[("text_hash", "ascending"),
+                          (score_col, "descending"),
+                          (id_col, "ascending")])
+        srt = b.take(order).select(["text_hash", score_col, id_col])
         hs = srt.column("text_hash").to_numpy(zero_copy_only=False)
         first = np.ones(len(hs), bool)
         first[1:] = hs[1:] != hs[:-1]
         return srt.filter(pa.array(first))
 
-    def best_global(group: pa.Table) -> pa.Table:
+    def best_in_bucket(bucket: pa.Table) -> pa.Table:
         order = pc.sort_indices(
-            group, sort_keys=[(score_col, "descending"),
-                              (id_col, "ascending")])
-        return group.take(order).slice(0, 1).drop_columns(["text_hash"])
+            bucket, sort_keys=[("text_hash", "ascending"),
+                               (score_col, "descending"),
+                               (id_col, "ascending")])
+        srt = bucket.take(order)
+        hs = srt.column("text_hash").to_numpy(zero_copy_only=False)
+        first = np.ones(len(hs), bool)
+        first[1:] = hs[1:] != hs[:-1]
+        return pa.table({
+            "keep": srt.column(id_col).filter(pa.array(first)),
+        })
 
-    return per_key_in_buckets(
-        ds.map_batches(best_in_batch, batch_format="pyarrow"),
-        "text_hash", best_global)
+    winners = bucketed_map_groups(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        "text_hash", best_in_bucket).materialize()
+
+    if winners.count() <= 5_000_000:
+        keep_ref = ray.put(pa.concat_tables(
+            ray.get(winners.to_arrow_refs())).column("keep")
+            .combine_chunks())
+
+        def filt(batch: pa.Table) -> pa.Table:
+            keep = ray.get(keep_ref)
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return batch.filter(pc.is_in(ids, value_set=keep))
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    sch = winners.schema()
+    probe = _with_null_sentinel(
+        winners, "keep", dict(zip(sch.names, sch.types))["keep"])
+    return ds.join(probe, join_type="left_semi", num_partitions=8,
+                   on=(id_col,), right_on=("keep",))
 
 
 def dedup_comparison(ds, *, id_col: str = "doc_id",
