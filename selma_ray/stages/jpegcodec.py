@@ -929,14 +929,17 @@ def _encode_ac_refine(st: _ProgACWriter, z: np.ndarray, ss: int, se: int,
 
 
 def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 85,
-                            subsample=False) -> bytes:
+                            subsample=False,
+                            restart_interval: int = 0) -> bytes:
     """(h, w[, 1|3]) uint8 -> progressive (SOF2) JFIF bytes with a
     libjpeg-style scan script (interleaved DC first/refine, per-
     component spectral-selection AC scans, two successive-approximation
-    levels on luma AC). Quantized coefficients are identical to
-    :func:`encode_jpeg` at the same quality/subsampling, so
-    ``decode_jpeg`` of both must agree bit-for-bit — the round-trip
-    contract the progressive decoder is tested against."""
+    levels on luma AC), optionally with restart markers every
+    ``restart_interval`` MCUs/blocks in every scan. Quantized
+    coefficients are identical to :func:`encode_jpeg` at the same
+    quality/subsampling, so ``decode_jpeg`` of both must agree
+    bit-for-bit — the round-trip contract the progressive decoder is
+    tested against."""
     prepared, samp, ch, h, w, ql, qc = _prepare_planes(
         img, quality, subsample)
     sh, sv = samp
@@ -1000,6 +1003,9 @@ def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 85,
         bh = (-(-(h * fv) // sv) + 7) // 8
         return bw, bh
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
     for comps_idx, ss, se, ah, al in script:
         ns = len(comps_idx)
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
@@ -1007,32 +1013,46 @@ def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 85,
             td = 0 if ci == 0 else 1
             out += bytes([ci + 1, (td << 4) | 0])
         out += bytes([ss, se, (ah << 4) | al])
+
+        # restart UNITS: MCUs for interleaved scans, blocks otherwise
+        if ss == 0 and ns > 1:
+            units = []
+            for mi in range(mcuy * mcux):
+                my, mx = divmod(mi, mcux)
+                unit = []
+                for ci in comps_idx:
+                    blocks = [(my * sv + by, mx * sh + bx)
+                              for by in range(sv)
+                              for bx in range(sh)] \
+                        if ci == 0 else [(my, mx)]
+                    unit += [(ci, by, bx) for by, bx in blocks]
+                units.append(unit)
+        else:
+            ci0 = comps_idx[0]
+            bw, bh = comp_block_order(ci0)
+            units = [[(ci0,) + divmod(bi, bw)]
+                     for bi in range(bw * bh)]
+
         wr = _BitWriter()
-        if ss == 0 and ah == 0:                       # DC first
-            preds = {ci: 0 for ci in comps_idx}
-            if ns > 1:
-                for mi in range(mcuy * mcux):
-                    my, mx = divmod(mi, mcux)
-                    for ci in comps_idx:
-                        blocks = [(my * sv + by, mx * sh + bx)
-                                  for by in range(sv)
-                                  for bx in range(sh)] \
-                            if ci == 0 else [(my, mx)]
-                        for by, bx in blocks:
-                            v = int(prepared[ci][by, bx, 0]) >> al
-                            diff = v - preds[ci]
-                            preds[ci] = v
-                            s = abs(diff).bit_length()
-                            code, ln = dc_codes[ci][s]
-                            wr.write(code, ln)
-                            if s:
-                                wr.write(diff if diff >= 0
-                                         else diff + (1 << s) - 1, s)
-            else:
-                ci = comps_idx[0]
-                bw, bh = comp_block_order(ci)
-                for bi in range(bw * bh):
-                    by, bx = divmod(bi, bw)
+        st = _ProgACWriter(wr, ac_codes)
+        preds = {ci: 0 for ci in comps_idx}
+        rst = 0
+        for ui, unit in enumerate(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                # close the entropy segment: pending EOB run +
+                # buffered correction bits, pad, RST marker, fresh
+                # predictors/EOB state (mirrors the decoder's
+                # per-segment reset)
+                st.flush_eob()
+                wr.flush()
+                out += wr.out
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                wr = _BitWriter()
+                st = _ProgACWriter(wr, ac_codes)
+                preds = {ci: 0 for ci in comps_idx}
+            for ci, by, bx in unit:
+                if ss == 0 and ah == 0:               # DC first
                     v = int(prepared[ci][by, bx, 0]) >> al
                     diff = v - preds[ci]
                     preds[ci] = v
@@ -1042,37 +1062,16 @@ def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 85,
                     if s:
                         wr.write(diff if diff >= 0
                                  else diff + (1 << s) - 1, s)
-        elif ss == 0:                                  # DC refine
-            if ns > 1:
-                for mi in range(mcuy * mcux):
-                    my, mx = divmod(mi, mcux)
-                    for ci in comps_idx:
-                        blocks = [(my * sv + by, mx * sh + bx)
-                                  for by in range(sv)
-                                  for bx in range(sh)] \
-                            if ci == 0 else [(my, mx)]
-                        for by, bx in blocks:
-                            wr.write((int(prepared[ci][by, bx, 0])
-                                      >> al) & 1, 1)
-            else:
-                ci = comps_idx[0]
-                bw, bh = comp_block_order(ci)
-                for bi in range(bw * bh):
-                    by, bx = divmod(bi, bw)
+                elif ss == 0:                          # DC refine
                     wr.write((int(prepared[ci][by, bx, 0]) >> al) & 1,
                              1)
-        else:                                          # AC scans
-            ci = comps_idx[0]
-            bw, bh = comp_block_order(ci)
-            st = _ProgACWriter(wr, ac_codes)
-            for bi in range(bw * bh):
-                by, bx = divmod(bi, bw)
-                z = prepared[ci][by, bx]
-                if ah == 0:
-                    _encode_ac_first(st, z, ss, se, al)
-                else:
-                    _encode_ac_refine(st, z, ss, se, al)
-            st.flush_eob()
+                elif ah == 0:                          # AC first
+                    _encode_ac_first(st, prepared[ci][by, bx],
+                                     ss, se, al)
+                else:                                  # AC refine
+                    _encode_ac_refine(st, prepared[ci][by, bx],
+                                      ss, se, al)
+        st.flush_eob()
         wr.flush()
         out += wr.out
     out += b"\xff\xd9"

@@ -366,6 +366,27 @@ class TestProgressive:
                 encode_jpeg_progressive(img, quality=q, subsample=sub))
             np.testing.assert_array_equal(prog, base)
 
+    @pytest.mark.parametrize("shape,sub,ri", [
+        ((24, 24, 3), False, 2),
+        ((40, 56, 3), True, 3),
+        ((17, 33, 1), False, 1),
+        ((48, 80, 3), False, 2),   # flat-ish EOB runs clip at RSTs
+    ])
+    def test_restart_markers(self, shape, sub, ri):
+        """Progressive restart intervals: every scan's entropy state
+        (DC predictors, EOB runs, correction-bit buffers) resets at
+        each RST; pixels must still match the baseline decode."""
+        from selma_ray.stages.jpegcodec import encode_jpeg_progressive
+
+        rng = np.random.default_rng(sum(shape) + ri)
+        img = rng.integers(0, 256, shape, np.uint8)
+        if shape[-1] == 1:
+            img = img[:, :, 0]
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            img, subsample=sub, restart_interval=ri))
+        np.testing.assert_array_equal(prog, base)
+
     def test_real_world_progressive_files(self):
         """Real SOF2 files shipped in this container (nodejs docs)
         must decode with plausible rasters; guarded so the suite
