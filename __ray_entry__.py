@@ -2487,6 +2487,56 @@ def _q_media_probe(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_mp4_sample_frames(sf_dir: str):
+    """REAL MP4 container frame sampling with an exact SQL oracle:
+    each doc gets a deterministic synthesized ISO-BMFF file, the
+    actor-pool stage extracts 3 evenly-spaced samples by byte range
+    via the parsed stsz/stsc/stco tables (strict mode, no fake), and
+    the oracle reconstructs the same sample BYTES in SQL from the
+    synthesis arithmetic (md5-chain payloads; sizes from the digest's
+    first byte via md5_number_upper's little-endian low byte; pick
+    indices mirror np.linspace truncation). Value equality proves the
+    box walker and sample-table flattening recover byte-exact
+    offsets."""
+    from selma_ray.stages.mediacontainers import synth_mp4
+    from selma_ray.stages.multimodal import (SampleVideoFrames,
+                                             multimodal_stage)
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "data": pa.array([synth_mp4(d, n_samples=4 + d % 9)
+                              for d in ids], pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents").map_batches(to_binary,
+                                                batch_format="pyarrow")
+    cap = 4 if _sf_of(sf_dir) <= 0.01 else 16
+    out = multimodal_stage(ds, SampleVideoFrames, batch_size=32,
+                           fake=False, n_frames=3,
+                           concurrency=(1, cap))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        frames = batch.column("frames")
+        if isinstance(frames, pa.ChunkedArray):
+            frames = frames.combine_chunks()
+        idx = pc.list_parent_indices(frames)
+        flat = pc.list_flatten(frames)
+        pos = pa.array(
+            [i for n in pc.list_value_length(frames).to_pylist()
+             for i in range(n)], pa.int64())
+        return pa.table({
+            "doc_id": pc.take(batch.column("doc_id"), idx),
+            "frame_idx": pos,
+            "frame_hex": pa.array(
+                [bytes(b).hex() for b in flat.to_pylist()],
+                pa.string()),
+        })
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
 def _q_media_stats(sf_dir: str):
     """Per-format media rollup over the probe stage (the triage table
     a crawl team reads first): count, total duration, mean units.
@@ -2844,6 +2894,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "pdf_pages": _q_pdf_pages,
         "media_probe": _q_media_probe,
         "media_stats": _q_media_stats,
+        "mp4_sample_frames": _q_mp4_sample_frames,
         "extract_tables": _q_extract_tables,
         "extract_outline": _q_extract_outline,
         "extract_links": _q_extract_links,
@@ -3437,6 +3488,33 @@ def oracle_sql() -> dict[str, str]:
                      ELSE (2 + doc_id % 7) * 4 / 100.0
                 END AS media_duration
             FROM d
+        """,
+        # mp4_sample_frames: reconstruct the sampled bytes from the
+        # synthesis arithmetic. md5_number_upper is the little-endian
+        # int of digest[0:8], so % 256 is exactly digest byte 0 (the
+        # size seed); pick indices replay np.linspace truncation
+        # ((n-1)*k/2.0 is exact in binary for n <= 12).
+        "mp4_sample_frames": """
+            WITH d AS (SELECT doc_id, (4 + doc_id % 9)::BIGINT AS n
+                       FROM documents),
+            p AS (
+              SELECT doc_id, n, k.k AS frame_idx,
+                     trunc((n - 1) * k.k / 2.0)::BIGINT AS si
+              FROM d, (VALUES (0::BIGINT), (1::BIGINT),
+                              (2::BIGINT)) k(k)),
+            z AS (
+              SELECT doc_id, frame_idx, si,
+                     16 + (md5_number_upper(doc_id || ':' || si)
+                           % 256) % 48 AS sz
+              FROM p)
+            SELECT doc_id, frame_idx,
+                   substr(
+                     md5(doc_id || ':' || si || ':0') ||
+                     md5(doc_id || ':' || si || ':1') ||
+                     md5(doc_id || ':' || si || ':2') ||
+                     md5(doc_id || ':' || si || ':3'),
+                     1, (2 * sz)::INT) AS frame_hex
+            FROM z
         """,
         "media_stats": """
             WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents),
