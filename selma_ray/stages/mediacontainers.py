@@ -153,22 +153,33 @@ def parse_mp4(payload: bytes) -> dict:
         ent = np.frombuffer(payload, ">u4", count=3 * n_ent,
                             offset=x0 + 8).astype(np.int64) \
             .reshape(n_ent, 3)   # (first_chunk, samples_per_chunk, id)
-        # flatten: absolute offset per sample
-        offsets = np.zeros(n_samples, np.int64)
+        # flatten: absolute offset per sample, vectorized — build each
+        # sample's chunk index from the stsc runs, then offset =
+        # chunk_base[chunk] + (prefix_sum(sizes) - prefix at the
+        # chunk's first sample)
+        chunk_of = np.zeros(n_samples, np.int64)
         si = 0
         for ei in range(n_ent):
             first = int(ent[ei, 0]) - 1
             spc = int(ent[ei, 1])
             last = int(ent[ei + 1, 0]) - 1 if ei + 1 < n_ent \
                 else n_chunks
-            for ci in range(first, last):
-                off = int(chunk_offs[ci])
-                for _ in range(spc):
-                    if si >= n_samples:
-                        break
-                    offsets[si] = off
-                    off += int(sizes[si])
-                    si += 1
+            n_here = min((last - first) * spc, n_samples - si)
+            if n_here <= 0:
+                continue
+            chunk_of[si:si + n_here] = first + \
+                np.arange(n_here, dtype=np.int64) // spc
+            si += n_here
+        if si < n_samples:
+            raise ValueError("corrupt MP4: stsc covers fewer samples "
+                             "than stsz")
+        pre = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        starts = np.zeros(n_samples, bool)
+        starts[0] = True
+        starts[1:] = chunk_of[1:] != chunk_of[:-1]
+        chunk_first_pre = np.maximum.accumulate(
+            np.where(starts, pre, 0))
+        offsets = chunk_offs[chunk_of] + (pre - chunk_first_pre)
         trk["n_samples"] = int(n_samples)
         trk["sample_sizes"] = sizes
         trk["sample_offsets"] = offsets
