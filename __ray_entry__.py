@@ -2537,6 +2537,29 @@ def _q_mp4_sample_frames(sf_dir: str):
     return out.map_batches(flatten, batch_format="pyarrow")
 
 
+def _q_curate_media(sf_dir: str):
+    """Composed media curation (probe -> duration/format select ->
+    frame extraction), stage-checkpointed like curate_corpus. The
+    oracle covers the MP4 leg end-to-end — format assignment, the
+    duration filter's survivors, np.linspace pick indices and the
+    byte-exact sampled sizes all recomputed from the synthesis
+    arithmetic in SQL; the GIF leg (PNG re-encoded frames, sizes not
+    SQL-derivable) is exercised by tests instead."""
+    import ray.data
+
+    from selma_ray.pipelines.media import curate_media
+
+    out = f"/tmp/selma_curate_media_{_sf_of(sf_dir)}"
+    curate_media(f"{sf_dir}/documents.parquet", out)
+    frames = ray.data.read_parquet(f"{out}/frames")
+
+    def mp4_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("media_format"),
+                                     pa.scalar("mp4")))
+
+    return frames.map_batches(mp4_only, batch_format="pyarrow")
+
+
 def _q_media_stats(sf_dir: str):
     """Per-format media rollup over the probe stage (the triage table
     a crawl team reads first): count, total duration, mean units.
@@ -2895,6 +2918,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "media_probe": _q_media_probe,
         "media_stats": _q_media_stats,
         "mp4_sample_frames": _q_mp4_sample_frames,
+        "curate_media": _q_curate_media,
         "extract_tables": _q_extract_tables,
         "extract_outline": _q_extract_outline,
         "extract_links": _q_extract_links,
@@ -3515,6 +3539,25 @@ def oracle_sql() -> dict[str, str]:
                      md5(doc_id || ':' || si || ':3'),
                      1, (2 * sz)::INT) AS frame_hex
             FROM z
+        """,
+        "curate_media": """
+            WITH d AS (
+              SELECT doc_id, (4 + doc_id % 7)::BIGINT AS n
+              FROM documents WHERE doc_id % 4 = 0),
+            sel AS (SELECT * FROM d WHERE n * 25 / 600.0 >= 0.2),
+            p AS (SELECT doc_id, n,
+                         trunc((n - 1) * k.k / 2.0)::BIGINT AS si
+                  FROM sel, (VALUES (0::BIGINT), (1::BIGINT),
+                                    (2::BIGINT)) k(k)),
+            pd AS (SELECT DISTINCT doc_id, n, si FROM p),
+            z AS (SELECT doc_id, si,
+                         16 + (md5_number_upper(doc_id || ':' || si)
+                               % 256) % 48 AS sz
+                  FROM pd)
+            SELECT doc_id, 'mp4' AS media_format,
+                   count(*)::BIGINT AS n_frames,
+                   sum(sz)::BIGINT AS frame_bytes
+            FROM z GROUP BY doc_id
         """,
         "media_stats": """
             WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents),

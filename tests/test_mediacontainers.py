@@ -190,3 +190,43 @@ class TestVideoFramesMp4:
         sv = SampleVideoFrames(fake=False)
         with pytest.raises(NotImplementedError):
             sv.sample_impl(b"\x1aE\xdf\xa3 webm-ish")
+
+
+class TestCurateMedia:
+    def test_stages_resume_and_gif_leg(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from selma_ray.pipelines.media import curate_media
+
+        docs = pa.table({"doc_id": pa.array(range(64), pa.int64())})
+        src = tmp_path / "docs.parquet"
+        pq.write_table(docs, src)
+        out = tmp_path / "media"
+
+        s1 = curate_media(str(src), str(out))
+        assert s1["stages"]["probe"]["rows"] == 64
+        sel = s1["stages"]["select"]["rows"]
+        assert 0 < sel < 64
+        assert s1["stages"]["frames"]["rows"] == sel
+
+        fr = ray.data.read_parquet(str(out / "frames")).to_pandas()
+        # both visual legs present; every row carries n_frames=3
+        assert set(fr["media_format"]) == {"mp4", "gif"}
+        assert (fr["n_frames"] == 3).all()
+        # real bytes extracted on both legs
+        assert (fr["frame_bytes"] > 0).all()
+        # the duration filter's survivors match the synthesis math:
+        # mp4 keeps 4 + d%7 >= 5, gif keeps 2 + d%7 >= 5
+        want = {d for d in range(64)
+                if (d % 4 == 0 and 4 + d % 7 >= 5)
+                or (d % 4 == 3 and 2 + d % 7 >= 5)}
+        assert set(fr["doc_id"]) == want
+
+        # resume: a second run skips every stage (marker times keep
+        # the recorded rows, sec drops to ~0 re-reads)
+        s2 = curate_media(str(src), str(out))
+        assert s2["stages"]["probe"]["rows"] == 64
+        assert s2["stages"]["frames"]["rows"] == sel
+        fr2 = ray.data.read_parquet(str(out / "frames")).to_pandas()
+        assert sorted(fr2["doc_id"]) == sorted(fr["doc_id"])
