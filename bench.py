@@ -115,7 +115,11 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
              # round-2 additions: DOM-heuristic block filter, PDF layout
              # parse, PII redaction, RAG chunking, co-grouped joins
              "block_filter", "pdf_pages", "redact_pii", "chunk_documents",
-             "late_orders", "weekly_active"]
+             "late_orders", "weekly_active",
+             # round-4 additions: container-layer media probe and
+             # byte-range MP4 frame sampling (real ISO-BMFF/MPEG
+             # parsers, actor pools over binary payloads)
+             "media_probe", "mp4_sample_frames"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in picks:
