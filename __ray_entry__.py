@@ -2433,33 +2433,23 @@ def _q_pdf_pages(sf_dir: str):
 
 def _q_media_probe(sf_dir: str):
     """ffprobe-style media triage: every doc gets a deterministic
-    synthesized payload of a doc_id-dependent FORMAT (mp4 / mp3 / wav /
-    gif round-robin), the actor-pool stage probes the real
+    synthesized payload of a doc_id-dependent FORMAT (mp4 / mp3 / wav
+    / gif / webm round-robin), the actor-pool stage probes the real
     container/header layer (ISO-BMFF box walk + sample tables, MPEG
-    frame headers, RIFF, GIF blocks — no codec decode), and the SQL
-    oracle recomputes the expected metadata from the same synthesis
-    arithmetic — value equality proves each parser recovers the
-    container structure exactly."""
-    from selma_ray.stages.gifcodec import synth_gif
-    from selma_ray.stages.mediacontainers import synth_mp3, synth_mp4
+    frame headers, RIFF, GIF blocks, Matroska EBML — no codec decode),
+    and the SQL oracle recomputes the expected metadata from the same
+    synthesis arithmetic — value equality proves each parser recovers
+    the container structure exactly."""
+    from selma_ray.pipelines.media import synth_media_payload
     from selma_ray.stages.multimodal import (ProbeMediaMetadata,
-                                             multimodal_stage, synth_wav)
+                                             multimodal_stage)
 
     def to_binary(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        payloads = []
-        for d in ids:
-            if d % 4 == 0:
-                payloads.append(synth_mp4(d, n_samples=4 + d % 7))
-            elif d % 4 == 1:
-                payloads.append(synth_mp3(d, n_frames=8 + d % 9))
-            elif d % 4 == 2:
-                payloads.append(synth_wav(d, secs=0.1 + (d % 5) * 0.05))
-            else:
-                payloads.append(synth_gif(d, n_frames=2 + d % 7))
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "data": pa.array(payloads, pa.binary()),
+            "data": pa.array([synth_media_payload(d) for d in ids],
+                             pa.binary()),
         })
 
     ds = _read(sf_dir, "documents").map_batches(to_binary,
@@ -2540,24 +2530,27 @@ def _q_mp4_sample_frames(sf_dir: str):
 def _q_curate_media(sf_dir: str):
     """Composed media curation (probe -> duration/format select ->
     frame extraction), stage-checkpointed like curate_corpus. The
-    oracle covers the MP4 leg end-to-end — format assignment, the
-    duration filter's survivors, np.linspace pick indices and the
-    byte-exact sampled sizes all recomputed from the synthesis
-    arithmetic in SQL; the GIF leg (PNG re-encoded frames, sizes not
-    SQL-derivable) is exercised by tests instead."""
+    oracle covers the MP4 and WebM legs end-to-end — format
+    assignment, the duration filter's survivors, np.linspace pick
+    indices and the byte-exact sampled sizes all recomputed from the
+    synthesis arithmetic in SQL; the GIF leg (PNG re-encoded frames,
+    sizes not SQL-derivable) is exercised by tests instead."""
     import ray.data
 
     from selma_ray.pipelines.media import curate_media
 
-    out = f"/tmp/selma_curate_media_{_sf_of(sf_dir)}"
+    # v2: payload mix is the 5-way round-robin (adds webm); versioned
+    # root so resume can never serve a stale mix's checkpoints
+    out = f"/tmp/selma_curate_media_v2_{_sf_of(sf_dir)}"
     curate_media(f"{sf_dir}/documents.parquet", out)
     frames = ray.data.read_parquet(f"{out}/frames")
 
-    def mp4_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch.column("media_format"),
-                                     pa.scalar("mp4")))
+    def oracled_legs(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(
+            batch.column("media_format"),
+            value_set=pa.array(["mp4", "webm"])))
 
-    return frames.map_batches(mp4_only, batch_format="pyarrow")
+    return frames.map_batches(oracled_legs, batch_format="pyarrow")
 
 
 def _q_media_stats(sf_dir: str):
@@ -3491,25 +3484,31 @@ def oracle_sql() -> dict[str, str]:
         # binary float product always lands at-or-above the decimal
         # value here.
         "media_probe": """
-            WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents)
+            WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
             SELECT doc_id,
               CASE m WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3'
-                     WHEN 2 THEN 'wav' ELSE 'gif' END AS media_format,
-              coalesce(CASE m WHEN 0 THEN 64 WHEN 3 THEN 24 END,
+                     WHEN 2 THEN 'wav' WHEN 3 THEN 'gif'
+                     ELSE 'webm' END AS media_format,
+              coalesce(CASE m WHEN 0 THEN 64 WHEN 3 THEN 24
+                              WHEN 4 THEN 320 END,
                        -1)::BIGINT AS media_width,
-              coalesce(CASE m WHEN 0 THEN 48 WHEN 3 THEN 16 END,
+              coalesce(CASE m WHEN 0 THEN 48 WHEN 3 THEN 16
+                              WHEN 4 THEN 240 END,
                        -1)::BIGINT AS media_height,
               CASE m WHEN 0 THEN 4 + doc_id % 7
                      WHEN 1 THEN 8 + doc_id % 9
                      WHEN 2 THEN floor(8000 * (0.1::DOUBLE
-                                       + (doc_id % 5) * 0.05::DOUBLE))
-                     ELSE 2 + doc_id % 7 END::BIGINT AS media_units,
+                                       + (doc_id % 7) * 0.05::DOUBLE))
+                     WHEN 3 THEN 2 + doc_id % 7
+                     ELSE 3 + doc_id % 6 END::BIGINT AS media_units,
               CASE m WHEN 0 THEN (4 + doc_id % 7) * 25 / 600.0
                      WHEN 1 THEN (8 + doc_id % 9) * 1152.0 / 44100
                      WHEN 2 THEN floor(8000 * (0.1::DOUBLE
-                                       + (doc_id % 5) * 0.05::DOUBLE))
+                                       + (doc_id % 7) * 0.05::DOUBLE))
                           / 8000.0
-                     ELSE (2 + doc_id % 7) * 4 / 100.0
+                     WHEN 3 THEN (2 + doc_id % 7) * 4 / 100.0
+                     ELSE ((3 + doc_id % 6) * 40.0 * 1000000)
+                          / 1000000000.0
                 END AS media_duration
             FROM d
         """,
@@ -3541,43 +3540,61 @@ def oracle_sql() -> dict[str, str]:
             FROM z
         """,
         "curate_media": """
-            WITH d AS (
+            WITH m4 AS (
               SELECT doc_id, (4 + doc_id % 7)::BIGINT AS n
-              FROM documents WHERE doc_id % 4 = 0),
-            sel AS (SELECT * FROM d WHERE n * 25 / 600.0 >= 0.2),
-            p AS (SELECT doc_id, n,
-                         trunc((n - 1) * k.k / 2.0)::BIGINT AS si
-                  FROM sel, (VALUES (0::BIGINT), (1::BIGINT),
+              FROM documents WHERE doc_id % 5 = 0
+                AND (4 + doc_id % 7) * 25 / 600.0 >= 0.2),
+            wb AS (
+              SELECT doc_id, (3 + doc_id % 6)::BIGINT AS n
+              FROM documents WHERE doc_id % 5 = 4
+                AND ((3 + doc_id % 6) * 40.0 * 1000000)
+                    / 1000000000.0 >= 0.2),
+            p4 AS (SELECT doc_id, trunc((n - 1) * k.k / 2.0)::BIGINT
+                          AS si
+                   FROM m4, (VALUES (0::BIGINT), (1::BIGINT),
                                     (2::BIGINT)) k(k)),
-            pd AS (SELECT DISTINCT doc_id, n, si FROM p),
-            z AS (SELECT doc_id, si,
-                         16 + (md5_number_upper(doc_id || ':' || si)
-                               % 256) % 48 AS sz
-                  FROM pd)
-            SELECT doc_id, 'mp4' AS media_format,
+            pw AS (SELECT doc_id, trunc((n - 1) * k.k / 2.0)::BIGINT
+                          AS si
+                   FROM wb, (VALUES (0::BIGINT), (1::BIGINT),
+                                    (2::BIGINT)) k(k)),
+            z AS (
+              SELECT doc_id, 'mp4' AS media_format, si,
+                     16 + (md5_number_upper(doc_id || ':' || si)
+                           % 256) % 48 AS sz
+              FROM (SELECT DISTINCT doc_id, si FROM p4)
+              UNION ALL
+              SELECT doc_id, 'webm' AS media_format, si,
+                     12 + (md5_number_upper(doc_id || ':w' || si)
+                           % 256) % 40 AS sz
+              FROM (SELECT DISTINCT doc_id, si FROM pw))
+            SELECT doc_id, media_format,
                    count(*)::BIGINT AS n_frames,
                    sum(sz)::BIGINT AS frame_bytes
-            FROM z GROUP BY doc_id
+            FROM z GROUP BY doc_id, media_format
         """,
         "media_stats": """
-            WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents),
+            WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents),
             p AS (
               SELECT CASE m WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3'
-                            WHEN 2 THEN 'wav' ELSE 'gif'
+                            WHEN 2 THEN 'wav' WHEN 3 THEN 'gif'
+                            ELSE 'webm'
                      END AS media_format,
                      CASE m WHEN 0 THEN 4 + doc_id % 7
                             WHEN 1 THEN 8 + doc_id % 9
                             WHEN 2 THEN floor(8000 * (0.1::DOUBLE
-                                     + (doc_id % 5) * 0.05::DOUBLE))
-                            ELSE 2 + doc_id % 7
+                                     + (doc_id % 7) * 0.05::DOUBLE))
+                            WHEN 3 THEN 2 + doc_id % 7
+                            ELSE 3 + doc_id % 6
                        END::BIGINT AS units,
                      CASE m WHEN 0 THEN (4 + doc_id % 7) * 25 / 600.0
                             WHEN 1 THEN (8 + doc_id % 9) * 1152.0
                                  / 44100
                             WHEN 2 THEN floor(8000 * (0.1::DOUBLE
-                                     + (doc_id % 5) * 0.05::DOUBLE))
+                                     + (doc_id % 7) * 0.05::DOUBLE))
                                  / 8000.0
-                            ELSE (2 + doc_id % 7) * 4 / 100.0
+                            WHEN 3 THEN (2 + doc_id % 7) * 4 / 100.0
+                            ELSE ((3 + doc_id % 6) * 40.0 * 1000000)
+                                 / 1000000000.0
                        END AS dur
               FROM d)
             SELECT media_format, count(*)::BIGINT AS n_files,

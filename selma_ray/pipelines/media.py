@@ -33,20 +33,24 @@ from .curate import DONE, _fresh_dir, _mark_done, _stage_done
 
 
 def synth_media_payload(doc_id: int) -> bytes:
-    """The deterministic per-doc payload mix (mp4 / mp3 / wav / gif
-    round-robin) shared by the media queries and this pipeline."""
+    """The deterministic per-doc payload mix (mp4 / mp3 / wav / gif /
+    webm round-robin) shared by the media queries and this
+    pipeline."""
     from ..stages.gifcodec import synth_gif
-    from ..stages.mediacontainers import synth_mp3, synth_mp4
+    from ..stages.mediacontainers import (synth_mp3, synth_mp4,
+                                          synth_webm)
     from ..stages.multimodal import synth_wav
 
     d = int(doc_id)
-    if d % 4 == 0:
+    if d % 5 == 0:
         return synth_mp4(d, n_samples=4 + d % 7)
-    if d % 4 == 1:
+    if d % 5 == 1:
         return synth_mp3(d, n_frames=8 + d % 9)
-    if d % 4 == 2:
-        return synth_wav(d, secs=0.1 + (d % 5) * 0.05)
-    return synth_gif(d, n_frames=2 + d % 7)
+    if d % 5 == 2:
+        return synth_wav(d, secs=0.1 + (d % 7) * 0.05)
+    if d % 5 == 3:
+        return synth_gif(d, n_frames=2 + d % 7)
+    return synth_webm(d, n_blocks=3 + d % 6)
 
 
 def _attach_payloads(batch: pa.Table) -> pa.Table:
@@ -98,7 +102,8 @@ def curate_media(docs_path: str, out_root: str, *,
             fmt = batch.column("media_format")
             dur = batch.column("media_duration")
             mask = pc.and_(
-                pc.is_in(fmt, value_set=pa.array(["mp4", "gif"])),
+                pc.is_in(fmt, value_set=pa.array(
+                    ["mp4", "gif", "webm"])),
                 pc.and_(pc.is_valid(dur),
                         pc.greater_equal(dur, pa.scalar(
                             float(min_duration), pa.float64()))))

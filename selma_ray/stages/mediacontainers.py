@@ -1,23 +1,25 @@
-"""Pure-stdlib media CONTAINER parsers: ISO-BMFF (MP4) and MPEG audio
-(MP3) — the two formats whose codec bitstreams have no stdlib decode.
+"""Pure-stdlib media CONTAINER parsers: ISO-BMFF (MP4), MPEG audio
+(MP3) and Matroska/WebM (EBML) — formats whose codec bitstreams have
+no stdlib decode.
 
 The honest split for this environment: the container layer (box
 structure, sample tables, frame headers) is fully specified in public
 standards (ISO/IEC 14496-12 for BMFF; ISO/IEC 11172-3 frame headers
-for MPEG audio) and parses with struct + bytes alone, so THAT part is
+for MPEG audio; RFC 8794 + the public Matroska element registry for
+EBML) and parses with struct + bytes alone, so THAT part is
 real — durations, dimensions, codec fourccs, per-sample byte ranges,
 bitrate statistics. Only the codec payload decode (H.264 macroblocks,
 Layer-III subband synthesis) stays behind the documented
 NotImplementedError / fake in `stages/multimodal.py`.
 
 That makes two operators real end-to-end:
-- frame sampling over MP4: N evenly-spaced SAMPLES extracted by byte
-  range from mdat via stsz/stsc/stco — the same access pattern a real
+- frame sampling over MP4/WebM: N evenly-spaced SAMPLES extracted by
+  byte range via stsz/stsc/stco or Cluster/SimpleBlock tables — the same access pattern a real
   decoder pool would use, with the decode step stubbed;
 - media probing (ffprobe-style metadata): format, duration, geometry,
-  sample/frame counts — real for MP4, MP3, WAV, GIF, PNG, JPEG.
+  sample/frame counts — real for MP4, MP3, WebM, WAV, GIF, PNG, JPEG.
 
-Synthesizers (`synth_mp4`, `synth_mp3`) emit minimal VALID files with
+Synthesizers (`synth_mp4`, `synth_mp3`, `synth_webm`) emit minimal VALID files with
 deterministic payloads so tests and queries can verify the parsers
 exactly (the pdf_pages pattern: the oracle recomputes the expected
 metadata from the synthesis parameters).
@@ -368,3 +370,214 @@ def synth_mp3(seed: int, *, n_frames: int = 16,
                         for b in range((body_len + 15) // 16))[:body_len]
         out += hdr + body
     return bytes(out)
+
+
+# -- WebM / Matroska (EBML) -------------------------------------------------
+#
+# EBML (RFC 8794) is length-prefixed TLV: [vint id][vint size][body].
+# The container layer — DocType, Info timescale/duration, TrackEntry
+# geometry/codec, Cluster/SimpleBlock framing — parses with bytes
+# alone; the codec payload inside SimpleBlocks (VP8/VP9/AV1...) stays
+# out of scope like MP4's.
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def sniff_webm(payload: bytes) -> bool:
+    return payload[:4] == _EBML_MAGIC
+
+
+def _read_vint(data: bytes, i: int, keep_marker: bool):
+    """EBML variable-length integer at data[i]; returns (value,
+    next_index). IDs keep the length-marker bit, sizes strip it."""
+    if i >= len(data):
+        raise ValueError("corrupt EBML: vint past EOF")
+    first = data[i]
+    if first == 0:
+        raise ValueError("corrupt EBML: >8-byte vint")
+    length = 8 - first.bit_length() + 1
+    if i + length > len(data):
+        raise ValueError("corrupt EBML: vint past EOF")
+    v = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for b in data[i + 1:i + length]:
+        v = (v << 8) | b
+    return v, i + length
+
+
+def _walk_ebml(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for the elements in
+    data[start:end]. An unknown-size element (all-ones size vint)
+    extends to the enclosing scope's end."""
+    i = start
+    while i < end:
+        eid, i = _read_vint(data, i, keep_marker=True)
+        size_start = i
+        size, i = _read_vint(data, i, keep_marker=False)
+        n_size_bytes = i - size_start
+        if size == (1 << (7 * n_size_bytes)) - 1:   # unknown size
+            body_end = end
+        else:
+            body_end = i + size
+        if body_end > end:
+            raise ValueError("corrupt EBML: element past scope")
+        yield eid, i, body_end
+        i = body_end
+
+
+def parse_webm(payload: bytes) -> dict:
+    """Matroska/WebM structural parse -> dict with doctype,
+    duration_sec (Info TimestampScale x Duration), the first video
+    track's geometry + codec id, and the flattened frame table: one
+    (offset, size) byte range per SimpleBlock / Block across all
+    clusters (the codec bitstream the decode pool would consume —
+    decoding it is out of scope, no codec libs)."""
+    if not sniff_webm(payload):
+        raise ValueError("not an EBML payload")
+    end = len(payload)
+    doctype = "matroska"
+    out: dict = {"doctype": doctype, "duration_sec": None,
+                 "width": None, "height": None, "codec": None}
+    offs: list[int] = []
+    sizes: list[int] = []
+    segment = None
+    for eid, b0, b1 in _walk_ebml(payload, 0, end):
+        if eid == 0x1A45DFA3:                      # EBML header
+            for hid, h0, h1 in _walk_ebml(payload, b0, b1):
+                if hid == 0x4282:                  # DocType
+                    out["doctype"] = payload[h0:h1].decode(
+                        "ascii", "replace").rstrip("\x00")
+        elif eid == 0x18538067:                    # Segment
+            segment = (b0, b1)
+    if segment is None:
+        raise ValueError("corrupt EBML: no Segment")
+    timescale = 1_000_000                          # ns/tick default
+    duration_ticks = None
+    s0, s1 = segment
+    for eid, b0, b1 in _walk_ebml(payload, s0, s1):
+        if eid == 0x1549A966:                      # Info
+            for iid, i0, i1 in _walk_ebml(payload, b0, b1):
+                if iid == 0x2AD7B1:                # TimestampScale
+                    timescale = int.from_bytes(payload[i0:i1], "big")
+                elif iid == 0x4489:                # Duration (float)
+                    raw = payload[i0:i1]
+                    duration_ticks = struct.unpack(
+                        ">f" if len(raw) == 4 else ">d", raw)[0]
+        elif eid == 0x1654AE6B:                    # Tracks
+            for tid, t0, t1 in _walk_ebml(payload, b0, b1):
+                if tid != 0xAE:                    # TrackEntry
+                    continue
+                codec = None
+                w = h = None
+                for fid, f0, f1 in _walk_ebml(payload, t0, t1):
+                    if fid == 0x86:                # CodecID
+                        codec = payload[f0:f1].decode(
+                            "ascii", "replace").rstrip("\x00")
+                    elif fid == 0xE0:              # Video
+                        for vid, v0, v1 in _walk_ebml(payload, f0,
+                                                      f1):
+                            if vid == 0xB0:        # PixelWidth
+                                w = int.from_bytes(payload[v0:v1],
+                                                   "big")
+                            elif vid == 0xBA:      # PixelHeight
+                                h = int.from_bytes(payload[v0:v1],
+                                                   "big")
+                if out["codec"] is None and codec is not None:
+                    out["codec"] = codec
+                if w is not None and out["width"] is None:
+                    out["width"], out["height"] = w, h
+        elif eid == 0x1F43B675:                    # Cluster
+            for cid, c0, c1 in _walk_ebml(payload, b0, b1):
+                if cid == 0xA3:                    # SimpleBlock
+                    # header: track vint + 2B timestamp + 1B flags
+                    _tn, p = _read_vint(payload, c0, False)
+                    p += 3
+                    if p > c1:
+                        raise ValueError(
+                            "corrupt EBML: SimpleBlock underflow")
+                    offs.append(p)
+                    sizes.append(c1 - p)
+                elif cid == 0xA0:                  # BlockGroup
+                    for gid, g0, g1 in _walk_ebml(payload, c0, c1):
+                        if gid == 0xA1:            # Block
+                            _tn, p = _read_vint(payload, g0, False)
+                            p += 3
+                            if p > g1:
+                                raise ValueError(
+                                    "corrupt EBML: Block underflow")
+                            offs.append(p)
+                            sizes.append(g1 - p)
+    if duration_ticks is not None:
+        out["duration_sec"] = float(duration_ticks) * timescale / 1e9
+    out["n_blocks"] = len(offs)
+    out["block_offsets"] = np.asarray(offs, np.int64)
+    out["block_sizes"] = np.asarray(sizes, np.int64)
+    return out
+
+
+def sample_webm_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """N evenly-spaced BLOCK payloads (raw codec bitstream) via the
+    parsed cluster/SimpleBlock table — same contract as
+    :func:`sample_mp4_frames`."""
+    info = parse_webm(payload)
+    n = info["n_blocks"]
+    if n == 0:
+        raise ValueError("corrupt EBML: no blocks")
+    picks = np.unique(np.linspace(0, n - 1, max(1, min(n_frames, n)),
+                                  dtype=np.int64))
+    return [payload[int(info["block_offsets"][i]):
+                    int(info["block_offsets"][i])
+                    + int(info["block_sizes"][i])]
+            for i in picks]
+
+
+def _ebml_elem(eid: int, body: bytes) -> bytes:
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(body)
+    # size vint: use the shortest length that fits with marker bit
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            size = (1 << (7 * ln)) | n
+            return id_bytes + size.to_bytes(ln, "big") + body
+    raise ValueError("element too large")
+
+
+def synth_webm(seed: int, *, n_blocks: int = 6, width: int = 320,
+               height: int = 240, block_ms: int = 40) -> bytes:
+    """Minimal valid WebM: EBML header (DocType webm), Segment with
+    Info (TimestampScale 1e6, Duration = n_blocks*block_ms ticks),
+    one video TrackEntry (codec V_FAKE — payloads are md5-chain junk,
+    NOT real bitstream), and one Cluster of SimpleBlocks with
+    deterministic sizes/bytes for exact parser verification."""
+    from hashlib import md5
+
+    header = _ebml_elem(0x1A45DFA3, b"".join([
+        _ebml_elem(0x4286, b"\x01"),               # EBMLVersion
+        _ebml_elem(0x4282, b"webm"),               # DocType
+    ]))
+    info = _ebml_elem(0x1549A966, b"".join([
+        _ebml_elem(0x2AD7B1, (1_000_000).to_bytes(3, "big")),
+        _ebml_elem(0x4489, struct.pack(
+            ">d", float(n_blocks * block_ms))),
+    ]))
+    video = _ebml_elem(0xE0, b"".join([
+        _ebml_elem(0xB0, width.to_bytes(2, "big")),
+        _ebml_elem(0xBA, height.to_bytes(2, "big")),
+    ]))
+    track = _ebml_elem(0xAE, b"".join([
+        _ebml_elem(0xD7, b"\x01"),                 # TrackNumber
+        _ebml_elem(0x83, b"\x01"),                 # TrackType video
+        _ebml_elem(0x86, b"V_FAKE"),
+        video,
+    ]))
+    tracks = _ebml_elem(0x1654AE6B, track)
+    blocks = []
+    for i in range(n_blocks):
+        sz = 12 + (md5(f"{seed}:w{i}".encode()).digest()[0] % 40)
+        body = b"".join(md5(f"{seed}:w{i}:{b}".encode()).digest()
+                        for b in range((sz + 15) // 16))[:sz]
+        ts = (i * block_ms).to_bytes(2, "big")
+        blocks.append(_ebml_elem(0xA3, b"\x81" + ts + b"\x80" + body))
+    cluster = _ebml_elem(0x1F43B675,
+                         _ebml_elem(0xE7, b"\x00") + b"".join(blocks))
+    segment = _ebml_elem(0x18538067, info + tracks + cluster)
+    return header + segment

@@ -127,6 +127,8 @@ class SampleVideoFrames:
         from selma_ray.stages.gifcodec import sample_gif_frames, sniff_gif
         from selma_ray.stages.mediacontainers import (sample_mp4_frames,
                                                       sniff_mp4)
+        from selma_ray.stages.mediacontainers import \
+            sniff_webm as _sniff_webm
 
         payload = payload or b""
         if sniff_gif(payload):
@@ -136,20 +138,27 @@ class SampleVideoFrames:
             except (ValueError, zlib.error, IndexError):
                 if not self.fake:
                     raise
-        elif sniff_mp4(payload):
+        elif sniff_mp4(payload) or _sniff_webm(payload):
             # REAL container-level sampling: evenly-spaced samples by
-            # byte range via the stsz/stsc/stco tables. The returned
-            # payloads are raw codec bitstream (no video codec libs
-            # here) — exactly what a decoder pool's input stage ships.
+            # byte range via the parsed sample tables (ISO-BMFF
+            # stsz/stsc/stco, or Matroska Cluster/SimpleBlock). The
+            # returned payloads are raw codec bitstream (no video
+            # codec libs here) — exactly what a decoder pool's input
+            # stage ships.
             try:
-                return sample_mp4_frames(payload, self.n_frames)
+                if sniff_mp4(payload):
+                    return sample_mp4_frames(payload, self.n_frames)
+                from selma_ray.stages.mediacontainers import \
+                    sample_webm_frames
+
+                return sample_webm_frames(payload, self.n_frames)
             except (ValueError, IndexError, NotImplementedError):
                 if not self.fake:
                     raise
         elif not self.fake:
             raise NotImplementedError(
-                "non-GIF/MP4 video containers are not available in "
-                "this environment")
+                "non-GIF/MP4/WebM video containers are not available "
+                "in this environment")
         k = max(1, len(payload) // max(1, self.n_frames))
         return [payload[i * k:(i + 1) * k] for i in range(self.n_frames)]
 
@@ -541,8 +550,10 @@ class ProbeMediaMetadata:
         from selma_ray.stages.imagecodec import sniff_format
         from selma_ray.stages.mediacontainers import (parse_mp3,
                                                       parse_mp4,
+                                                      parse_webm,
                                                       sniff_mp3,
-                                                      sniff_mp4)
+                                                      sniff_mp4,
+                                                      sniff_webm)
 
         payload = payload or b""
         out = {"media_format": "unknown", "media_width": None,
@@ -557,6 +568,14 @@ class ProbeMediaMetadata:
                            media_width=trk.get("width"),
                            media_height=trk.get("height"),
                            media_units=trk.get("n_samples"),
+                           media_duration=info["duration_sec"])
+            elif sniff_webm(payload):
+                info = parse_webm(payload)
+                out.update(media_format="webm"
+                           if info["doctype"] == "webm" else "mkv",
+                           media_width=info["width"],
+                           media_height=info["height"],
+                           media_units=info["n_blocks"],
                            media_duration=info["duration_sec"])
             elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 with wave.open(io.BytesIO(payload), "rb") as wv:

@@ -109,11 +109,66 @@ class TestMp3:
             parse_mp3(b"\xff\xe2\x00\x00")   # MPEG-2.5 framing
 
 
+class TestWebm:
+    def test_parse_round_trip(self):
+        from selma_ray.stages.mediacontainers import (parse_webm,
+                                                      sniff_webm,
+                                                      synth_webm)
+
+        p = synth_webm(9, n_blocks=7, width=320, height=240)
+        assert sniff_webm(p)
+        info = parse_webm(p)
+        assert info["doctype"] == "webm"
+        assert info["codec"] == "V_FAKE"
+        assert (info["width"], info["height"]) == (320, 240)
+        assert info["n_blocks"] == 7
+        assert abs(info["duration_sec"] - 7 * 40 * 1e6 / 1e9) < 1e-15
+
+    def test_block_extraction_matches_synthesis(self):
+        from hashlib import md5
+
+        from selma_ray.stages.mediacontainers import (
+            sample_webm_frames, synth_webm)
+
+        seed = 21
+        p = synth_webm(seed, n_blocks=5)
+        frames = sample_webm_frames(p, 5)
+        assert len(frames) == 5
+        for i, f in enumerate(frames):
+            sz = 12 + (md5(f"{seed}:w{i}".encode()).digest()[0] % 40)
+            want = b"".join(
+                md5(f"{seed}:w{i}:{b}".encode()).digest()
+                for b in range((sz + 15) // 16))[:sz]
+            assert f == want
+
+    def test_corrupt_raises(self):
+        from selma_ray.stages.mediacontainers import (parse_webm,
+                                                      synth_webm)
+
+        p = synth_webm(1)
+        with pytest.raises(ValueError):
+            parse_webm(p[:20])
+        with pytest.raises(ValueError):
+            parse_webm(b"\x1a\x45\xdf\xa3\x00rest")  # bad vint
+        with pytest.raises(ValueError):
+            parse_webm(b"\x1a\x45\xdf\xa3\x81\x00")  # no Segment
+
+    def test_sampler_stage_handles_webm(self):
+        from selma_ray.stages.mediacontainers import (
+            sample_webm_frames, synth_webm)
+        from selma_ray.stages.multimodal import SampleVideoFrames
+
+        sv = SampleVideoFrames(fake=False, n_frames=2)
+        p = synth_webm(4, n_blocks=6)
+        assert sv.sample_impl(p) == sample_webm_frames(p, 2)
+
+
 class TestProbeStage:
     def test_probe_all_formats(self):
         from selma_ray.stages.gifcodec import synth_gif
         from selma_ray.stages.jpegcodec import (encode_jpeg,
                                                 encode_jpeg_progressive)
+        from selma_ray.stages.mediacontainers import synth_webm
         from selma_ray.stages.multimodal import (ProbeMediaMetadata,
                                                  synth_wav)
         from selma_ray.stages.pdfcodec import synth_pdf
@@ -127,6 +182,7 @@ class TestProbeStage:
             encode_jpeg(img),
             encode_jpeg_progressive(img),
             synth_pdf(7, n_pages=3),
+            synth_webm(8, n_blocks=4),
             b"not any media format",
             b"\xff\xd8truncated jpeg",
         ]
@@ -134,18 +190,21 @@ class TestProbeStage:
             pa.table({"data": pa.array(payloads, pa.binary())}))
         fmt = out.column("media_format").to_pylist()
         assert fmt == ["mp4", "mp3", "wav", "gif", "jpeg", "jpeg",
-                       "pdf", "unknown", "corrupt"]
+                       "pdf", "webm", "unknown", "corrupt"]
         units = out.column("media_units").to_pylist()
         assert units[:4] == [7, 11, 2000, 5]
         assert units[6] == 3
+        assert units[7] == 4
         dims = list(zip(out.column("media_width").to_pylist(),
                         out.column("media_height").to_pylist()))
         assert dims[0] == (64, 48)
         assert dims[3] == (24, 16)
         assert dims[4] == (14, 10) and dims[5] == (14, 10)
+        assert dims[7] == (320, 240)
         assert dims[1] == (None, None)           # audio: no geometry
         dur = out.column("media_duration").to_pylist()
         assert abs(dur[2] - 0.25) < 1e-12
+        assert abs(dur[7] - 0.16) < 1e-12
 
     def test_probe_never_raises_on_junk(self):
         from selma_ray.stages.multimodal import ProbeMediaMetadata
@@ -189,7 +248,10 @@ class TestVideoFramesMp4:
 
         sv = SampleVideoFrames(fake=False)
         with pytest.raises(NotImplementedError):
-            sv.sample_impl(b"\x1aE\xdf\xa3 webm-ish")
+            sv.sample_impl(b"RIFFxxxxAVI LIST")   # AVI: no parser
+        # sniffable-but-corrupt EBML is a clean codec ValueError
+        with pytest.raises(ValueError):
+            sv.sample_impl(b"\x1aE\xdf\xa3 corrupt ebml")
 
 
 class TestCurateMedia:
@@ -211,16 +273,18 @@ class TestCurateMedia:
         assert s1["stages"]["frames"]["rows"] == sel
 
         fr = ray.data.read_parquet(str(out / "frames")).to_pandas()
-        # both visual legs present; every row carries n_frames=3
-        assert set(fr["media_format"]) == {"mp4", "gif"}
+        # all three visual legs present; every row carries n_frames=3
+        assert set(fr["media_format"]) == {"mp4", "gif", "webm"}
         assert (fr["n_frames"] == 3).all()
-        # real bytes extracted on both legs
+        # real bytes extracted on every leg
         assert (fr["frame_bytes"] > 0).all()
         # the duration filter's survivors match the synthesis math:
-        # mp4 keeps 4 + d%7 >= 5, gif keeps 2 + d%7 >= 5
+        # mp4 keeps 4 + d%7 >= 5, gif keeps 2 + d%7 >= 5, webm keeps
+        # 3 + d%6 >= 5
         want = {d for d in range(64)
-                if (d % 4 == 0 and 4 + d % 7 >= 5)
-                or (d % 4 == 3 and 2 + d % 7 >= 5)}
+                if (d % 5 == 0 and 4 + d % 7 >= 5)
+                or (d % 5 == 3 and 2 + d % 7 >= 5)
+                or (d % 5 == 4 and 3 + d % 6 >= 5)}
         assert set(fr["doc_id"]) == want
 
         # resume: a second run skips every stage (marker times keep
