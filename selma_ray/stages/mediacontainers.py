@@ -279,10 +279,15 @@ def synth_mp4(seed: int, *, n_samples: int = 8, width: int = 64,
 
 # -- MPEG audio (MP3) frame headers -----------------------------------------
 
-# ISO/IEC 11172-3 tables: MPEG-1 Layer III bitrates (kbps, index 1..14)
+# ISO/IEC 11172-3 / 13818-3 tables: Layer III bitrates (kbps,
+# index 1..14) and sample rates per MPEG version
 _MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                  224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                    128, 144, 160)
 _MP3_SAMPLERATES = (44100, 48000, 32000)
+_MP3_SAMPLERATES_V2 = (22050, 24000, 16000)
+_MP3_SAMPLERATES_V25 = (11025, 12000, 8000)
 
 
 def sniff_mp3(payload: bytes) -> bool:
@@ -299,76 +304,145 @@ def _skip_id3(payload: bytes) -> int:
     return 0
 
 
+def _mp3_frame_params(b1: int, b2: int):
+    """(version, samples_per_frame, bitrate, sample_rate, frame_len)
+    for one Layer III frame header; raises on reserved/invalid
+    fields."""
+    version = (b1 >> 3) & 3              # 3=MPEG-1, 2=MPEG-2, 0=2.5
+    layer = (b1 >> 1) & 3                # 1 = Layer III
+    if layer != 1 or version == 1:
+        raise NotImplementedError(
+            "only Layer III framing is parsed")
+    br_idx = (b2 >> 4) & 15
+    sr_idx = (b2 >> 2) & 3
+    pad = (b2 >> 1) & 1
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("corrupt MP3: bad bitrate/samplerate index")
+    if version == 3:
+        bitrate = _MP3_BITRATES[br_idx] * 1000
+        sr = _MP3_SAMPLERATES[sr_idx]
+        spf = 1152
+        flen = 144 * bitrate // sr + pad
+    else:
+        bitrate = _MP3_BITRATES_V2[br_idx] * 1000
+        sr = (_MP3_SAMPLERATES_V2 if version == 2
+              else _MP3_SAMPLERATES_V25)[sr_idx]
+        spf = 576                        # MPEG-2/2.5 Layer III
+        flen = 72 * bitrate // sr + pad
+    return version, spf, bitrate, sr, flen
+
+
+def _xing_offset(version: int, b3: int) -> int:
+    """Byte offset of a Xing/Info tag inside the first frame: 4-byte
+    header + side info (MPEG-1: 17 mono / 32 stereo; MPEG-2/2.5:
+    9 / 17)."""
+    mono = ((b3 >> 6) & 3) == 3
+    if version == 3:
+        return 4 + (17 if mono else 32)
+    return 4 + (9 if mono else 17)
+
+
 def parse_mp3(payload: bytes) -> dict:
-    """Frame-header walk over an MPEG-1 Layer III stream (ID3v2 tag
-    skipped): frame count, exact duration (1152 samples/frame),
-    bitrate stats, VBR flag. Raises ValueError when no valid frame
-    sequence exists. Audio DECODE (subband synthesis) is out of scope
-    — this is the container/framing layer only."""
+    """Frame-header walk over an MPEG-1/2/2.5 Layer III stream (ID3v2
+    tag skipped): frame count, exact duration (1152 or 576
+    samples/frame), bitrate stats, VBR flag. A Xing/Info tag in the
+    first frame (the LAME/VBR convention) is honored: its frame count
+    wins for duration, 'Xing' marks VBR, and the tag frame itself is
+    excluded from the audio stats. Raises ValueError when no valid
+    frame sequence exists. Audio DECODE (subband synthesis) is out of
+    scope — this is the container/framing layer only."""
     i = _skip_id3(payload)
     n = len(payload)
     frames = 0
     bitrates: list[int] = []
     sr_out = None
+    spf_out = 1152
+    xing_frames = None
+    xing_vbr = False
+    first = True
     while i + 4 <= n:
         if payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
             break
-        b1, b2 = payload[i + 1], payload[i + 2]
-        version = (b1 >> 3) & 3          # 3 = MPEG-1
-        layer = (b1 >> 1) & 3            # 1 = Layer III
-        if version != 3 or layer != 1:
-            raise NotImplementedError(
-                "only MPEG-1 Layer III framing is parsed")
-        br_idx = (b2 >> 4) & 15
-        sr_idx = (b2 >> 2) & 3
-        pad = (b2 >> 1) & 1
-        if br_idx in (0, 15) or sr_idx == 3:
-            raise ValueError("corrupt MP3: bad bitrate/samplerate "
-                             "index")
-        bitrate = _MP3_BITRATES[br_idx] * 1000
-        sr = _MP3_SAMPLERATES[sr_idx]
-        if sr_out is None:
-            sr_out = sr
-        flen = 144 * bitrate // sr + pad
+        version, spf, bitrate, sr, flen = _mp3_frame_params(
+            payload[i + 1], payload[i + 2])
         if i + flen > n:
             break                        # truncated final frame
+        if first:
+            first = False
+            xo = i + _xing_offset(version, payload[i + 3])
+            tag = payload[xo:xo + 4]
+            if tag in (b"Xing", b"Info") and xo + 8 <= i + flen:
+                (flags,) = struct.unpack(">I", payload[xo + 4:xo + 8])
+                if flags & 1 and xo + 12 <= i + flen:
+                    (xing_frames,) = struct.unpack(
+                        ">I", payload[xo + 8:xo + 12])
+                    xing_vbr = tag == b"Xing"
+                sr_out = sr
+                spf_out = spf
+                i += flen
+                continue                 # tag frame: not audio
+        if sr_out is None:
+            sr_out = sr
+            spf_out = spf
         frames += 1
         bitrates.append(bitrate)
         i += flen
-    if frames == 0:
+    if frames == 0 and xing_frames is None:
         raise ValueError("corrupt MP3: no valid frames")
+    n_frames = xing_frames if xing_frames is not None else frames
     return {
-        "n_frames": frames,
+        "n_frames": int(n_frames),
         "sample_rate": int(sr_out),
-        "duration_sec": frames * 1152.0 / sr_out,
-        "bitrate_mean": float(np.mean(bitrates)),
-        "vbr": len(set(bitrates)) > 1,
+        "duration_sec": n_frames * float(spf_out) / sr_out,
+        "bitrate_mean": float(np.mean(bitrates)) if bitrates
+        else 0.0,
+        "vbr": xing_vbr or len(set(bitrates)) > 1,
     }
 
 
 def synth_mp3(seed: int, *, n_frames: int = 16,
               bitrate_kbps: int = 128, sample_rate: int = 44100,
-              vbr: bool = False) -> bytes:
-    """Valid MPEG-1 Layer III frame-header sequence with deterministic
-    junk payload (NOT decodable audio — framing only), for exercising
-    parse_mp3 exactly."""
+              vbr: bool = False, version: int = 1,
+              xing: int | None = None) -> bytes:
+    """Valid Layer III frame-header sequence with deterministic junk
+    payload (NOT decodable audio — framing only), for exercising
+    parse_mp3 exactly. ``version``: 1 (default), 2 or 25 (MPEG-2.5).
+    ``xing``: emit a leading Xing (if ``vbr``) / Info tag frame
+    declaring that frame count."""
     from hashlib import md5
 
-    sr_idx = _MP3_SAMPLERATES.index(sample_rate)
+    if version == 1:
+        sr_idx = _MP3_SAMPLERATES.index(sample_rate)
+        ver_bits, brs, factor = 3, _MP3_BITRATES, 144
+    elif version == 2:
+        sr_idx = _MP3_SAMPLERATES_V2.index(sample_rate)
+        ver_bits, brs, factor = 2, _MP3_BITRATES_V2, 72
+    else:
+        sr_idx = _MP3_SAMPLERATES_V25.index(sample_rate)
+        ver_bits, brs, factor = 0, _MP3_BITRATES_V2, 72
+    b1 = 0xE0 | (ver_bits << 3) | (1 << 1) | 1   # sync|ver|L3|no-crc
+
+    def frame(kb: int, body: bytes | None, i: int) -> bytes:
+        br_idx = brs.index(kb)
+        hdr = bytes([0xFF, b1, (br_idx << 4) | (sr_idx << 2), 0xC0])
+        flen = factor * kb * 1000 // sample_rate
+        if body is None:
+            body = b"".join(
+                md5(f"{seed}:{i}:{b}".encode()).digest()
+                for b in range((flen - 4 + 15) // 16))[:flen - 4]
+        return hdr + body[:flen - 4].ljust(flen - 4, b"\x00")
+
     out = bytearray()
+    if xing is not None:
+        side = (17 if version == 1 else 9)       # mono (b3=0xC0)
+        tag = b"Xing" if vbr else b"Info"
+        body = bytes(side) + tag + struct.pack(">II", 1, int(xing))
+        out += frame(bitrate_kbps, body, -1)
     for i in range(n_frames):
         kb = bitrate_kbps
-        if vbr and i % 3 == 1:
+        if vbr and xing is None and i % 3 == 1:
             kb = 192 if bitrate_kbps != 192 else 128
-        br_idx = _MP3_BITRATES.index(kb)
-        pad = 0
-        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2)
-                     | (pad << 1), 0x00])
-        flen = 144 * kb * 1000 // sample_rate + pad
-        body_len = flen - 4
-        body = b"".join(md5(f"{seed}:{i}:{b}".encode()).digest()
-                        for b in range((body_len + 15) // 16))[:body_len]
-        out += hdr + body
+        out += frame(kb, None, i)
     return bytes(out)
 
 

@@ -106,7 +106,35 @@ class TestMp3:
         with pytest.raises(ValueError):
             parse_mp3(b"\xff\xfb\x00\x00")   # free-format bitrate idx
         with pytest.raises(NotImplementedError):
-            parse_mp3(b"\xff\xe2\x00\x00")   # MPEG-2.5 framing
+            parse_mp3(b"\xff\xeb\x00\x00")   # reserved version bits
+
+    def test_mpeg2_and_25_framing(self):
+        i2 = parse_mp3(synth_mp3(6, n_frames=10, bitrate_kbps=64,
+                                 sample_rate=22050, version=2))
+        assert i2["n_frames"] == 10
+        assert i2["sample_rate"] == 22050
+        assert abs(i2["duration_sec"] - 10 * 576.0 / 22050) < 1e-12
+        i25 = parse_mp3(synth_mp3(6, n_frames=4, bitrate_kbps=32,
+                                  sample_rate=8000, version=25))
+        assert i25["n_frames"] == 4
+        assert abs(i25["duration_sec"] - 4 * 576.0 / 8000) < 1e-12
+
+    def test_xing_and_info_tags(self):
+        # Xing: declared frame count wins, marks VBR, tag frame
+        # excluded from audio stats
+        x = parse_mp3(synth_mp3(7, n_frames=6, xing=500, vbr=True))
+        assert x["n_frames"] == 500
+        assert x["vbr"]
+        assert abs(x["duration_sec"] - 500 * 1152.0 / 44100) < 1e-9
+        # Info: CBR declaration
+        c = parse_mp3(synth_mp3(7, n_frames=6, xing=6, vbr=False))
+        assert c["n_frames"] == 6
+        assert not c["vbr"]
+        # tag also honored under MPEG-2 side-info offsets
+        x2 = parse_mp3(synth_mp3(7, n_frames=3, xing=44, vbr=True,
+                                 version=2, sample_rate=24000,
+                                 bitrate_kbps=64))
+        assert x2["n_frames"] == 44 and x2["vbr"]
 
 
 class TestWebm:
