@@ -2553,6 +2553,48 @@ def _q_curate_media(sf_dir: str):
     return frames.map_batches(oracled_legs, batch_format="pyarrow")
 
 
+def _q_audio_tags(sf_dir: str):
+    """ID3v2 text-tag extraction over tagged MP3 payloads — the
+    metadata layer audio curation filters on. Map-only (no actor
+    state); the oracle rebuilds title/artist/frame count from the
+    synthesis arithmetic, proving the tag walker recovers frames
+    exactly (and that the MPEG frame walk still sees through the
+    tag)."""
+    from selma_ray.stages.mediacontainers import (parse_id3_tags,
+                                                  parse_mp3,
+                                                  synth_id3_mp3)
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "data": pa.array(
+                [synth_id3_mp3(d, title=f"Title {d % 97}",
+                               artist=f"Artist {d % 13}",
+                               n_frames=4 + d % 6)
+                 for d in ids], pa.binary()),
+        })
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        payloads = batch.column("data").to_pylist()
+        tags = [parse_id3_tags(p) for p in payloads]
+        infos = [parse_mp3(p) for p in payloads]
+        return pa.table({
+            "doc_id": ids,
+            "title": pa.array([t.get("TIT2", "") for t in tags],
+                              pa.string()),
+            "artist": pa.array([t.get("TPE1", "") for t in tags],
+                               pa.string()),
+            "n_frames": pa.array([i["n_frames"] for i in infos],
+                                 pa.int64()),
+        })
+
+    return _read(sf_dir, "documents") \
+        .map_batches(to_binary, batch_format="pyarrow") \
+        .map_batches(extract, batch_format="pyarrow")
+
+
 def _q_media_stats(sf_dir: str):
     """Per-format media rollup over the probe stage (the triage table
     a crawl team reads first): count, total duration, mean units.
@@ -2912,6 +2954,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "media_stats": _q_media_stats,
         "mp4_sample_frames": _q_mp4_sample_frames,
         "curate_media": _q_curate_media,
+        "audio_tags": _q_audio_tags,
         "extract_tables": _q_extract_tables,
         "extract_outline": _q_extract_outline,
         "extract_links": _q_extract_links,
@@ -3571,6 +3614,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_frames,
                    sum(sz)::BIGINT AS frame_bytes
             FROM z GROUP BY doc_id, media_format
+        """,
+        "audio_tags": """
+            SELECT doc_id,
+                   'Title ' || (doc_id % 97) AS title,
+                   'Artist ' || (doc_id % 13) AS artist,
+                   (4 + doc_id % 6)::BIGINT AS n_frames
+            FROM documents
         """,
         "media_stats": """
             WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents),

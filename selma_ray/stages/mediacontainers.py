@@ -655,3 +655,69 @@ def synth_webm(seed: int, *, n_blocks: int = 6, width: int = 320,
                          _ebml_elem(0xE7, b"\x00") + b"".join(blocks))
     segment = _ebml_elem(0x18538067, info + tracks + cluster)
     return header + segment
+
+
+# -- ID3v2 text tags --------------------------------------------------------
+
+
+def parse_id3_tags(payload: bytes) -> dict:
+    """ID3v2.3/2.4 text-frame extraction (the metadata layer audio
+    curation filters on): returns {frame_id: text} for the T***
+    frames in a leading ID3v2 tag (TIT2 title, TPE1 artist, TALB
+    album, ...). Empty dict when no tag. Text encodings 0 (latin-1)
+    and 3 (utf-8) are decoded; 1/2 (UTF-16 variants) too via codecs.
+    Unsynchronisation and extended headers are out of scope (rare in
+    the wild for v2.3+ text frames)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return {}
+    size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
+        | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+    end = min(10 + size, len(payload))
+    out: dict = {}
+    i = 10
+    while i + 10 <= end:
+        fid = payload[i:i + 4]
+        if not fid.strip(b"\x00"):
+            break
+        (fsize,) = struct.unpack(">I", payload[i + 4:i + 8])
+        # v2.4 uses syncsafe frame sizes; v2.3 plain. Heuristic used
+        # by real parsers: syncsafe if the version byte says 4
+        if payload[3] >= 4:
+            fsize = ((payload[i + 4] & 0x7F) << 21) \
+                | ((payload[i + 5] & 0x7F) << 14) \
+                | ((payload[i + 6] & 0x7F) << 7) \
+                | (payload[i + 7] & 0x7F)
+        body = payload[i + 10:i + 10 + fsize]
+        i += 10 + fsize
+        if not fid.startswith(b"T") or not body:
+            continue
+        enc, text = body[0], body[1:]
+        try:
+            if enc == 0:
+                val = text.decode("latin-1")
+            elif enc == 1:
+                val = text.decode("utf-16")
+            elif enc == 2:
+                val = text.decode("utf-16-be")
+            else:
+                val = text.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        out[fid.decode("ascii")] = val.rstrip("\x00")
+    return out
+
+
+def synth_id3_mp3(seed: int, *, title: str, artist: str,
+                  n_frames: int = 4) -> bytes:
+    """MP3 payload with a leading ID3v2.3 tag carrying TIT2/TPE1 text
+    frames (latin-1), followed by a valid frame sequence."""
+    def tframe(fid: bytes, text: str) -> bytes:
+        body = b"\x00" + text.encode("latin-1")
+        return fid + struct.pack(">I", len(body)) + b"\x00\x00" + body
+
+    frames = tframe(b"TIT2", title) + tframe(b"TPE1", artist)
+    size = len(frames)
+    hdr = b"ID3\x03\x00\x00" + bytes([
+        (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+        (size >> 7) & 0x7F, size & 0x7F])
+    return hdr + frames + synth_mp3(seed, n_frames=n_frames)

@@ -191,6 +191,28 @@ class TestWebm:
         assert sv.sample_impl(p) == sample_webm_frames(p, 2)
 
 
+class TestId3Tags:
+    def test_round_trip_and_frame_walk_through_tag(self):
+        from selma_ray.stages.mediacontainers import (parse_id3_tags,
+                                                      synth_id3_mp3)
+
+        p = synth_id3_mp3(3, title="A Title", artist="Some One",
+                          n_frames=5)
+        assert parse_id3_tags(p) == {"TIT2": "A Title",
+                                     "TPE1": "Some One"}
+        assert sniff_mp3(p)
+        assert parse_mp3(p)["n_frames"] == 5
+
+    def test_no_tag_and_garbage(self):
+        from selma_ray.stages.mediacontainers import parse_id3_tags
+
+        assert parse_id3_tags(b"no tag") == {}
+        assert parse_id3_tags(synth_mp3(1)) == {}
+        # structurally broken tag: empty dict, never a crash
+        assert parse_id3_tags(b"ID3\x03\x00\x00\x00\x00\x00\x7fxx") \
+            == {}
+
+
 class TestProbeStage:
     def test_probe_all_formats(self):
         from selma_ray.stages.gifcodec import synth_gif
