@@ -344,3 +344,67 @@ class TestCurateMedia:
         assert s2["stages"]["frames"]["rows"] == sel
         fr2 = ray.data.read_parquet(str(out / "frames")).to_pandas()
         assert sorted(fr2["doc_id"]) == sorted(fr["doc_id"])
+
+
+class TestContainerFuzz:
+    """Adversarial robustness: the probe layer classifies 100 TB of
+    untrusted bytes — parsers may reject, never crash or hang."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.binary(min_size=0, max_size=300))
+    @settings(max_examples=80, deadline=None)
+    def test_mp4_garbage_after_magic(self, tail):
+        try:
+            parse_mp4(b"\x00\x00\x00\x14ftypisom" + tail)
+        except (ValueError, NotImplementedError):
+            pass
+
+    @given(st.binary(min_size=0, max_size=300))
+    @settings(max_examples=80, deadline=None)
+    def test_webm_garbage_after_magic(self, tail):
+        from selma_ray.stages.mediacontainers import parse_webm
+
+        try:
+            parse_webm(b"\x1a\x45\xdf\xa3" + tail)
+        except (ValueError, NotImplementedError):
+            pass
+
+    @given(st.binary(min_size=0, max_size=300))
+    @settings(max_examples=80, deadline=None)
+    def test_mp3_garbage_after_sync(self, tail):
+        try:
+            parse_mp3(b"\xff\xfb" + tail)
+        except (ValueError, NotImplementedError):
+            pass
+
+    @given(st.integers(0, 2**32 - 1), st.integers(0, 400),
+           st.binary(min_size=1, max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def test_mutated_synth_payloads_probe_cleanly(self, seed, pos,
+                                                  junk):
+        """Corrupt a VALID container at a random position: the probe
+        stage must classify it (original format or 'corrupt'), never
+        raise."""
+        import pyarrow as pa
+
+        from selma_ray.stages.mediacontainers import synth_webm
+        from selma_ray.stages.multimodal import ProbeMediaMetadata
+
+        for synth in (lambda s: synth_mp4(s, n_samples=5),
+                      lambda s: synth_mp3(s, n_frames=5),
+                      lambda s: synth_webm(s, n_blocks=4)):
+            p = bytearray(synth(seed % 1000))
+            i = pos % len(p)
+            p[i:i + len(junk)] = junk
+            out = ProbeMediaMetadata()(pa.table({
+                "data": pa.array([bytes(p)], pa.binary())}))
+            assert out.num_rows == 1
+
+    @given(st.binary(min_size=0, max_size=200))
+    @settings(max_examples=60, deadline=None)
+    def test_id3_garbage_never_raises(self, blob):
+        from selma_ray.stages.mediacontainers import parse_id3_tags
+
+        assert isinstance(parse_id3_tags(b"ID3" + blob), dict)
