@@ -188,6 +188,85 @@ def parse_mp4(payload: bytes) -> dict:
         out["tracks"].append(trk)
     if not out["tracks"]:
         raise ValueError("corrupt MP4: no tracks")
+
+    # fragmented MP4 (fMP4/DASH): samples live in moof/trun tables,
+    # not stbl. Walk every top-level moof; each trun's data_offset is
+    # relative to the moof's first byte (the default-base-is-moof
+    # convention modern fragmenters emit).
+    frag_sizes: list[int] = []
+    frag_offs: list[int] = []
+    for btype, b0, b1 in _walk_boxes(payload, 0, end):
+        if btype != b"moof":
+            continue
+        moof_start = b0 - 8
+        for ttype, t0, t1 in _walk_boxes(payload, b0, b1):
+            if ttype != b"traf":
+                continue
+            default_size = None
+            tfhd = _find_box(payload, t0, t1, [b"tfhd"])
+            if tfhd is not None:
+                f0, _f1 = tfhd
+                (flags,) = struct.unpack(
+                    ">I", b"\x00" + payload[f0 + 1:f0 + 4])
+                p = f0 + 8
+                if flags & 0x01:
+                    p += 8               # base_data_offset
+                if flags & 0x02:
+                    p += 4               # sample_description_index
+                if flags & 0x08:
+                    p += 4               # default_sample_duration
+                if flags & 0x10:
+                    (default_size,) = struct.unpack(
+                        ">I", payload[p:p + 4])
+            for rtype, r0, r1 in _walk_boxes(payload, t0, t1):
+                if rtype != b"trun":
+                    continue
+                (tflags,) = struct.unpack(
+                    ">I", b"\x00" + payload[r0 + 1:r0 + 4])
+                (cnt,) = struct.unpack(">I", payload[r0 + 4:r0 + 8])
+                p = r0 + 8
+                data_off = 0
+                if tflags & 0x01:
+                    (data_off,) = struct.unpack(
+                        ">i", payload[p:p + 4])
+                    p += 4
+                if tflags & 0x04:
+                    p += 4               # first_sample_flags
+                per = ((4 if tflags & 0x100 else 0)
+                       + (4 if tflags & 0x200 else 0)
+                       + (4 if tflags & 0x400 else 0)
+                       + (4 if tflags & 0x800 else 0))
+                off = moof_start + data_off
+                for s in range(cnt):
+                    q = p + s * per
+                    if tflags & 0x100:
+                        q += 4
+                    if tflags & 0x200:
+                        (sz,) = struct.unpack(">I", payload[q:q + 4])
+                    elif default_size is not None:
+                        sz = default_size
+                    else:
+                        raise ValueError(
+                            "corrupt MP4: trun without sizes")
+                    frag_offs.append(off)
+                    frag_sizes.append(int(sz))
+                    off += int(sz)
+    if frag_sizes:
+        trk = next((t for t in out["tracks"]
+                    if t.get("n_samples", 0) == 0 or
+                    "n_samples" not in t), out["tracks"][0])
+        base_sizes = trk.get("sample_sizes")
+        if base_sizes is not None and len(base_sizes):
+            trk["sample_sizes"] = np.concatenate(
+                [base_sizes, np.asarray(frag_sizes, np.int64)])
+            trk["sample_offsets"] = np.concatenate(
+                [trk["sample_offsets"],
+                 np.asarray(frag_offs, np.int64)])
+        else:
+            trk["sample_sizes"] = np.asarray(frag_sizes, np.int64)
+            trk["sample_offsets"] = np.asarray(frag_offs, np.int64)
+        trk["n_samples"] = int(len(trk["sample_sizes"]))
+        out["fragmented"] = True
     return out
 
 
@@ -275,6 +354,75 @@ def synth_mp4(seed: int, *, n_samples: int = 8, width: int = 64,
                 + bytes(24) + struct.pack(">I", 2))
     moov = _box(b"moov", mvhd + trak)
     return ftyp + _box(b"mdat", mdat_body) + moov
+
+
+def synth_fmp4(seed: int, *, n_fragments: int = 3,
+               samples_per_frag: int = 4, width: int = 64,
+               height: int = 48) -> bytes:
+    """Minimal valid FRAGMENTED MP4 (fMP4/DASH shape): moov carries
+    the track header but no stbl samples; each moof/mdat pair carries
+    a trun sample table with per-sample sizes and a data_offset
+    relative to the moof start. Payloads are md5-chain junk keyed
+    (seed, fragment, sample)."""
+    from hashlib import md5
+
+    timescale = 600
+    n_total = n_fragments * samples_per_frag
+    duration = n_total * 25
+    entry = struct.pack(">I", 8 + 70) + b"fake" + bytes(70)
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stbl = _box(b"stbl", stsd)
+    dref = _box(b"dref", struct.pack(">II", 0, 1)
+                + _box(b"url ", struct.pack(">I", 1)))
+    minf = _box(b"minf", _box(b"vmhd", struct.pack(">I", 1)
+                              + bytes(8)) + _box(b"dinf", dref)
+                + stbl)
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+                + bytes(12) + b"fake\x00")
+    mdhd = _box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale,
+                                     duration)
+                + struct.pack(">HH", 0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", struct.pack(">IIIII", 7, 0, 0, 1, 0)
+                + struct.pack(">I", duration) + bytes(8)
+                + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                              0, 0, 0x40000000)
+                + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale,
+                                     duration)
+                + struct.pack(">IHH", 0x10000, 0x100, 0) + bytes(8)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                              0, 0, 0x40000000)
+                + bytes(24) + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+    out = bytearray(
+        _box(b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5dash")
+        + moov)
+    for f in range(n_fragments):
+        sizes = [16 + (md5(f"{seed}:f{f}:{s}".encode()).digest()[0]
+                       % 48) for s in range(samples_per_frag)]
+        samples = [b"".join(
+            md5(f"{seed}:f{f}:{s}:{b}".encode()).digest()
+            for b in range((sz + 15) // 16))[:sz]
+            for s, sz in enumerate(sizes)]
+        mfhd = _box(b"mfhd", struct.pack(">II", 0, f + 1))
+        tfhd = _box(b"tfhd", struct.pack(">II", 0x020000, 1))
+        trun_body = struct.pack(">II", 0x201, samples_per_frag)
+        # data_offset filled after moof size is known
+        trun_body += struct.pack(">i", 0)
+        trun_body += b"".join(struct.pack(">I", sz) for sz in sizes)
+        trun = _box(b"trun", trun_body)
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        data_off = len(moof) + 8               # to first mdat byte
+        moof = bytearray(moof)
+        # patch the trun data_offset (12 bytes from trun body start)
+        ti = bytes(moof).find(b"trun")
+        struct.pack_into(">i", moof, ti + 12, data_off)
+        out += bytes(moof) + _box(b"mdat", b"".join(samples))
+    return bytes(out)
 
 
 # -- MPEG audio (MP3) frame headers -----------------------------------------

@@ -408,3 +408,55 @@ class TestContainerFuzz:
         from selma_ray.stages.mediacontainers import parse_id3_tags
 
         assert isinstance(parse_id3_tags(b"ID3" + blob), dict)
+
+
+class TestFragmentedMp4:
+    def test_parse_and_extract_across_fragments(self):
+        from hashlib import md5
+
+        from selma_ray.stages.mediacontainers import synth_fmp4
+
+        p = synth_fmp4(5, n_fragments=3, samples_per_frag=4)
+        info = parse_mp4(p)
+        assert info["fragmented"]
+        trk = info["tracks"][0]
+        assert trk["n_samples"] == 12
+        assert (trk["width"], trk["height"]) == (64, 48)
+        frames = sample_mp4_frames(p, 12)
+        k = 0
+        for f in range(3):
+            for s in range(4):
+                sz = 16 + (md5(f"5:f{f}:{s}".encode()).digest()[0]
+                           % 48)
+                want = b"".join(
+                    md5(f"5:f{f}:{s}:{b}".encode()).digest()
+                    for b in range((sz + 15) // 16))[:sz]
+                assert frames[k] == want, (f, s)
+                k += 1
+
+    def test_probe_reports_fragment_samples(self):
+        from selma_ray.stages.mediacontainers import synth_fmp4
+        from selma_ray.stages.multimodal import ProbeMediaMetadata
+
+        out = ProbeMediaMetadata()(pa.table({
+            "data": pa.array([synth_fmp4(2, n_fragments=2,
+                                         samples_per_frag=5)],
+                             pa.binary())}))
+        assert out.column("media_format").to_pylist() == ["mp4"]
+        assert out.column("media_units").to_pylist() == [10]
+
+    def test_classic_unaffected(self):
+        info = parse_mp4(synth_mp4(7, n_samples=9))
+        assert "fragmented" not in info
+        assert info["tracks"][0]["n_samples"] == 9
+
+    def test_trun_without_sizes_rejected(self):
+        from selma_ray.stages.mediacontainers import synth_fmp4
+
+        p = bytearray(synth_fmp4(1, n_fragments=1))
+        ti = bytes(p).find(b"trun")
+        # clear the sample-size-present flag (keep data_offset)
+        import struct as _s
+        _s.pack_into(">I", p, ti + 4, 0x01)
+        with pytest.raises(ValueError):
+            parse_mp4(bytes(p))
