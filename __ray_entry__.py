@@ -2553,6 +2553,20 @@ def _q_curate_media(sf_dir: str):
     return frames.map_batches(oracled_legs, batch_format="pyarrow")
 
 
+def _q_dsir_importance(sf_dir: str):
+    """DSIR-style hashed-bigram importance scores against the 'en'
+    slice as target — the data-selection op that shifts a raw crawl
+    toward a target domain. Fully SQL-checked: the md5-parity feature
+    hash, both smoothed distributions and the per-doc log-weight sums
+    replay in DuckDB."""
+    from selma_ray.pipelines.sampling import dsir_importance
+
+    out = dsir_importance(_read(sf_dir, "documents"),
+                          target_col="lang", target_value="en",
+                          dim=4096)
+    return out.select_columns(["doc_id", "n_feats", "value_score"])
+
+
 def _q_audio_tags(sf_dir: str):
     """ID3v2 text-tag extraction over tagged MP3 payloads — the
     metadata layer audio curation filters on. Map-only (no actor
@@ -2955,6 +2969,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "mp4_sample_frames": _q_mp4_sample_frames,
         "curate_media": _q_curate_media,
         "audio_tags": _q_audio_tags,
+        "dsir_importance": _q_dsir_importance,
         "extract_tables": _q_extract_tables,
         "extract_outline": _q_extract_outline,
         "extract_links": _q_extract_links,
@@ -3614,6 +3629,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_frames,
                    sum(sz)::BIGINT AS frame_bytes
             FROM z GROUP BY doc_id, media_format
+        """,
+        "dsir_importance": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(text, '\S+') AS t
+                FROM documents),
+            b AS (
+                SELECT doc_id, lang,
+                       md5_number_lower(t[i] || ' ' || t[i + 1])
+                           % 4096 AS bkt
+                FROM toks, unnest(range(1, len(t))) r(i)
+                WHERE len(t) >= 2),
+            tc AS (SELECT bkt, count(*)::BIGINT AS nt FROM b
+                   WHERE lang = 'en' GROUP BY bkt),
+            rc AS (SELECT bkt, count(*)::BIGINT AS nr FROM b
+                   GROUP BY bkt),
+            tt AS (SELECT count(*)::BIGINT AS T FROM b
+                   WHERE lang = 'en'),
+            tr AS (SELECT count(*)::BIGINT AS T FROM b),
+            w AS (SELECT rc.bkt,
+                         ln((coalesce(tc.nt, 0) + 1.0)
+                            / (tt.T + 4096))
+                         - ln((rc.nr + 1.0) / (tr.T + 4096)) AS wt
+                  FROM rc LEFT JOIN tc ON tc.bkt = rc.bkt, tt, tr)
+            SELECT b.doc_id, count(*)::BIGINT AS n_feats,
+                   sum(w.wt) AS value_score
+            FROM b JOIN w ON w.bkt = b.bkt
+            GROUP BY b.doc_id
         """,
         "audio_tags": """
             SELECT doc_id,

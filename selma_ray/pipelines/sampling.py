@@ -653,3 +653,122 @@ def shuffle_quality(ds, *, pos_col: str = "position",
         "value_same_rate": pa.array(
             [same / n_pairs if n_pairs else 0.0], pa.float64()),
     }))
+
+
+# -- DSIR-style importance scoring -----------------------------------------
+
+
+def _hashed_bigram_features(batch: pa.Table, text_col: str,
+                            dim: int):
+    """(parent_row_indices, bucket_ids) for every within-doc word
+    bigram in the batch, hashed with the DuckDB-parity md5 low-64
+    (``md5_number_lower(w1 || ' ' || w2) % dim``). Tokenization is the
+    engine-standard whitespace split (edge-empties filtered, adjacency
+    preserved)."""
+    from ..pipelines.sketches import kmv_hash64
+
+    toks = batch.column(text_col)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lists = pc.utf8_split_whitespace(toks)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat = flat.filter(keep)
+    parent = parent.filter(keep)
+    p = parent.to_numpy(zero_copy_only=False)
+    n = len(p)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    same = pa.array(p[1:] == p[:-1])
+    grams = pc.binary_join_element_wise(
+        flat.slice(0, n - 1).filter(same),
+        flat.slice(1, n - 1).filter(same), " ").to_pylist()
+    bkts = np.fromiter((kmv_hash64(g) % dim for g in grams),
+                       np.int64, count=len(grams))
+    return p[:-1][p[1:] == p[:-1]].astype(np.int64), bkts
+
+
+def dsir_importance(ds, *, text_col: str = "text",
+                    target_col: str = "lang",
+                    target_value: str = "en",
+                    dim: int = 4096):
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") ->
+    (doc_id..., n_feats, value_score): per document, the hashed-bigram
+    log importance weight
+
+        score = sum_b  ln p_target(b) - ln p_raw(b)
+
+    over the doc's hashed word-bigram occurrences, where both unigram
+    models over the ``dim`` feature buckets are add-1 smoothed counts
+    from (a) the target slice (``target_col == target_value``) and (b)
+    the WHOLE corpus. High scores = "looks like the target domain";
+    resample/filter on them to shift a raw crawl toward a target
+    distribution. Docs with no bigram features are dropped (score
+    undefined).
+
+    Scale shape: one dim-bounded count reduction (per-batch bucket
+    combiner -> groupby(bucket) sums -> the two count vectors
+    broadcast via ``ray.put``), then a map-only vectorized scoring
+    pass (np.add.at over the broadcast weight vector). The corpus is
+    consumed twice (counts + scoring); deterministic upstreams
+    required, as everywhere in this repo. Hash is the DuckDB-parity
+    md5 low-64, so the whole op is SQL-oracle-checkable."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        parent, bkts = _hashed_bigram_features(batch, text_col, dim)
+        is_t = pc.equal(batch.column(target_col),
+                        pa.scalar(target_value)) \
+            .to_numpy(zero_copy_only=False)
+        if len(bkts) == 0:
+            return pa.table({
+                "bkt": pa.array([], pa.int64()),
+                "pt": pa.array([], pa.int64()),
+                "pr": pa.array([], pa.int64()),
+            })
+        t_mask = is_t[parent]
+        nr = np.bincount(bkts, minlength=dim)
+        nt = np.bincount(bkts[t_mask], minlength=dim)
+        used = np.nonzero(nr)[0]
+        return pa.table({
+            "bkt": pa.array(used, pa.int64()),
+            "pt": pa.array(nt[used], pa.int64()),
+            "pr": pa.array(nr[used], pa.int64()),
+        })
+
+    counts = coalesce_small(
+        ds.map_batches(count_partial, batch_format="pyarrow")) \
+        .groupby("bkt").aggregate(Sum("pt"), Sum("pr")).take_all()
+    nt = np.zeros(dim, np.int64)
+    nr = np.zeros(dim, np.int64)
+    for r in counts:
+        nt[int(r["bkt"])] = int(r["sum(pt)"])
+        nr[int(r["bkt"])] = int(r["sum(pr)"])
+    tt = int(nt.sum())
+    tr = int(nr.sum())
+    w = np.log((nt + 1.0) / (tt + dim)) - np.log((nr + 1.0)
+                                                 / (tr + dim))
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        parent, bkts = _hashed_bigram_features(batch, text_col, dim)
+        scores = np.zeros(batch.num_rows, np.float64)
+        nf = np.zeros(batch.num_rows, np.int64)
+        if len(bkts):
+            np.add.at(scores, parent, wv[bkts])
+            nf = np.bincount(parent,
+                             minlength=batch.num_rows).astype(np.int64)
+        out = batch.drop_columns([text_col]) \
+            .append_column("n_feats", pa.array(nf, pa.int64())) \
+            .append_column("value_score",
+                           pa.array(scores, pa.float64()))
+        return out.filter(pc.greater(out.column("n_feats"),
+                                     pa.scalar(0, pa.int64())))
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -5090,3 +5090,68 @@ def test_streaming_dedup_restore_many_shards(ray_session, tmp_path):
     out2, shards2 = streaming_exact_dedup(b, num_shards=12)
     restore_index(shards2, ckpt)
     assert [r["text"] for r in out2.take_all()] == ["fresh"]
+
+
+class TestDsirImportance:
+    def test_target_slice_scores_higher(self, ray_session):
+        """DSIR log-weights must rank target-domain text above
+        off-domain text on average (the whole point of importance
+        resampling)."""
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sampling import dsir_importance
+
+        en = [f"the quick brown fox number {i} jumps over the lazy dog"
+              for i in range(30)]
+        de = [f"der schnelle braune fuchs nummer {i} springt ueber den"
+              f" faulen hund" for i in range(30)]
+        t = pa.table({
+            "doc_id": pa.array(range(60), pa.int64()),
+            "lang": pa.array(["en"] * 30 + ["de"] * 30),
+            "text": pa.array(en + de),
+        })
+        out = dsir_importance(ray.data.from_arrow(t).repartition(4),
+                              dim=1024).to_pandas()
+        assert len(out) == 60
+        mean_en = out[out["lang"] == "en"]["value_score"].mean()
+        mean_de = out[out["lang"] == "de"]["value_score"].mean()
+        assert mean_en > mean_de
+
+    def test_partition_invariant(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sampling import dsir_importance
+
+        t = pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "lang": pa.array(["en", "fr"] * 20),
+            "text": pa.array([f"alpha beta gamma {i} delta {i % 5}"
+                              for i in range(40)]),
+        })
+
+        def run(parts):
+            df = dsir_importance(
+                ray.data.from_arrow(t).repartition(parts),
+                dim=256).to_pandas()
+            return df.sort_values("doc_id").reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(run(1), run(7),
+                                      check_exact=False, atol=1e-9,
+                                      rtol=0)
+
+    def test_no_feature_docs_dropped(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.sampling import dsir_importance
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "lang": pa.array(["en", "en", "en"]),
+            "text": pa.array(["two words here", "single", ""]),
+        })
+        out = dsir_importance(ray.data.from_arrow(t)).to_pandas()
+        assert sorted(out["doc_id"]) == [0]
