@@ -161,7 +161,11 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     def tag_hash(batch: pa.Table) -> pa.Table:
         return add_md5(batch, text_col)
 
-    if winners.count() <= max_broadcast_ids:
+    n_winners = winners.count()
+    if n_winners == 0:
+        # empty corpus: nothing to keep, nothing to join against
+        return ds.map_batches(tag_hash, batch_format="pyarrow")
+    if n_winners <= max_broadcast_ids:
         keep_ref = ray.put(pa.concat_tables(
             ray.get(winners.to_arrow_refs())).column("keep")
             .combine_chunks())
@@ -1678,7 +1682,10 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
         ds.map_batches(slim, batch_format="pyarrow"),
         "text_hash", best_in_bucket).materialize()
 
-    if winners.count() <= 5_000_000:
+    n_winners = winners.count()
+    if n_winners == 0:
+        return ds                       # empty corpus
+    if n_winners <= 5_000_000:
         keep_ref = ray.put(pa.concat_tables(
             ray.get(winners.to_arrow_refs())).column("keep")
             .combine_chunks())

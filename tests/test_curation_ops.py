@@ -5155,3 +5155,22 @@ class TestDsirImportance:
         })
         out = dsir_importance(ray.data.from_arrow(t)).to_pandas()
         assert sorted(out["doc_id"]) == [0]
+
+
+class TestDedupEmptyCorpus:
+    def test_exact_and_keep_best_handle_empty(self, ray_session):
+        """The slim-exchange survivor paths must not crash when the
+        corpus is empty (no winners to broadcast or join)."""
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import (exact_dedup,
+                                               exact_dedup_keep_best)
+
+        empty = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }))
+        assert exact_dedup(empty).count() == 0
+        assert exact_dedup_keep_best(empty).count() == 0
