@@ -1448,8 +1448,11 @@ def _q_repeated_turns(sf_dir: str):
 
 
 def _q_knn_graph_stats(sf_dir: str):
-    """kNN-graph reciprocity / hubness health report (rows-only:
-    geometry-fixture invariants unit-tested)."""
+    """kNN-graph reciprocity / hubness health report. SQL-checked:
+    the deterministic (cosine DESC, id ASC) edge rule replays as a
+    row_number window over the cross join, and the reciprocity /
+    in-degree / top-1% hub-share folds are integer algebra over the
+    edge list (same fp-boundary contract ann_topk relies on)."""
     from selma_ray.pipelines.similarity import knn_graph_stats
 
     return knn_graph_stats(_read(sf_dir, "embeddings"), k=10)
@@ -4281,6 +4284,36 @@ def oracle_sql() -> dict[str, str]:
                    (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS keep
             FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
             LEFT JOIN comp c USING (doc_id)
+        """,
+        "knn_graph_stats": r"""
+            WITH s AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[])
+                           AS sim
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id),
+            r AS (SELECT src, dst, row_number() OVER (
+                      PARTITION BY src ORDER BY sim DESC, dst) AS rn
+                  FROM s),
+            e AS (SELECT src, dst FROM r WHERE rn <= 10),
+            ne AS (SELECT count(*)::BIGINT c FROM e),
+            recip AS (SELECT count(*)::BIGINT c
+                      FROM e x JOIN e y
+                        ON x.src = y.dst AND x.dst = y.src),
+            ind AS (SELECT dst, count(*)::BIGINT d FROM e GROUP BY dst),
+            nv AS (SELECT count(*)::BIGINT n FROM embeddings),
+            hub AS (SELECT sum(d)::BIGINT s FROM (
+                        SELECT d FROM ind, nv
+                        ORDER BY d DESC
+                        LIMIT greatest(1, (SELECT n // 100 FROM nv)))),
+            tot AS (SELECT sum(d)::BIGINT s FROM ind)
+            SELECT 10::BIGINT AS k, nv.n AS n_vectors,
+                   recip.c / greatest(ne.c, 1)::DOUBLE
+                       AS reciprocal_rate,
+                   (SELECT max(d) FROM ind)::BIGINT AS max_in_degree,
+                   hub.s / greatest(tot.s, 1)::DOUBLE AS hub_share
+            FROM nv, recip, ne, hub, tot
         """,
         "ann_topk": r"""
             WITH q AS (

@@ -564,7 +564,11 @@ def knn_graph_stats(ds, *, k: int = 10, id_col: str = "vec_id",
         sims = E @ mat.T
         sims[ids[:, None] == ids_all[None, :]] = -np.inf  # no self edge
         kk = min(k, sims.shape[1] - 1)
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # stable argsort over the id-ascending broadcast order = the
+        # deterministic (sim DESC, id ASC) edge rule the SQL oracle
+        # replays; argpartition would leave boundary ties
+        # partition-order-dependent
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
         src = np.repeat(ids, kk)
         dst = ids_all[idx.ravel()]
         return pa.table({"src": pa.array(src, pa.int64()),
