@@ -5174,3 +5174,67 @@ class TestDedupEmptyCorpus:
         }))
         assert exact_dedup(empty).count() == 0
         assert exact_dedup_keep_best(empty).count() == 0
+
+
+class TestDedupPropertyVsBruteForce:
+    """The slim-exchange survivor paths must equal the obvious
+    pandas model on arbitrary corpora — the property the reshape
+    could have silently broken."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(rows=st.lists(st.tuples(st.integers(0, 10_000),
+                                   st.sampled_from(["a", "b", "c",
+                                                    "dd", "ee", ""])),
+                         min_size=1, max_size=60,
+                         unique_by=lambda x: x[0]))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_exact_dedup_keeps_min_id_per_text(self, rows,
+                                               ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import exact_dedup
+
+        ids = [r[0] for r in rows]
+        texts = [r[1] for r in rows]
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts)})
+        got = exact_dedup(ray.data.from_arrow(t).repartition(3)) \
+            .to_pandas()
+        want = pd.DataFrame({"doc_id": ids, "text": texts}) \
+            .sort_values("doc_id").groupby("text", as_index=False) \
+            .first()
+        assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+    @given(rows=st.lists(st.tuples(st.integers(0, 10_000),
+                                   st.sampled_from(["x", "y", "zz"]),
+                                   st.integers(0, 5)),
+                         min_size=1, max_size=60,
+                         unique_by=lambda x: x[0]))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_keep_best_rule(self, rows, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import exact_dedup_keep_best
+
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        got = exact_dedup_keep_best(
+            ray.data.from_arrow(t).repartition(3)).to_pandas()
+        df = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                           "text": [r[1] for r in rows],
+                           "n_chars": [r[2] for r in rows]})
+        want = df.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True]) \
+            .groupby("text", as_index=False).first()
+        assert sorted(got["doc_id"]) == sorted(want["doc_id"])
