@@ -2570,6 +2570,17 @@ def _q_dsir_importance(sf_dir: str):
     return out.select_columns(["doc_id", "n_feats", "value_score"])
 
 
+def _q_parquet_footprint(sf_dir: str):
+    """Storage-health introspection of the documents parquet: per
+    row-group column-chunk value counts and byte sizes, footer-only.
+    The oracle is DuckDB's OWN parquet reader (parquet_metadata) —
+    a truly independent second implementation parsing the same
+    footer bytes."""
+    from selma_ray.sources.readers import parquet_footprint
+
+    return parquet_footprint(f"{sf_dir}/documents.parquet")
+
+
 def _q_audio_tags(sf_dir: str):
     """ID3v2 text-tag extraction over tagged MP3 payloads — the
     metadata layer audio curation filters on. Map-only (no actor
@@ -2973,6 +2984,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "curate_media": _q_curate_media,
         "audio_tags": _q_audio_tags,
         "dsir_importance": _q_dsir_importance,
+        "parquet_footprint": _q_parquet_footprint,
         "extract_tables": _q_extract_tables,
         "extract_outline": _q_extract_outline,
         "extract_links": _q_extract_links,
@@ -3632,6 +3644,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_frames,
                    sum(sz)::BIGINT AS frame_bytes
             FROM z GROUP BY doc_id, media_format
+        """,
+        # parquet_footprint's oracle: DuckDB's native parquet footer
+        # parser over the SAME file — an independent second
+        # implementation, not synthesized arithmetic. The literal path
+        # pins the driver's sf0.01 correctness tier (oracle strings
+        # are static; the Ray side follows sf_dir).
+        "parquet_footprint": r"""
+            SELECT 'documents.parquet' AS file_name,
+                   row_group_id::BIGINT AS row_group_id,
+                   path_in_schema AS "column",
+                   num_values::BIGINT AS n_values,
+                   total_compressed_size::BIGINT AS compressed_bytes,
+                   total_uncompressed_size::BIGINT
+                       AS uncompressed_bytes,
+                   total_compressed_size
+                   / greatest(total_uncompressed_size, 1)::DOUBLE
+                       AS value_ratio
+            FROM parquet_metadata(
+                '/root/testdata/sf0.01/documents.parquet')
         """,
         "dsir_importance": r"""
             WITH toks AS (

@@ -739,3 +739,72 @@ def read_pinned(snapshot: dict, **read_kwargs):
     import ray.data
 
     return ray.data.read_parquet(snapshot["files"], **read_kwargs)
+
+
+def parquet_footprint(paths) -> "ray.data.Dataset":
+    """Storage-health report over parquet files -> one row per
+    (file, row_group, column chunk): value count, compressed and
+    uncompressed bytes, and the compression ratio — what a 100 TB lake
+    audits before re-layout (which columns dominate bytes, where
+    compression underperforms, whether row groups are sized for
+    pruning).
+
+    Footer-only: each task opens files' METADATA (a few KB at the
+    tail), never column data — at scale this is one cheap task per
+    file fanned over the cluster. ``paths``: a file, a list of files,
+    or a directory of ``.parquet`` files."""
+    import os
+
+    import ray.data
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            files = sorted(
+                os.path.join(paths, f) for f in os.listdir(paths)
+                if f.endswith(".parquet"))
+        else:
+            files = [paths]
+    else:
+        files = list(paths)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = {"file_name": [], "row_group_id": [], "column": [],
+               "n_values": [], "compressed_bytes": [],
+               "uncompressed_bytes": []}
+        for path in batch.column("path").to_pylist():
+            md = pq.ParquetFile(path).metadata
+            base = os.path.basename(path)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    out["file_name"].append(base)
+                    out["row_group_id"].append(rg)
+                    out["column"].append(c.path_in_schema)
+                    out["n_values"].append(int(c.num_values))
+                    out["compressed_bytes"].append(
+                        int(c.total_compressed_size))
+                    out["uncompressed_bytes"].append(
+                        int(c.total_uncompressed_size))
+        t = pa.table({
+            "file_name": pa.array(out["file_name"], pa.string()),
+            "row_group_id": pa.array(out["row_group_id"], pa.int64()),
+            "column": pa.array(out["column"], pa.string()),
+            "n_values": pa.array(out["n_values"], pa.int64()),
+            "compressed_bytes": pa.array(out["compressed_bytes"],
+                                         pa.int64()),
+            "uncompressed_bytes": pa.array(out["uncompressed_bytes"],
+                                           pa.int64()),
+        })
+        ratio = pc.divide(
+            pc.cast(t.column("compressed_bytes"), pa.float64()),
+            pc.cast(pc.max_element_wise(
+                t.column("uncompressed_bytes"),
+                pa.scalar(1, pa.int64())), pa.float64()))
+        return t.append_column("value_ratio", ratio)
+
+    return ray.data.from_arrow(pa.table({
+        "path": pa.array(files, pa.string())})) \
+        .map_batches(probe, batch_format="pyarrow", batch_size=1)

@@ -876,3 +876,32 @@ def test_sorted_extract_survives_worker_death(tmp_path, ray_session):
     assert chaotic["conv_id"].tolist() == clean["conv_id"].tolist()
     assert chaotic["turn_idx"].tolist() == clean["turn_idx"].tolist()
     assert chaotic["extracted_text"].tolist() == clean["extracted_text"].tolist()
+
+
+def test_parquet_footprint_matches_footers(tmp_path, ray_session):
+    """Footer-only storage introspection: per column-chunk byte/value
+    counts must match what pyarrow wrote, across multiple files and
+    row groups."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from selma_ray.sources.readers import parquet_footprint
+
+    t = pa.table({
+        "a": pa.array(range(1000), pa.int64()),
+        "b": pa.array([f"text {i}" for i in range(1000)]),
+    })
+    pq.write_table(t, tmp_path / "x.parquet", row_group_size=300)
+    pq.write_table(t.slice(0, 100), tmp_path / "y.parquet")
+
+    df = parquet_footprint(str(tmp_path)).to_pandas()
+    # x: 4 row groups x 2 cols, y: 1 x 2
+    assert len(df) == 10
+    x = df[df["file_name"] == "x.parquet"]
+    assert sorted(x["row_group_id"].unique()) == [0, 1, 2, 3]
+    assert set(df["column"]) == {"a", "b"}
+    sums = df.groupby("file_name")["n_values"].sum()
+    assert sums["x.parquet"] == 2000
+    assert sums["y.parquet"] == 200
+    assert (df["compressed_bytes"] > 0).all()
+    assert (df["value_ratio"] > 0).all()
