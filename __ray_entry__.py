@@ -1785,6 +1785,17 @@ def _q_jaccard_prefix_join(sf_dir: str):
                                threshold=0.6, max_id=150)
 
 
+def _q_containment_join(sf_dir: str):
+    """Directional exact word-set containment self-join (the
+    excerpt/subset-duplication detector resemblance misses); prefix
+    filtering on the contained side, full postings on the containing
+    side; verified vs brute-force list algebra."""
+    from selma_ray.pipelines.dedup import containment_prefix_join
+
+    return containment_prefix_join(_read(sf_dir, "documents"),
+                                   threshold=0.9, max_id=100)
+
+
 def _q_doc_ttr(sf_dir: str):
     """Per-doc type-token ratio (lexical diversity), map-only."""
     from selma_ray.pipelines.corpus import doc_ttr
@@ -2919,6 +2930,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_range": _q_zonemap_range,
         "doc_ttr": _q_doc_ttr,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
+        "containment_join": _q_containment_join,
         "hll_daily_users": _q_hll_daily_users,
         "cms_term_counts": _q_cms_term_counts,
         "returned_revenue": _q_returned_revenue,
@@ -5507,6 +5519,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM t a JOIN t b ON a.doc_id < b.doc_id
                 WHERE len(a.s) > 0 AND len(b.s) > 0)
             SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
+        """,
+        "containment_join": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(text, '\S+'))
+                           AS s
+                FROM documents WHERE doc_id < 100),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s))
+                       / len(a.s)::DOUBLE AS containment
+                FROM t a JOIN t b ON a.doc_id <> b.doc_id
+                WHERE len(a.s) > 0)
+            SELECT id_a, id_b, containment
+            FROM p WHERE containment >= 0.9
         """,
         "doc_ttr": r"""
             WITH t AS (

@@ -1632,6 +1632,121 @@ def jaccard_prefix_join(ds, *, id_col: str = "doc_id",
     return per_key_in_buckets(pairs, ["id_a", "id_b"], first)
 
 
+def containment_prefix_join(ds, *, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            threshold: float = 0.8,
+                            max_id: int | None = None):
+    """Directional EXACT word-set CONTAINMENT self-join -> (id_a,
+    id_b, containment) for every ordered pair with
+    |A ∩ B| / |A| >= threshold — "doc A's vocabulary is (mostly)
+    inside doc B's", the asymmetric sibling of jaccard_prefix_join
+    that catches subset/quote/excerpt duplication resemblance misses
+    (a short excerpt has low Jaccard against its source but full
+    containment).
+
+    Prefix completeness holds only for the CONTAINED side: if
+    |A ∩ B| >= ceil(t|A|) then one of A's (|A| - ceil(t|A|) + 1)
+    rarest tokens is in B — so A prunes to that prefix, but B must
+    post EVERY distinct token (containment puts no lower bound on
+    |B|). Each doc therefore emits one row per distinct token with an
+    ``is_prefix`` flag; a token bucket verifies x→y exactly (sorted
+    rank-array intersection) whenever x's row is a prefix row. Bucket
+    fan-in is bounded by token df — heavier than the resemblance
+    join's prefix×prefix buckets by construction; at web scale run it
+    over a df-capped vocabulary slice or the LSH candidates.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import coalesce_small
+
+    if max_id is not None:
+        def _below(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.less(batch.column(id_col),
+                                        pa.scalar(max_id)))
+        ds = ds.map_batches(_below, batch_format="pyarrow")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.coalesce(batch.column(text_col), pa.scalar("")), r"\s+")
+        words = pc.list_flatten(toks)
+        words = words.filter(pc.not_equal(words, pa.scalar("")))
+        agg = pa.table({"term": words}).group_by("term") \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "term": agg.column("term"),
+            "partial_n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    df_rows = coalesce_small(
+        ds.map_batches(df_partial, batch_format="pyarrow")) \
+        .groupby("term").aggregate(Sum("partial_n")).take_all()
+    order = sorted((r["sum(partial_n)"], r["term"]) for r in df_rows)
+    rank = {t: i for i, (_, t) in enumerate(order)}
+    rref = ray.put(rank)
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        rk = ray.get(rref)
+        out_tok, out_id, out_set, out_pf = [], [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = {w for w in ws_re.split(t or "") if w}
+            if not toks:
+                continue
+            ranks = np.sort(np.array([rk[w] for w in toks], np.int64))
+            plen = len(ranks) - int(np.ceil(threshold * len(ranks))) \
+                + 1
+            for j, r in enumerate(ranks):
+                out_tok.append(int(r))
+                out_id.append(i)
+                out_set.append(ranks.tolist())
+                out_pf.append(j < plen)
+        return pa.table({
+            "ptok": pa.array(out_tok, pa.int64()),
+            "id": pa.array(out_id, pa.int64()),
+            "rset": pa.array(out_set, pa.list_(pa.int64())),
+            "is_prefix": pa.array(out_pf, pa.bool_()),
+        })
+
+    cand = ds.map_batches(postings, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("id").to_pylist()
+        sets = [np.array(s, np.int64)
+                for s in group.column("rset").to_pylist()]
+        pref = group.column("is_prefix").to_pylist()
+        a_out, b_out, c_out = [], [], []
+        seen = set()
+        for x in range(len(ids)):
+            if not pref[x]:
+                continue
+            for y in range(len(ids)):
+                if ids[x] == ids[y] or (ids[x], ids[y]) in seen:
+                    continue
+                inter = np.intersect1d(sets[x], sets[y],
+                                       assume_unique=True).size
+                c = inter / sets[x].size
+                if c >= threshold:
+                    seen.add((ids[x], ids[y]))
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
+                    c_out.append(c)
+        return pa.table({
+            "id_a": pa.array(a_out, pa.int64()),
+            "id_b": pa.array(b_out, pa.int64()),
+            "containment": pa.array(c_out, pa.float64()),
+        })
+
+    pairs = per_key_in_buckets(cand, "ptok", bucket_pairs, min_rows=2)
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return per_key_in_buckets(pairs, ["id_a", "id_b"], first)
+
+
 def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
                           text_col: str = "text",
                           score_col: str = "n_chars"):

@@ -5238,3 +5238,57 @@ class TestDedupPropertyVsBruteForce:
                               ascending=[False, True]) \
             .groupby("text", as_index=False).first()
         assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+class TestContainmentJoin:
+    def test_excerpt_detected_where_jaccard_misses(self, ray_session):
+        """A short excerpt has full containment in its source but low
+        Jaccard — the asymmetric join's whole reason to exist."""
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import (containment_prefix_join,
+                                               jaccard_prefix_join)
+
+        source = ("alpha beta gamma delta epsilon zeta eta theta "
+                  "iota kappa lambda mu nu xi omicron pi rho sigma")
+        excerpt = "gamma delta epsilon"
+        other = "one two three four five six seven"
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([source, excerpt, other]),
+        })
+        got = containment_prefix_join(
+            ray.data.from_arrow(t).repartition(2),
+            threshold=0.9).to_pandas()
+        pairs = set(zip(got["id_a"], got["id_b"]))
+        assert (1, 0) in pairs            # excerpt contained in source
+        assert (0, 1) not in pairs        # not the other way round
+        assert not any(2 in p for p in pairs)
+        jac = jaccard_prefix_join(ray.data.from_arrow(t),
+                                  threshold=0.9).to_pandas()
+        assert len(jac) == 0              # resemblance misses it
+
+    def test_partition_invariant(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import containment_prefix_join
+
+        words = ["w%d" % i for i in range(12)]
+        t = pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array([" ".join(words[:(3 + i % 9)])
+                              for i in range(30)]),
+        })
+
+        def run(parts):
+            df = containment_prefix_join(
+                ray.data.from_arrow(t).repartition(parts),
+                threshold=0.8).to_pandas()
+            return df.sort_values(["id_a", "id_b"]) \
+                .reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(run(1), run(5),
+                                      check_exact=True)
