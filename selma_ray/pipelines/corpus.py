@@ -1880,12 +1880,13 @@ def source_cross_entropy(ds, *, group_col: str = "source",
       3. ONE bucketed exchange on term (``bucketed_map_groups``): each
          bucket task self-joins its slice of the count table on term —
          per-term work is |groups containing the term|^2, G-bounded —
-         emitting per-bucket partial S(a, b) sums, plus a marker row
-         carrying the bucket's distinct-term count (each term lives in
-         exactly one bucket, so the marker sum is exactly V);
-      4. groupby over the G^2-sized partial table, then a driver-side
-         assembly of the G x G matrix from the tiny S / T / V
-         aggregates.
+         emitting per-bucket partial S(a, b) sums in the group
+         column's NATIVE type (string and integer group keys both
+         work);
+      4. V from a distinct-count pass over the same materialized
+         count table, then a groupby over the G^2-sized partial table
+         and a driver-side assembly of the G x G matrix from the tiny
+         S / T / V aggregates.
 
     Task memory is bounded by vocab x G / num_buckets (raise
     ``num_buckets`` at scale); the shuffles after step 1 carry
@@ -1920,6 +1921,10 @@ def source_cross_entropy(ds, *, group_col: str = "source",
         .groupby("g").aggregate(Sum("pt")).take_all()
     totals = {r["g"]: int(r["sum(pt)"]) for r in totals_rows}
 
+    # V = exact joint-vocab size: a distinct-count pass over the same
+    # materialized count table (vocab-bounded rows, never the corpus)
+    v = agg.groupby("term").count().count()
+
     def fold(bucket: pa.Table) -> pa.Table:
         import pandas as pd
 
@@ -1935,25 +1940,17 @@ def source_cross_entropy(ds, *, group_col: str = "source",
             "src_a": m["g_a"], "src_b": m["g_b"], "s": s,
         }).groupby(["src_a", "src_b"], as_index=False)["s"].sum()
         return pa.table({
-            "kind": pa.array(["s"] * len(part) + ["v"]),
-            "src_a": pa.array(list(part["src_a"]) + [""]),
-            "src_b": pa.array(list(part["src_b"]) + [""]),
-            "partial_s": pa.array(
-                list(part["s"]) + [0.0], pa.float64()),
-            "n_terms": pa.array(
-                [0] * len(part) + [int(df["term"].nunique())],
-                pa.int64()),
+            "src_a": pa.array(list(part["src_a"])),
+            "src_b": pa.array(list(part["src_b"])),
+            "partial_s": pa.array(list(part["s"]), pa.float64()),
         })
 
     reduced = bucketed_map_groups(agg, "term", fold,
                                   num_buckets=num_buckets) \
-        .groupby(["kind", "src_a", "src_b"]) \
-        .aggregate(Sum("partial_s"), Sum("n_terms")).take_all()
-
-    v = sum(int(r["sum(n_terms)"]) for r in reduced
-            if r["kind"] == "v")
+        .groupby(["src_a", "src_b"]) \
+        .aggregate(Sum("partial_s")).take_all()
     s_map = {(r["src_a"], r["src_b"]): float(r["sum(partial_s)"])
-             for r in reduced if r["kind"] == "s"}
+             for r in reduced}
 
     groups = sorted(totals)
     out_a, out_b, out_ce = [], [], []
@@ -1966,7 +1963,11 @@ def source_cross_entropy(ds, *, group_col: str = "source",
                 float(np.log(totals[b] + v)
                       - s_map.get((a, b), 0.0) / ta))
     return rd.from_arrow(pa.table({
-        "src_a": pa.array(out_a, pa.string()),
-        "src_b": pa.array(out_b, pa.string()),
+        "src_a": pa.array(out_a),
+        "src_b": pa.array(out_b),
         "value_ce": pa.array(out_ce, pa.float64()),
+    }) if groups else pa.table({
+        "src_a": pa.array([], pa.string()),
+        "src_b": pa.array([], pa.string()),
+        "value_ce": pa.array([], pa.float64()),
     }))

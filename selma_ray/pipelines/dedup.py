@@ -48,6 +48,12 @@ from ..functions.hashing import (
 from ..stages.util import (coalesce_small, per_key_in_buckets,
                            split_blocks)
 
+# RE2's Perl \s (used by pyarrow split_pattern_regex and DuckDB
+# regexp_*) is exactly [\t\n\f\r ]; Python's \s adds \v (and more
+# under Unicode). Python-side tokenizers that must agree with an
+# Arrow/SQL split use THIS class, never re's \s.
+_RE2_WS = re.compile(r"[ \t\n\f\r]+")
+
 PAIR_SCHEMA = pa.schema([
     ("id_a", pa.int64()),
     ("id_b", pa.int64()),
@@ -114,6 +120,51 @@ def exact_dedup_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def _keep_winner_rows(ds, winners, *, id_col: str,
+                      max_broadcast_ids: int, num_partitions: int,
+                      text_col: str | None = None):
+    """Survivor filter shared by the slim-exchange dedup ops: keep the
+    rows of ``ds`` whose ``id_col`` is in the (materialized) winners
+    dataset's ``keep`` column — broadcast ``ray.put`` + vectorized
+    ``is_in`` while the winner count fits ``max_broadcast_ids``, a
+    native hash-partitioned ``left_semi`` join past it. With
+    ``text_col`` set, survivors get the recomputed ``text_hash``
+    appended (exact_dedup's output contract)."""
+    import ray
+
+    def tag_hash(batch: pa.Table) -> pa.Table:
+        return add_md5(batch, text_col)
+
+    n_winners = winners.count()
+    if n_winners == 0:
+        # empty corpus: nothing to keep, nothing to join against
+        return ds.map_batches(tag_hash, batch_format="pyarrow") \
+            if text_col else ds
+    if n_winners <= max_broadcast_ids:
+        keep_ref = ray.put(pa.concat_tables(
+            ray.get(winners.to_arrow_refs())).column("keep")
+            .combine_chunks())
+
+        def filt(batch: pa.Table) -> pa.Table:
+            keep = ray.get(keep_ref)
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            kept = batch.filter(pc.is_in(ids, value_set=keep))
+            return add_md5(kept, text_col) if text_col else kept
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    sch = winners.schema()
+    probe = _with_null_sentinel(
+        winners, "keep", dict(zip(sch.names, sch.types))["keep"])
+    joined = ds.join(probe, join_type="left_semi",
+                     num_partitions=num_partitions,
+                     on=(id_col,), right_on=("keep",))
+    return joined.map_batches(tag_hash, batch_format="pyarrow") \
+        if text_col else joined
+
+
 def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 max_broadcast_ids: int = 5_000_000,
                 num_partitions: int = 8):
@@ -137,8 +188,6 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     upstream pipeline must be deterministic — which every operator in
     this repo already guarantees (the partition-invariance contract).
     """
-    import ray
-
     from ..stages.util import bucketed_map_groups
 
     def slim(batch: pa.Table) -> pa.Table:
@@ -158,35 +207,10 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         ds.map_batches(slim, batch_format="pyarrow"),
         "text_hash", min_in_bucket).materialize()
 
-    def tag_hash(batch: pa.Table) -> pa.Table:
-        return add_md5(batch, text_col)
-
-    n_winners = winners.count()
-    if n_winners == 0:
-        # empty corpus: nothing to keep, nothing to join against
-        return ds.map_batches(tag_hash, batch_format="pyarrow")
-    if n_winners <= max_broadcast_ids:
-        keep_ref = ray.put(pa.concat_tables(
-            ray.get(winners.to_arrow_refs())).column("keep")
-            .combine_chunks())
-
-        def filt(batch: pa.Table) -> pa.Table:
-            keep = ray.get(keep_ref)
-            ids = batch.column(id_col)
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            mask = pc.is_in(ids, value_set=keep)
-            return add_md5(batch.filter(mask), text_col)
-
-        return ds.map_batches(filt, batch_format="pyarrow")
-
-    sch = winners.schema()
-    probe = _with_null_sentinel(
-        winners, "keep", dict(zip(sch.names, sch.types))["keep"])
-    return ds.join(probe, join_type="left_semi",
-                   num_partitions=num_partitions,
-                   on=(id_col,), right_on=("keep",)) \
-        .map_batches(tag_hash, batch_format="pyarrow")
+    return _keep_winner_rows(ds, winners, id_col=id_col,
+                             max_broadcast_ids=max_broadcast_ids,
+                             num_partitions=num_partitions,
+                             text_col=text_col)
 
 
 def exact_dedup_combine_batch(batch: pa.Table, *, id_col: str = "doc_id",
@@ -1571,10 +1595,11 @@ def jaccard_prefix_join(ds, *, id_col: str = "doc_id",
     rank = {t: i for i, (_, t) in enumerate(order)}
     rref = ray.put(rank)
 
-    # MUST split exactly like stage 1's RE2 \s+ (ASCII whitespace):
-    # str.split() splits on UNICODE whitespace, so a doc with \xa0
-    # would emit stage-2 tokens stage 1 never ranked -> KeyError
-    ws_re = re.compile(r"\s+", re.ASCII)
+    # MUST split exactly like stage 1's RE2 \s+: RE2's Perl class is
+    # [\t\n\f\r ] — it has NO \v, and Python's ASCII \s does, so a
+    # doc with a vertical tab would emit stage-2 tokens stage 1 never
+    # ranked -> KeyError (and Unicode \s would add \xa0 on top)
+    ws_re = _RE2_WS
 
     def prefixes(batch: pa.Table) -> pa.Table:
         rk = ray.get(rref)
@@ -1685,7 +1710,7 @@ def containment_prefix_join(ds, *, id_col: str = "doc_id",
     rank = {t: i for i, (_, t) in enumerate(order)}
     rref = ray.put(rank)
 
-    ws_re = re.compile(r"\s+", re.ASCII)
+    ws_re = _RE2_WS   # same RE2-\s parity note as jaccard_prefix_join
 
     def postings(batch: pa.Table) -> pa.Table:
         rk = ray.get(rref)
@@ -1749,7 +1774,9 @@ def containment_prefix_join(ds, *, id_col: str = "doc_id",
 
 def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
                           text_col: str = "text",
-                          score_col: str = "n_chars"):
+                          score_col: str = "n_chars",
+                          max_broadcast_ids: int = 5_000_000,
+                          num_partitions: int = 8):
     """Exact dedup that keeps the BEST copy per text family (highest
     ``score_col``, ties -> lowest id) instead of the first-by-id —
     what curation actually wants when duplicates differ in metadata
@@ -1764,8 +1791,6 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
     ``ds`` is consumed twice; deterministic upstreams required (the
     repo-wide partition-invariance contract).
     """
-    import ray
-
     from ..stages.util import bucketed_map_groups
 
     def slim(batch: pa.Table) -> pa.Table:
@@ -1797,28 +1822,9 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
         ds.map_batches(slim, batch_format="pyarrow"),
         "text_hash", best_in_bucket).materialize()
 
-    n_winners = winners.count()
-    if n_winners == 0:
-        return ds                       # empty corpus
-    if n_winners <= 5_000_000:
-        keep_ref = ray.put(pa.concat_tables(
-            ray.get(winners.to_arrow_refs())).column("keep")
-            .combine_chunks())
-
-        def filt(batch: pa.Table) -> pa.Table:
-            keep = ray.get(keep_ref)
-            ids = batch.column(id_col)
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            return batch.filter(pc.is_in(ids, value_set=keep))
-
-        return ds.map_batches(filt, batch_format="pyarrow")
-
-    sch = winners.schema()
-    probe = _with_null_sentinel(
-        winners, "keep", dict(zip(sch.names, sch.types))["keep"])
-    return ds.join(probe, join_type="left_semi", num_partitions=8,
-                   on=(id_col,), right_on=("keep",))
+    return _keep_winner_rows(ds, winners, id_col=id_col,
+                             max_broadcast_ids=max_broadcast_ids,
+                             num_partitions=num_partitions)
 
 
 def dedup_comparison(ds, *, id_col: str = "doc_id",

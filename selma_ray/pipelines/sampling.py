@@ -722,8 +722,10 @@ def dsir_importance(ds, *, text_col: str = "text",
 
     def count_partial(batch: pa.Table) -> pa.Table:
         parent, bkts = _hashed_bigram_features(batch, text_col, dim)
-        is_t = pc.equal(batch.column(target_col),
-                        pa.scalar(target_value)) \
+        # fill_null(False): a null target value yields a null boolean,
+        # which converts to an object-dtype mask numpy can't index with
+        is_t = pc.fill_null(pc.equal(batch.column(target_col),
+                                     pa.scalar(target_value)), False) \
             .to_numpy(zero_copy_only=False)
         if len(bkts) == 0:
             return pa.table({

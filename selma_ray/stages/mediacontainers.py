@@ -41,6 +41,15 @@ def sniff_mp4(payload: bytes) -> bool:
 def _walk_boxes(data: bytes, start: int, end: int):
     """Yield (box_type, body_start, body_end) for the top-level boxes
     in data[start:end]. Handles 32-bit sizes and size==1 (64-bit)."""
+    for btype, _h, b0, b1 in _walk_boxes_h(data, start, end):
+        yield btype, b0, b1
+
+
+def _walk_boxes_h(data: bytes, start: int, end: int):
+    """Like :func:`_walk_boxes` but also yields the box HEADER start
+    (box_type, header_start, body_start, body_end) — needed where an
+    offset is defined relative to the box's first byte (trun
+    data_offset), which body - 8 gets wrong for 64-bit headers."""
     i = start
     while i + 8 <= end:
         (size,) = struct.unpack(">I", data[i:i + 4])
@@ -53,7 +62,7 @@ def _walk_boxes(data: bytes, start: int, end: int):
             size = end - i
         if size < 8 or i + size > end:
             raise ValueError("corrupt MP4: bad box size")
-        yield btype, body, i + size
+        yield btype, i, body, i + size
         i += size
 
 
@@ -195,10 +204,9 @@ def parse_mp4(payload: bytes) -> dict:
     # convention modern fragmenters emit).
     frag_sizes: list[int] = []
     frag_offs: list[int] = []
-    for btype, b0, b1 in _walk_boxes(payload, 0, end):
+    for btype, moof_start, b0, b1 in _walk_boxes_h(payload, 0, end):
         if btype != b"moof":
             continue
-        moof_start = b0 - 8
         for ttype, t0, t1 in _walk_boxes(payload, b0, b1):
             if ttype != b"traf":
                 continue

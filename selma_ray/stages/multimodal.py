@@ -20,6 +20,7 @@ stages (selma_ray.pipelines.similarity) consume directly.
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 import numpy as np
@@ -152,7 +153,11 @@ class SampleVideoFrames:
                     sample_webm_frames
 
                 return sample_webm_frames(payload, self.n_frames)
-            except (ValueError, IndexError, NotImplementedError):
+            # struct.error is NOT a ValueError subclass: a truncated
+            # mvhd/Duration body raises it from struct.unpack and a
+            # fake=True run must survive corrupt-but-sniffable input
+            except (ValueError, IndexError, NotImplementedError,
+                    struct.error):
                 if not self.fake:
                     raise
         elif not self.fake:
@@ -580,8 +585,13 @@ class ProbeMediaMetadata:
             elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 with wave.open(io.BytesIO(payload), "rb") as wv:
                     nf = wv.getnframes()
+                    sr = wv.getframerate()
+                    if sr <= 0:
+                        # stdlib wave accepts a declared rate of 0;
+                        # a probe must classify, never divide by it
+                        raise ValueError("corrupt WAV: zero rate")
                     out.update(media_format="wav", media_units=nf,
-                               media_duration=nf / wv.getframerate())
+                               media_duration=nf / sr)
             elif sniff_mp3(payload):
                 info = parse_mp3(payload)
                 out.update(media_format="mp3",

@@ -150,7 +150,14 @@ def cap_hot_keys(ds, key_col, *, max_key_rows: int, sample_col: str,
     processed over the sampled subset only — for pair miners that
     yields pairs among ~max_key_rows representative members (the
     cluster stays connected through them); exactness below the cap is
-    untouched. Returns ``ds`` unchanged when no key is hot.
+    untouched. Returns the (materialized) input unchanged when no key
+    is hot.
+
+    COST: the input is MATERIALIZED once so the count pre-pass and
+    the filtered real pass don't each re-execute expensive upstream
+    map stages (e.g. MinHash signature computation); the armed valve
+    therefore trades object-store space for upstream compute, on top
+    of the slim count shuffle.
     """
     import numpy as np
     import pyarrow as pa
@@ -159,6 +166,7 @@ def cap_hot_keys(ds, key_col, *, max_key_rows: int, sample_col: str,
     from ray.data.aggregate import Sum
 
     cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    ds = ds.materialize()   # consumed twice: count pass + subsample
 
     def count_partial(batch: "pa.Table") -> "pa.Table":
         kh = _key_hash_fold(batch, cols)

@@ -460,3 +460,94 @@ class TestFragmentedMp4:
         _s.pack_into(">I", p, ti + 4, 0x01)
         with pytest.raises(ValueError):
             parse_mp4(bytes(p))
+
+
+class TestReviewRegressions:
+    """Crash scenarios surfaced by adversarial review — each was a
+    verified failure before its fix."""
+
+    def test_zero_rate_wav_probes_as_corrupt(self):
+        import io
+        import wave
+
+        from selma_ray.stages.multimodal import ProbeMediaMetadata
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(1)
+            w.writeframes(b"\x00\x00" * 10)
+        payload = bytearray(buf.getvalue())
+        i = payload.find(b"fmt ")
+        # zero out the declared sample rate (stdlib wave accepts it)
+        payload[i + 12:i + 16] = b"\x00\x00\x00\x00"
+        out = ProbeMediaMetadata()(pa.table({
+            "data": pa.array([bytes(payload)], pa.binary())}))
+        assert out.column("media_format").to_pylist() == ["corrupt"]
+
+    def test_truncated_sniffable_mp4_survives_fake_sampler(self):
+        from selma_ray.stages.multimodal import SampleVideoFrames
+
+        # ftyp + a moov whose mvhd body is 4 bytes: sniffs as MP4,
+        # parse raises struct.error — fake=True must fall through
+        bad = (b"\x00\x00\x00\x14ftypisomisomiso2"
+               + b"\x00\x00\x00\x14moov\x00\x00\x00\x0cmvhd\x00\x00"
+               + b"\x00\x00")
+        sv = SampleVideoFrames(fake=True, n_frames=2)
+        assert len(sv.sample_impl(bad)) == 2
+        strict = SampleVideoFrames(fake=False)
+        with pytest.raises((ValueError, Exception)):
+            strict.sample_impl(bad)
+
+    def test_vertical_tab_docs_join_cleanly(self, ray_session):
+        """RE2's \\s has no \\v; the Python-side tokenizer must agree
+        or the rank lookup KeyErrors."""
+        import ray.data
+
+        from selma_ray.pipelines.dedup import (containment_prefix_join,
+                                               jaccard_prefix_join)
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["foo\x0bbar baz", "foo\x0bbar baz"]),
+        })
+        got = containment_prefix_join(ray.data.from_arrow(t),
+                                      threshold=0.9).to_pandas()
+        assert set(zip(got["id_a"], got["id_b"])) == {(0, 1), (1, 0)}
+        jac = jaccard_prefix_join(ray.data.from_arrow(t),
+                                  threshold=0.9).to_pandas()
+        assert len(jac) == 1
+
+    def test_dsir_null_target_column(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.sampling import dsir_importance
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "lang": pa.array(["en", None, "fr"]),
+            "text": pa.array(["a b c", "a b d", "x y z"]),
+        })
+        out = dsir_importance(ray.data.from_arrow(t)).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 2]
+
+    def test_fmp4_with_64bit_moof_header(self):
+        import struct as _s
+
+        from selma_ray.stages.mediacontainers import synth_fmp4
+
+        p = synth_fmp4(3, n_fragments=1, samples_per_frag=3)
+        want = sample_mp4_frames(p, 3)
+        # rewrite the moof box to the 64-bit (size==1) header form;
+        # the moof grows 8 bytes, so the moof-relative trun
+        # data_offset must grow by 8 too
+        i = p.find(b"moof") - 4
+        (size32,) = _s.unpack(">I", p[i:i + 4])
+        patched = bytearray(p[:i] + b"\x00\x00\x00\x01moof"
+                            + _s.pack(">Q", size32 + 8) + p[i + 8:])
+        ti = bytes(patched).find(b"trun")
+        (doff,) = _s.unpack(">i", patched[ti + 12:ti + 16])
+        _s.pack_into(">i", patched, ti + 12, doff + 8)
+        got = sample_mp4_frames(bytes(patched), 3)
+        assert got == want
