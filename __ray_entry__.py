@@ -3659,10 +3659,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # parquet_footprint's oracle: DuckDB's native parquet footer
         # parser over the SAME file — an independent second
-        # implementation, not synthesized arithmetic. The literal path
-        # pins the driver's sf0.01 correctness tier (oracle strings
-        # are static; the Ray side follows sf_dir).
-        "parquet_footprint": r"""
+        # implementation, not synthesized arithmetic. parquet_metadata
+        # needs a literal path (views don't carry one), so the string
+        # follows GRAFT_SF_DIR with the driver's sf0.01 tier as the
+        # default; harnesses at other tiers set the variable.
+        "parquet_footprint": f"""
             SELECT 'documents.parquet' AS file_name,
                    row_group_id::BIGINT AS row_group_id,
                    path_in_schema AS "column",
@@ -3674,7 +3675,9 @@ def oracle_sql() -> dict[str, str]:
                    / greatest(total_uncompressed_size, 1)::DOUBLE
                        AS value_ratio
             FROM parquet_metadata(
-                '/root/testdata/sf0.01/documents.parquet')
+                '{os.environ.get("GRAFT_SF_DIR",
+                                 "/root/testdata/sf0.01")}'
+                || '/documents.parquet')
         """,
         "dsir_importance": r"""
             WITH toks AS (

@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __ray_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
+# oracles that must name a literal file (parquet_metadata) follow this
+os.environ["GRAFT_SF_DIR"] = SF_DIR
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
