@@ -12,16 +12,17 @@ documented fake under ``fake=True``.
 Scope (documented, not hidden):
 - decode: baseline + extended-sequential DCT (SOF0/SOF1) AND
   progressive DCT (SOF2: spectral selection + successive
-  approximation, T.81 G.1.2), 8-bit, grayscale or YCbCr (1 or 3
-  components), any sampling factors up to 4, restart markers, 16-bit
-  quant tables. Arithmetic coding, hierarchical, 12-bit and CMYK
-  raise NotImplementedError.
+  approximation, T.81 G.1.2), 8-bit, grayscale / YCbCr / Adobe APP14
+  CMYK+YCCK (1, 3 or 4 components; 4-component output converts to RGB
+  under the Adobe inverted-ink convention), any sampling factors up
+  to 4, restart markers, 16-bit quant tables. Arithmetic coding,
+  hierarchical and 12-bit raise NotImplementedError.
 - encode (for round-trip tests + sinks): 8-bit gray / RGB, baseline,
   Annex K quantization tables with libjpeg quality scaling, Annex K
   Huffman tables, 4:4:4 or 4:2:0 chroma, optional restart interval;
-  plus a scoped progressive encoder (test-vector generator) whose
-  output must decode bit-identically to the baseline encoding of the
-  same image.
+  plus scoped progressive and Adobe CMYK/YCCK encoders (test-vector
+  generators) whose output must decode bit-identically to the
+  equivalent baseline/grayscale encodings.
 
 All algorithms and constant tables are from the public JPEG standard
 (ITU-T T.81 Annex K) — reference intent only; no library code.
@@ -244,6 +245,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     h = w = 0
     restart = 0
     progressive = False
+    adobe_transform = None
     i = 2
     n = len(payload)
     while i < n:
@@ -257,7 +259,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             break
         (seglen,) = struct.unpack(">H", payload[i:i + 2])
         seg = payload[i + 2:i + seglen]
-        if m == 0xDB:                           # DQT
+        if m == 0xEE and seg[:5] == b"Adobe":    # APP14 (color xform)
+            adobe_transform = seg[11] if len(seg) > 11 else 0
+        elif m == 0xDB:                          # DQT
             p = 0
             while p < len(seg):
                 prec, tid = seg[p] >> 4, seg[p] & 15
@@ -285,9 +289,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{nc}-component JPEG (CMYK?) not supported")
+                    f"{nc}-component JPEG not supported")
             comps = []
             for c in range(nc):
                 comp = _Component()
@@ -330,7 +334,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         i += seglen
     if not comps or comps[0].blocks is None:
         raise ValueError("corrupt JPEG: no decoded scan")
-    return _assemble(comps, qt, h, w)
+    return _assemble(comps, qt, h, w, adobe_transform)
 
 
 def _decode_scan(segs, order, comps, h, w, restart):
@@ -579,7 +583,14 @@ def _decode_scan_progressive(segs, order, comps, h, w, restart,
             eobrun = _ac_refine_block(rd, c, blk, ss, se, al, eobrun)
 
 
-def _assemble(comps, qt, h, w) -> np.ndarray:
+def _ycc_to_rgb(y, cb, cr):
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return r, g, b
+
+
+def _assemble(comps, qt, h, w, adobe_transform=None) -> np.ndarray:
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     planes = []
@@ -599,10 +610,25 @@ def _assemble(comps, qt, h, w) -> np.ndarray:
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return out[:, :, None]
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    if len(planes) == 4:
+        # Adobe CMYK/YCCK (APP14): stored samples follow the Adobe
+        # inverted-ink convention (sample = 255 - ink), so
+        # channel * K / 255 IS the additive value. transform 2 (YCCK)
+        # carries the inverted CMY through the YCbCr transform first;
+        # transform 0/absent is direct (inverted) CMYK. Planes round
+        # to uint8 BEFORE combining so each equals the grayscale
+        # decode of the same coefficients (the bit-exact test hook).
+        if adobe_transform == 2:
+            sc, sm, sy = _ycc_to_rgb(*planes[:3])
+        else:
+            sc, sm, sy = planes[:3]
+        q8 = [np.clip(np.round(p), 0, 255).astype(np.float64)
+              for p in (sc, sm, sy, planes[3])]
+        rgb = np.stack([q8[0] * q8[3] / 255.0,
+                        q8[1] * q8[3] / 255.0,
+                        q8[2] * q8[3] / 255.0], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    r, g, b = _ycc_to_rgb(*planes)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
@@ -802,6 +828,92 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
     wr.flush()
     out += wr.out
     out += b"\xff\xd9"                                  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(cmyk: np.ndarray, *, quality: int = 85,
+                     transform: int = 0) -> bytes:
+    """(h, w, 4) uint8 ACTUAL ink values -> Adobe APP14 4-component
+    baseline JPEG: ``transform=0`` stores (inverted) CMYK planes
+    directly, ``transform=2`` routes the inverted CMY through the
+    YCbCr transform (YCCK). Samples are written with the Adobe
+    inverted-ink convention (sample = 255 - ink) that
+    :func:`decode_jpeg` assumes. Sampling is 1x1 on every component,
+    so each plane's coefficient path is identical to a grayscale
+    encode — the bit-exact verification hook."""
+    cmyk = np.asarray(cmyk)
+    if cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise ValueError("encode_jpeg_cmyk takes (h, w, 4) uint8")
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    h, w, _ = cmyk.shape
+    stored = 255.0 - cmyk.astype(np.float64)
+    ql = _scale_quant(QUANT_LUMA, quality)
+    qc = _scale_quant(QUANT_CHROMA, quality)
+    if transform == 2:
+        r, g, b = stored[:, :, 0], stored[:, :, 1], stored[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+                  stored[:, :, 3]]
+        tqs, use_chroma = [0, 1, 1, 0], [False, True, True, False]
+    else:
+        planes = [stored[:, :, i] for i in range(4)]
+        tqs, use_chroma = [0, 0, 0, 0], [False] * 4
+
+    def pad8(p: np.ndarray) -> np.ndarray:
+        return np.pad(p, ((0, (-p.shape[0]) % 8),
+                          (0, (-p.shape[1]) % 8)), mode="edge")
+
+    prepared = []
+    for p, ch in zip(planes, use_chroma):
+        q = qc if ch else ql
+        d = _fdct_blocks(pad8(p) - 128.0)
+        prepared.append(np.round(
+            d.reshape(d.shape[0], d.shape[1], 64)[:, :, ZIGZAG]
+            / q[None, None, :]).astype(np.int64))
+
+    dc_l = _canonical_codes(*HUFF_DC_LUMA)
+    ac_l = _canonical_codes(*HUFF_AC_LUMA)
+    dc_c = _canonical_codes(*HUFF_DC_CHROMA)
+    ac_c = _canonical_codes(*HUFF_AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" \
+        + struct.pack(">HHHB", 100, 0, 0, transform)
+    quant_ids = [(0, ql)] + ([(1, qc)] if transform == 2 else [])
+    for tid, q in quant_ids:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(v) for v in q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 12, 8, h, w, 4)
+    for ci in range(4):
+        out += bytes([ci + 1, 0x11, tqs[ci]])
+    tables = [(0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA)]
+    if transform == 2:
+        tables += [(0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA)]
+    for cls, tid, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(vals)) + bytes([(cls << 4) | tid]) \
+            + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 8, 4)
+    for ci in range(4):
+        out += bytes([ci + 1, 0x11 if use_chroma[ci] else 0x00])
+    out += b"\x00\x3f\x00"
+
+    wr = _BitWriter()
+    mcuy = prepared[0].shape[0]
+    mcux = prepared[0].shape[1]
+    preds = [0, 0, 0, 0]
+    for mi in range(mcuy * mcux):
+        my, mx = divmod(mi, mcux)
+        for ci in range(4):
+            dcs = dc_c if use_chroma[ci] else dc_l
+            acs = ac_c if use_chroma[ci] else ac_l
+            preds[ci] = _encode_plane(wr, prepared[ci], dcs, acs,
+                                      [(my, mx)], preds[ci])
+    wr.flush()
+    out += wr.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

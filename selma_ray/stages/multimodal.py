@@ -39,7 +39,7 @@ class DecodeImageFeatures:
     frontend used for near-dup/quality triage before a learned model.
     A learned encoder would load ONCE here in __init__ (per actor);
     __call__ then runs batched inference. Unrecognized formats
-    (MP3/MP4 containers, arithmetic-coded/12-bit/CMYK JPEG) raise
+    (MP3/MP4 containers, arithmetic-coded/12-bit JPEG) raise
     unless ``fake=True`` (crc32-seeded stand-in).
     """
 

@@ -414,3 +414,62 @@ class TestProgressive:
                 decode_jpeg(data[:cut])
             except (ValueError, NotImplementedError):
                 pass  # clean codec error is the contract
+
+
+class TestAdobeCmyk:
+    """APP14 4-component decode: transform 0 (CMYK) must equal four
+    independent grayscale decodes combined, transform 2 (YCCK) must
+    round-trip within normal JPEG loss."""
+
+    def test_cmyk_bit_exact_vs_grayscale_planes(self):
+        from selma_ray.stages.jpegcodec import encode_jpeg_cmyk
+
+        rng = np.random.default_rng(13)
+        cmyk = rng.integers(0, 256, (24, 28, 4), np.uint8)
+        out = decode_jpeg(encode_jpeg_cmyk(cmyk, quality=85))
+        assert out.shape == (24, 28, 3)
+        stored = (255 - cmyk.astype(np.int64)).astype(np.uint8)
+        g = [decode_jpeg(encode_jpeg(stored[:, :, i], quality=85))
+             [:, :, 0].astype(np.float64) for i in range(4)]
+        want = np.clip(np.round(np.stack(
+            [g[0] * g[3] / 255.0, g[1] * g[3] / 255.0,
+             g[2] * g[3] / 255.0], axis=2)), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(out, want)
+
+    def test_ycck_round_trip_bounded(self):
+        from selma_ray.stages.jpegcodec import encode_jpeg_cmyk
+
+        yy, xx = np.mgrid[0:32, 0:40]
+        cmyk = np.stack([(yy * 5) % 256, (xx * 3) % 256,
+                         ((yy + xx) * 2) % 256,
+                         np.full_like(yy, 40)], axis=2) \
+            .astype(np.uint8)
+        out = decode_jpeg(encode_jpeg_cmyk(cmyk, quality=95,
+                                           transform=2))
+        s = 255.0 - cmyk.astype(np.float64)
+        ref = np.stack([s[:, :, i] * s[:, :, 3] / 255.0
+                        for i in range(3)], axis=2)
+        err = np.abs(out.astype(float) - ref)
+        assert err.mean() < 4.0
+
+    def test_feature_stage_decodes_cmyk(self):
+        import pyarrow as pa
+
+        from selma_ray.stages.jpegcodec import encode_jpeg_cmyk
+        from selma_ray.stages.multimodal import DecodeImageFeatures
+
+        cmyk = np.full((16, 16, 4), 100, np.uint8)
+        strict = DecodeImageFeatures(fake=False, dim=16)
+        out = strict(pa.table({"data": pa.array(
+            [encode_jpeg_cmyk(cmyk)], pa.binary())}))
+        assert len(out.column("features").to_pylist()[0]) == 16
+
+    def test_five_component_still_rejected(self):
+        from selma_ray.stages.jpegcodec import encode_jpeg_cmyk
+
+        data = bytearray(encode_jpeg_cmyk(
+            np.zeros((8, 8, 4), np.uint8)))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 9] = 5                    # component count
+        with pytest.raises((NotImplementedError, ValueError)):
+            decode_jpeg(bytes(data))
