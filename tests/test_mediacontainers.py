@@ -551,3 +551,44 @@ class TestReviewRegressions:
         _s.pack_into(">i", patched, ti + 12, doff + 8)
         got = sample_mp4_frames(bytes(patched), 3)
         assert got == want
+
+
+def test_media_frames_pool_survives_worker_death(tmp_path,
+                                                 ray_session):
+    """Worker death inside the binary-payload frame-extraction actor
+    pool: Ray Data's default actor retry must leave the extracted
+    sample bytes identical to an undisturbed run."""
+    import os
+
+    import ray.data
+
+    from selma_ray.stages.multimodal import (SampleVideoFrames,
+                                             multimodal_stage)
+    from selma_ray.testing import Identity, KillWorkerOnce
+
+    tbl = pa.table({
+        "vid": pa.array(range(24), pa.int64()),
+        "data": pa.array([synth_mp4(i, n_samples=4 + i % 5)
+                          for i in range(24)], pa.binary()),
+    })
+    latch = str(tmp_path / "kill.latch")
+
+    def run(chaos: bool):
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        if chaos:
+            ds = ds.map_batches(
+                KillWorkerOnce,
+                fn_constructor_kwargs=dict(latch=latch,
+                                           inner_cls=Identity),
+                batch_format="pyarrow", batch_size=4, concurrency=2)
+        out = multimodal_stage(ds, SampleVideoFrames, batch_size=4,
+                               fake=False, n_frames=3,
+                               concurrency=(1, 2)).to_pandas()
+        return out.sort_values("vid").reset_index(drop=True)
+
+    clean = run(chaos=False)
+    chaotic = run(chaos=True)
+    assert os.path.exists(latch), "fault was never injected"
+    assert len(chaotic) == len(clean)
+    for a, b in zip(clean["frames"], chaotic["frames"]):
+        assert [bytes(x) for x in a] == [bytes(x) for x in b]
