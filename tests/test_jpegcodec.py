@@ -473,3 +473,51 @@ class TestAdobeCmyk:
         data[sof + 9] = 5                    # component count
         with pytest.raises((NotImplementedError, ValueError)):
             decode_jpeg(bytes(data))
+
+
+class TestVariantFuzz:
+    """Hypothesis round-trip properties for the progressive and CMYK
+    encoder/decoder pairs — the same equality contracts as the
+    explicit tests, across random geometry/quality/content."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(8, 40), st.integers(8, 40),
+           st.integers(0, 2 ** 32 - 1),
+           st.sampled_from([50, 75, 90]),
+           st.sampled_from([False, True]))
+    @settings(max_examples=15, deadline=None)
+    def test_progressive_equals_baseline(self, h, w, seed, quality,
+                                         sub):
+        import numpy as np
+
+        from selma_ray.stages.jpegcodec import encode_jpeg_progressive
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=quality,
+                                       subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            img, quality=quality, subsample=sub))
+        np.testing.assert_array_equal(prog, base)
+
+    @given(st.integers(8, 32), st.integers(8, 32),
+           st.integers(0, 2 ** 32 - 1), st.sampled_from([60, 85]))
+    @settings(max_examples=15, deadline=None)
+    def test_cmyk_equals_grayscale_planes(self, h, w, seed, quality):
+        import numpy as np
+
+        from selma_ray.stages.jpegcodec import encode_jpeg_cmyk
+
+        rng = np.random.default_rng(seed)
+        cmyk = rng.integers(0, 256, (h, w, 4), np.uint8)
+        out = decode_jpeg(encode_jpeg_cmyk(cmyk, quality=quality))
+        stored = (255 - cmyk.astype(np.int64)).astype(np.uint8)
+        g = [decode_jpeg(encode_jpeg(stored[:, :, i],
+                                     quality=quality))[:, :, 0]
+             .astype(np.float64) for i in range(4)]
+        want = np.clip(np.round(np.stack(
+            [g[0] * g[3] / 255.0, g[1] * g[3] / 255.0,
+             g[2] * g[3] / 255.0], axis=2)), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(out, want)
