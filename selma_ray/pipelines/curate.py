@@ -8,7 +8,9 @@ parquet checkpoints:
            then a map-only quality pass over the extracted text
   stage 2  exact dedup     global groupby over text hashes (cross-shard,
            so it restarts whole — its input is the stage-1 checkpoint,
-           never the raw corpus)
+           never the raw corpus). Stage 1 persists (row_key, text_hash)
+           columns so the winner pass is a column-pruned slim read and
+           neither pass re-hashes text.
   stage 3  window packing  per-conversation token-budget windows
 
 Stage boundaries materialize to ``<out_root>/<stage>/`` with a done
@@ -96,7 +98,20 @@ def curate_corpus(input_path: str, out_root: str, *,
             m = batch.column("keep")
             if isinstance(m, pa.ChunkedArray):
                 m = m.combine_chunks()
-            return batch.filter(m)
+            kept = batch.filter(m)
+            # persist the dedup keys NOW, while the text is already in
+            # this task's heap: stage 2's winner pass then needs only a
+            # column-pruned (row_key, text_hash) read — ~2% of the
+            # checkpoint bytes — instead of decoding and re-hashing the
+            # full text twice
+            from .dedup import add_md5
+
+            key = pc.binary_join_element_wise(
+                kept.column("conv_id"),
+                pc.utf8_lpad(pc.cast(kept.column("turn_idx"),
+                                     pa.string()), 12, "0"), "#")
+            return add_md5(kept.append_column("row_key", key),
+                           "extracted_text")
 
         kept = ds.map_batches(keep_only, batch_format="pyarrow")
         _fresh_dir(qf_dir)
@@ -113,18 +128,16 @@ def curate_corpus(input_path: str, out_root: str, *,
     if not (resume and _stage_done(dd_dir)):
         from .dedup import exact_dedup
 
+        # winner pass reads ONLY the two key columns (pruned at the
+        # parquet read); the full-schema read streams once, in the
+        # map-only survivor filter — no text hashing in either pass
+        slim = ray.data.read_parquet(
+            qf_dir, columns=["row_key", "text_hash"])
         ds = ray.data.read_parquet(qf_dir)
-
-        def row_key(batch: pa.Table) -> pa.Table:
-            key = pc.binary_join_element_wise(
-                batch.column("conv_id"),
-                pc.utf8_lpad(pc.cast(batch.column("turn_idx"),
-                                     pa.string()), 12, "0"), "#")
-            return batch.append_column("row_key", key)
-
-        keyed = ds.map_batches(row_key, batch_format="pyarrow")
-        survivors = exact_dedup(keyed, id_col="row_key",
-                                text_col="extracted_text")
+        survivors = exact_dedup(ds, id_col="row_key",
+                                text_col="extracted_text",
+                                hash_col="text_hash",
+                                winner_input=slim)
         _fresh_dir(dd_dir)
         survivors.drop_columns(["row_key", "text_hash"]) \
             .write_parquet(dd_dir, min_rows_per_file=16384)

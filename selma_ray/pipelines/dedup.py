@@ -167,9 +167,14 @@ def _keep_winner_rows(ds, winners, *, id_col: str,
 
 def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 max_broadcast_ids: int = 5_000_000,
-                num_partitions: int = 8):
+                num_partitions: int = 8,
+                hash_col: str | None = None,
+                winner_input=None,
+                materialize_input: bool = False):
     """Dataset -> Dataset with exactly one (min-id) row per distinct
-    text (output schema = input + ``text_hash``).
+    text (output schema = input + ``text_hash``; when ``hash_col`` is
+    given the input already carries the hash, so the schema is
+    unchanged).
 
     Text never rides a shuffle. Pass 1 reduces each block to its
     distinct (text_hash, min_id) pairs — tens of bytes per row — and a
@@ -184,18 +189,48 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     web-document text — at the cost of hashing the text twice (cheap,
     map-side, embarrassingly parallel).
 
-    NOTE: ``ds`` is consumed twice (winner pass + filter pass), so the
-    upstream pipeline must be deterministic — which every operator in
-    this repo already guarantees (the partition-invariance contract).
+    Slim-read hooks for checkpointed inputs:
+
+    ``hash_col``
+        Name of a PRECOMPUTED md5-hex column already in ``ds`` (and in
+        ``winner_input`` if given). Skips all re-hashing: pass 1 groups
+        on the stored column and pass 2 keeps it as-is — at 100 TB this
+        removes the only per-row Python work in the operator.
+    ``winner_input``
+        Optional slim Dataset carrying at least (``id_col``,
+        ``hash_col``) used for pass 1 INSTEAD of ``ds`` — typically a
+        column-pruned ``read_parquet(ckpt, columns=[id, hash])`` over
+        the same checkpoint ``ds`` reads in full, so the winner pass
+        decodes ~2% of the bytes. Caller contract: same rows as ``ds``.
+        Requires ``hash_col`` (a slim projection has no text to hash).
+    ``materialize_input``
+        ``ds`` is consumed twice (winner pass + filter pass), so the
+        upstream pipeline must be deterministic — which every operator
+        in this repo already guarantees (the partition-invariance
+        contract). For a NON-deterministic upstream (unseeded external
+        source, stateful tagger), set ``materialize_input=True``: the
+        input is pinned to the object store once and both passes read
+        the same blocks. Off by default — at 100 TB you want the
+        checkpointed-parquet shape instead, not a full-corpus pin.
     """
     from ..stages.util import bucketed_map_groups
 
+    if winner_input is not None and hash_col is None:
+        raise ValueError("winner_input requires hash_col: a slim "
+                         "projection has no text column to hash")
+    if materialize_input:
+        ds = ds.materialize()
+
     def slim(batch: pa.Table) -> pa.Table:
-        b = add_md5(batch, text_col)
-        t = b.select([id_col, "text_hash"])
-        agg = t.group_by("text_hash").aggregate([(id_col, "min")])
+        if hash_col is None:
+            b = add_md5(batch, text_col)
+            hc = "text_hash"
+        else:
+            b, hc = batch, hash_col
+        t = b.select([id_col, hc])
+        agg = t.group_by(hc).aggregate([(id_col, "min")])
         return pa.table({
-            "text_hash": agg.column("text_hash"),
+            "text_hash": agg.column(hc),
             "cand": agg.column(f"{id_col}_min"),
         })
 
@@ -203,14 +238,15 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         agg = bucket.group_by("text_hash").aggregate([("cand", "min")])
         return pa.table({"keep": agg.column("cand_min")})
 
+    src = ds if winner_input is None else winner_input
     winners = bucketed_map_groups(
-        ds.map_batches(slim, batch_format="pyarrow"),
+        src.map_batches(slim, batch_format="pyarrow"),
         "text_hash", min_in_bucket).materialize()
 
     return _keep_winner_rows(ds, winners, id_col=id_col,
                              max_broadcast_ids=max_broadcast_ids,
                              num_partitions=num_partitions,
-                             text_col=text_col)
+                             text_col=None if hash_col else text_col)
 
 
 def exact_dedup_combine_batch(batch: pa.Table, *, id_col: str = "doc_id",
@@ -1776,7 +1812,10 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
                           text_col: str = "text",
                           score_col: str = "n_chars",
                           max_broadcast_ids: int = 5_000_000,
-                          num_partitions: int = 8):
+                          num_partitions: int = 8,
+                          hash_col: str | None = None,
+                          winner_input=None,
+                          materialize_input: bool = False):
     """Exact dedup that keeps the BEST copy per text family (highest
     ``score_col``, ties -> lowest id) instead of the first-by-id —
     what curation actually wants when duplicates differ in metadata
@@ -1789,17 +1828,33 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
     pass keeps winner rows (broadcast ``is_in`` below
     ``max_broadcast_ids`` winners, native ``left_semi`` join past it).
     ``ds`` is consumed twice; deterministic upstreams required (the
-    repo-wide partition-invariance contract).
+    repo-wide partition-invariance contract). ``hash_col`` /
+    ``winner_input`` / ``materialize_input`` behave exactly as on
+    :func:`exact_dedup` (precomputed hash column; column-pruned slim
+    dataset for the winner pass — must also carry ``score_col``; pin
+    a non-deterministic input once for both passes).
     """
     from ..stages.util import bucketed_map_groups
 
+    if winner_input is not None and hash_col is None:
+        raise ValueError("winner_input requires hash_col: a slim "
+                         "projection has no text column to hash")
+    if materialize_input:
+        ds = ds.materialize()
+
     def slim(batch: pa.Table) -> pa.Table:
-        b = add_md5(batch, text_col)
+        if hash_col is None:
+            b = add_md5(batch, text_col)
+            hc = "text_hash"
+        else:
+            b, hc = batch, hash_col
         order = pc.sort_indices(
-            b, sort_keys=[("text_hash", "ascending"),
+            b, sort_keys=[(hc, "ascending"),
                           (score_col, "descending"),
                           (id_col, "ascending")])
-        srt = b.take(order).select(["text_hash", score_col, id_col])
+        srt = b.take(order).select([hc, score_col, id_col])
+        if hc != "text_hash":
+            srt = srt.rename_columns(["text_hash", score_col, id_col])
         hs = srt.column("text_hash").to_numpy(zero_copy_only=False)
         first = np.ones(len(hs), bool)
         first[1:] = hs[1:] != hs[:-1]
@@ -1818,8 +1873,9 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
             "keep": srt.column(id_col).filter(pa.array(first)),
         })
 
+    src = ds if winner_input is None else winner_input
     winners = bucketed_map_groups(
-        ds.map_batches(slim, batch_format="pyarrow"),
+        src.map_batches(slim, batch_format="pyarrow"),
         "text_hash", best_in_bucket).materialize()
 
     return _keep_winner_rows(ds, winners, id_col=id_col,

@@ -5240,6 +5240,102 @@ class TestDedupPropertyVsBruteForce:
         assert sorted(got["doc_id"]) == sorted(want["doc_id"])
 
 
+class TestDedupSlimReadHooks:
+    """The checkpointed-input fast path: precomputed hash column +
+    column-pruned winner_input must give identical survivors to the
+    self-hashing path, without re-hashing or schema growth."""
+
+    def _corpus(self):
+        import pyarrow as pa
+
+        ids = list(range(8))
+        texts = ["aa", "bb", "aa", "cc", "bb", "aa", "dd", "cc"]
+        hashes = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "text_hash": pa.array(hashes),
+        })
+
+    def test_hash_col_and_winner_input_match_self_hash(self,
+                                                       ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.dedup import exact_dedup
+
+        t = self._corpus()
+        full = ray.data.from_arrow(t).repartition(3)
+        slim = ray.data.from_arrow(
+            t.select(["doc_id", "text_hash"])).repartition(2)
+        got = exact_dedup(full, hash_col="text_hash",
+                          winner_input=slim).to_pandas()
+        want = exact_dedup(
+            ray.data.from_arrow(t.drop_columns(["text_hash"]))
+            .repartition(3)).to_pandas()
+        assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+        # schema unchanged: the stored hash is kept, none re-appended
+        assert list(got.columns) == ["doc_id", "text", "n_chars",
+                                     "text_hash"]
+
+    def test_keep_best_hash_col_and_winner_input(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.dedup import exact_dedup_keep_best
+
+        t = self._corpus()
+        full = ray.data.from_arrow(t).repartition(3)
+        slim = ray.data.from_arrow(
+            t.select(["doc_id", "n_chars", "text_hash"])).repartition(2)
+        got = exact_dedup_keep_best(full, hash_col="text_hash",
+                                    winner_input=slim).to_pandas()
+        want = exact_dedup_keep_best(
+            ray.data.from_arrow(t.drop_columns(["text_hash"]))
+            .repartition(3)).to_pandas()
+        assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+    def test_winner_input_requires_hash_col(self, ray_session):
+        import ray.data
+
+        from selma_ray.pipelines.dedup import (exact_dedup,
+                                               exact_dedup_keep_best)
+
+        ds = ray.data.from_arrow(self._corpus())
+        with pytest.raises(ValueError, match="hash_col"):
+            exact_dedup(ds, winner_input=ds)
+        with pytest.raises(ValueError, match="hash_col"):
+            exact_dedup_keep_best(ds, winner_input=ds)
+
+    def test_materialize_input_pins_nondeterministic_upstream(
+            self, ray_session):
+        """An upstream that re-assigns ids per execution breaks the
+        two-pass contract (pass-2 ids never match pass-1 winners);
+        materialize_input=True pins the blocks once so both passes see
+        the same rows."""
+        import uuid
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import exact_dedup
+
+        base = ray.data.from_arrow(pa.table({
+            "text": pa.array(["aa", "bb", "aa", "cc", "bb", "aa"]),
+        })).repartition(3)
+
+        def salt_ids(batch: pa.Table) -> pa.Table:
+            # a fresh nonce per EXECUTION: consuming the dataset twice
+            # yields disjoint id sets unless the input is materialized
+            nonce = uuid.uuid4().hex[:8]
+            ids = [f"{nonce}#{i}" for i in range(len(batch))]
+            return batch.append_column("doc_id", pa.array(ids))
+
+        salted = base.map_batches(salt_ids, batch_format="pyarrow")
+        got = exact_dedup(salted, id_col="doc_id",
+                          materialize_input=True).to_pandas()
+        assert sorted(got["text"]) == ["aa", "bb", "cc"]
+
+
 class TestContainmentJoin:
     def test_excerpt_detected_where_jaccard_misses(self, ray_session):
         """A short excerpt has full containment in its source but low
