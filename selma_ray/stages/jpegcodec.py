@@ -15,14 +15,17 @@ Scope (documented, not hidden):
   approximation, T.81 G.1.2), 8-bit, grayscale / YCbCr / Adobe APP14
   CMYK+YCCK (1, 3 or 4 components; 4-component output converts to RGB
   under the Adobe inverted-ink convention), any sampling factors up
-  to 4, restart markers, 16-bit quant tables. Arithmetic coding,
-  hierarchical and 12-bit raise NotImplementedError.
+  to 4, restart markers, 16-bit quant tables, and 12-bit
+  extended-sequential (SOF1; samples scale to the 8-bit output
+  domain at assembly). Arithmetic coding, hierarchical, and 12-bit
+  progressive raise NotImplementedError.
 - encode (for round-trip tests + sinks): 8-bit gray / RGB, baseline,
   Annex K quantization tables with libjpeg quality scaling, Annex K
   Huffman tables, 4:4:4 or 4:2:0 chroma, optional restart interval;
-  plus scoped progressive and Adobe CMYK/YCCK encoders (test-vector
-  generators) whose output must decode bit-identically to the
-  equivalent baseline/grayscale encodings.
+  plus scoped progressive, Adobe CMYK/YCCK, and 12-bit SOF1
+  (precision=12) encoders (test-vector generators) whose output must
+  decode bit-identically to the equivalent baseline/grayscale
+  encodings.
 
 All algorithms and constant tables are from the public JPEG standard
 (ITU-T T.81 Annex K) — reference intent only; no library code.
@@ -245,6 +248,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     h = w = 0
     restart = 0
     progressive = False
+    precision = 8
     adobe_transform = None
     i = 2
     n = len(payload)
@@ -287,8 +291,19 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         elif m in (0xC0, 0xC1, 0xC2):            # SOF0/1 seq, SOF2 prog
             progressive = m == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG supported")
+            if prec == 12:
+                # T.81 allows 12-bit only for extended-seq/progressive;
+                # scope here: SOF1 (the Huffman/IDCT machinery is
+                # precision-agnostic; samples scale to 8 bits at
+                # assembly). 12-bit progressive stays out of scope.
+                if m != 0xC1:
+                    raise NotImplementedError(
+                        "12-bit JPEG supported only for "
+                        "extended-sequential (SOF1)")
+            elif prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG not supported (8/12 only)")
+            precision = prec
             if nc not in (1, 3, 4):
                 raise NotImplementedError(
                     f"{nc}-component JPEG not supported")
@@ -334,7 +349,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         i += seglen
     if not comps or comps[0].blocks is None:
         raise ValueError("corrupt JPEG: no decoded scan")
-    return _assemble(comps, qt, h, w, adobe_transform)
+    return _assemble(comps, qt, h, w, adobe_transform, precision)
 
 
 def _decode_scan(segs, order, comps, h, w, restart):
@@ -590,7 +605,8 @@ def _ycc_to_rgb(y, cb, cr):
     return r, g, b
 
 
-def _assemble(comps, qt, h, w, adobe_transform=None) -> np.ndarray:
+def _assemble(comps, qt, h, w, adobe_transform=None,
+              precision: int = 8) -> np.ndarray:
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     planes = []
@@ -599,9 +615,13 @@ def _assemble(comps, qt, h, w, adobe_transform=None) -> np.ndarray:
         by, bx, _ = c.blocks.shape
         deq = (c.blocks * q[None, None, :])[:, :, _UNZIG] \
             .reshape(by, bx, 8, 8).astype(np.float64)
-        # IDCT for every block at once: x = C^T X C
+        # IDCT for every block at once: x = C^T X C; level shift is
+        # 2^(P-1), then 12-bit samples scale into the 8-bit domain
+        # (/16) so every downstream color path is precision-blind
         pix = np.einsum("ur,yxuv,vs->yxrs", _C, deq, _C,
-                        optimize=True) + 128.0
+                        optimize=True) + float(1 << (precision - 1))
+        if precision != 8:
+            pix /= float(1 << (precision - 8))
         plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         # nearest-neighbor upsample to full grid
         plane = np.repeat(np.repeat(plane, vmax // c.v, axis=0),
@@ -766,11 +786,24 @@ def _prepare_planes(img: np.ndarray, quality: int, subsample):
 
 def encode_jpeg(img: np.ndarray, *, quality: int = 85,
                 subsample=False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                precision: int = 8) -> bytes:
     """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 -> baseline
     JFIF bytes. ``subsample``: False = 4:4:4, True = 4:2:0
     (2x2-box-averaged chroma), or an explicit (h_factor, v_factor)
-    luma sampling pair — (2, 1) = 4:2:2, (1, 2) = 4:4:0."""
+    luma sampling pair — (2, 1) = 4:2:2, (1, 2) = 4:4:0.
+
+    ``precision=12`` emits an extended-sequential (SOF1) 12-bit file
+    from the SAME 8-bit input: samples notionally scale x16 into the
+    12-bit domain and the quantization tables scale x16 with them
+    (written as a 16-bit DQT), so the quantized coefficients — and
+    the entropy stream — are bit-identical to the 8-bit encode and
+    every Huffman category stays in the standard tables' range. A
+    decoder that scales 12-bit samples back to 8 therefore reproduces
+    the 8-bit decode exactly (the bit-exact test hook, same trick as
+    the CMYK encoder's per-plane contract)."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     prepared, samp, ch, h, w, ql, qc = _prepare_planes(
         img, quality, subsample)
 
@@ -783,9 +816,16 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
     out += b"\xff\xe0" + struct.pack(">H", 16) \
         + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
     for tid, q in ((0, ql), (1, qc))[:1 if ch == 1 else 2]:
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
-            + bytes(int(v) for v in q)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ch, 8, h, w, ch)
+        if precision == 12:
+            out += b"\xff\xdb" + struct.pack(">H", 131) \
+                + bytes([(1 << 4) | tid]) \
+                + b"".join(struct.pack(">H", int(v) * 16) for v in q)
+        else:
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+                + bytes(int(v) for v in q)
+    sof_marker = b"\xff\xc1" if precision == 12 else b"\xff\xc0"
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * ch, precision,
+                                    h, w, ch)
     for ci in range(ch):
         sf = (samp[0] << 4) | samp[1] if ci == 0 else 0x11
         out += bytes([ci + 1, sf if ch == 3 else 0x11,

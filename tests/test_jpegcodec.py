@@ -521,3 +521,115 @@ class TestVariantFuzz:
             [g[0] * g[3] / 255.0, g[1] * g[3] / 255.0,
              g[2] * g[3] / 255.0], axis=2)), 0, 255).astype(np.uint8)
         np.testing.assert_array_equal(out, want)
+
+
+class TestTwelveBit:
+    """12-bit extended-sequential (SOF1) decode: the scaled-encoder
+    parity contract (x16 samples over x16 quant == the 8-bit encode,
+    so the decode must be bit-identical), a hand-built file exercising
+    TRUE 12-bit dynamic range, and the narrowed out-of-scope edges."""
+
+    @pytest.mark.parametrize("shape,sub,q", [
+        ((24, 17), False, 60), ((16, 16, 3), False, 85),
+        ((33, 41, 3), True, 85), ((24, 24, 3), (2, 1), 95),
+    ])
+    def test_scaled_12bit_matches_8bit_decode(self, shape, sub, q):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        a = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        b = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub,
+                                    precision=12))
+        np.testing.assert_array_equal(a, b)
+
+    def test_restart_interval_12bit(self):
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        a = decode_jpeg(encode_jpeg(img, restart_interval=3))
+        b = decode_jpeg(encode_jpeg(img, restart_interval=3,
+                                    precision=12))
+        np.testing.assert_array_equal(a, b)
+
+    @staticmethod
+    def _dc_only_12bit(values):
+        """Hand-built SOF1 12-bit grayscale: one 8x8 block per value,
+        laid out horizontally, each block constant. qt[DC]=8 so the
+        stored DC coefficient is exactly v-2048 (orthonormal DC =
+        8*mean); DC diffs span the full 12-bit range, so the custom
+        DC table carries categories 0..12 — beyond what any 8-bit
+        stream uses."""
+        import struct
+
+        n = len(values)
+        out = bytearray(b"\xff\xd8")
+        qt = [8] + [1] * 63
+        out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10]) \
+            + b"".join(struct.pack(">H", v) for v in qt)
+        out += b"\xff\xc1" + struct.pack(">HBHHB", 11, 12, 8, 8 * n, 1)
+        out += bytes([1, 0x11, 0])
+        # DC: 13 four-bit codes for categories 0..12; AC: 1-bit EOB
+        dc_bits = [0, 0, 0, 13] + [0] * 12
+        dc_vals = list(range(13))
+        out += b"\xff\xc4" + struct.pack(">H", 19 + 13) \
+            + bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        out += b"\xff\xc4" + struct.pack(">H", 19 + 1) \
+            + bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+            + bytes([1, 0x00, 0, 63, 0])
+
+        acc, nbits, scan = 0, 0, bytearray()
+
+        def put(code, ln):
+            nonlocal acc, nbits
+            acc = (acc << ln) | (code & ((1 << ln) - 1))
+            nbits += ln
+            while nbits >= 8:
+                b = (acc >> (nbits - 8)) & 0xFF
+                scan.append(b)
+                if b == 0xFF:
+                    scan.append(0x00)
+                nbits -= 8
+                acc &= (1 << nbits) - 1
+
+        pred = 0
+        for v in values:
+            coef = v - 2048
+            diff = coef - pred
+            pred = coef
+            s = abs(diff).bit_length()
+            put(s, 4)                          # flat 4-bit DC codes
+            if s:
+                put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            put(0, 1)                          # EOB (code 0, len 1)
+        if nbits:
+            put((1 << (8 - nbits)) - 1, 8 - nbits)
+        out += scan + b"\xff\xd9"
+        return bytes(out)
+
+    def test_true_12bit_dynamic_range(self):
+        values = [0, 1, 15, 16, 17, 2047, 2048, 2049, 4080, 4095]
+        img = decode_jpeg(self._dc_only_12bit(values))
+        assert img.shape == (8, 8 * len(values), 1)
+        for i, v in enumerate(values):
+            want = min(255, int(np.round(v / 16.0)))
+            blk = img[:, 8 * i:8 * (i + 1), 0]
+            assert (blk == want).all(), (v, want, blk[0, 0])
+
+    def test_12bit_baseline_and_progressive_rejected(self):
+        data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8),
+                                     precision=12))
+        sof = data.find(b"\xff\xc1")
+        for marker in (0xC0, 0xC2):            # baseline / progressive
+            bad = bytearray(data)
+            bad[sof + 1] = marker
+            with pytest.raises(NotImplementedError):
+                decode_jpeg(bytes(bad))
+
+    def test_feature_stage_decodes_12bit(self):
+        import pyarrow as pa
+
+        from selma_ray.stages.multimodal import DecodeImageFeatures
+
+        data = encode_jpeg(_gradient(16, 16), precision=12)
+        strict = DecodeImageFeatures(fake=False, dim=16)
+        out = strict(pa.table({"data": pa.array([data], pa.binary())}))
+        assert len(out.column("features").to_pylist()[0]) == 16
