@@ -27,7 +27,9 @@ def main():
     import __ray_entry__ as entrymod
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False)
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                 include_dashboard=False)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -44,6 +46,13 @@ def main():
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if (len(got) == 0 and len(got.columns) == 0
+                and hasattr(res, "schema")):
+            # ray.data.Dataset.to_pandas() returns a COLUMNLESS frame
+            # for any 0-row dataset even when the dataset has a schema
+            import pandas as pd
+
+            got = pd.DataFrame({n: [] for n in res.schema().names})
         ray_sec = time.perf_counter() - t0
         if name not in oracles:
             print(f"{name}: rows-only ({len(got)} rows, {ray_sec:.1f}s)")

@@ -902,7 +902,17 @@ def dup_span_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "n_shared": pc.cast(batch.column("count()"), pa.int64()),
         })
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    out = agg.map_batches(rename, batch_format="pyarrow")
+    # schema anchor: a corpus with NO shared spans must still yield an
+    # empty result WITH (id_a, id_b, n_shared) — Ray's aggregate of a
+    # 0-row stream produces 0 blocks, which would drop the schema
+    import ray.data
+
+    return out.union(ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "n_shared": pa.array([], pa.int64()),
+    })))
 
 
 # -- incremental dedup vs a prior snapshot --------------------------------

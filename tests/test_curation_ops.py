@@ -4985,6 +4985,25 @@ class TestDeepReviewRegressions:
         got = sorted(zip(out["id_a"], out["id_b"]))
         assert got == [(1, 2)]  # the empty docs pair with nothing
 
+    def test_dup_spans_empty_result_keeps_schema(self, ray_session):
+        """A corpus with no shared spans must still yield a dataset
+        with the (id_a, id_b, n_shared) schema — Ray's aggregate of a
+        0-row stream otherwise drops every block (surfaced by the
+        sf0.1 oracle sweep, where the first 200 docs share nothing)."""
+        import ray.data
+
+        from selma_ray.pipelines.dedup import dup_span_pairs
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([" ".join(f"a{i}" for i in range(20)),
+                              " ".join(f"b{i}" for i in range(20))]),
+        })
+        out = dup_span_pairs(ray.data.from_arrow(t),
+                             window=16, stride=8)
+        assert out.count() == 0
+        assert out.schema().names == ["id_a", "id_b", "n_shared"]
+
 
 class TestCompositeKeyPacking:
     """Regressions for the asof/range-join composite packing: a fixed
