@@ -5280,15 +5280,29 @@ def oracle_sql() -> dict[str, str]:
                        ::BIGINT AS m_tile
             FROM u, a
         """,
+        # 2-D skyline in O(n): a row is dominated iff some row has
+        # strictly greater quantity and price <= its own (mp_gt: the
+        # running min price over strictly-greater quantities), or the
+        # same quantity at strictly smaller price (mp). Equivalent to
+        # the naive NOT EXISTS anti-join, which is quadratic and takes
+        # hours on sf0.1's 600k lineitem rows.
         "pareto_lines": r"""
-            SELECT l_orderkey, l_quantity, l_extendedprice
-            FROM lineitem a
-            WHERE NOT EXISTS (
-                SELECT 1 FROM lineitem b
-                WHERE b.l_quantity >= a.l_quantity
-                  AND b.l_extendedprice <= a.l_extendedprice
-                  AND (b.l_quantity > a.l_quantity
-                       OR b.l_extendedprice < a.l_extendedprice))
+            WITH t AS (
+                SELECT l_orderkey, l_quantity, l_extendedprice
+                FROM lineitem),
+            mq AS (
+                SELECT l_quantity, min(l_extendedprice) AS mp
+                FROM t GROUP BY l_quantity),
+            cq AS (
+                SELECT l_quantity, mp,
+                       min(mp) OVER (ORDER BY l_quantity DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS mp_gt
+                FROM mq)
+            SELECT t.l_orderkey, t.l_quantity, t.l_extendedprice
+            FROM t JOIN cq USING (l_quantity)
+            WHERE (cq.mp_gt IS NULL OR cq.mp_gt > t.l_extendedprice)
+              AND cq.mp >= t.l_extendedprice
         """,
         "weekly_active": r"""
             WITH p AS (
@@ -6490,9 +6504,11 @@ def oracle_sql() -> dict[str, str]:
         # engine (tokenizer + selector automaton + sanitizer) is not
         # SQL-expressible; verified instead by the pytest golden matrix
         # ported from the reference suite (rows-only here).
-        # minhash_lsh_pairs / simhash_pairs: sketch-based
-        # approximations — verified against their exact counterparts
-        # (ngram_jaccard / ann_topk) in tests; rows-only here.
-        # language_id / multimodal_features: heuristic / stubbed-model
-        # ops with no SQL equivalent; rows-only.
+        # Remaining rows-only (18): the HTML engine queries
+        # (extract/sanitize/markdown/block_filter/curate_corpus — not
+        # SQL-expressible, carried by the golden matrix + pytest),
+        # float-iterative algorithms (kmeans/pca/k-center/logreg/
+        # semantic_dedup/cluster_exemplars/random_projection),
+        # codec-decode paths (multimodal/audio/video/image_near_dup),
+        # zlib compression_ratio, and the crc32-hashed classifier.
     }
