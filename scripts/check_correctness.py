@@ -47,7 +47,8 @@ def main():
         res = qs[name](SF_DIR)
         got = res.to_pandas() if hasattr(res, "to_pandas") else res
         if (len(got) == 0 and len(got.columns) == 0
-                and hasattr(res, "schema")):
+                and hasattr(res, "schema")
+                and res.schema() is not None):
             # ray.data.Dataset.to_pandas() returns a COLUMNLESS frame
             # for any 0-row dataset even when the dataset has a schema
             import pandas as pd

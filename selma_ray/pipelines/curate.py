@@ -128,16 +128,32 @@ def curate_corpus(input_path: str, out_root: str, *,
     if not (resume and _stage_done(dd_dir)):
         from .dedup import exact_dedup
 
-        # winner pass reads ONLY the two key columns (pruned at the
-        # parquet read); the full-schema read streams once, in the
-        # map-only survivor filter — no text hashing in either pass
-        slim = ray.data.read_parquet(
-            qf_dir, columns=["row_key", "text_hash"])
         ds = ray.data.read_parquet(qf_dir)
-        survivors = exact_dedup(ds, id_col="row_key",
-                                text_col="extracted_text",
-                                hash_col="text_hash",
-                                winner_input=slim)
+        ckpt_cols = set(ds.schema().names)
+        if {"row_key", "text_hash"} <= ckpt_cols:
+            # winner pass reads ONLY the two key columns (pruned at
+            # the parquet read); the full-schema read streams once, in
+            # the map-only survivor filter — no text hashing anywhere
+            slim = ray.data.read_parquet(
+                qf_dir, columns=["row_key", "text_hash"])
+            survivors = exact_dedup(ds, id_col="row_key",
+                                    text_col="extracted_text",
+                                    hash_col="text_hash",
+                                    winner_input=slim)
+        else:
+            # forward-compat: a stage-1 checkpoint written before the
+            # keys were persisted — fall back to the self-hashing path
+            # so a resumed job completes instead of crashing
+            def row_key(batch: pa.Table) -> pa.Table:
+                key = pc.binary_join_element_wise(
+                    batch.column("conv_id"),
+                    pc.utf8_lpad(pc.cast(batch.column("turn_idx"),
+                                         pa.string()), 12, "0"), "#")
+                return batch.append_column("row_key", key)
+
+            keyed = ds.map_batches(row_key, batch_format="pyarrow")
+            survivors = exact_dedup(keyed, id_col="row_key",
+                                    text_col="extracted_text")
         _fresh_dir(dd_dir)
         survivors.drop_columns(["row_key", "text_hash"]) \
             .write_parquet(dd_dir, min_rows_per_file=16384)

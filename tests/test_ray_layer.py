@@ -313,6 +313,50 @@ def test_curate_corpus_stages_and_resume(ray_session, tmp_path):
     assert s2["stages"]["dedup"]["sec"] < s1["stages"]["dedup"]["sec"]
 
 
+def test_curate_corpus_resumes_over_legacy_checkpoint(ray_session,
+                                                      tmp_path):
+    """Forward-compat: a stage-1 checkpoint written BEFORE the dedup
+    keys were persisted (no row_key/text_hash columns) must still
+    complete on resume via the self-hashing fallback, with identical
+    output rows."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from selma_ray.pipelines.curate import curate_corpus
+    from selma_ray.sources.transcripts import transcripts_parquet
+
+    inp = transcripts_parquet(24)
+    ref_out = tmp_path / "ref"
+    ref = curate_corpus(inp, str(ref_out), concurrency=1)
+
+    # rewrite the quality-filter checkpoint to the legacy schema and
+    # erase every later stage (the mid-upgrade death state)
+    import shutil
+    out = tmp_path / "legacy"
+    shutil.copytree(ref_out / "extracted", out / "extracted")
+    qf = out / "filtered"
+    qf.mkdir()
+    shutil.copy(ref_out / "filtered" / "_STAGE_DONE.json",
+                qf / "_STAGE_DONE.json")
+    for f in (ref_out / "filtered").glob("*.parquet"):
+        t = pq.read_table(f)
+        t = t.drop_columns([c for c in ("row_key", "text_hash")
+                            if c in t.column_names])
+        pq.write_table(t, qf / f.name)
+
+    s = curate_corpus(inp, str(out), concurrency=1)
+    assert s["stages"]["dedup"]["rows_out"] \
+        == ref["stages"]["dedup"]["rows_out"]
+    got = ray.data.read_parquet(str(out / "packed")).to_pandas()
+    want = ray.data.read_parquet(str(ref_out / "packed")).to_pandas()
+    key = ["conv_id", "window_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got[sorted(got.columns)],
+                           want[sorted(want.columns)])
+
+
 def test_curate_corpus_decontamination_stage(ray_session, tmp_path):
     import pyarrow.parquet as pq
     import ray.data
