@@ -5354,6 +5354,29 @@ class TestDedupSlimReadHooks:
                           materialize_input=True).to_pandas()
         assert sorted(got["text"]) == ["aa", "bb", "cc"]
 
+    def test_keep_best_materialize_input(self, ray_session):
+        import uuid
+
+        import pyarrow as pa
+        import ray.data
+
+        from selma_ray.pipelines.dedup import exact_dedup_keep_best
+
+        base = ray.data.from_arrow(pa.table({
+            "text": pa.array(["aa", "bb", "aa", "cc", "bb", "aa"]),
+            "n_chars": pa.array([2, 2, 2, 2, 2, 2], pa.int64()),
+        })).repartition(3)
+
+        def salt_ids(batch: pa.Table) -> pa.Table:
+            nonce = uuid.uuid4().hex[:8]
+            ids = [f"{nonce}#{i}" for i in range(len(batch))]
+            return batch.append_column("doc_id", pa.array(ids))
+
+        salted = base.map_batches(salt_ids, batch_format="pyarrow")
+        got = exact_dedup_keep_best(salted, id_col="doc_id",
+                                    materialize_input=True).to_pandas()
+        assert sorted(got["text"]) == ["aa", "bb", "cc"]
+
 
 class TestContainmentJoin:
     def test_excerpt_detected_where_jaccard_misses(self, ray_session):
