@@ -624,6 +624,15 @@ class TestTwelveBit:
             with pytest.raises(NotImplementedError):
                 decode_jpeg(bytes(bad))
 
+    def test_truncated_12bit_raises_cleanly(self):
+        data = encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8),
+                           precision=12)
+        for cut in range(2, len(data), 7):
+            try:
+                decode_jpeg(data[:cut])
+            except (ValueError, NotImplementedError):
+                pass  # clean codec error is the contract
+
     def test_feature_stage_decodes_12bit(self):
         import pyarrow as pa
 
