@@ -62,6 +62,17 @@ PAIR_SCHEMA = pa.schema([
 ])
 
 
+def _with_schema_anchor(out, empty: pa.Table):
+    """Union an empty typed block so a 0-row result keeps its schema:
+    Ray's aggregate of a 0-row stream emits no blocks, leaving
+    ``Dataset.schema()`` None and ``to_pandas()`` columnless (the
+    dup_spans bug class — a corpus with no matches must still yield
+    the operator's output schema)."""
+    import ray.data
+
+    return out.union(ray.data.from_arrow(empty))
+
+
 def _empty_pairs(id_type=pa.int64()) -> pa.Table:
     if pa.types.is_int64(id_type):
         return PAIR_SCHEMA.empty_table()
@@ -433,7 +444,9 @@ def _dedup_pairs(pairs, method: str):
             "method": pa.array([method] * batch.num_rows, pa.string()),
         })
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return _with_schema_anchor(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        PAIR_SCHEMA.empty_table())
 
 
 def drop_ids_from_pairs(pairs) -> "set[int]":
@@ -902,17 +915,10 @@ def dup_span_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "n_shared": pc.cast(batch.column("count()"), pa.int64()),
         })
 
-    out = agg.map_batches(rename, batch_format="pyarrow")
-    # schema anchor: a corpus with NO shared spans must still yield an
-    # empty result WITH (id_a, id_b, n_shared) — Ray's aggregate of a
-    # 0-row stream produces 0 blocks, which would drop the schema
-    import ray.data
-
-    return out.union(ray.data.from_arrow(pa.table({
-        "id_a": pa.array([], pa.int64()),
-        "id_b": pa.array([], pa.int64()),
-        "n_shared": pa.array([], pa.int64()),
-    })))
+    return _with_schema_anchor(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("n_shared", pa.int64())]).empty_table())
 
 
 # -- incremental dedup vs a prior snapshot --------------------------------
@@ -1700,7 +1706,10 @@ def jaccard_prefix_join(ds, *, id_col: str = "doc_id",
     def first(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    return per_key_in_buckets(pairs, ["id_a", "id_b"], first)
+    return _with_schema_anchor(
+        per_key_in_buckets(pairs, ["id_a", "id_b"], first),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("jaccard", pa.float64())]).empty_table())
 
 
 def containment_prefix_join(ds, *, id_col: str = "doc_id",
@@ -1815,7 +1824,10 @@ def containment_prefix_join(ds, *, id_col: str = "doc_id",
     def first(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    return per_key_in_buckets(pairs, ["id_a", "id_b"], first)
+    return _with_schema_anchor(
+        per_key_in_buckets(pairs, ["id_a", "id_b"], first),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("containment", pa.float64())]).empty_table())
 
 
 def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",

@@ -4985,24 +4985,37 @@ class TestDeepReviewRegressions:
         got = sorted(zip(out["id_a"], out["id_b"]))
         assert got == [(1, 2)]  # the empty docs pair with nothing
 
-    def test_dup_spans_empty_result_keeps_schema(self, ray_session):
-        """A corpus with no shared spans must still yield a dataset
-        with the (id_a, id_b, n_shared) schema — Ray's aggregate of a
-        0-row stream otherwise drops every block (surfaced by the
-        sf0.1 oracle sweep, where the first 200 docs share nothing)."""
+    @pytest.mark.parametrize("op,kwargs,want_cols", [
+        ("dup_span_pairs", dict(window=16, stride=8),
+         ["id_a", "id_b", "n_shared"]),
+        ("minhash_lsh_pairs", {},
+         ["id_a", "id_b", "similarity", "method"]),
+        ("simhash_pairs", {},
+         ["id_a", "id_b", "similarity", "method"]),
+        ("jaccard_prefix_join", dict(threshold=0.9),
+         ["id_a", "id_b", "jaccard"]),
+        ("containment_prefix_join", dict(threshold=0.9),
+         ["id_a", "id_b", "containment"]),
+    ])
+    def test_no_match_corpus_keeps_schema(self, op, kwargs, want_cols,
+                                          ray_session):
+        """A corpus with no matching pairs must still yield the
+        operator's output schema — Ray's aggregate of a 0-row stream
+        otherwise drops every block, leaving Dataset.schema() None
+        (surfaced by the sf0.1 oracle sweep on dup_spans; the other
+        pair miners shared the bug class)."""
         import ray.data
 
-        from selma_ray.pipelines.dedup import dup_span_pairs
+        from selma_ray.pipelines import dedup as dd
 
         t = pa.table({
             "doc_id": pa.array([1, 2], pa.int64()),
             "text": pa.array([" ".join(f"a{i}" for i in range(20)),
                               " ".join(f"b{i}" for i in range(20))]),
         })
-        out = dup_span_pairs(ray.data.from_arrow(t),
-                             window=16, stride=8)
+        out = getattr(dd, op)(ray.data.from_arrow(t), **kwargs)
         assert out.count() == 0
-        assert out.schema().names == ["id_a", "id_b", "n_shared"]
+        assert out.schema().names == want_cols
 
 
 class TestCompositeKeyPacking:
