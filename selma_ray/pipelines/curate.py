@@ -56,6 +56,18 @@ def _fresh_dir(stage_dir: str) -> None:
     os.makedirs(stage_dir, exist_ok=True)
 
 
+def _append_row_key(batch: pa.Table) -> pa.Table:
+    """The per-turn dedup id shared by stage 1 (key persistence) and
+    stage 2's legacy-checkpoint fallback — ONE definition, because the
+    winner rule is min(row_key): two divergent formats would silently
+    pick different dedup winners on a resumed legacy job."""
+    key = pc.binary_join_element_wise(
+        batch.column("conv_id"),
+        pc.utf8_lpad(pc.cast(batch.column("turn_idx"),
+                             pa.string()), 12, "0"), "#")
+    return batch.append_column("row_key", key)
+
+
 def curate_corpus(input_path: str, out_root: str, *,
                   min_words: int = 3, batch_size: int = 64,
                   window_budget: int = 128, concurrency=None,
@@ -106,12 +118,7 @@ def curate_corpus(input_path: str, out_root: str, *,
             # full text twice
             from .dedup import add_md5
 
-            key = pc.binary_join_element_wise(
-                kept.column("conv_id"),
-                pc.utf8_lpad(pc.cast(kept.column("turn_idx"),
-                                     pa.string()), 12, "0"), "#")
-            return add_md5(kept.append_column("row_key", key),
-                           "extracted_text")
+            return add_md5(_append_row_key(kept), "extracted_text")
 
         kept = ds.map_batches(keep_only, batch_format="pyarrow")
         _fresh_dir(qf_dir)
@@ -143,15 +150,16 @@ def curate_corpus(input_path: str, out_root: str, *,
         else:
             # forward-compat: a stage-1 checkpoint written before the
             # keys were persisted — fall back to the self-hashing path
-            # so a resumed job completes instead of crashing
-            def row_key(batch: pa.Table) -> pa.Table:
-                key = pc.binary_join_element_wise(
-                    batch.column("conv_id"),
-                    pc.utf8_lpad(pc.cast(batch.column("turn_idx"),
-                                         pa.string()), 12, "0"), "#")
-                return batch.append_column("row_key", key)
-
-            keyed = ds.map_batches(row_key, batch_format="pyarrow")
+            # so a resumed job completes instead of crashing. Drop any
+            # PARTIAL key column first (a checkpoint with exactly one
+            # of the two would otherwise gain a duplicate column and
+            # crash the select inside exact_dedup).
+            partial = [c for c in ("row_key", "text_hash")
+                       if c in ckpt_cols]
+            if partial:
+                ds = ds.drop_columns(partial)
+            keyed = ds.map_batches(_append_row_key,
+                                   batch_format="pyarrow")
             survivors = exact_dedup(keyed, id_col="row_key",
                                     text_col="extracted_text")
         _fresh_dir(dd_dir)

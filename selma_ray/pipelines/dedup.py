@@ -392,7 +392,7 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 128, bands: int = 16, ngram: int = 3,
                       threshold: float = 0.7, max_bucket: int = 2000,
                       max_band_rows: int | None = None,
-                      concurrency=None):
+                      concurrency=None, id_type=None):
     """Dataset -> candidate duplicate pairs (id_a < id_b, est-Jaccard >=
     threshold), deduplicated across bands.
 
@@ -426,11 +426,14 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         sample_col="id" if max_band_rows is not None else None)
     # a pair can surface in several bands: keep one copy (aggregate, not
     # per-group map_groups — pairs are tiny but numerous)
-    return _dedup_pairs(pairs, "minhash_lsh")
+    return _dedup_pairs(pairs, "minhash_lsh", id_type)
 
 
-def _dedup_pairs(pairs, method: str):
-    """Keep one copy per (id_a, id_b): groupby + max(similarity)."""
+def _dedup_pairs(pairs, method: str, id_type=None):
+    """Keep one copy per (id_a, id_b): groupby + max(similarity).
+    ``id_type`` types the empty-result schema anchor (defaults to the
+    module's int64 PAIR_SCHEMA contract — pass the corpus id type for
+    non-int64 ids so a no-match result reports the right schema)."""
     from ray.data.aggregate import Max
 
     agg = split_blocks(pairs, target_rows=65536) \
@@ -446,7 +449,7 @@ def _dedup_pairs(pairs, method: str):
 
     return _with_schema_anchor(
         agg.map_batches(rename, batch_format="pyarrow"),
-        PAIR_SCHEMA.empty_table())
+        _empty_pairs(id_type or pa.int64()))
 
 
 def drop_ids_from_pairs(pairs) -> "set[int]":
@@ -603,7 +606,7 @@ def _simhash_bucket_pairs(max_dist: int, max_bucket: int):
 
 def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                   max_dist: int = 3, max_bucket: int = 5000,
-                  concurrency=None):
+                  concurrency=None, id_type=None):
     """Stateless-task banding for the same reason as minhash_lsh_pairs."""
     kwargs = dict(fn_kwargs=dict(id_col=id_col, text_col=text_col),
                   batch_format="pyarrow")
@@ -613,7 +616,7 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     pairs = per_key_in_buckets(
         banded, "band_key", _simhash_bucket_pairs(max_dist, max_bucket),
         min_rows=2)
-    return _dedup_pairs(pairs, "simhash")
+    return _dedup_pairs(pairs, "simhash", id_type)
 
 
 def image_phash_pairs(ds, *, id_col: str = "doc_id",
@@ -1415,7 +1418,8 @@ def corpus_diff(new_ds, old_ds, *, id_col: str = "doc_id",
 def cross_corpus_pairs(ds_a, ds_b, *, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 128,
                        bands: int = 16, ngram: int = 3,
-                       threshold: float = 0.7, max_bucket: int = 2000):
+                       threshold: float = 0.7, max_bucket: int = 2000,
+                       id_type=None):
     """MinHash-LSH near-duplicate pairs ACROSS two corpora (id_a from
     A, id_b from B, est-Jaccard >= threshold) — the cross-crawl /
     cross-snapshot duplication analysis where within-corpus pairs are
@@ -1487,7 +1491,7 @@ def cross_corpus_pairs(ds_a, ds_b, *, id_col: str = "doc_id",
 
     pairs = per_key_in_buckets(banded, "band_key", bucket_cross,
                                target_rows=16384, min_rows=2)
-    return _dedup_pairs(pairs, "minhash_cross")
+    return _dedup_pairs(pairs, "minhash_cross", id_type)
 
 
 def dup_family_histogram(ds, *, id_col: str = "doc_id",

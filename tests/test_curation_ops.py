@@ -5017,6 +5017,25 @@ class TestDeepReviewRegressions:
         assert out.count() == 0
         assert out.schema().names == want_cols
 
+    def test_string_id_anchor_types(self, ray_session):
+        """Non-int64 corpora pass id_type so the no-match anchor
+        reports THEIR id type, not the int64 PAIR_SCHEMA default."""
+        import ray.data
+
+        from selma_ray.pipelines.dedup import minhash_lsh_pairs
+
+        t = pa.table({
+            "doc_id": pa.array(["u1", "u2"], pa.string()),
+            "text": pa.array([" ".join(f"a{i}" for i in range(20)),
+                              " ".join(f"b{i}" for i in range(20))]),
+        })
+        out = minhash_lsh_pairs(ray.data.from_arrow(t),
+                                id_type=pa.string())
+        assert out.count() == 0
+        sch = out.schema()
+        assert sch.names == ["id_a", "id_b", "similarity", "method"]
+        assert dict(zip(sch.names, sch.types))["id_a"] == pa.string()
+
 
 class TestCompositeKeyPacking:
     """Regressions for the asof/range-join composite packing: a fixed

@@ -313,12 +313,14 @@ def test_curate_corpus_stages_and_resume(ray_session, tmp_path):
     assert s2["stages"]["dedup"]["sec"] < s1["stages"]["dedup"]["sec"]
 
 
-def test_curate_corpus_resumes_over_legacy_checkpoint(ray_session,
+@pytest.mark.parametrize("drop", [("row_key", "text_hash"),
+                                  ("row_key",)])
+def test_curate_corpus_resumes_over_legacy_checkpoint(drop, ray_session,
                                                       tmp_path):
     """Forward-compat: a stage-1 checkpoint written BEFORE the dedup
-    keys were persisted (no row_key/text_hash columns) must still
-    complete on resume via the self-hashing fallback, with identical
-    output rows."""
+    keys were persisted — missing both key columns (legacy) or just
+    one (partial/hand-pruned) — must still complete on resume via the
+    self-hashing fallback, with identical output rows."""
     import pyarrow.parquet as pq
     import ray.data
 
@@ -329,7 +331,7 @@ def test_curate_corpus_resumes_over_legacy_checkpoint(ray_session,
     ref_out = tmp_path / "ref"
     ref = curate_corpus(inp, str(ref_out), concurrency=1)
 
-    # rewrite the quality-filter checkpoint to the legacy schema and
+    # rewrite the quality-filter checkpoint to the degraded schema and
     # erase every later stage (the mid-upgrade death state)
     import shutil
     out = tmp_path / "legacy"
@@ -340,8 +342,7 @@ def test_curate_corpus_resumes_over_legacy_checkpoint(ray_session,
                 qf / "_STAGE_DONE.json")
     for f in (ref_out / "filtered").glob("*.parquet"):
         t = pq.read_table(f)
-        t = t.drop_columns([c for c in ("row_key", "text_hash")
-                            if c in t.column_names])
+        t = t.drop_columns([c for c in drop if c in t.column_names])
         pq.write_table(t, qf / f.name)
 
     s = curate_corpus(inp, str(out), concurrency=1)
